@@ -1,0 +1,139 @@
+package graft.ccm
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-facing CCM API mirroring the reference's three entry points
+  * (`CCM.new/3`, `CCM.cross_map/2`, `CCM.bidirectional_ccm/1`,
+  * `lib/ccm.ex:20-84`), lifted to many series at once.
+  *
+  * Two execution strategies, identical semantics:
+  *
+  *  - [[bidirectional]]: fully declarative [[CcmPipeline]] — one lazy DAG
+  *    over all (series x direction x libSize x sample) cells; Catalyst
+  *    plans the shuffles; oracle-checkable as SQL.
+  *
+  *  - [[perSeries]]: scale path for many independent series — ONE shuffle
+  *    (groupByKey on the series id) then the [[CcmLocal]] kernel runs
+  *    partition-local per series with zero further data movement. At 100 TB
+  *    / millions of series this is embarrassingly parallel and avoids the
+  *    pair-join materialization entirely.
+  */
+object Ccm {
+
+  /** Per-(series, direction, libSize) skill row; `convergent`/`slope`
+    * replicated per row for a flat, SQL-friendly result shape.
+    */
+  final case class SkillRow(
+      skey: Long,
+      direction: String,
+      lib_size: Int,
+      rho: Double,
+      slope: Double,
+      convergent: Boolean
+  )
+
+  private[ccm] final case class WidePoint(skey: Long, ord: Long, x: Double, y: Double)
+
+  val DirXCausesY = "x_causes_y"
+  val DirYCausesX = "y_causes_x"
+
+  /** Declarative bidirectional CCM over a wide DataFrame of many series.
+    *
+    * @param df     input with one row per time step
+    * @param skey   numeric series key column
+    * @param order  ordering columns (time)
+    * @param x      X series values
+    * @param y      Y series values
+    * @return (skey, direction, lib_size, rho, slope, convergent)
+    */
+  def bidirectional(
+      df: DataFrame,
+      skey: Column,
+      order: Seq[String],
+      x: Column,
+      y: Column,
+      spec: CcmSpec,
+      libSizes: Seq[Int]
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base =
+      df.select(Seq(skey.cast("long").as("skey"), x.as("x"), y.as("y")) ++ order.map(col): _*)
+    val ord = order.map(col)
+    // Direction trap (`lib/ccm.ex:49-53`): x_causes_y embeds Y, targets X.
+    def oneDir(src: Column, tgt: Column, dir: String): DataFrame =
+      CcmPipeline
+        .embedded(base, Seq("skey"), ord, src, tgt, spec.embeddingDim, spec.tau)
+        .withColumn("direction", lit(dir))
+    val emb = oneDir($"y", $"x", DirXCausesY).unionByName(oneDir($"x", $"y", DirYCausesX))
+    val keys = Seq("skey", "direction")
+    val rk = CcmPipeline.ranked(emb, keys, spec.numSamples, spec.seed, col("skey"))
+    val sk = CcmPipeline.skill(rk, keys, libSizes, spec.numSamples, spec.embeddingDim)
+    val cv = CcmPipeline.convergence(sk, keys)
+    sk.join(cv.select(col("skey"), col("direction"), col("slope"), col("convergent")), keys)
+  }
+
+  /** Scale path: one shuffle to co-locate each series, then the local kernel.
+    * Input columns: (skey: Long, ord: Long, x: Double, y: Double).
+    */
+  def perSeries(df: DataFrame, spec: CcmSpec, libSizes: Option[Seq[Int]] = None): Dataset[SkillRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col("skey").cast("long").as("skey"),
+        col("ord").cast("long").as("ord"),
+        col("x").cast("double").as("x"),
+        col("y").cast("double").as("y")
+      )
+      .as[WidePoint]
+      .groupByKey(_.skey)
+      .flatMapGroups { (skey, it) =>
+        val pts = it.toArray.sortBy(_.ord)
+        val xs = pts.map(_.x)
+        val ys = pts.map(_.y)
+        val ls = libSizes.getOrElse(spec.resolvedLibSizes(xs.length))
+        val sp = spec.copy(libSizes = Some(ls))
+        val res = CcmLocal.bidirectional(xs, ys, sp, skey)
+        def rows(d: CcmLocal.DirectionResult, name: String) = {
+          val slope = olsSlope(d.results)
+          d.results.map { case (l, rho) => SkillRow(skey, name, l, rho, slope, d.convergent) }
+        }
+        rows(res.xCausesY, DirXCausesY) ++ rows(res.yCausesX, DirYCausesX)
+      }
+  }
+
+  private def olsSlope(results: Seq[(Int, Double)]): Double = {
+    val n = results.length.toDouble
+    if (n < 2) return 0.0
+    val sumX = results.iterator.map(_._1.toDouble).sum
+    val sumY = results.iterator.map(_._2).sum
+    val sumXY = results.iterator.map { case (a, b) => a * b }.sum
+    val sumX2 = results.iterator.map { case (a, _) => a.toDouble * a }.sum
+    val denom = n * sumX2 - sumX * sumX
+    if (denom != 0.0) (n * sumXY - sumX * sumY) / denom else 0.0
+  }
+
+  /** Single-pair convenience mirroring `CCM.bidirectional_ccm/1` exactly:
+    * two in-memory series -> local result (the reference's whole API).
+    */
+  def bidirectionalLocal(
+      x: Seq[Double],
+      y: Seq[Double],
+      spec: CcmSpec = CcmSpec()
+  ): CcmLocal.BidirectionalResult =
+    CcmLocal.bidirectional(x.toArray, y.toArray, spec)
+
+  /** Parse the reference's livemd custom-data format (`examples.livemd:
+    * 203-218`): two newline-separated, comma-separated float rows, equal
+    * length, >= 10 points.
+    */
+  def parseSeriesText(text: String): (Array[Double], Array[Double]) = {
+    val rows = text.trim.split("\n").map(_.trim).filter(_.nonEmpty)
+    require(rows.length == 2, "expected exactly two series lines")
+    val parsed = rows.map(_.split(",").map(_.trim.toDouble))
+    require(parsed(0).length == parsed(1).length, "series must have equal length")
+    require(parsed(0).length >= 10, "series must have at least 10 points")
+    (parsed(0), parsed(1))
+  }
+}

@@ -1,0 +1,189 @@
+package graft.ccm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declarative DataFrame implementation of CCM.
+  *
+  * Every stage is a relational decomposition of a reference operator
+  * (SURVEY.md §2a), expressed with built-in Catalyst expressions only —
+  * no UDFs — so the whole plan stays inside whole-stage codegen and is
+  * reproducible as ANSI SQL for the DuckDB oracle:
+  *
+  *  - time-delay embedding  (`lib/ccm.ex:99-107`)  = `lead` window
+  *  - library sampling      (`lib/ccm.ex:117,121`) = deterministic
+  *    hash-rank split ([[DetHash]]); rank depends only on (series, sample,
+  *    idx), so one ranking is **reused across the whole lib-size ladder**
+  *    (the reference recomputes from scratch per (libSize, sample))
+  *  - brute-force kNN       (`lib/ccm.ex:151-160`) = equi-join on the
+  *    (series, sample) cell + top-k window (Spark >= 3.5 rewrites
+  *    `row_number <= k` to a per-partition TopK via WindowGroupLimit)
+  *  - weights + prediction  (`lib/ccm.ex:142-177,246-262`) = partition-min
+  *    analytic + weighted-average aggregate
+  *  - skill                 (`lib/ccm.ex:187-213`) = `corr` aggregate
+  *  - convergence           (`lib/ccm.ex:215-244`) = `regr_slope` aggregate
+  *
+  * Scale notes (100 TB): all shuffles key on the series id, so work
+  * distributes across series; the per-series pair fan-out is the algorithm's
+  * intrinsic cost. For very many series prefer [[Ccm.perSeries]] (single
+  * shuffle, then partition-local kernel); this pipeline is the fully
+  * declarative equivalent and the oracle surface.
+  */
+object CcmPipeline {
+
+  /** Dense per-series time index + E-dimensional embedding + aligned target.
+    *
+    * Input: any DataFrame with a series key, ordering columns, a source
+    * column (the embedded series) and a target column (the cross-mapped
+    * series). Output: (keys..., idx, e0..e{E-1} flattened point, tgt) where
+    * row idx is the embedding row [src(idx), src(idx+tau), ...] and tgt is
+    * target(idx + (E-1)tau) — the alignment of `lib/ccm.ex:119`.
+    */
+  def embedded(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[Column],
+      source: Column,
+      target: Column,
+      e: Int,
+      tau: Int
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val pointCols = (0 until e).map { j =>
+      (if (j == 0) source else lead(source, j * tau).over(w)).as(s"e$j")
+    }
+    val tgt =
+      (if ((e - 1) * tau == 0) target else lead(target, (e - 1) * tau).over(w)).as("tgt")
+    df.select(
+        keys.map(col) ++ Seq((row_number().over(w) - 1).cast("long").as("idx")) ++
+          pointCols :+ tgt: _*
+      )
+      .filter(col(s"e${e - 1}").isNotNull) // rows past n-(E-1)tau have no full point
+  }
+
+  /** Hash-rank every embedding row within each (series, sample) cell.
+    * Output adds (sample_id, rank): rows with rank <= L form the library for
+    * lib size L; the complement is the prediction set.
+    */
+  def ranked(emb: DataFrame, keys: Seq[String], numSamples: Int, seed: Long, seriesKey: Column): DataFrame = {
+    val spark = emb.sparkSession
+    val samples = spark.range(1, numSamples + 1).select(col("id").as("sample_id"))
+    val h = DetHash.rankHashCol(col("idx"), col("sample_id"), seriesKey, seed)
+    val w = Window
+      .partitionBy((keys.map(col) :+ col("sample_id")): _*)
+      .orderBy(h.asc, col("idx").asc)
+    emb
+      .crossJoin(broadcast(samples))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Full skill curve: for each (keys..., lib_size) the average Pearson
+    * correlation over samples, with all reference degenerate paths.
+    */
+  def skill(
+      rankedDf: DataFrame,
+      keys: Seq[String],
+      libSizes: Seq[Int],
+      numSamples: Int,
+      e: Int
+  ): DataFrame = {
+    val spark = rankedDf.sparkSession
+    import spark.implicits._
+    val k = keys.map(col)
+    val libs = broadcast(libSizes.toDF("lib_size"))
+    val cellKeys = k ++ Seq(col("sample_id"), col("lib_size"))
+
+    // kNN pairs: prediction rows (rank > L) x library rows (rank <= L),
+    // joined per (series, sample) cell. The equi keys carry the shuffle;
+    // the rank predicates are post-join filters.
+    val q = rankedDf.as("q").crossJoin(libs).filter($"q.rank" > $"lib_size")
+    val joinCond = keys
+      .map(kn => col(s"q.$kn") === col(s"l.$kn"))
+      .reduce(_ && _) && $"q.sample_id" === $"l.sample_id" && $"l.rank" <= $"lib_size"
+    val dims = 0 until e
+    val distExpr = sqrt(
+      dims
+        .map(j => (col(s"q.e$j") - col(s"l.e$j")) * (col(s"q.e$j") - col(s"l.e$j")))
+        .reduce(_ + _)
+    )
+    val pairs = q
+      .join(rankedDf.as("l"), joinCond)
+      .select(
+        (keys.map(kn => col(s"q.$kn").as(kn)) ++ Seq(
+          $"q.sample_id".as("sample_id"),
+          $"lib_size",
+          $"q.idx".as("pred_idx"),
+          $"q.tgt".as("actual"),
+          $"l.idx".as("lib_idx"),
+          $"l.tgt".as("lib_tgt"),
+          distExpr.as("dist")
+        )): _*
+      )
+
+    // top-k neighbors, k = min(E+1, L)  (`lib/ccm.ex:147-149`)
+    val wNN = Window
+      .partitionBy((cellKeys :+ col("pred_idx")): _*)
+      .orderBy($"dist".asc, $"lib_idx".asc)
+    val nn = pairs
+      .withColumn("nn_rank", row_number().over(wNN))
+      .filter($"nn_rank" <= least(lit(e + 1), $"lib_size"))
+
+    // weights (`lib/ccm.ex:246-262`) + weighted prediction (`ccm.ex:168-175`)
+    val wMin = Window.partitionBy((cellKeys :+ col("pred_idx")): _*)
+    val weighted = nn
+      .withColumn("min_dist", min($"dist").over(wMin))
+      .withColumn(
+        "w",
+        when($"dist" < 1e-12, 1.0).otherwise(exp(-$"dist" / ($"min_dist" + 1e-8)))
+      )
+    val preds = weighted
+      .groupBy((cellKeys ++ Seq(col("pred_idx"), col("actual"))): _*)
+      .agg(sum($"w").as("sw"), sum($"w" * $"lib_tgt").as("swt"))
+      .withColumn("predicted", when($"sw" === 0.0, 0.0).otherwise($"swt" / $"sw"))
+
+    // Pearson per cell; NULL/NaN (corr of <2 rows or zero variance) -> 0.0
+    val corrCell = preds
+      .groupBy(cellKeys: _*)
+      .agg(corr($"actual", $"predicted").as("c"))
+      .withColumn("c", when($"c".isNull || isnan($"c"), 0.0).otherwise($"c"))
+
+    // Complete cell grid so guard cells (libSize >= n, or empty prediction
+    // set) contribute 0.0 to the average instead of disappearing.
+    val nPts = rankedDf
+      .filter($"sample_id" === 1)
+      .groupBy(k: _*)
+      .agg(count(lit(1)).as("n_pts"))
+    val samples = spark.range(1, numSamples + 1).select(col("id").as("sample_id"))
+    val grid = nPts.crossJoin(broadcast(samples)).crossJoin(libs)
+    val gridJoinKeys = keys ++ Seq("sample_id", "lib_size")
+    val cells = grid
+      .join(corrCell, gridJoinKeys, "left")
+      .withColumn(
+        "rho_cell",
+        when($"lib_size" >= $"n_pts", 0.0) // guard `lib/ccm.ex:109-110`
+          .otherwise(coalesce($"c", lit(0.0)))
+      )
+
+    cells.groupBy((k :+ col("lib_size")): _*).agg(avg($"rho_cell").as("rho"))
+  }
+
+  /** Convergence per series: OLS slope of rho on lib_size, strictly > 0.001,
+    * false when < 3 lib sizes or degenerate (`lib/ccm.ex:215-244`).
+    */
+  def convergence(skillDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val spark = skillDf.sparkSession
+    import spark.implicits._
+    skillDf
+      .groupBy(keys.map(col): _*)
+      .agg(
+        regr_slope($"rho", $"lib_size".cast("double")).as("slope"),
+        count(lit(1)).as("n_sizes")
+      )
+      .withColumn(
+        "convergent",
+        $"n_sizes" >= 3 && $"slope".isNotNull && !isnan($"slope") && $"slope" > 0.001
+      )
+      .withColumn("slope", coalesce($"slope", lit(0.0)))
+  }
+}

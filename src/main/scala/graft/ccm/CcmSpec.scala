@@ -1,0 +1,46 @@
+package graft.ccm
+
+/** Analysis spec for Convergent Cross Mapping.
+  *
+  * Mirrors the reference's `%CCM{}` struct and `CCM.new/3` validation +
+  * defaults (reference `lib/ccm.ex:7,20-42`): `embedding_dim: 3`, `tau: 1`,
+  * `num_samples: 100`, lib-size ladder auto-generated from the series length.
+  *
+  * Unlike the reference (unseeded `Enum.take_random`, `lib/ccm.ex:117`) the
+  * library sampling here is fully deterministic given `seed` — see
+  * [[DetHash]] — so results are reproducible and oracle-checkable.
+  */
+final case class CcmSpec(
+    embeddingDim: Int = 3,
+    tau: Int = 1,
+    libSizes: Option[Seq[Int]] = None,
+    numSamples: Int = 100,
+    seed: Long = 42L
+) {
+  require(embeddingDim >= 1, "embeddingDim must be >= 1")
+  require(tau >= 1, "tau must be >= 1")
+  require(numSamples >= 1, "numSamples must be >= 1")
+  libSizes.foreach(ls => require(ls.nonEmpty, "libSizes must be non-empty when given"))
+
+  /** Number of embedding rows for a series of length n: n - (E-1)*tau. */
+  def maxLibSize(n: Int): Int = n - (embeddingDim - 1) * tau
+
+  /** Lib sizes to test for a series of length n (explicit or auto ladder). */
+  def resolvedLibSizes(n: Int): Seq[Int] =
+    libSizes.getOrElse(CcmSpec.libSizeLadder(maxLibSize(n)))
+}
+
+object CcmSpec {
+
+  /** Library-size ladder, exactly the reference's `generate_lib_sizes/1`
+    * (`lib/ccm.ex:86-97`): `max < 10 -> [max]`; else arithmetic sequence
+    * starting at `max(max/10, 5)` with step `max(2, max/20)` while <= max.
+    */
+  def libSizeLadder(maxSize: Int): Seq[Int] =
+    if (maxSize < 10) Seq(maxSize)
+    else {
+      val step = math.max(2, maxSize / 20)
+      val start = math.max(maxSize / 10, 5)
+      Iterator.iterate(start)(_ + step).takeWhile(_ <= maxSize).toSeq
+    }
+}
