@@ -93,26 +93,35 @@ object CcmPipeline {
     val k = keys.map(col)
     val libs = broadcast(libSizes.toDF("lib_size"))
     val cellKeys = k ++ Seq(col("sample_id"), col("lib_size"))
+    val maxLib = libSizes.max
+    val minLib = libSizes.min
 
-    // kNN pairs: prediction rows (rank > L) x library rows (rank <= L),
-    // joined per (series, sample) cell. The equi keys carry the shuffle;
-    // the rank predicates are post-join filters.
-    val q = rankedDf.as("q").crossJoin(libs).filter($"q.rank" > $"lib_size")
+    // kNN pairs, joined ONCE per (series, sample) cell. A (query, library)
+    // pair participates in lib size L iff l.rank <= L < q.rank, so every
+    // useful pair satisfies l.rank < q.rank, l.rank <= max(libSizes) and
+    // q.rank > min(libSizes) — the join + distance are therefore computed a
+    // single time per pair and the lib-size dimension is attached AFTERWARDS
+    // with cheap range predicates (an |libSizes|-fold reduction in distance
+    // evaluations and join output vs fanning out before the join).
     val joinCond = keys
       .map(kn => col(s"q.$kn") === col(s"l.$kn"))
-      .reduce(_ && _) && $"q.sample_id" === $"l.sample_id" && $"l.rank" <= $"lib_size"
+      .reduce(_ && _) && $"q.sample_id" === $"l.sample_id" &&
+      $"l.rank" < $"q.rank" && $"l.rank" <= lit(maxLib.toLong)
     val dims = 0 until e
     val distExpr = sqrt(
       dims
         .map(j => (col(s"q.e$j") - col(s"l.e$j")) * (col(s"q.e$j") - col(s"l.e$j")))
         .reduce(_ + _)
     )
-    val pairs = q
+    val pairsOnce = rankedDf
+      .as("q")
+      .filter($"q.rank" > lit(minLib.toLong))
       .join(rankedDf.as("l"), joinCond)
       .select(
         (keys.map(kn => col(s"q.$kn").as(kn)) ++ Seq(
           $"q.sample_id".as("sample_id"),
-          $"lib_size",
+          $"q.rank".as("q_rank"),
+          $"l.rank".as("l_rank"),
           $"q.idx".as("pred_idx"),
           $"q.tgt".as("actual"),
           $"l.idx".as("lib_idx"),
@@ -120,6 +129,10 @@ object CcmPipeline {
           distExpr.as("dist")
         )): _*
       )
+    val pairs = pairsOnce
+      .crossJoin(libs)
+      .filter($"l_rank" <= $"lib_size" && $"q_rank" > $"lib_size")
+      .drop("q_rank", "l_rank")
 
     // top-k neighbors, k = min(E+1, L)  (`lib/ccm.ex:147-149`)
     val wNN = Window
