@@ -2,6 +2,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.ccm.{Ccm, CcmSpec}
+import graft.contract._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -28,9 +30,29 @@ object SparkEntry {
       libSizes = Seq(100, 200, 300)
     )
   }
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * LLM-data-pipeline extensions). Each receives (spark, sfDir) and reads
+    * only the driver's parquet tables in sfDir.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CcmQueries.queries ++
+      TextQueries.queries ++
+      DedupQueries.queries ++
+      SimQueries.queries ++
+      MultimodalQueries.queries ++
+      RelationalQueries.queries ++
+      graft.multimodal.Multimodal.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Keys absent here (seeded-RNG generator,
+    * decode-stub features) get the driver's weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    CcmQueries.oracle ++
+      TextQueries.oracle ++
+      DedupQueries.oracle ++
+      SimQueries.oracle ++
+      MultimodalQueries.oracle ++
+      RelationalQueries.oracle
 }

@@ -78,14 +78,15 @@ object CcmPipeline {
       .withColumn("rank", row_number().over(w).cast("long"))
   }
 
-  /** Full skill curve: for each (keys..., lib_size) the average Pearson
-    * correlation over samples, with all reference degenerate paths.
+  /** Cross-map predictions for every (series, sample, lib_size, pred point):
+    * the kNN join + exponential weighting + weighted average
+    * (`lib/ccm.ex:142-177,246-262`), returning one row per prediction with
+    * columns (keys..., sample_id, lib_size, pred_idx, actual, predicted).
     */
-  def skill(
+  def predictions(
       rankedDf: DataFrame,
       keys: Seq[String],
       libSizes: Seq[Int],
-      numSamples: Int,
       e: Int
   ): DataFrame = {
     val spark = rankedDf.sparkSession
@@ -150,10 +151,29 @@ object CcmPipeline {
         "w",
         when($"dist" < 1e-12, 1.0).otherwise(exp(-$"dist" / ($"min_dist" + 1e-8)))
       )
-    val preds = weighted
+    weighted
       .groupBy((cellKeys ++ Seq(col("pred_idx"), col("actual"))): _*)
       .agg(sum($"w").as("sw"), sum($"w" * $"lib_tgt").as("swt"))
       .withColumn("predicted", when($"sw" === 0.0, 0.0).otherwise($"swt" / $"sw"))
+      .drop("sw", "swt")
+  }
+
+  /** Full skill curve: for each (keys..., lib_size) the average Pearson
+    * correlation over samples, with all reference degenerate paths.
+    */
+  def skill(
+      rankedDf: DataFrame,
+      keys: Seq[String],
+      libSizes: Seq[Int],
+      numSamples: Int,
+      e: Int
+  ): DataFrame = {
+    val spark = rankedDf.sparkSession
+    import spark.implicits._
+    val k = keys.map(col)
+    val libs = broadcast(libSizes.toDF("lib_size"))
+    val cellKeys = k ++ Seq(col("sample_id"), col("lib_size"))
+    val preds = predictions(rankedDf, keys, libSizes, e)
 
     // Pearson per cell; NULL/NaN (corr of <2 rows or zero variance) -> 0.0
     val corrCell = preds

@@ -75,6 +75,12 @@ object DetHash {
       (acc, ch) => (acc * 31 + ascii(ch).cast("long")) % P
     )
 
+  /** Spark-SQL text form of [[polyHash]] — for use inside higher-order
+    * lambdas (where the Column form can't reach the lambda variable).
+    */
+  def polyHashSparkSql(expr: String): String =
+    s"aggregate(split($expr, ''), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % ${P})"
+
   /** DuckDB SQL form of [[polyHash]]. */
   def polyHashSql(expr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +

@@ -1,0 +1,424 @@
+package graft.contract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ccm.{Ccm, CcmPipeline, CcmSpec, DetHash, Generators}
+
+/** Driver-contract queries for the CCM operator family (SURVEY.md §2a),
+  * each paired with ANSI/DuckDB oracle SQL over the same parquet tables.
+  *
+  * Time-series axis: `events` per `user_id` ordered by `ts` (read as
+  * epoch-nanos BIGINT, see [[Tables]]). All floating-point outputs that pass
+  * through engine aggregates are rounded to 6 decimals on BOTH sides so that
+  * summation-order ulp differences cannot flip the driver's hash compare;
+  * raw column values and integer outputs are exact.
+  */
+object CcmQueries {
+  private val Seed = 42L
+  private val P = DetHash.P
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("user_id"), col("ts"), col("value"))
+
+  /** E=3, tau=1 embedding of events.value (source = target = value). */
+  private def embValue(s: SparkSession, dir: String): DataFrame =
+    CcmPipeline.embedded(ev(s, dir), Seq("user_id"), Seq(col("ts")), col("value"), col("value"), 3, 1)
+
+  /** Shared oracle CTE: embedding + deterministic hash-rank split. */
+  private def embSql(src: String = "events"): String =
+    s"""emb0 AS (
+       |  SELECT user_id, CAST(row_number() OVER w - 1 AS BIGINT) AS idx,
+       |         value AS e0, lead(value, 1) OVER w AS e1, lead(value, 2) OVER w AS e2,
+       |         lead(value, 2) OVER w AS tgt
+       |  FROM $src
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), emb AS (SELECT * FROM emb0 WHERE e2 IS NOT NULL)""".stripMargin
+
+  private def rankSql(numSamples: Int): String =
+    s"""samples AS (SELECT CAST(unnest(generate_series(1, $numSamples)) AS BIGINT) AS sample_id),
+       |rk AS (
+       |  SELECT e.user_id, s.sample_id, e.idx, e.e0, e.e1, e.e2, e.tgt,
+       |         CAST(row_number() OVER (PARTITION BY e.user_id, s.sample_id
+       |              ORDER BY ${DetHash.rankHashSql("e.idx", "s.sample_id", "e.user_id", Seed)}, e.idx) AS BIGINT) AS rank
+       |  FROM emb e CROSS JOIN samples s
+       |)""".stripMargin
+
+  /** kNN + weights + weighted prediction at a single library size. */
+  private def predsSql(libSize: Int, k: Int): String =
+    s"""pairs AS (
+       |  SELECT q.user_id, q.sample_id, q.idx AS pred_idx, q.tgt AS actual,
+       |         l.idx AS lib_idx, l.tgt AS lib_tgt,
+       |         sqrt((q.e0-l.e0)*(q.e0-l.e0) + (q.e1-l.e1)*(q.e1-l.e1) + (q.e2-l.e2)*(q.e2-l.e2)) AS dist
+       |  FROM rk q JOIN rk l ON q.user_id = l.user_id AND q.sample_id = l.sample_id
+       |  WHERE q.rank > $libSize AND l.rank <= $libSize
+       |), nn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, sample_id, pred_idx
+       |                               ORDER BY dist, lib_idx) AS nn_rank
+       |  FROM pairs
+       |), nnk AS (SELECT * FROM nn WHERE nn_rank <= $k),
+       |wtd AS (SELECT *, min(dist) OVER (PARTITION BY user_id, sample_id, pred_idx) AS min_dist FROM nnk),
+       |wts AS (SELECT *, CASE WHEN dist < 1e-12 THEN 1.0 ELSE exp(-dist/(min_dist + 1e-8)) END AS w FROM wtd),
+       |preds0 AS (
+       |  SELECT user_id, sample_id, pred_idx, actual, sum(w) AS sw, sum(w*lib_tgt) AS swt
+       |  FROM wts GROUP BY 1, 2, 3, 4
+       |), preds AS (
+       |  SELECT user_id, sample_id, pred_idx, actual,
+       |         CASE WHEN sw = 0.0 THEN 0.0 ELSE swt/sw END AS predicted
+       |  FROM preds0
+       |)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // det_hash — DetHash.rankHash parity (the foundation every sampled
+  // operator stands on; VERDICT r1 next-step #2).
+  // -------------------------------------------------------------------
+  private def detHash(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        DetHash.rankHashCol(col("event_id"), col("event_id") % 7 + 1, col("user_id"), Seed).as("h")
+      )
+      .orderBy("event_id")
+
+  private val detHashSql: String =
+    s"""SELECT event_id, user_id,
+       |       ${DetHash.rankHashSql("event_id", "event_id % 7 + 1", "user_id", Seed)} AS h
+       |FROM events ORDER BY event_id""".stripMargin
+
+  // poly_hash — portable string hash parity over documents.text.
+  private def polyHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), DetHash.polyHashCol(col("text")).as("h"))
+      .orderBy("doc_id")
+
+  private val polyHashSql: String =
+    s"SELECT doc_id, ${DetHash.polyHashSql("text")} AS h FROM documents ORDER BY doc_id"
+
+  // -------------------------------------------------------------------
+  // ccm_embed — time-delay embedding (C-embedding, `lib/ccm.ex:99-107`):
+  // lead-window decomposition + target alignment (`lib/ccm.ex:119`).
+  // -------------------------------------------------------------------
+  private def ccmEmbed(s: SparkSession, dir: String): DataFrame =
+    embValue(s, dir)
+      .select("user_id", "idx", "e0", "e1", "e2", "tgt")
+      .orderBy("user_id", "idx")
+
+  private val ccmEmbedSql: String =
+    s"""WITH ${embSql()}
+       |SELECT user_id, idx, e0, e1, e2, tgt FROM emb ORDER BY user_id, idx""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ccm_lib_ladder — generate_lib_sizes/1 (`lib/ccm.ex:86-97`) per series.
+  // -------------------------------------------------------------------
+  private def libLadder(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy("user_id")
+      .agg((count(lit(1)) - 2).cast("int").as("max_lib"))
+      .select(
+        col("user_id"),
+        explode(
+          when(col("max_lib") < 10, array(col("max_lib")))
+            .otherwise(
+              sequence(
+                greatest(expr("max_lib div 10"), lit(5)),
+                col("max_lib"),
+                greatest(lit(2), expr("max_lib div 20"))
+              )
+            )
+        ).as("lib_size")
+      )
+      .orderBy("user_id", "lib_size")
+
+  private val libLadderSql: String =
+    s"""WITH n AS (SELECT user_id, CAST(count(*) - 2 AS INTEGER) AS max_lib FROM events GROUP BY user_id),
+       |u AS (
+       |  SELECT user_id, unnest(CASE WHEN max_lib < 10 THEN [CAST(max_lib AS BIGINT)]
+       |    ELSE generate_series(CAST(greatest(max_lib // 10, 5) AS BIGINT), CAST(max_lib AS BIGINT),
+       |                         CAST(greatest(2, max_lib // 20) AS BIGINT)) END) AS ls
+       |  FROM n
+       |)
+       |SELECT user_id, CAST(ls AS INTEGER) AS lib_size FROM u ORDER BY user_id, lib_size""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ccm_rank_split — deterministic library sampling (`lib/ccm.ex:117,121`)
+  // as a hash-rank permutation; rank <= L = library, rank > L = prediction.
+  // -------------------------------------------------------------------
+  private def rankSplit(s: SparkSession, dir: String): DataFrame =
+    CcmPipeline
+      .ranked(embValue(s, dir), Seq("user_id"), 4, Seed, col("user_id"))
+      .select(col("user_id"), col("sample_id"), col("idx"), col("rank"))
+      .orderBy("user_id", "sample_id", "idx")
+
+  private val rankSplitSql: String =
+    s"""WITH ${embSql()},
+       |${rankSql(4)}
+       |SELECT user_id, sample_id, idx, rank FROM rk ORDER BY user_id, sample_id, idx""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ccm_knn_predict — predict_point (C6-C8): kNN join + exponential
+  // weights + weighted average, lib size 40, k = E+1 = 4.
+  // -------------------------------------------------------------------
+  private def knnPredict(s: SparkSession, dir: String): DataFrame = {
+    val sub = ev(s, dir).filter(col("user_id") % 5 === 0)
+    val emb = CcmPipeline.embedded(sub, Seq("user_id"), Seq(col("ts")), col("value"), col("value"), 3, 1)
+    val rk = CcmPipeline.ranked(emb, Seq("user_id"), 2, Seed, col("user_id"))
+    CcmPipeline
+      .predictions(rk, Seq("user_id"), Seq(40), 3)
+      .select(
+        col("user_id"),
+        col("sample_id"),
+        col("pred_idx"),
+        col("actual"),
+        round(col("predicted"), 6).as("predicted")
+      )
+      .orderBy("user_id", "sample_id", "pred_idx")
+  }
+
+  private val knnPredictSql: String =
+    s"""WITH evf AS (SELECT * FROM events WHERE user_id % 5 = 0),
+       |${embSql("evf")},
+       |${rankSql(2)},
+       |${predsSql(40, 4)}
+       |SELECT user_id, sample_id, pred_idx, actual, round(predicted, 6) AS predicted
+       |FROM preds ORDER BY user_id, sample_id, pred_idx""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ccm_skill_corr — correlation/1 (C9): Pearson forecast skill per
+  // (series, sample) cell, degenerate paths -> 0.0 (`lib/ccm.ex:187-213`).
+  // -------------------------------------------------------------------
+  private def skillCorr(s: SparkSession, dir: String): DataFrame = {
+    val rk = CcmPipeline.ranked(embValue(s, dir), Seq("user_id"), 2, Seed, col("user_id"))
+    CcmPipeline
+      .predictions(rk, Seq("user_id"), Seq(40), 3)
+      .groupBy("user_id", "sample_id")
+      .agg(corr(col("actual"), col("predicted")).as("c"))
+      .select(
+        col("user_id"),
+        col("sample_id"),
+        round(when(col("c").isNull || isnan(col("c")), 0.0).otherwise(col("c")), 6).as("rho")
+      )
+      .orderBy("user_id", "sample_id")
+  }
+
+  private val skillCorrSql: String =
+    s"""WITH ${embSql()},
+       |${rankSql(2)},
+       |${predsSql(40, 4)}
+       |SELECT user_id, sample_id,
+       |       round(CASE WHEN corr(actual, predicted) IS NULL OR isnan(corr(actual, predicted))
+       |                  THEN 0.0 ELSE corr(actual, predicted) END, 6) AS rho
+       |FROM preds GROUP BY user_id, sample_id ORDER BY user_id, sample_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ccm_curve — the flagship end-to-end bidirectional CCM skill curve
+  // (C2+C3+C10) over per-user event series: x = value, y = lag(value).
+  // -------------------------------------------------------------------
+  private val CurveLibs = Seq(20, 40, 60)
+  private val CurveSamples = 2
+
+  private def curveInput(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    ev(s, dir)
+      .select(col("user_id"), col("ts"), col("value").as("x"), lag(col("value"), 1).over(w).as("y"))
+      .filter(col("y").isNotNull)
+  }
+
+  private def curve(s: SparkSession, dir: String): DataFrame =
+    Ccm
+      .bidirectional(
+        curveInput(s, dir),
+        skey = col("user_id"),
+        order = Seq("ts"),
+        x = col("x"),
+        y = col("y"),
+        spec = CcmSpec(numSamples = CurveSamples, seed = Seed),
+        libSizes = CurveLibs
+      )
+      .select(
+        col("skey").as("user_id"),
+        col("direction"),
+        col("lib_size"),
+        round(col("rho"), 6).as("rho"),
+        round(col("slope"), 6).as("slope"),
+        col("convergent")
+      )
+      .orderBy("user_id", "direction", "lib_size")
+
+  /** Full declarative chain mirrored as one DuckDB query. */
+  private val curveSqlCommon: String = {
+    val libsValues = CurveLibs.map(l => s"($l)").mkString(", ")
+    s"""WITH base0 AS (
+       |  SELECT user_id AS skey, ts, value AS x,
+       |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS y
+       |  FROM events
+       |), base AS (SELECT * FROM base0 WHERE y IS NOT NULL),
+       |dir AS (
+       |  SELECT 'x_causes_y' AS direction, skey, ts, y AS src, x AS tgt FROM base
+       |  UNION ALL
+       |  SELECT 'y_causes_x' AS direction, skey, ts, x AS src, y AS tgt FROM base
+       |), emb0 AS (
+       |  SELECT direction, skey, CAST(row_number() OVER w - 1 AS BIGINT) AS idx,
+       |         src AS e0, lead(src, 1) OVER w AS e1, lead(src, 2) OVER w AS e2,
+       |         lead(tgt, 2) OVER w AS tgt
+       |  FROM dir WINDOW w AS (PARTITION BY direction, skey ORDER BY ts)
+       |), emb AS (SELECT * FROM emb0 WHERE e2 IS NOT NULL),
+       |samples AS (SELECT CAST(unnest(generate_series(1, $CurveSamples)) AS BIGINT) AS sample_id),
+       |rk AS (
+       |  SELECT e.direction, e.skey, s.sample_id, e.idx, e.e0, e.e1, e.e2, e.tgt,
+       |         CAST(row_number() OVER (PARTITION BY e.direction, e.skey, s.sample_id
+       |              ORDER BY ${DetHash.rankHashSql("e.idx", "s.sample_id", "e.skey", Seed)}, e.idx) AS BIGINT) AS rank
+       |  FROM emb e CROSS JOIN samples s
+       |), libs(lib_size) AS (VALUES $libsValues),
+       |pairs AS (
+       |  SELECT q.direction, q.skey, q.sample_id, q.rank AS q_rank, l.rank AS l_rank,
+       |         q.idx AS pred_idx, q.tgt AS actual, l.idx AS lib_idx, l.tgt AS lib_tgt,
+       |         sqrt((q.e0-l.e0)*(q.e0-l.e0) + (q.e1-l.e1)*(q.e1-l.e1) + (q.e2-l.e2)*(q.e2-l.e2)) AS dist
+       |  FROM rk q JOIN rk l
+       |    ON q.direction = l.direction AND q.skey = l.skey AND q.sample_id = l.sample_id
+       |   AND l.rank < q.rank AND l.rank <= ${CurveLibs.max}
+       |  WHERE q.rank > ${CurveLibs.min}
+       |), fan AS (
+       |  SELECT p.*, ls.lib_size FROM pairs p CROSS JOIN libs ls
+       |  WHERE p.l_rank <= ls.lib_size AND p.q_rank > ls.lib_size
+       |), nn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY direction, skey, sample_id, lib_size, pred_idx
+       |                               ORDER BY dist, lib_idx) AS nn_rank
+       |  FROM fan
+       |), nnk AS (SELECT * FROM nn WHERE nn_rank <= least(4, lib_size)),
+       |wtd AS (
+       |  SELECT *, min(dist) OVER (PARTITION BY direction, skey, sample_id, lib_size, pred_idx) AS min_dist
+       |  FROM nnk
+       |), wts AS (
+       |  SELECT *, CASE WHEN dist < 1e-12 THEN 1.0 ELSE exp(-dist/(min_dist + 1e-8)) END AS w FROM wtd
+       |), preds0 AS (
+       |  SELECT direction, skey, sample_id, lib_size, pred_idx, actual,
+       |         sum(w) AS sw, sum(w*lib_tgt) AS swt
+       |  FROM wts GROUP BY 1, 2, 3, 4, 5, 6
+       |), preds AS (
+       |  SELECT direction, skey, sample_id, lib_size, pred_idx, actual,
+       |         CASE WHEN sw = 0.0 THEN 0.0 ELSE swt/sw END AS predicted
+       |  FROM preds0
+       |), corr_cell AS (
+       |  SELECT direction, skey, sample_id, lib_size,
+       |         CASE WHEN corr(actual, predicted) IS NULL OR isnan(corr(actual, predicted))
+       |              THEN 0.0 ELSE corr(actual, predicted) END AS c
+       |  FROM preds GROUP BY 1, 2, 3, 4
+       |), npts AS (
+       |  SELECT direction, skey, CAST(count(*) AS BIGINT) AS n_pts FROM emb GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT n.direction, n.skey, n.n_pts, s.sample_id, ls.lib_size
+       |  FROM npts n CROSS JOIN samples s CROSS JOIN libs ls
+       |), cells AS (
+       |  SELECT g.direction, g.skey, g.lib_size,
+       |         CASE WHEN g.lib_size >= g.n_pts THEN 0.0 ELSE coalesce(c.c, 0.0) END AS rho_cell
+       |  FROM grid g LEFT JOIN corr_cell c
+       |    ON g.direction = c.direction AND g.skey = c.skey
+       |   AND g.sample_id = c.sample_id AND g.lib_size = c.lib_size
+       |), sk AS (
+       |  SELECT direction, skey, lib_size, avg(rho_cell) AS rho FROM cells GROUP BY 1, 2, 3
+       |), cv AS (
+       |  SELECT direction, skey,
+       |         coalesce(regr_slope(rho, CAST(lib_size AS DOUBLE)), 0.0) AS slope,
+       |         (count(*) >= 3 AND regr_slope(rho, CAST(lib_size AS DOUBLE)) IS NOT NULL
+       |          AND NOT isnan(regr_slope(rho, CAST(lib_size AS DOUBLE)))
+       |          AND regr_slope(rho, CAST(lib_size AS DOUBLE)) > 0.001) AS convergent
+       |  FROM sk GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  private val curveSql: String =
+    s"""$curveSqlCommon
+       |SELECT sk.skey AS user_id, sk.direction, sk.lib_size,
+       |       round(sk.rho, 6) AS rho, round(cv.slope, 6) AS slope, cv.convergent
+       |FROM sk JOIN cv ON sk.direction = cv.direction AND sk.skey = cv.skey
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  // ccm_convergence — convergent?/1 (C10) as its own surface: OLS slope of
+  // the skill curve, strict > 0.001, <3 sizes -> false (`lib/ccm.ex:215-244`).
+  private def convergenceQ(s: SparkSession, dir: String): DataFrame =
+    Ccm
+      .bidirectional(
+        curveInput(s, dir),
+        skey = col("user_id"),
+        order = Seq("ts"),
+        x = col("x"),
+        y = col("y"),
+        spec = CcmSpec(numSamples = CurveSamples, seed = Seed),
+        libSizes = CurveLibs
+      )
+      .select(col("skey").as("user_id"), col("direction"), round(col("slope"), 6).as("slope"), col("convergent"))
+      .distinct()
+      .orderBy("user_id", "direction")
+
+  private val convergenceSql: String =
+    s"""$curveSqlCommon
+       |SELECT skey AS user_id, direction, round(slope, 6) AS slope, convergent
+       |FROM cv ORDER BY user_id, direction""".stripMargin
+
+  // -------------------------------------------------------------------
+  // ccm_gen_logistic — G1 generator parity: the coupled-logistic-map
+  // recurrence is driver-side Scala; the oracle replays it as a recursive
+  // CTE. Chaotic map -> values match only if the arithmetic is
+  // bit-identical (same IEEE op order in both engines).
+  // -------------------------------------------------------------------
+  private val GenN = 120
+  private val GenC = 0.15
+
+  private def genLogistic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (xs, ys) = Generators.coupledLogisticMaps(GenN, GenC)
+    xs.indices.map(i => (i.toLong, xs(i), ys(i))).toDF("t", "x", "y").orderBy("t")
+  }
+
+  private val genLogisticSql: String =
+    s"""WITH RECURSIVE gen(t, x, y) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT t + 1,
+       |         greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), 3.7*x*(1-x) + $GenC*(y-x))),
+       |         greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), 3.6*y*(1-y)))
+       |  FROM gen WHERE t < ${GenN - 1}
+       |)
+       |SELECT t, x, y FROM gen ORDER BY t""".stripMargin
+
+  // ccm_gen_coupled — G2/G4 (seeded java.util.Random; not SQL-reproducible,
+  // so no oracle entry -> driver records a rows-only check).
+  private def genCoupled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Generators.testCases
+      .flatMap { case (name, params) =>
+        val (xs, ys) = Generators.coupledSeries(50, params)
+        xs.indices.map(i => (name, i.toLong, xs(i), ys(i)))
+      }
+      .toDF("case_name", "t", "x", "y")
+      .orderBy("case_name", "t")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "det_hash" -> detHash,
+    "poly_hash" -> polyHash,
+    "ccm_embed" -> ccmEmbed,
+    "ccm_lib_ladder" -> libLadder,
+    "ccm_rank_split" -> rankSplit,
+    "ccm_knn_predict" -> knnPredict,
+    "ccm_skill_corr" -> skillCorr,
+    "ccm_curve" -> curve,
+    "ccm_convergence" -> convergenceQ,
+    "ccm_gen_logistic" -> genLogistic,
+    "ccm_gen_coupled" -> genCoupled
+  )
+
+  val oracle: Map[String, String] = Map(
+    "det_hash" -> detHashSql,
+    "poly_hash" -> polyHashSql,
+    "ccm_embed" -> ccmEmbedSql,
+    "ccm_lib_ladder" -> libLadderSql,
+    "ccm_rank_split" -> rankSplitSql,
+    "ccm_knn_predict" -> knnPredictSql,
+    "ccm_skill_corr" -> skillCorrSql,
+    "ccm_curve" -> curveSql,
+    "ccm_convergence" -> convergenceSql,
+    "ccm_gen_logistic" -> genLogisticSql
+  )
+}

@@ -1,0 +1,65 @@
+package graft.contract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ccm.DetHash
+
+/** Multimodal-column plumbing: media as opaque binary + typed metadata,
+  * frame/chunk fan-out, per-chunk hashing. The oracle-checked query uses
+  * `documents.text` bytes as a stand-in payload (the container has no media
+  * decoders — see [[graft.multimodal.Multimodal]] for the decode-stub
+  * pipeline); the *plumbing* — chunk schema, fan-out, per-chunk digest — is
+  * the real thing and is what matters at 100 TB (a blob column never passes
+  * through a shuffle here; only (id, chunk_id, digest) rows do).
+  */
+object MultimodalQueries {
+  private val FrameBytes = 64
+
+  private def mmMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        length(col("text")).cast("long").as("n_bytes"),
+        expr(s"CAST((length(text) + ${FrameBytes - 1}) div $FrameBytes AS BIGINT)").as("n_frames")
+      )
+      .select(
+        col("doc_id"),
+        col("text"),
+        col("n_bytes"),
+        col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id")
+      )
+      .select(
+        col("doc_id"),
+        col("frame_id"),
+        col("n_bytes"),
+        col("n_frames"),
+        expr(DetHash.polyHashSparkSql(s"substring(text, CAST(frame_id * $FrameBytes + 1 AS INT), $FrameBytes)"))
+          .as("frame_hash")
+      )
+      .orderBy("doc_id", "frame_id")
+
+  private val mmMetaSql: String =
+    s"""WITH meta AS (
+       |  SELECT doc_id, text,
+       |         CAST(length(text) AS BIGINT) AS n_bytes,
+       |         CAST((length(text) + ${FrameBytes - 1}) // $FrameBytes AS BIGINT) AS n_frames
+       |  FROM documents
+       |), frames AS (
+       |  SELECT doc_id, text, n_bytes, n_frames,
+       |         unnest(generate_series(0, n_frames - 1)) AS frame_id
+       |  FROM meta
+       |)
+       |SELECT doc_id, frame_id, n_bytes, n_frames,
+       |       ${DetHash.polyHashSql(s"substr(text, CAST(frame_id * $FrameBytes + 1 AS INTEGER), $FrameBytes)")} AS frame_hash
+       |FROM frames ORDER BY doc_id, frame_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frames" -> mmMeta
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_frames" -> mmMetaSql
+  )
+}

@@ -1,0 +1,93 @@
+package graft.contract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Standard relational coverage (SURVEY.md §2b): scan + filter-pushdown
+  * aggregation, broadcast join + window top-k, and event-table grouping.
+  * These are the queries whose plans the 100 TB story rides on: filters
+  * reach the parquet scan, the dimension side broadcasts, aggregates are
+  * partial+final.
+  */
+object RelationalQueries {
+
+  // q1_agg — TPC-H Q1-shaped scan+filter+aggregate over lineitem.
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-01 00:00:00'"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // topk_orders — broadcast join (customer is the small dim side) +
+  // per-group window top-k (WindowGroupLimit pushes the limit down).
+  private def topkOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("c_mktsegment", "rank")
+  }
+
+  private val topkOrdersSql: String =
+    """WITH j AS (
+      |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |), r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY c_mktsegment
+      |            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+      |  FROM j
+      |)
+      |SELECT c_mktsegment, o_orderkey, o_totalprice, rank
+      |FROM r WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin
+
+  // evt_type_agg — grouping over the events table (count / sum / avg).
+  private def evtTypeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        round(avg(col("value")), 6).as("avg_value")
+      )
+      .orderBy("event_type")
+
+  private val evtTypeAggSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value), 4) AS sum_value, round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "topk_orders" -> topkOrders,
+    "evt_type_agg" -> evtTypeAgg
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "topk_orders" -> topkOrdersSql,
+    "evt_type_agg" -> evtTypeAggSql
+  )
+}

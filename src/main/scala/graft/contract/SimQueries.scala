@@ -1,0 +1,151 @@
+package graft.contract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ccm.DetHash
+
+/** Similarity search over `embeddings.parquet` (`Array[Float]`, 64-dim):
+  * brute-force cosine top-k as the exact baseline, and a deterministic
+  * random-hyperplane LSH-bucketed variant as the scale path (candidates
+  * limited to the query's bucket, so the join is keyed on the bucket hash
+  * instead of being all-pairs).
+  *
+  * All dot products / norms are left-fold double arithmetic in identical
+  * order in both engines, so cosines are bit-identical: ordering (and
+  * therefore top-k membership) agrees exactly; ties break on vec_id.
+  */
+object SimQueries {
+  private val P = DetHash.P
+  private val Dim = 64
+  private val TopK = 5
+  private val QueryStride = 50 // vec_id % stride == 0 -> query vector
+  private val NumPlanes = 8
+
+  private val dotSpark = "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  private def dotDuck(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, $Dim), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])), (acc, v) -> acc + v)"
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  // -------------------------------------------------------------------
+  // ann_topk — exact brute-force cosine top-k for a query subset.
+  // -------------------------------------------------------------------
+  private def annTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val dotQN = expr(dotSpark.format("q.v", "n.v"))
+    val normQ = sqrt(expr(dotSpark.format("q.v", "q.v")))
+    val normN = sqrt(expr(dotSpark.format("n.v", "n.v")))
+    val pairs = q
+      .as("q")
+      .join(e.as("n"), col("q.vec_id") =!= col("n.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("n.vec_id").as("neighbor_id"),
+        (dotQN / (normQ * normN)).as("cos_sim")
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val annTopkSql: String = {
+    val cos = s"${dotDuck("q.v", "n.v")} / (sqrt(${dotDuck("q.v", "q.v")}) * sqrt(${dotDuck("n.v", "n.v")}))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id % $QueryStride = 0),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cos_sim
+       |  FROM q JOIN e n ON q.vec_id <> n.vec_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM pairs
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos_sim, 6) AS cos_sim
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // ann_lsh_topk — random-hyperplane LSH: deterministic integer-derived
+  // hyperplanes; bucket = sign bits; search only within the bucket.
+  // -------------------------------------------------------------------
+
+  /** Hyperplane component (k, d): deterministic pseudo-random int in
+    * [-P/2, P/2), identical arithmetic in both engines (all products
+    * < 2^63).
+    */
+  private def planeVal(k: String, d: String): String =
+    s"(((2 * ($k) + 3) * ${DetHash.A_IDX} * (($d) + 1) + 97 * ($k)) % $P - ${P / 2})"
+
+  private val bucketSpark: String =
+    s"""aggregate(transform(sequence(0, ${NumPlanes - 1}), k ->
+       |  CASE WHEN aggregate(transform(sequence(0, ${Dim - 1}), d ->
+       |         element_at(v, CAST(d + 1 AS INT)) * CAST(${planeVal("k", "d")} AS DOUBLE)),
+       |         CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0.0
+       |       THEN CAST(pow(2, k) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+       |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin
+
+  private val bucketDuck: String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${NumPlanes - 1}), k ->
+       |  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(0, ${Dim - 1}), d ->
+       |         v[CAST(d + 1 AS INTEGER)] * CAST(${planeVal("k", "d")} AS DOUBLE))),
+       |         (acc, x) -> acc + x) >= 0.0
+       |       THEN CAST(pow(2, k) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |  (a, b) -> a + b)""".stripMargin
+
+  private def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir).withColumn("bucket", expr(bucketSpark))
+    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val dotQN = expr(dotSpark.format("q.v", "n.v"))
+    val normQ = sqrt(expr(dotSpark.format("q.v", "q.v")))
+    val normN = sqrt(expr(dotSpark.format("n.v", "n.v")))
+    val pairs = q
+      .as("q")
+      .join(e.as("n"), col("q.bucket") === col("n.bucket") && col("q.vec_id") =!= col("n.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("n.vec_id").as("neighbor_id"),
+        (dotQN / (normQ * normN)).as("cos_sim")
+      )
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val annLshTopkSql: String = {
+    val cos = s"${dotDuck("q.v", "n.v")} / (sqrt(${dotDuck("q.v", "q.v")}) * sqrt(${dotDuck("n.v", "n.v")}))"
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), eb AS (
+       |  SELECT vec_id, v, $bucketDuck AS bucket FROM e
+       |), q AS (SELECT * FROM eb WHERE vec_id % $QueryStride = 0),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cos_sim
+       |  FROM q JOIN eb n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM pairs
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos_sim, 6) AS cos_sim
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk" -> annTopk,
+    "ann_lsh_topk" -> annLshTopk
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ann_topk" -> annTopkSql,
+    "ann_lsh_topk" -> annLshTopkSql
+  )
+}

@@ -1,0 +1,25 @@
+package graft.contract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's read-only parquet tables (TESTDATA.md).
+  *
+  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+  * refuses to read natively ([PARQUET_TYPE_ILLEGAL]); we flip the
+  * `nanosAsLong` legacy flag so `ts` surfaces as epoch-nanos BIGINT — the
+  * DuckDB oracle matches it with `epoch_ns(ts)`.
+  */
+object Tables {
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "embeddings")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "customer")
+}

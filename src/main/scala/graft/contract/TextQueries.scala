@@ -1,0 +1,217 @@
+package graft.contract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ccm.DetHash
+
+/** Text-analysis operators over `documents.parquet` — the LLM-data-pipeline
+  * surface (language ID, quality scoring, token counting, fingerprinting).
+  *
+  * Portability rules: tokens come from a literal single-space split (both
+  * engines treat consecutive spaces identically); all scores are arithmetic
+  * on integer counts so the double results are bit-identical across engines
+  * before the final (cosmetic) rounding; hashes are [[DetHash.polyHash]].
+  */
+object TextQueries {
+  private val P = DetHash.P
+
+  /** The 31-word corpus vocabulary is shared across all langs, so language
+    * ID is a deterministic marker-frequency heuristic (not recoverable truth
+    * — the `lang` column is an independent label).
+    */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value"),
+    "de" -> Seq("table", "row", "key"),
+    "es" -> Seq("scan", "filter", "group"),
+    "fr" -> Seq("join", "merge", "sort"),
+    "zh" -> Seq("hash", "batch", "stream")
+  )
+
+  private val Stopwords = Seq("the", "a", "value", "key", "row")
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  // -------------------------------------------------------------------
+  // text_stats — char/token counts + average token length.
+  // -------------------------------------------------------------------
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"),
+        round(
+          expr("aggregate(split(text, ' '), CAST(0 AS BIGINT), (a, t) -> a + length(t))")
+            / size(split(col("text"), " ")).cast("double"),
+          6
+        ).as("avg_token_len")
+      )
+      .orderBy("doc_id")
+
+  private val textStatsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       |  round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT))),
+       |          (a, t) -> a + t)
+       |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // token_count — whitespace tokens + a BPE-ish regex tokenizer count
+  // (letter runs | digit runs | single non-alnum) per doc.
+  // -------------------------------------------------------------------
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  private def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens")
+      )
+      .orderBy("doc_id")
+
+  private val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // lang_id — n-gram/marker-word heuristic language scores + argmax with a
+  // fixed priority tie-break (en > de > es > fr > zh).
+  // -------------------------------------------------------------------
+  private def langId(s: SparkSession, dir: String): DataFrame = {
+    val scoreCols = Markers.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      expr(s"CAST(size(filter(split(text, ' '), t -> t IN ($inList))) AS BIGINT)").as(s"s_$lang")
+    }
+    val langs = Markers.map(_._1)
+    val pred = langs
+      .dropRight(1)
+      .foldRight(lit(langs.last)) { case (lang, elseCol) =>
+        val ge = langs.filter(_ != lang).map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+        when(ge, lit(lang)).otherwise(elseCol)
+      }
+    docs(s, dir)
+      .select(col("doc_id") +: scoreCols: _*)
+      .withColumn("pred_lang", pred)
+      .orderBy("doc_id")
+  }
+
+  private val langIdSql: String = {
+    val scores = Markers
+      .map { case (lang, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS BIGINT) AS s_$lang"
+      }
+      .mkString(",\n  ")
+    val langs = Markers.map(_._1)
+    val caseChain = langs
+      .dropRight(1)
+      .map { lang =>
+        val ge = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$lang'"
+      }
+      .mkString("\n    ")
+    s"""WITH sc AS (
+       |  SELECT doc_id,
+       |  $scores
+       |  FROM documents
+       |)
+       |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+       |  CASE $caseChain ELSE '${langs.last}' END AS pred_lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // quality_score — length/punctuation/stopword-ratio quality heuristic.
+  // All inputs are integer counts, so the score is bit-identical across
+  // engines before rounding.
+  // -------------------------------------------------------------------
+  private def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long").as("punct_cnt"),
+        expr(s"CAST(size(filter(split(text, ' '), t -> t IN ($stopList))) AS BIGINT)").as("stop_cnt")
+      )
+      .withColumn(
+        "quality",
+        round(
+          lit(0.4) * least(lit(1.0), col("n_tokens") / lit(50.0))
+            + lit(0.3) * (lit(1.0) - least(lit(1.0), col("punct_cnt") * lit(5.0) / col("n_chars_calc")))
+            + lit(0.3) * least(lit(1.0), col("stop_cnt") * lit(10.0) / col("n_tokens")),
+          6
+        )
+      )
+      .orderBy("doc_id")
+  }
+
+  private val qualityScoreSql: String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct_cnt,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS BIGINT) AS stop_cnt
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_chars_calc, n_tokens, punct_cnt, stop_cnt,
+       |  round(0.4 * least(1.0, n_tokens / 50.0)
+       |      + 0.3 * (1.0 - least(1.0, punct_cnt * 5.0 / n_chars_calc))
+       |      + 0.3 * least(1.0, stop_cnt * 10.0 / n_tokens), 6) AS quality
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // doc_fingerprint — whole-doc polynomial hash + min/max of rolling
+  // 8-char window hashes (winnowing-style document fingerprint).
+  // -------------------------------------------------------------------
+  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        DetHash.polyHashCol(col("text")).as("full_hash"),
+        expr(
+          s"array_min(transform(sequence(1, length(text) - 7), i -> ${DetHash.polyHashSparkSql("substring(text, i, 8)")}))"
+        ).as("win_min_hash"),
+        expr(
+          s"array_max(transform(sequence(1, length(text) - 7), i -> ${DetHash.polyHashSparkSql("substring(text, i, 8)")}))"
+        ).as("win_max_hash")
+      )
+      .orderBy("doc_id")
+
+  private val fingerprintSql: String =
+    s"""SELECT doc_id,
+       |  ${DetHash.polyHashSql("text")} AS full_hash,
+       |  list_min(list_transform(generate_series(1, length(text) - 7),
+       |           i -> ${DetHash.polyHashSql("substr(text, CAST(i AS INTEGER), 8)")})) AS win_min_hash,
+       |  list_max(list_transform(generate_series(1, length(text) - 7),
+       |           i -> ${DetHash.polyHashSql("substr(text, CAST(i AS INTEGER), 8)")})) AS win_max_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats,
+    "token_count" -> tokenCount,
+    "lang_id" -> langId,
+    "quality_score" -> qualityScore,
+    "doc_fingerprint" -> fingerprint
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "token_count" -> tokenCountSql,
+    "lang_id" -> langIdSql,
+    "quality_score" -> qualityScoreSql,
+    "doc_fingerprint" -> fingerprintSql
+  )
+}

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB against the sfDir tables, and
+compares: row count, column names, and values (columns sorted by name, rows
+sorted by all columns; exact match required — the Spark/SQL sides are
+expected to round floats identically).
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return 0.0  # -0.0 == 0.0
+        return v
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_match = n_mismatch = n_err = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        spark_path = f"{out_dir}/{name}"
+        if not os.path.isdir(spark_path):
+            print(f"[MISSING-SPARK] {name}: no parquet dir")
+            n_err += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')").df()
+        except Exception as e:
+            print(f"[ERR-READ] {name}: {e}")
+            n_err += 1
+            continue
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"[ERR-ORACLE] {name}: {type(e).__name__}: {e}")
+            n_err += 1
+            continue
+        gc, wc = sorted(got.columns), sorted(want.columns)
+        if gc != wc:
+            print(f"[SCHEMA] {name}: spark={gc} oracle={wc}")
+            n_mismatch += 1
+            continue
+        if len(got) != len(want):
+            print(f"[ROWS] {name}: spark={len(got)} oracle={len(want)}")
+            n_mismatch += 1
+            continue
+        g = sorted(tuple(norm(v) for v in row) for row in got[gc].itertuples(index=False, name=None))
+        w = sorted(tuple(norm(v) for v in row) for row in want[wc].itertuples(index=False, name=None))
+        if g == w:
+            print(f"[MATCH] {name}: {len(got)} rows")
+            n_match += 1
+        else:
+            bad = sum(1 for a, b in zip(g, w) if a != b)
+            print(f"[VALUES] {name}: {bad}/{len(g)} differing rows (sorted)")
+            for a, b in list(zip(g, w))[:2000]:
+                if a != b:
+                    print(f"    spark : {a}\n    oracle: {b}")
+                    break
+            n_mismatch += 1
+    # queries with no oracle -> rows-only
+    for name in sorted(os.listdir(out_dir)):
+        if os.path.isdir(f"{out_dir}/{name}") and name not in oracle:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
+            print(f"[ROWS-ONLY] {name}: {n} rows")
+    print(f"\nSUMMARY match={n_match} mismatch={n_mismatch} err={n_err}")
+    sys.exit(0 if n_mismatch == 0 and n_err == 0 else 1)
+
+if __name__ == "__main__":
+    main()
