@@ -13,11 +13,20 @@ import graft.ccm.DetHash
   * except Jaccard/cosine ratios, which are ratios of exact quantities and
   * only rounded cosmetically.
   *
-  * Scale notes (100 TB): the expensive step everywhere is a shuffle keyed on
-  * a hash (band key, blocking key, label) whose group sizes are bounded by
-  * design — band width controls bucket size for MinHash-LSH, the blocking
-  * key bounds the quadratic Jaccard/cosine verification. No operator here
-  * compares all pairs.
+  * Performance notes (these carry to 100 TB):
+  *  - per-word hashes are computed once per document and shingle hashes are
+  *    an arithmetic combine of word hashes — never a re-fold of the
+  *    concatenated string per shingle;
+  *  - signature relations that feed self-joins are `localCheckpoint`ed:
+  *    Spark duplicates the plan on both sides of a self-join, which would
+  *    re-run the whole hashing stage twice (at scale: persist / write the
+  *    signature table once, join against it);
+  *  - SimHash bit-sums run as explode + two-level hash aggregation (all
+  *    whole-stage codegen with map-side partial aggregation) instead of a
+  *    per-row interpreted lambda over bits x words;
+  *  - the expensive pair verifications (Jaccard, cosine) run only inside
+  *    blocking keys (source / label / LSH band bucket), so group size — not
+  *    corpus size — bounds the quadratic term.
   */
 object DedupQueries {
   private val P = DetHash.P
@@ -26,23 +35,31 @@ object DedupQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
-  /** Spark SQL text: list of polyHashes of word 3-gram shingles. */
-  private val shingleHashesSpark: String = {
-    val sh = "concat_ws(' ', element_at(split(text, ' '), i + 1), " +
-      "element_at(split(text, ' '), i + 2), element_at(split(text, ' '), i + 3))"
-    s"transform(transform(sequence(0, size(split(text, ' ')) - 3), i -> $sh), " +
-      s"sh -> ${DetHash.polyHashSparkSql("sh")})"
-  }
+  /** Spark: per-word polyHash list straight off `text`. */
+  private val wordHashesSpark = s"transform(split(text, ' '), w -> ${DetHash.polyHashSparkSql("w")})"
 
-  /** DuckDB text: same shingle hash list. */
-  private val shingleHashesDuck: String = {
-    val sh = "string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2] || ' ' || string_split(text, ' ')[i + 3]"
-    s"list_transform([$sh for i in range(len(string_split(text, ' ')) - 2)], " +
-      s"sh -> ${DetHash.polyHashSql("sh")})"
-  }
+  /** Word 3-gram shingle hashes, combined ARITHMETICALLY from the per-word
+    * hash list `wh`: sh = ((h1*131 + h2)*131 + h3) % P. All intermediates
+    * < 2^46, so the arithmetic is exact in both engines.
+    */
+  private val shingleFromWhSpark =
+    s"transform(sequence(0, size(wh) - 3), i -> " +
+      s"((element_at(wh, i + 1) * 131 + element_at(wh, i + 2)) * 131 + element_at(wh, i + 3)) % $P)"
 
-  private def permSpark(h: String, k: Int): String =
-    s"(($h) * ${2L * k + 1L} + ${k.toLong * DetHash.A_SAMPLE + 7L}) % $P"
+  /** DuckDB oracle: word-hash CTE over documents + the same combine. */
+  private val whDuckCte =
+    s"dw AS (SELECT doc_id, source, " +
+      s"list_transform(string_split(text, ' '), w -> ${DetHash.polyHashSql("w")}) AS wh FROM documents)"
+
+  private val shingleFromWhDuck =
+    s"list_transform(range(len(wh) - 2), i -> " +
+      s"((wh[i + 1] * 131 + wh[i + 2]) * 131 + wh[i + 3]) % $P)"
+
+  /** (doc_id, source, shh: array<long>) with wh materialized once per doc. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), expr(wordHashesSpark).as("wh"))
+      .select(col("doc_id"), col("source"), expr(shingleFromWhSpark).as("shh"))
 
   // -------------------------------------------------------------------
   // dedup_exact — exact duplicate groups by content hash (hash-groupBy;
@@ -69,16 +86,20 @@ object DedupQueries {
   // -------------------------------------------------------------------
   private def minhashSig(s: SparkSession, dir: String): DataFrame = {
     val cols = (0 until NumPerms).map { k =>
-      expr(s"array_min(transform($shingleHashesSpark, h -> ${permSpark("h", k)}))").as(s"mh$k")
+      expr(s"array_min(transform(shh, h -> ${DetHash.minhashPermSql("h", k)}))").as(s"mh$k")
     }
-    docs(s, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+    shingled(s, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
   }
 
   private val minhashSigSql: String = {
     val cols = (0 until NumPerms)
-      .map(k => s"list_min(list_transform($shingleHashesDuck, h -> ${DetHash.minhashPermSql("h", k)})) AS mh$k")
+      .map(k => s"list_min(list_transform(shh, h -> ${DetHash.minhashPermSql("h", k)})) AS mh$k")
       .mkString(",\n  ")
-    s"SELECT doc_id,\n  $cols\nFROM documents ORDER BY doc_id"
+    s"""WITH $whDuckCte,
+       |ds AS (SELECT doc_id, $shingleFromWhDuck AS shh FROM dw)
+       |SELECT doc_id,
+       |  $cols
+       |FROM ds ORDER BY doc_id""".stripMargin
   }
 
   // -------------------------------------------------------------------
@@ -87,36 +108,41 @@ object DedupQueries {
   // The join is keyed on (band, band_key) so bucket size — not corpus
   // size — bounds the pair blowup.
   // -------------------------------------------------------------------
-  private def bandKeys(numBands: Int): Seq[(Int, String, String)] =
-    (0 until numBands).map { b =>
+  private def bandKeyExprs: Seq[(Int, String)] =
+    (0 until NumPerms / BandRows).map { b =>
       val ks = (BandRows * b) until (BandRows * (b + 1))
-      val spark = ks.map(k => s"mh$k").reduce((a, c) => s"(($a) * 31 + $c) % $P")
-      (b, spark, spark) // identical arithmetic text works in both dialects
+      val e = ks.map(k => s"mh$k").reduce((a, c) => s"(($a) * 31 + $c) % $P")
+      (b, e)
     }
 
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val numBands = NumPerms / BandRows
-    val sig = minhashSig(s, dir)
-    val bands = bandKeys(numBands)
-    val bandExprs = bands.map { case (b, e, _) => expr(s"named_struct('band', $b, 'band_key', $e)") }
+    val sig = minhashSig(s, dir).localCheckpoint()
+    val bandExprs = bandKeyExprs.map { case (b, e) => expr(s"named_struct('band', $b, 'band_key', $e)") }
     val long = sig
       .select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val a = long.as("a")
-    val b = long.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+    long
+      .as("a")
+      .join(
+        long.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id")
+      )
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy("doc_a", "doc_b")
   }
 
   private val lshPairsSql: String = {
-    val numBands = NumPerms / BandRows
-    val bands = bandKeys(numBands)
-    val bandSelect = bands
-      .map { case (b, _, e) => s"SELECT doc_id, $b AS band, $e AS band_key FROM sig" }
+    val bandSelect = bandKeyExprs
+      .map { case (b, e) => s"SELECT doc_id, $b AS band, $e AS band_key FROM sig" }
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH sig AS (${minhashSigSql.replace("ORDER BY doc_id", "")}),
+    s"""WITH $whDuckCte,
+       |ds AS (SELECT doc_id, $shingleFromWhDuck AS shh FROM dw),
+       |sig AS (SELECT doc_id,
+       |  ${(0 until NumPerms)
+        .map(k => s"list_min(list_transform(shh, h -> ${DetHash.minhashPermSql("h", k)})) AS mh$k")
+        .mkString(",\n  ")}
+       |  FROM ds),
        |bands AS (
        |  $bandSelect
        |)
@@ -127,43 +153,45 @@ object DedupQueries {
   }
 
   // -------------------------------------------------------------------
-  // dedup_simhash — 24-bit SimHash over word hashes + near-dup pairs
-  // within the same source at Hamming distance <= 6.
+  // dedup_simhash — 24-bit SimHash over word hashes, computed as
+  // explode + two-level partial aggregation (whole-stage codegen), plus
+  // near-dup pairs within the same source at Hamming distance <= 6.
   // -------------------------------------------------------------------
   private val SimBits = 24
 
-  private val wordHashesSpark = s"transform(split(text, ' '), w -> ${DetHash.polyHashSparkSql("w")})"
-  private val wordHashesDuck = s"list_transform(string_split(text, ' '), w -> ${DetHash.polyHashSql("w")})"
-
-  private val simhashSpark: String =
-    s"""aggregate(transform(sequence(0, ${SimBits - 1}), j ->
-       |  CASE WHEN aggregate($wordHashesSpark, CAST(0 AS BIGINT),
-       |         (a, h) -> a + ((h div CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1) > 0
-       |       THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-       |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), explode(expr(wordHashesSpark)).as("h"))
+      .select(col("doc_id"), col("source"), col("h"), explode(expr(s"sequence(0, ${SimBits - 1})")).as("j"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("j"),
+        expr("((h div CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1").as("sgn")
+      )
+      .groupBy("doc_id", "source", "j")
+      .agg(sum(col("sgn")).as("bsum"))
+      .groupBy("doc_id", "source")
+      .agg(sum(when(col("bsum") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(lit(0L))).as("simhash"))
+      .orderBy("doc_id")
 
   private val simhashDuck: String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${SimBits - 1}), j ->
-       |  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($wordHashesDuck,
+       |  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(wh,
        |         h -> ((h // CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1)), (a, b) -> a + b) > 0
        |       THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
        |  (a, b) -> a + b)""".stripMargin
 
-  private def simhash(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), col("source"), expr(simhashSpark).as("simhash"))
-      .orderBy("doc_id")
-
   private val simhashSql: String =
-    s"SELECT doc_id, source, $simhashDuck AS simhash\nFROM documents ORDER BY doc_id"
+    s"""WITH $whDuckCte
+       |SELECT doc_id, source, $simhashDuck AS simhash
+       |FROM dw ORDER BY doc_id""".stripMargin
 
   private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhash(s, dir)
-    sig.as("a")
-      .join(
-        sig.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id")
-      )
+    val sig = simhash(s, dir).localCheckpoint()
+    sig
+      .as("a")
+      .join(sig.as("b"), col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
@@ -174,7 +202,8 @@ object DedupQueries {
   }
 
   private val simhashPairsSql: String =
-    s"""WITH sig AS (SELECT doc_id, source, $simhashDuck AS simhash FROM documents)
+    s"""WITH $whDuckCte,
+       |sig AS (SELECT doc_id, source, $simhashDuck AS simhash FROM dw)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
@@ -186,28 +215,30 @@ object DedupQueries {
   // blocking key (source): |A ∩ B| / |A ∪ B| over distinct shingle hashes.
   // -------------------------------------------------------------------
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val withSets = docs(s, dir)
-      .select(col("doc_id"), col("source"), expr(s"array_distinct($shingleHashesSpark)").as("sh"))
+    val withSets = shingled(s, dir)
+      .select(col("doc_id"), col("source"), expr("array_distinct(shh)").as("sh"))
+      .localCheckpoint()
     withSets
       .as("a")
       .join(withSets.as("b"), col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
+        // intersect evaluated ONCE per pair; union size derived from it
         size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("n_common"),
-        (size(col("a.sh")) + size(col("b.sh")) - size(array_intersect(col("a.sh"), col("b.sh"))))
-          .cast("long")
-          .as("n_union")
+        size(col("a.sh")).cast("long").as("size_a"),
+        size(col("b.sh")).cast("long").as("size_b")
       )
+      .withColumn("n_union", col("size_a") + col("size_b") - col("n_common"))
       .withColumn("jaccard", round(col("n_common") / col("n_union").cast("double"), 6))
       .filter(col("n_common") > 0)
+      .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
   private val ngramJaccardSql: String =
-    s"""WITH ds AS (
-       |  SELECT doc_id, source, list_distinct($shingleHashesDuck) AS sh FROM documents
-       |)
+    s"""WITH $whDuckCte,
+       |ds AS (SELECT doc_id, source, list_distinct($shingleFromWhDuck) AS sh FROM dw)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
        |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union,
@@ -231,18 +262,18 @@ object DedupQueries {
   private def embDocs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      // norm precomputed ONCE per vector (not once per pair in the join)
+      .withColumn("nrm", sqrt(expr(dotSpark.format("v", "v"))))
 
   private def embedCos(s: SparkSession, dir: String): DataFrame = {
-    val e = embDocs(s, dir)
+    val e = embDocs(s, dir).localCheckpoint()
     val dotAB = expr(dotSpark.format("a.v", "b.v"))
-    val normA = sqrt(expr(dotSpark.format("a.v", "a.v")))
-    val normB = sqrt(expr(dotSpark.format("b.v", "b.v")))
     e.as("a")
       .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"),
-        round(dotAB / (normA * normB), 6).as("cos_sim")
+        round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim")
       )
       .filter(col("cos_sim") >= CosThreshold)
       .orderBy("vec_a", "vec_b")

@@ -30,6 +30,8 @@ object SimQueries {
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      // norm precomputed ONCE per vector (not once per pair in the join)
+      .withColumn("nrm", sqrt(expr(dotSpark.format("v", "v"))))
 
   // -------------------------------------------------------------------
   // ann_topk — exact brute-force cosine top-k for a query subset.
@@ -38,15 +40,13 @@ object SimQueries {
     val e = vecs(s, dir)
     val q = e.filter(col("vec_id") % QueryStride === 0)
     val dotQN = expr(dotSpark.format("q.v", "n.v"))
-    val normQ = sqrt(expr(dotSpark.format("q.v", "q.v")))
-    val normN = sqrt(expr(dotSpark.format("n.v", "n.v")))
     val pairs = q
       .as("q")
       .join(e.as("n"), col("q.vec_id") =!= col("n.vec_id"))
       .select(
         col("q.vec_id").as("query_id"),
         col("n.vec_id").as("neighbor_id"),
-        (dotQN / (normQ * normN)).as("cos_sim")
+        (dotQN / (col("q.nrm") * col("n.nrm"))).as("cos_sim")
       )
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     pairs
@@ -100,18 +100,17 @@ object SimQueries {
        |  (a, b) -> a + b)""".stripMargin
 
   private def annLshTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir).withColumn("bucket", expr(bucketSpark))
+    // bucket assignment computed once, then reused by both join sides
+    val e = vecs(s, dir).withColumn("bucket", expr(bucketSpark)).localCheckpoint()
     val q = e.filter(col("vec_id") % QueryStride === 0)
     val dotQN = expr(dotSpark.format("q.v", "n.v"))
-    val normQ = sqrt(expr(dotSpark.format("q.v", "q.v")))
-    val normN = sqrt(expr(dotSpark.format("n.v", "n.v")))
     val pairs = q
       .as("q")
       .join(e.as("n"), col("q.bucket") === col("n.bucket") && col("q.vec_id") =!= col("n.vec_id"))
       .select(
         col("q.vec_id").as("query_id"),
         col("n.vec_id").as("neighbor_id"),
-        (dotQN / (normQ * normN)).as("cos_sim")
+        (dotQN / (col("q.nrm") * col("n.nrm"))).as("cos_sim")
       )
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     pairs

@@ -36,14 +36,15 @@ object TextQueries {
   // -------------------------------------------------------------------
   private def textStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_calc"), split(col("text"), " ").as("toks"))
       .select(
         col("doc_id"),
-        length(col("text")).cast("long").as("n_chars_calc"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"),
+        col("n_chars_calc"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
         round(
-          expr("aggregate(split(text, ' '), CAST(0 AS BIGINT), (a, t) -> a + length(t))")
-            / size(split(col("text"), " ")).cast("double"),
+          expr("aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))")
+            / size(col("toks")).cast("double"),
           6
         ).as("avg_token_len")
       )
@@ -88,7 +89,7 @@ object TextQueries {
   private def langId(s: SparkSession, dir: String): DataFrame = {
     val scoreCols = Markers.map { case (lang, ws) =>
       val inList = ws.map(w => s"'$w'").mkString(", ")
-      expr(s"CAST(size(filter(split(text, ' '), t -> t IN ($inList))) AS BIGINT)").as(s"s_$lang")
+      expr(s"CAST(size(filter(toks, t -> t IN ($inList))) AS BIGINT)").as(s"s_$lang")
     }
     val langs = Markers.map(_._1)
     val pred = langs
@@ -98,6 +99,7 @@ object TextQueries {
         when(ge, lit(lang)).otherwise(elseCol)
       }
     docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id") +: scoreCols: _*)
       .withColumn("pred_lang", pred)
       .orderBy("doc_id")
@@ -136,12 +138,13 @@ object TextQueries {
   private def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
     docs(s, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_calc"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(col("toks")).cast("long").as("n_tokens"),
         length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long").as("punct_cnt"),
-        expr(s"CAST(size(filter(split(text, ' '), t -> t IN ($stopList))) AS BIGINT)").as("stop_cnt")
+        expr(s"CAST(size(filter(toks, t -> t IN ($stopList))) AS BIGINT)").as("stop_cnt")
       )
       .withColumn(
         "quality",
@@ -181,21 +184,26 @@ object TextQueries {
       .select(
         col("doc_id"),
         DetHash.polyHashCol(col("text")).as("full_hash"),
+        // rolling 8-char window hashes at stride 4 (winnowing-style
+        // subsampling), materialized once; min+max read the column
         expr(
-          s"array_min(transform(sequence(1, length(text) - 7), i -> ${DetHash.polyHashSparkSql("substring(text, i, 8)")}))"
-        ).as("win_min_hash"),
-        expr(
-          s"array_max(transform(sequence(1, length(text) - 7), i -> ${DetHash.polyHashSparkSql("substring(text, i, 8)")}))"
-        ).as("win_max_hash")
+          s"transform(sequence(1, length(text) - 7, 4), i -> ${DetHash.polyHashSparkSql("substring(text, i, 8)")})"
+        ).as("winh")
+      )
+      .select(
+        col("doc_id"),
+        col("full_hash"),
+        array_min(col("winh")).as("win_min_hash"),
+        array_max(col("winh")).as("win_max_hash")
       )
       .orderBy("doc_id")
 
   private val fingerprintSql: String =
     s"""SELECT doc_id,
        |  ${DetHash.polyHashSql("text")} AS full_hash,
-       |  list_min(list_transform(generate_series(1, length(text) - 7),
+       |  list_min(list_transform(generate_series(1, length(text) - 7, 4),
        |           i -> ${DetHash.polyHashSql("substr(text, CAST(i AS INTEGER), 8)")})) AS win_min_hash,
-       |  list_max(list_transform(generate_series(1, length(text) - 7),
+       |  list_max(list_transform(generate_series(1, length(text) - 7, 4),
        |           i -> ${DetHash.polyHashSql("substr(text, CAST(i AS INTEGER), 8)")})) AS win_max_hash
        |FROM documents ORDER BY doc_id""".stripMargin
 
