@@ -126,8 +126,10 @@ object CcmQueries {
                 greatest(lit(2), expr("max_lib div 20"))
               )
             )
-        ).as("lib_size")
+        ).as("lib_size0")
       )
+      // Spark `div` yields BIGINT; the contract type for lib sizes is INT
+      .select(col("user_id"), col("lib_size0").cast("int").as("lib_size"))
       .orderBy("user_id", "lib_size")
 
   private val libLadderSql: String =

@@ -60,6 +60,12 @@ def main():
             print(f"[SCHEMA] {name}: spark={gc} oracle={wc}")
             n_mismatch += 1
             continue
+        gt = [str(got[c].dtype) for c in gc]
+        wt = [str(want[c].dtype) for c in wc]
+        if gt != wt:
+            print(f"[DTYPES] {name}: spark={list(zip(gc, gt))} oracle={list(zip(wc, wt))}")
+            n_mismatch += 1
+            continue
         if len(got) != len(want):
             print(f"[ROWS] {name}: spark={len(got)} oracle={len(want)}")
             n_mismatch += 1
