@@ -1,0 +1,131 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ccm.DetHash
+
+/** Structured Streaming operators (SURVEY.md §2b marks streaming absent in
+  * the reference; these are the engine's forward-looking extensions, built
+  * on `readStream` -> transform -> `writeStream` with watermarks and
+  * `KeyValueGroupedDataset` state).
+  *
+  * Scale notes (100 TB / day firehose): every operator below keys its state
+  * by a high-cardinality column (event window, content hash, series id), so
+  * state partitions across executors; watermarks bound state size for the
+  * windowed aggregation, and the stateful operators carry explicit state
+  * timeouts for the same reason.
+  */
+object Streams {
+
+  /** An event row as it arrives on the stream. */
+  final case class Event(ts: Timestamp, userId: Long, eventType: String, value: Double)
+
+  /** A document row on the stream (dedup input). */
+  final case class Doc(ts: Timestamp, docId: Long, text: String)
+
+  /** Watermarked sliding-window aggregation over an event stream:
+    * counts + mean value per (10s window, event_type); late events beyond
+    * the watermark are dropped by the engine.
+    */
+  def windowedEventStats(
+      events: DataFrame,
+      watermark: String = "30 seconds",
+      windowLen: String = "10 seconds"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("eventType"))
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("eventType"),
+        col("n_events"),
+        col("avg_value")
+      )
+
+  /** First-seen document id per content hash. */
+  final case class DedupEmit(textHash: Long, docId: Long, ts: Timestamp)
+
+  /** Streaming exact dedup: key by content hash, emit only the first
+    * document per hash; per-key state is one boolean with an EVENT-TIME
+    * timeout tied to the stream's watermark, so abandoned hashes age out and
+    * state size stays bounded. (A processing-time timeout would make the
+    * engine busy-run empty trigger batches; event-time expiry only fires as
+    * the watermark advances.)
+    */
+  /** Doc + content hash; `ts` stays a TOP-LEVEL column so the watermark
+    * attribute survives into flatMapGroupsWithState (a `.map` to a tuple
+    * would nest it and lose the watermark metadata).
+    */
+  final case class HashedDoc(hash: Long, ts: Timestamp, docId: Long)
+
+  def streamingDedup(docs: Dataset[Doc], stateTtlMs: Long = 3600L * 1000): Dataset[DedupEmit] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("ts", "10 seconds")
+      .select(DetHash.polyHashCol(col("text")).as("hash"), col("ts"), col("docId"))
+      .as[HashedDoc]
+      .groupByKey(_.hash)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (hash: Long, rows: Iterator[HashedDoc], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            Iterator.empty // hash already seen -> drop duplicates
+          } else {
+            state.update(true)
+            val first = rows.minBy(d => (d.ts.getTime, d.docId))
+            state.setTimeoutTimestamp(first.ts.getTime + stateTtlMs)
+            Iterator.single(DedupEmit(hash, first.docId, first.ts))
+          }
+      }
+  }
+
+  /** Rolling per-series Pearson correlation of (value, previous value) —
+    * the streaming analogue of the CCM skill signal: each series keeps a
+    * bounded ring buffer (last `window` points) in state and emits the
+    * refreshed correlation on every batch.
+    */
+  final case class SeriesState(values: Vector[Double])
+  final case class RollingCorr(userId: Long, n: Int, corr: Double)
+
+  def rollingLagCorrelation(events: Dataset[Event], window: Int = 64): Dataset[RollingCorr] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SeriesState]) =>
+          val incoming = rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).map(_.value)
+          val prev = state.getOption.map(_.values).getOrElse(Vector.empty)
+          val merged = (prev ++ incoming).takeRight(window)
+          state.update(SeriesState(merged))
+          RollingCorr(userId, merged.length, lagCorr(merged))
+      }
+  }
+
+  /** Pearson r of (x_t, x_{t-1}) with the reference's degenerate-path
+    * contract: < 2 pairs or zero variance -> 0.0 (`lib/ccm.ex:187-213`).
+    */
+  private[streaming] def lagCorr(xs: Seq[Double]): Double = {
+    if (xs.length < 3) return 0.0
+    val a = xs.dropRight(1)
+    val b = xs.drop(1)
+    val n = a.length.toDouble
+    val ma = a.sum / n
+    val mb = b.sum / n
+    var num = 0.0; var da = 0.0; var db = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) - ma; val y = b(i) - mb
+      num += x * y; da += x * x; db += y * y
+      i += 1
+    }
+    val den = math.sqrt(da * db)
+    if (den == 0.0) 0.0 else num / den
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** MemoryStream-driven specs for the streaming operators. */
+class StreamsSpec extends SparkTestBase {
+  import Streams._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("windowedEventStats aggregates per window and drops late data past the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = windowedEventStats(input.toDF(), watermark = "10 seconds", windowLen = "10 seconds")
+      .writeStream.format("memory").queryName("win_stats").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(ts(5), 1L, "click", 1.0), Event(ts(7), 2L, "click", 3.0), Event(ts(12), 1L, "view", 10.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first two windows
+      input.addData(Event(ts(60), 3L, "click", 5.0))
+      q.processAllAvailable()
+      // a very late event for the long-closed first window must be dropped
+      input.addData(Event(ts(6), 9L, "click", 100.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(120), 3L, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains((0L, "click", 2L, 2.0))) // [0,10) click: values 1,3
+      assert(rows.contains((10L, "view", 1L, 10.0)))
+      // the late 100.0 event did NOT reopen the [0,10) click window
+      assert(!rows.exists(r => r._1 == 0L && r._2 == "click" && r._3 == 3L))
+    } finally q.stop()
+  }
+
+  test("streamingDedup emits only the first doc per content hash across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = streamingDedup(input.toDS())
+      .writeStream.format("memory").queryName("dedup_stream").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Doc(ts(1), 10L, "alpha beta"), Doc(ts(2), 11L, "gamma"), Doc(ts(3), 12L, "alpha beta"))
+      q.processAllAvailable()
+      input.addData(Doc(ts(4), 13L, "alpha beta"), Doc(ts(5), 14L, "delta"))
+      q.processAllAvailable()
+      val emitted = spark.table("dedup_stream").collect().map(r => r.getLong(1)).toSet
+      assert(emitted == Set(10L, 11L, 14L)) // 12 and 13 are dupes of 10
+    } finally q.stop()
+  }
+
+  test("rollingLagCorrelation keeps bounded state and matches the local Pearson") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = rollingLagCorrelation(input.toDS(), window = 8)
+      .writeStream.format("memory").queryName("roll_corr").outputMode(OutputMode.Update()).start()
+    try {
+      val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 4.0, 3.0, 2.0, 1.0, 2.0)
+      input.addData(xs.zipWithIndex.map { case (v, i) => Event(ts(i.toLong), 7L, "t", v) }: _*)
+      q.processAllAvailable()
+      val rows = spark.table("roll_corr").collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val last = rows.last
+      assert(last._1 == 7L)
+      assert(last._2 == 8) // ring buffer truncated to window
+      val expected = Streams.lagCorr(xs.takeRight(8))
+      assert(math.abs(last._3 - expected) < 1e-12)
+    } finally q.stop()
+  }
+
+  test("lagCorr degenerate paths return 0.0 like the reference") {
+    assert(Streams.lagCorr(Seq(1.0, 2.0)) == 0.0) // < 2 pairs
+    assert(Streams.lagCorr(Seq(5.0, 5.0, 5.0, 5.0)) == 0.0) // zero variance
+  }
+}
