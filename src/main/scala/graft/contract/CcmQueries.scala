@@ -384,6 +384,69 @@ object CcmQueries {
        |)
        |SELECT t, x, y FROM gen ORDER BY t""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ccm_mi_tau — MI-based tau estimation (SURVEY §2c.1: documented in the
+  // reference README but never implemented there; built here for real).
+  // MI(tau) over an 8-bin 2-D histogram for tau=1..6 + first-local-min
+  // selection. Local-min comparisons run on the ROUNDED mi so both engines
+  // compare identical values.
+  // -------------------------------------------------------------------
+  private val MiMaxTau = 6
+  private val MiBins = 8
+
+  private def miTau(s: SparkSession, dir: String): DataFrame = {
+    import graft.ccm.MiTau
+    val mi = MiTau
+      .miCurve(ev(s, dir), Seq("user_id"), Seq(col("ts")), col("value"), MiMaxTau, MiBins)
+      .withColumn("mi", round(col("mi"), 6))
+    val best = MiTau.bestTau(mi, Seq("user_id"))
+    mi.join(best, "user_id")
+      .select(col("user_id"), col("tau"), col("mi"), col("best_tau"))
+      .orderBy("user_id", "tau")
+  }
+
+  private val miTauSql: String = {
+    val leadCols = (1 to MiMaxTau).map(t => s"lead(value, $t) OVER w AS y$t").mkString(", ")
+    val unions = (1 to MiMaxTau)
+      .map(t => s"SELECT user_id, x, mn, mx, $t AS tau, y$t AS y FROM base WHERE y$t IS NOT NULL")
+      .mkString("\n  UNION ALL\n  ")
+    def binOf(c: String) =
+      s"CASE WHEN mx = mn THEN 0 ELSE least(${MiBins - 1}, CAST(floor(($c - mn) / ((mx - mn) / $MiBins)) AS INTEGER)) END"
+    s"""WITH base AS (
+       |  SELECT user_id, value AS x,
+       |         min(value) OVER (PARTITION BY user_id) AS mn,
+       |         max(value) OVER (PARTITION BY user_id) AS mx,
+       |         $leadCols
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), pairs AS (
+       |  $unions
+       |), binned AS (
+       |  SELECT user_id, tau, ${binOf("x")} AS bx, ${binOf("y")} AS by FROM pairs
+       |), joint AS (
+       |  SELECT user_id, tau, bx, by, count(*) AS c FROM binned GROUP BY 1, 2, 3, 4
+       |), terms AS (
+       |  SELECT *, sum(c) OVER (PARTITION BY user_id, tau, bx) AS cx,
+       |         sum(c) OVER (PARTITION BY user_id, tau, by) AS cy,
+       |         sum(c) OVER (PARTITION BY user_id, tau) AS n
+       |  FROM joint
+       |), mi AS (
+       |  SELECT user_id, tau, round(sum((c / n) * ln((c * n) / (cx * cy))), 6) AS mi
+       |  FROM terms GROUP BY 1, 2
+       |), flag AS (
+       |  SELECT user_id, tau, mi,
+       |         lag(mi, 1) OVER wt AS prev, lead(mi, 1) OVER wt AS next
+       |  FROM mi WINDOW wt AS (PARTITION BY user_id ORDER BY tau)
+       |), best AS (
+       |  SELECT user_id, CAST(coalesce(min(CASE WHEN prev IS NOT NULL AND next IS NOT NULL
+       |                        AND mi < prev AND mi < next THEN tau END), 1) AS INTEGER) AS best_tau
+       |  FROM flag GROUP BY 1
+       |)
+       |SELECT m.user_id, CAST(m.tau AS INTEGER) AS tau, m.mi, b.best_tau
+       |FROM mi m JOIN best b ON m.user_id = b.user_id
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // ccm_gen_coupled — G2/G4 (seeded java.util.Random; not SQL-reproducible,
   // so no oracle entry -> driver records a rows-only check).
   private def genCoupled(s: SparkSession, dir: String): DataFrame = {
@@ -408,7 +471,8 @@ object CcmQueries {
     "ccm_curve" -> curve,
     "ccm_convergence" -> convergenceQ,
     "ccm_gen_logistic" -> genLogistic,
-    "ccm_gen_coupled" -> genCoupled
+    "ccm_gen_coupled" -> genCoupled,
+    "ccm_mi_tau" -> miTau
   )
 
   val oracle: Map[String, String] = Map(
@@ -421,6 +485,7 @@ object CcmQueries {
     "ccm_skill_corr" -> skillCorrSql,
     "ccm_curve" -> curveSql,
     "ccm_convergence" -> convergenceSql,
-    "ccm_gen_logistic" -> genLogisticSql
+    "ccm_gen_logistic" -> genLogisticSql,
+    "ccm_mi_tau" -> miTauSql
   )
 }
