@@ -87,8 +87,19 @@ object Ccm {
 
   /** Scale path: one shuffle to co-locate each series, then the local kernel.
     * Input columns: (skey: Long, ord: Long, x: Double, y: Double).
+    *
+    * @param maxPoints each series is materialized in ONE task's heap
+    *        (~32 bytes/point), so a runaway series would OOM the executor;
+    *        series longer than this fail fast with a clear message instead.
+    *        CCM cost is O(n^2) per series anyway — resample long series
+    *        down rather than raising the cap.
     */
-  def perSeries(df: DataFrame, spec: CcmSpec, libSizes: Option[Seq[Int]] = None): Dataset[SkillRow] = {
+  def perSeries(
+      df: DataFrame,
+      spec: CcmSpec,
+      libSizes: Option[Seq[Int]] = None,
+      maxPoints: Int = 1 << 20
+  ): Dataset[SkillRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(
@@ -100,7 +111,17 @@ object Ccm {
       .as[WidePoint]
       .groupByKey(_.skey)
       .flatMapGroups { (skey, it) =>
-        val pts = it.toArray.sortBy(_.ord)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[WidePoint]
+        var over = false
+        while (it.hasNext && !over) {
+          buf += it.next()
+          if (buf.length > maxPoints) over = true
+        }
+        if (over)
+          throw new IllegalArgumentException(
+            s"series $skey exceeds maxPoints=$maxPoints; resample it or raise the cap (perSeries holds one series per task)"
+          )
+        val pts = buf.toArray.sortBy(_.ord)
         val xs = pts.map(_.x)
         val ys = pts.map(_.y)
         val ls = libSizes.getOrElse(spec.resolvedLibSizes(xs.length))
