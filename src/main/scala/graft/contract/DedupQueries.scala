@@ -3,6 +3,7 @@ package graft.contract
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ccm.DetHash
+import graft.functions.GraftFunctions
 
 /** Deduplication operators over `documents.parquet` / `embeddings.parquet`:
   * exact (hash-groupBy), MinHash signatures + LSH banding (candidate pairs
@@ -254,16 +255,20 @@ object DedupQueries {
   // -------------------------------------------------------------------
   private val CosThreshold = 0.2
 
-  private val dotSpark = "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  // native codegen dot product (graft.functions.DotProduct): bit-identical
+  // to the HOF fold, so the oracle SQL below is unchanged.
+  private val dotSpark = "graft_dot(%s, %s)"
   private def dotDuck(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(generate_series(1, 64), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])), (acc, v) -> acc + v)"
 
-  private def embDocs(s: SparkSession, dir: String): DataFrame =
+  private def embDocs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       // norm precomputed ONCE per vector (not once per pair in the join)
       .withColumn("nrm", sqrt(expr(dotSpark.format("v", "v"))))
+  }
 
   private def embedCos(s: SparkSession, dir: String): DataFrame = {
     val e = embDocs(s, dir).localCheckpoint()

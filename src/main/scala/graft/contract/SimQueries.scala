@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ccm.DetHash
+import graft.functions.GraftFunctions
 
 /** Similarity search over `embeddings.parquet` (`Array[Float]`, 64-dim):
   * brute-force cosine top-k as the exact baseline, and a deterministic
@@ -22,16 +23,20 @@ object SimQueries {
   private val QueryStride = 50 // vec_id % stride == 0 -> query vector
   private val NumPlanes = 8
 
-  private val dotSpark = "aggregate(zip_with(%s, %s, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+  // graft_dot: native codegen Catalyst expression, bit-identical to the
+  // HOF fold formulation (see graft.functions.DotProduct) and ~10x cheaper.
+  private val dotSpark = "graft_dot(%s, %s)"
   private def dotDuck(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(generate_series(1, $Dim), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])), (acc, v) -> acc + v)"
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       // norm precomputed ONCE per vector (not once per pair in the join)
       .withColumn("nrm", sqrt(expr(dotSpark.format("v", "v"))))
+  }
 
   // -------------------------------------------------------------------
   // ann_topk — exact brute-force cosine top-k for a query subset.
