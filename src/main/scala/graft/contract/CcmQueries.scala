@@ -447,6 +447,75 @@ object CcmQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ccm_fnn_dim — FNN-based embedding-dimension estimation (SURVEY §2c.2:
+  // mentioned in the reference README, never implemented there). Kennel
+  // criterion at rTol=15 for E=1..4; best E = first with fnn_frac < 1%.
+  // -------------------------------------------------------------------
+  private val FnnMaxE = 4
+  private val FnnRTol = 15.0
+  private val FnnFrac = 0.01
+
+  private def fnnDim(s: SparkSession, dir: String): DataFrame = {
+    import graft.ccm.FnnDim
+    val curve = FnnDim.fnnCurve(ev(s, dir), Seq("user_id"), Seq(col("ts")), col("value"), FnnMaxE, 1, FnnRTol)
+    val best = FnnDim.bestE(curve, Seq("user_id"), FnnFrac)
+    curve
+      .join(best, "user_id")
+      .select(
+        col("user_id"),
+        col("e"),
+        col("n_neighbors"),
+        col("n_false"),
+        round(col("fnn_frac"), 6).as("fnn_frac"),
+        col("best_e")
+      )
+      .orderBy("user_id", "e")
+  }
+
+  private val fnnDimSql: String = {
+    val leadCols = (1 to FnnMaxE).map(t => s"lead(value, $t) OVER w AS e$t").mkString(", ")
+    val perE = (1 to FnnMaxE)
+      .map { e =>
+        val dist2 = (0 until e).map(j => s"(a.e$j - b.e$j) * (a.e$j - b.e$j)").mkString(" + ")
+        s"""SELECT user_id, $e AS e,
+           |    CASE WHEN dist < 1e-12 THEN false ELSE extra_gap / dist > $FnnRTol END AS is_false
+           |  FROM (
+           |    SELECT a.user_id AS user_id, a.idx,
+           |      sqrt($dist2) AS dist,
+           |      abs(a.e$e - b.e$e) AS extra_gap,
+           |      row_number() OVER (PARTITION BY a.user_id, a.idx
+           |                         ORDER BY sqrt($dist2), b.idx) AS rn
+           |    FROM (SELECT * FROM emb WHERE e$e IS NOT NULL) a
+           |    JOIN (SELECT * FROM emb WHERE e$e IS NOT NULL) b
+           |      ON a.user_id = b.user_id AND a.idx <> b.idx
+           |  ) WHERE rn = 1""".stripMargin
+      }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH emb AS (
+       |  SELECT user_id, CAST(row_number() OVER w - 1 AS BIGINT) AS idx,
+       |         value AS e0, $leadCols
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), flags AS (
+       |  $perE
+       |), agg AS (
+       |  SELECT user_id, e, CAST(count(*) AS BIGINT) AS n_neighbors,
+       |         CAST(sum(CASE WHEN is_false THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+       |         sum(CASE WHEN is_false THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) AS fnn_frac
+       |  FROM flags GROUP BY 1, 2
+       |), rankedE AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY fnn_frac, e) AS rno FROM agg
+       |), best AS (
+       |  SELECT user_id, CAST(coalesce(min(CASE WHEN fnn_frac < $FnnFrac THEN e END),
+       |                                min(CASE WHEN rno = 1 THEN e END)) AS INTEGER) AS best_e
+       |  FROM rankedE GROUP BY 1
+       |)
+       |SELECT a.user_id, a.e, a.n_neighbors, a.n_false, round(a.fnn_frac, 6) AS fnn_frac, b.best_e
+       |FROM agg a JOIN best b ON a.user_id = b.user_id
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // ccm_gen_coupled — G2/G4 (seeded java.util.Random; not SQL-reproducible,
   // so no oracle entry -> driver records a rows-only check).
   private def genCoupled(s: SparkSession, dir: String): DataFrame = {
@@ -472,7 +541,8 @@ object CcmQueries {
     "ccm_convergence" -> convergenceQ,
     "ccm_gen_logistic" -> genLogistic,
     "ccm_gen_coupled" -> genCoupled,
-    "ccm_mi_tau" -> miTau
+    "ccm_mi_tau" -> miTau,
+    "ccm_fnn_dim" -> fnnDim
   )
 
   val oracle: Map[String, String] = Map(
@@ -486,6 +556,7 @@ object CcmQueries {
     "ccm_curve" -> curveSql,
     "ccm_convergence" -> convergenceSql,
     "ccm_gen_logistic" -> genLogisticSql,
-    "ccm_mi_tau" -> miTauSql
+    "ccm_mi_tau" -> miTauSql,
+    "ccm_fnn_dim" -> fnnDimSql
   )
 }
