@@ -143,13 +143,86 @@ object SimQueries {
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ann_ivf_topk — IVF (inverted-file) ANN: a deterministic subset of the
+  // vectors acts as the coarse quantizer (every 31st vec_id); each vector
+  // is assigned to its nearest centroid (broadcast join + per-vector
+  // argmax — map-side at scale); a query probes its nProbe nearest lists
+  // and searches ONLY those lists. Centroid count grows with the corpus,
+  // so list size — not corpus size — bounds the search.
+  // -------------------------------------------------------------------
+  private val CentroidStride = 31
+  private val NProbe = 2
+
+  private def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e
+      .filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val dotVC = expr(dotSpark.format("v", "cv"))
+    val assignW = Window.partitionBy("vec_id").orderBy((dotVC / (col("nrm") * col("cnrm"))).desc, col("cid").asc)
+    val assigned = e
+      .crossJoin(broadcast(cents))
+      .withColumn("crank", row_number().over(assignW))
+      .filter(col("crank") <= NProbe) // rank 1 = home list; ranks 1..nProbe = query probes
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"), col("crank"))
+      .localCheckpoint()
+    val lists = assigned.filter(col("crank") === 1).select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    val probes = assigned
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"), col("cid").as("probe_cid"))
+    val dotQN = expr(dotSpark.format("q.qv", "n.v"))
+    val pairs = probes
+      .as("q")
+      .join(lists.as("n"), col("q.probe_cid") === col("n.cid") && col("q.qid") =!= col("n.vec_id"))
+      .select(
+        col("q.qid").as("query_id"),
+        col("n.vec_id").as("neighbor_id"),
+        (dotQN / (col("q.qnrm") * col("n.nrm"))).as("cos_sim")
+      )
+      .distinct() // a neighbor can appear via multiple probed lists only if ... (defensive)
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val annIvfTopkSql: String = {
+    val cosVC = s"${dotDuck("e.v", "c.cv")} / (e.nrm * c.cnrm)"
+    val cosQN = s"${dotDuck("q.qv", "n.v")} / (q.qnrm * n.nrm)"
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, sqrt(${dotDuck("e0.v", "e0.v")}) AS nrm FROM e0),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id % $CentroidStride = 0),
+       |assigned AS (
+       |  SELECT e.vec_id, e.v, e.nrm, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosVC DESC, c.cid) AS crank
+       |  FROM e CROSS JOIN c
+       |), lists AS (SELECT vec_id, v, nrm, cid FROM assigned WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS probe_cid
+       |  FROM assigned WHERE crank <= $NProbe AND vec_id % $QueryStride = 0
+       |), pairs AS (
+       |  SELECT DISTINCT q.qid AS query_id, n.vec_id AS neighbor_id, $cosQN AS cos_sim
+       |  FROM probes q JOIN lists n ON q.probe_cid = n.cid AND q.qid <> n.vec_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM pairs
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos_sim, 6) AS cos_sim
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> annTopk,
-    "ann_lsh_topk" -> annLshTopk
+    "ann_lsh_topk" -> annLshTopk,
+    "ann_ivf_topk" -> annIvfTopk
   )
 
   val oracle: Map[String, String] = Map(
     "ann_topk" -> annTopkSql,
-    "ann_lsh_topk" -> annLshTopkSql
+    "ann_lsh_topk" -> annLshTopkSql,
+    "ann_ivf_topk" -> annIvfTopkSql
   )
 }

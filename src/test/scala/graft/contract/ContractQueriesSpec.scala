@@ -139,14 +139,17 @@ class ContractQueriesSpec extends SparkTestBase {
     assert(t.filter(abs(col("cos_sim")) > 1.0).count() == 0L)
   }
 
-  test("ann_lsh_topk is a subset-quality approximation of ann_topk") {
-    // every LSH result must also appear in the exact all-pairs ranking
-    // with the same cosine (the LSH path only restricts candidates)
+  test("ann_lsh_topk and ann_ivf_topk are candidate-restricted views of the exact cosine") {
+    // every approximate result that also appears in the exact all-pairs
+    // ranking must carry the same cosine (the approximate paths only
+    // restrict candidates, never change the metric)
     val exact = q("ann_topk").select(col("query_id"), col("neighbor_id"), col("cos_sim").as("c_exact"))
-    val lsh = q("ann_lsh_topk").select(col("query_id"), col("neighbor_id"), col("cos_sim"))
-    val joined = lsh.join(exact, Seq("query_id", "neighbor_id"), "left")
-    val wrongCos = joined.filter(col("c_exact").isNotNull && col("c_exact") =!= col("cos_sim")).count()
-    assert(wrongCos == 0L)
+    for (name <- Seq("ann_lsh_topk", "ann_ivf_topk")) {
+      val approx = q(name).select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      val joined = approx.join(exact, Seq("query_id", "neighbor_id"), "left")
+      val wrongCos = joined.filter(col("c_exact").isNotNull && col("c_exact") =!= col("cos_sim")).count()
+      assert(wrongCos == 0L, name)
+    }
   }
 
   test("mm_frames: frame counts cover n_bytes") {
