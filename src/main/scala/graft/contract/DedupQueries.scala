@@ -213,26 +213,42 @@ object DedupQueries {
 
   // -------------------------------------------------------------------
   // dedup_ngram_jaccard — n-gram Jaccard similarity verification within a
-  // blocking key (source): |A ∩ B| / |A ∪ B| over distinct shingle hashes.
+  // blocking key (source): |A ∩ B| / |A ∪ B| over distinct shingle hashes,
+  // reporting pairs with jaccard >= MinJaccard.
+  //
+  // Size-ratio prune (sound, classic set-similarity join):
+  // jaccard(A,B) <= min(|A|,|B|) / max(|A|,|B|), so pairs whose set sizes
+  // differ by more than the threshold ratio are skipped INSIDE the join
+  // condition — the expensive intersection never runs for them, and the
+  // result set is provably unchanged. The oracle filters on jaccard alone
+  // (no prune) and must produce identical rows — a built-in soundness
+  // check of the prune itself.
   // -------------------------------------------------------------------
+  private val MinJaccard = 0.02
+
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val withSets = shingled(s, dir)
       .select(col("doc_id"), col("source"), expr("array_distinct(shh)").as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
       .localCheckpoint()
     withSets
       .as("a")
-      .join(withSets.as("b"), col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .join(
+        withSets.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >= greatest(col("a.sz"), col("b.sz")) * MinJaccard
+      )
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
         // intersect evaluated ONCE per pair; union size derived from it
         size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("n_common"),
-        size(col("a.sh")).cast("long").as("size_a"),
-        size(col("b.sh")).cast("long").as("size_b")
+        col("a.sz").as("size_a"),
+        col("b.sz").as("size_b")
       )
       .withColumn("n_union", col("size_a") + col("size_b") - col("n_common"))
       .withColumn("jaccard", round(col("n_common") / col("n_union").cast("double"), 6))
-      .filter(col("n_common") > 0)
+      .filter(col("jaccard") >= MinJaccard)
       .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -240,12 +256,13 @@ object DedupQueries {
   private val ngramJaccardSql: String =
     s"""WITH $whDuckCte,
        |ds AS (SELECT doc_id, source, list_distinct($shingleFromWhDuck) AS sh FROM dw)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
-       |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union,
-       |  round(len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
-       |FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.sh, b.sh)) > 0
+       |SELECT * FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union,
+       |    round(len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+       |  FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id
+       |) WHERE jaccard >= $MinJaccard
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------------

@@ -121,9 +121,9 @@ class ContractQueriesSpec extends SparkTestBase {
     assert(p.filter(col("n_shared_bands") < 1 || col("n_shared_bands") > 4).count() == 0L)
   }
 
-  test("dedup_ngram_jaccard: jaccard in (0, 1] and union >= common") {
+  test("dedup_ngram_jaccard: jaccard in [0.02, 1] and union >= common") {
     val j = q("dedup_ngram_jaccard")
-    assert(j.filter(col("jaccard") <= 0.0 || col("jaccard") > 1.0).count() == 0L)
+    assert(j.filter(col("jaccard") < 0.02 || col("jaccard") > 1.0).count() == 0L)
     assert(j.filter(col("n_union") < col("n_common")).count() == 0L)
   }
 
