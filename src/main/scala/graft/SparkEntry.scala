@@ -42,6 +42,7 @@ object SparkEntry {
       SimQueries.queries ++
       MultimodalQueries.queries ++
       RelationalQueries.queries ++
+      EventQueries.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +55,6 @@ object SparkEntry {
       DedupQueries.oracle ++
       SimQueries.oracle ++
       MultimodalQueries.oracle ++
-      RelationalQueries.oracle
+      RelationalQueries.oracle ++
+      EventQueries.oracle
 }

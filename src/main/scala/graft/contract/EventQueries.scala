@@ -1,0 +1,140 @@
+package graft.contract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream relational operators (SURVEY §2b depth): gap-based
+  * sessionization, rollup aggregation, and an as-of join.
+  *
+  * Time axis: Spark surfaces the parquet NANOS timestamps as BIGINT nanos
+  * (see [[Tables]]) while DuckDB's `epoch_*` functions truncate to
+  * microseconds — both sides therefore work in microseconds (`ts div 1000`
+  * vs `epoch_us(ts)`), meeting at the same integers.
+  */
+object EventQueries {
+  private val SessionGapUs: Long = 86400L * 1000 * 1000 // 1 day (microseconds)
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      // microsecond time axis: Spark surfaces parquet NANOS as BIGINT nanos,
+      // DuckDB's epoch_* functions truncate to microseconds -- `div 1000`
+      // here and `epoch_us(ts)` in the oracle meet at the same integers.
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"), col("event_type"), col("value"))
+
+  // -------------------------------------------------------------------
+  // evt_sessionize — gap-based sessionization: a new session starts when
+  // the gap to the previous event exceeds the threshold; session id is a
+  // running sum of the boundary flags (one window pass per series).
+  // -------------------------------------------------------------------
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus")
+    val wRun = Window.partitionBy("user_id").orderBy("tus").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .withColumn(
+        "new_session",
+        when(col("tus") - lag(col("tus"), 1).over(w) > SessionGapUs || lag(col("tus"), 1).over(w).isNull, 1L)
+          .otherwise(0L)
+      )
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"),
+        max(col("tus")).as("end_us")
+      )
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val sessionizeSql: String =
+    s"""WITH t AS (
+       |  SELECT user_id, epoch_us(ts) AS tsn FROM events
+       |), flags AS (
+       |  SELECT user_id, tsn,
+       |         CASE WHEN tsn - lag(tsn, 1) OVER w > $SessionGapUs
+       |                OR lag(tsn, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+       |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsn)
+       |), sess AS (
+       |  SELECT user_id, tsn,
+       |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsn
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flags
+       |)
+       |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+       |       min(tsn) AS start_us, max(tsn) AS end_us,
+       |       max(tsn) - min(tsn) AS duration_us
+       |FROM sess GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // evt_rollup — ROLLUP (event_type, user bucket): per-cell counts + sums
+  // with grouping flags, the grouping-sets surface of the engine.
+  // -------------------------------------------------------------------
+  private def rollup(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("user_bucket", (col("user_id") % 10).cast("long"))
+      .rollup("event_type", "user_bucket")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("user_bucket")).cast("long").as("g_bucket")
+      )
+      .orderBy(col("g_type"), col("g_bucket"), col("event_type"), col("user_bucket"))
+
+  private val rollupSql: String =
+    """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value), 4) AS sum_value,
+      |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+      |  CAST(GROUPING(user_id % 10) AS BIGINT) AS g_bucket
+      |FROM events
+      |GROUP BY ROLLUP(event_type, user_id % 10)
+      |ORDER BY g_type, g_bucket, event_type, user_bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // evt_asof_purchase — as-of join: for every event, the most recent
+  // STRICTLY PRIOR 'purchase' event of the same user. Spark side: a single
+  // ordered window with `last(..., ignoreNulls)` over an unbounded-to-(-1)
+  // frame — the scalable as-of pattern (one shuffle on the series key, no
+  // join at all). Oracle: DuckDB's NATIVE `ASOF LEFT JOIN`, so two
+  // independent as-of implementations must agree row-for-row.
+  // -------------------------------------------------------------------
+  private def asofPurchase(s: SparkSession, dir: String): DataFrame = {
+    val frame = Window
+      .partitionBy("user_id")
+      .orderBy("tus")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev(s, dir)
+      .withColumn("last_purchase_id", last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(frame))
+      .withColumn("last_purchase_us", last(when(col("event_type") === "purchase", col("tus")), ignoreNulls = true).over(frame))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("last_purchase_id"),
+        (col("tus") - col("last_purchase_us")).as("us_since_purchase")
+      )
+      .orderBy("event_id")
+  }
+
+  private val asofPurchaseSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsn FROM events),
+      |p AS (SELECT event_id, user_id, epoch_us(ts) AS tsn FROM events WHERE event_type = 'purchase')
+      |SELECT e.event_id, e.user_id, p.event_id AS last_purchase_id,
+      |       e.tsn - p.tsn AS us_since_purchase
+      |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tsn > p.tsn
+      |ORDER BY e.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_sessionize" -> sessionize,
+    "evt_rollup" -> rollup,
+    "evt_asof_purchase" -> asofPurchase
+  )
+
+  val oracle: Map[String, String] = Map(
+    "evt_sessionize" -> sessionizeSql,
+    "evt_rollup" -> rollupSql,
+    "evt_asof_purchase" -> asofPurchaseSql
+  )
+}

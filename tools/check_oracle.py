@@ -16,6 +16,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    if v is None:
+        return "\x00__NULL__"  # sortable alongside any type via repr below
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -25,6 +27,10 @@ def norm(v):
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
+
+
+def sort_key(row):
+    return tuple((type(v).__name__, repr(v)) for v in row)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -70,8 +76,8 @@ def main():
             print(f"[ROWS] {name}: spark={len(got)} oracle={len(want)}")
             n_mismatch += 1
             continue
-        g = sorted(tuple(norm(v) for v in row) for row in got[gc].itertuples(index=False, name=None))
-        w = sorted(tuple(norm(v) for v in row) for row in want[wc].itertuples(index=False, name=None))
+        g = sorted((tuple(norm(v) for v in row) for row in got[gc].itertuples(index=False, name=None)), key=sort_key)
+        w = sorted((tuple(norm(v) for v in row) for row in want[wc].itertuples(index=False, name=None)), key=sort_key)
         if g == w:
             print(f"[MATCH] {name}: {len(got)} rows")
             n_match += 1
