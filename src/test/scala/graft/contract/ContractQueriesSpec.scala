@@ -168,6 +168,31 @@ class ContractQueriesSpec extends SparkTestBase {
     assert(bad == 0L)
   }
 
+  test("evt_sessionize: session event counts sum to the events count") {
+    val total = q("evt_sessionize").agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, SfDir).count())
+    // durations are non-negative and sessions are consecutively numbered from 1
+    val s = q("evt_sessionize")
+    assert(s.filter(col("duration_us") < 0).count() == 0L)
+    val bad = s.groupBy("user_id").agg(min("session_id").as("mn"), max("session_id").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n")).count()
+    assert(bad == 0L)
+  }
+
+  test("evt_rollup: grand total row equals the events count") {
+    val total = q("evt_rollup").filter(col("g_type") === 1 && col("g_bucket") === 1)
+      .select("n_events").collect()(0).getLong(0)
+    assert(total == Tables.events(spark, SfDir).count())
+  }
+
+  test("evt_asof_purchase: referenced purchase is strictly prior and same user") {
+    val ev = Tables.events(spark, SfDir).select(col("event_id").as("last_purchase_id"),
+      col("user_id").as("p_user"), col("event_type").as("p_type"))
+    val joined = q("evt_asof_purchase").filter(col("last_purchase_id").isNotNull).join(ev, "last_purchase_id")
+    assert(joined.filter(col("p_type") =!= "purchase" || col("p_user") =!= col("user_id")).count() == 0L)
+    assert(joined.filter(col("us_since_purchase") <= 0).count() == 0L)
+  }
+
   test("q1_agg: counts sum to the filtered lineitem count") {
     val total = q("q1_agg").agg(sum("count_order")).collect()(0).getLong(0)
     val expected = Tables.lineitem(spark, SfDir)
