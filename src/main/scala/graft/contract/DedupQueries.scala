@@ -227,25 +227,29 @@ object DedupQueries {
   private val MinJaccard = 0.02
 
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // Textbook distributed set-similarity plan: explode the distinct
+    // shingle hashes, equi-join on (blocking key, hash) — so only docs
+    // SHARING a shingle ever pair up — and count shared shingles with a
+    // hash aggregation. Everything is whole-stage codegen; no per-pair
+    // array intersection exists to be duplicated by predicate pushdown
+    // (an earlier array_intersect formulation paid the intersect 2-3x
+    // once the jaccard filter was pushed through its projection).
     val withSets = shingled(s, dir)
       .select(col("doc_id"), col("source"), expr("array_distinct(shh)").as("sh"))
       .withColumn("sz", size(col("sh")).cast("long"))
       .localCheckpoint()
-    withSets
+    val tokens = withSets.select(col("doc_id"), col("source"), col("sz"), explode(col("sh")).as("h"))
+    val common = tokens
       .as("a")
       .join(
-        withSets.as("b"),
-        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id") &&
+        tokens.as("b"),
+        col("a.source") === col("b.source") && col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          // size-ratio prune (sound): jaccard <= min(sz)/max(sz)
           least(col("a.sz"), col("b.sz")).cast("double") >= greatest(col("a.sz"), col("b.sz")) * MinJaccard
       )
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        // intersect evaluated ONCE per pair; union size derived from it
-        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("n_common"),
-        col("a.sz").as("size_a"),
-        col("b.sz").as("size_b")
-      )
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"), first(col("a.sz")).as("size_a"), first(col("b.sz")).as("size_b"))
+    common
       .withColumn("n_union", col("size_a") + col("size_b") - col("n_common"))
       .withColumn("jaccard", round(col("n_common") / col("n_union").cast("double"), 6))
       .filter(col("jaccard") >= MinJaccard)
