@@ -108,6 +108,66 @@ object Streams {
       }
   }
 
+  // -------------------------------------------------------------------
+  // Streaming CCM (SURVEY §7 stretch): sliding-window re-estimation of the
+  // full bidirectional CCM per series. Each series keeps the last `window`
+  // (ord, x, y) points in state; once `minPoints` are buffered the local
+  // kernel re-runs on every batch — the deterministic hash-rank sampling
+  // makes re-estimation reproducible. State is bounded by `window`; keys
+  // (series ids) partition across executors.
+  // -------------------------------------------------------------------
+
+  /** One series point on the stream. */
+  final case class SeriesPoint(skey: Long, ord: Long, x: Double, y: Double)
+
+  /** Re-estimated bidirectional CCM for one series at the current window. */
+  final case class StreamCcmResult(
+      skey: Long,
+      n: Int,
+      xCausesY: Boolean,
+      yCausesX: Boolean,
+      rhoXY: Double, // mean skill over the lib-size ladder (the ladder tail
+      rhoYX: Double  // has too few prediction points to be stable on its own)
+  )
+
+  final case class CcmWindowState(ords: Vector[Long], xs: Vector[Double], ys: Vector[Double])
+
+  def streamingCcm(
+      points: Dataset[SeriesPoint],
+      window: Int = 128,
+      minPoints: Int = 60,
+      spec: graft.ccm.CcmSpec = graft.ccm.CcmSpec(numSamples = 10)
+  ): Dataset[StreamCcmResult] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.skey)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (skey: Long, rows: Iterator[SeriesPoint], state: GroupState[CcmWindowState]) =>
+          val incoming = rows.toSeq.sortBy(_.ord)
+          val prev = state.getOption.getOrElse(CcmWindowState(Vector.empty, Vector.empty, Vector.empty))
+          val ords = (prev.ords ++ incoming.map(_.ord)).takeRight(window)
+          val xs = (prev.xs ++ incoming.map(_.x)).takeRight(window)
+          val ys = (prev.ys ++ incoming.map(_.y)).takeRight(window)
+          state.update(CcmWindowState(ords, xs, ys))
+          if (xs.length < minPoints) Iterator.empty
+          else {
+            val res = graft.ccm.CcmLocal.bidirectional(xs.toArray, ys.toArray, spec, skey)
+            def meanRho(d: graft.ccm.CcmLocal.DirectionResult) =
+              if (d.results.isEmpty) 0.0 else d.results.map(_._2).sum / d.results.length
+            Iterator.single(
+              StreamCcmResult(
+                skey,
+                xs.length,
+                res.xCausesY.convergent,
+                res.yCausesX.convergent,
+                meanRho(res.xCausesY),
+                meanRho(res.yCausesX)
+              )
+            )
+          }
+      }
+  }
+
   /** Pearson r of (x_t, x_{t-1}) with the reference's degenerate-path
     * contract: < 2 pairs or zero variance -> 0.0 (`lib/ccm.ex:187-213`).
     */

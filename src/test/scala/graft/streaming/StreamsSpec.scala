@@ -77,6 +77,37 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingCcm re-estimates bidirectional CCM over a sliding window") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // X drives Y strongly: cross-map skill X->Y (from M_y) should beat Y->X
+    val (xs, ys) = graft.ccm.Generators.coupledSeries(120, graft.ccm.Generators.CoupledParams(coupling = 0.4, noiseLevel = 0.02))
+    val input = MemoryStream[Streams.SeriesPoint]
+    val q = Streams
+      .streamingCcm(input.toDS(), window = 120, minPoints = 80, spec = graft.ccm.CcmSpec(numSamples = 8))
+      .writeStream.format("memory").queryName("ccm_stream").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: below minPoints -> no output
+      input.addData((0 until 60).map(i => Streams.SeriesPoint(5L, i.toLong, xs(i), ys(i))): _*)
+      q.processAllAvailable()
+      assert(spark.table("ccm_stream").count() == 0L)
+      // batch 2: enough points -> one re-estimation emitted
+      input.addData((60 until 120).map(i => Streams.SeriesPoint(5L, i.toLong, xs(i), ys(i))): _*)
+      q.processAllAvailable()
+      val rows = spark.table("ccm_stream").collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(r.getLong(0) == 5L && r.getInt(1) == 120)
+      val (rhoXY, rhoYX) = (r.getDouble(4), r.getDouble(5))
+      assert(rhoXY > rhoYX, s"expected X->Y skill ($rhoXY) > Y->X ($rhoYX)")
+      // determinism: matches a direct local-kernel run on the same window
+      val direct = graft.ccm.CcmLocal.bidirectional(xs, ys, graft.ccm.CcmSpec(numSamples = 8), 5L)
+      val directMean = direct.xCausesY.results.map(_._2).sum / direct.xCausesY.results.length
+      assert(math.abs(rhoXY - directMean) < 1e-12)
+    } finally q.stop()
+  }
+
   test("lagCorr degenerate paths return 0.0 like the reference") {
     assert(Streams.lagCorr(Seq(1.0, 2.0)) == 0.0) // < 2 pairs
     assert(Streams.lagCorr(Seq(5.0, 5.0, 5.0, 5.0)) == 0.0) // zero variance
