@@ -79,15 +79,49 @@ object RelationalQueries {
       |  round(sum(value), 4) AS sum_value, round(avg(value), 6) AS avg_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // sample_stratified — deterministic 10% stratified sample per event_type:
+  // rows ranked inside each stratum by the DetHash permutation, keep the
+  // first ceil(n/10). Training-data pipelines need reproducible sampling —
+  // df.sample() is neither cross-engine reproducible nor stratified.
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import graft.ccm.DetHash
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("user_id"))
+    val h = DetHash.rankHashCol(col("event_id"), lit(1), lit(0), 42L)
+    val w = Window.partitionBy("event_type").orderBy(h.asc, col("event_id").asc)
+    val wAll = Window.partitionBy("event_type")
+    ev.withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_type", count(lit(1)).over(wAll))
+      .filter(col("rnk") <= ceil(col("n_type") / 10.0).cast("long"))
+      .select("event_type", "event_id", "user_id")
+      .orderBy("event_type", "event_id")
+  }
+
+  private val sampleStratifiedSql: String = {
+    import graft.ccm.DetHash
+    val h = DetHash.rankHashSql("event_id", "1", "0", 42L)
+    s"""WITH ranked AS (
+       |  SELECT event_type, event_id, user_id,
+       |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY $h, event_id) AS BIGINT) AS rnk,
+       |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_type
+       |  FROM events
+       |)
+       |SELECT event_type, event_id, user_id FROM ranked
+       |WHERE rnk <= CAST(ceil(n_type / 10.0) AS BIGINT)
+       |ORDER BY event_type, event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "topk_orders" -> topkOrders,
-    "evt_type_agg" -> evtTypeAgg
+    "evt_type_agg" -> evtTypeAgg,
+    "sample_stratified" -> sampleStratified
   )
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "topk_orders" -> topkOrdersSql,
-    "evt_type_agg" -> evtTypeAggSql
+    "evt_type_agg" -> evtTypeAggSql,
+    "sample_stratified" -> sampleStratifiedSql
   )
 }

@@ -207,12 +207,82 @@ object TextQueries {
        |           i -> ${DetHash.polyHashSql("substr(text, CAST(i AS INTEGER), 8)")})) AS win_max_hash
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // text_top_terms — top-5 terms per lang by frequency (explode + count +
+  // per-group window top-k; WindowGroupLimit keeps it a partial top-k).
+  // -------------------------------------------------------------------
+  private def topTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("lang", "rank", "term", "cnt")
+      .orderBy("lang", "rank")
+  }
+
+  private val topTermsSql: String =
+    """WITH counts AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+      |), agg AS (
+      |  SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt FROM counts GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS BIGINT) AS rank
+      |  FROM agg
+      |)
+      |SELECT lang, rank, term, cnt FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_tfidf — per-document top term by tf-idf (tf * ln(N/df)).
+  // Ranking uses the ROUNDED score: mathematically equal scores (e.g.
+  // 2*ln(10) vs ln(100)) can differ by an ulp between engines' ln — the
+  // rounded comparison makes cross-engine ordering identical, with the
+  // term as the deterministic tie-break.
+  // -------------------------------------------------------------------
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val nDocs = d.count() // tiny metadata (driver-side count, same as oracle's scalar subquery)
+    val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(df_, "term")
+      .withColumn("score", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  private val tfidfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |         round(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfreq.df), 6) AS score
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored
+      |)
+      |SELECT doc_id, term AS top_term, tf, df, score FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats,
     "token_count" -> tokenCount,
     "lang_id" -> langId,
     "quality_score" -> qualityScore,
-    "doc_fingerprint" -> fingerprint
+    "doc_fingerprint" -> fingerprint,
+    "text_top_terms" -> topTerms,
+    "text_tfidf" -> tfidf
   )
 
   val oracle: Map[String, String] = Map(
@@ -220,6 +290,8 @@ object TextQueries {
     "token_count" -> tokenCountSql,
     "lang_id" -> langIdSql,
     "quality_score" -> qualityScoreSql,
-    "doc_fingerprint" -> fingerprintSql
+    "doc_fingerprint" -> fingerprintSql,
+    "text_top_terms" -> topTermsSql,
+    "text_tfidf" -> tfidfSql
   )
 }

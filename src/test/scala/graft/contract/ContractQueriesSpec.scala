@@ -193,6 +193,32 @@ class ContractQueriesSpec extends SparkTestBase {
     assert(joined.filter(col("us_since_purchase") <= 0).count() == 0L)
   }
 
+  test("text_top_terms: 5 terms per lang, descending counts") {
+    val t = q("text_top_terms").collect().groupBy(_.getString(0))
+    for ((_, rows) <- t) {
+      assert(rows.length == 5)
+      val cnts = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(cnts.sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
+  test("text_tfidf: one top term per doc with positive tf and valid df") {
+    val t = q("text_tfidf")
+    assert(t.count() == Tables.documents(spark, SfDir).count())
+    assert(t.filter(col("tf") < 1 || col("df") < 1).count() == 0L)
+  }
+
+  test("sample_stratified: ~10% per stratum, deterministic across runs") {
+    val s1 = q("sample_stratified").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s2 = q("sample_stratified").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s1 == s2) // reproducible
+    val perType = q("sample_stratified").groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.events(spark, SfDir).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((t, n) <- perType) assert(n == math.ceil(totals(t) / 10.0).toLong, s"type $t")
+  }
+
   test("q1_agg: counts sum to the filtered lineitem count") {
     val total = q("q1_agg").agg(sum("count_order")).collect()(0).getLong(0)
     val expected = Tables.lineitem(spark, SfDir)
