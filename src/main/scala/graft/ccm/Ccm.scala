@@ -128,22 +128,11 @@ object Ccm {
         val sp = spec.copy(libSizes = Some(ls))
         val res = CcmLocal.bidirectional(xs, ys, sp, skey)
         def rows(d: CcmLocal.DirectionResult, name: String) = {
-          val slope = olsSlope(d.results)
+          val slope = CcmLocal.olsSlope(d.results)
           d.results.map { case (l, rho) => SkillRow(skey, name, l, rho, slope, d.convergent) }
         }
         rows(res.xCausesY, DirXCausesY) ++ rows(res.yCausesX, DirYCausesX)
       }
-  }
-
-  private def olsSlope(results: Seq[(Int, Double)]): Double = {
-    val n = results.length.toDouble
-    if (n < 2) return 0.0
-    val sumX = results.iterator.map(_._1.toDouble).sum
-    val sumY = results.iterator.map(_._2).sum
-    val sumXY = results.iterator.map { case (a, b) => a * b }.sum
-    val sumX2 = results.iterator.map { case (a, _) => a.toDouble * a }.sum
-    val denom = n * sumX2 - sumX * sumX
-    if (denom != 0.0) (n * sumXY - sumX * sumY) / denom else 0.0
   }
 
   /** Single-pair convenience mirroring `CCM.bidirectional_ccm/1` exactly:

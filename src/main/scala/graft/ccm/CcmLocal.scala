@@ -105,19 +105,27 @@ object CcmLocal {
     if (denom != 0.0) num / denom else 0.0
   }
 
-  /** OLS-slope convergence test (`lib/ccm.ex:215-244`): needs >= 3 points,
-    * slope of corr on libSize strictly > 0.001.
+  /** Closed-form OLS slope of corr on libSize; 0.0 when degenerate
+    * (< 2 points or zero denominator). Shared by the convergence test and
+    * by [[graft.ccm.Ccm.perSeries]]'s reported slope so the two can never
+    * drift apart.
     */
-  def convergent(results: Seq[(Int, Double)]): Boolean = {
-    if (results.length < 3) return false
+  def olsSlope(results: Seq[(Int, Double)]): Double = {
+    if (results.length < 2) return 0.0
     val n = results.length.toDouble
     val sumX = results.iterator.map(_._1.toDouble).sum
     val sumY = results.iterator.map(_._2).sum
     val sumXY = results.iterator.map { case (x, y) => x * y }.sum
     val sumX2 = results.iterator.map { case (x, _) => x.toDouble * x }.sum
     val denom = n * sumX2 - sumX * sumX
-    if (denom != 0.0) (n * sumXY - sumX * sumY) / denom > 0.001 else false
+    if (denom != 0.0) (n * sumXY - sumX * sumY) / denom else 0.0
   }
+
+  /** OLS-slope convergence test (`lib/ccm.ex:215-244`): needs >= 3 points,
+    * slope of corr on libSize strictly > 0.001.
+    */
+  def convergent(results: Seq[(Int, Double)]): Boolean =
+    results.length >= 3 && olsSlope(results) > 0.001
 
   /** One bootstrap replicate (`lib/ccm.ex:109-140`): deterministic library =
     * the first `libSize` embedding rows ordered by (rankHash, idx); the

@@ -29,24 +29,37 @@ object DetHash {
     * squaring step then breaks the linear lattice structure so successive
     * samples/seeds yield genuinely different library sets (an additive-only
     * hash would make them mere cyclic rotations of one another).
+    *
+    * Domain: requires 0 <= idx < 2^31 (a, h0 < 2^31 keep every product
+    * below 2^63 — Spark would silently wrap past that while DuckDB raises,
+    * so the bound is load-bearing for oracle parity; 2 billion rows per
+    * SERIES is far beyond CCM's O(n^2) practicality anyway). The multiplier
+    * folds through a double mod so negative sample/series/seed inputs still
+    * land in [1, P-1] instead of degenerating the permutation.
     */
   def rankHash(idx: Long, sampleId: Long, seriesKey: Long, seed: Long): Long = {
-    val a = (sampleId * A_SAMPLE + seed * A_SEED + seriesKey * A_KEY) % (P - 1) + 1
+    val m = (sampleId * A_SAMPLE + seed * A_SEED + seriesKey * A_KEY) % (P - 1)
+    val a = (m + (P - 1)) % (P - 1) + 1
     val h0 = ((idx + 1) * a) % P
     (h0 * h0) % P
   }
 
   /** Column form of [[rankHash]] — identical arithmetic, runs in codegen. */
   def rankHashCol(idx: Column, sampleId: Column, seriesKey: Column, seed: Long): Column = {
-    val a = (sampleId.cast("long") * A_SAMPLE + lit(seed) * A_SEED +
-      seriesKey.cast("long") * A_KEY) % (P - 1) + 1
+    val m = (sampleId.cast("long") * A_SAMPLE + lit(seed) * A_SEED +
+      seriesKey.cast("long") * A_KEY) % (P - 1)
+    val a = (m + (P - 1)) % (P - 1) + 1
     val h0 = ((idx.cast("long") + 1) * a) % P
     (h0 * h0) % P
   }
 
-  /** SQL text form of [[rankHash]] for the DuckDB oracle. */
+  /** SQL text form of [[rankHash]] for the DuckDB oracle. The inner term is
+    * CAST to BIGINT explicitly: with all-literal arguments DuckDB types the
+    * expression INT32 and `m + (P-1)` overflows (int64 everywhere in Spark).
+    */
   def rankHashSql(idx: String, sampleId: String, seriesKey: String, seed: Long): String = {
-    val a = s"((($sampleId) * ${A_SAMPLE} + ${seed} * ${A_SEED} + ($seriesKey) * ${A_KEY}) % ${P - 1} + 1)"
+    val m = s"(CAST((($sampleId) * ${A_SAMPLE} + ${seed} * ${A_SEED} + ($seriesKey) * ${A_KEY}) AS BIGINT) % ${P - 1})"
+    val a = s"(($m + ${P - 1}) % ${P - 1} + 1)"
     val h0 = s"(((($idx) + 1) * $a) % ${P})"
     s"(($h0 * $h0) % ${P})"
   }

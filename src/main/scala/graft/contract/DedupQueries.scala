@@ -43,9 +43,13 @@ object DedupQueries {
     * hash list `wh`: sh = ((h1*131 + h2)*131 + h3) % P. All intermediates
     * < 2^46, so the arithmetic is exact in both engines.
     */
+  // Guard: Spark's sequence(0, n) DESCENDS when n < 0 (docs with < 3
+  // tokens would evaluate element_at(wh, 0) and throw); short docs get an
+  // empty shingle set, matching DuckDB's empty range().
   private val shingleFromWhSpark =
-    s"transform(sequence(0, size(wh) - 3), i -> " +
-      s"((element_at(wh, i + 1) * 131 + element_at(wh, i + 2)) * 131 + element_at(wh, i + 3)) % $P)"
+    s"CASE WHEN size(wh) >= 3 THEN transform(sequence(0, size(wh) - 3), i -> " +
+      s"((element_at(wh, i + 1) * 131 + element_at(wh, i + 2)) * 131 + element_at(wh, i + 3)) % $P) " +
+      s"ELSE CAST(array() AS ARRAY<BIGINT>) END"
 
   /** DuckDB oracle: word-hash CTE over documents + the same combine. */
   private val whDuckCte =
@@ -244,8 +248,12 @@ object DedupQueries {
       .join(
         tokens.as("b"),
         col("a.source") === col("b.source") && col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          // size-ratio prune (sound): jaccard <= min(sz)/max(sz)
-          least(col("a.sz"), col("b.sz")).cast("double") >= greatest(col("a.sz"), col("b.sz")) * MinJaccard
+          // size-ratio prune: jaccard <= min(sz)/max(sz). The final filter
+          // compares the ROUNDED jaccard, which can lift a value just
+          // below the threshold back onto it — prune against a slightly
+          // slackened ratio so no pair the rounded filter would keep is
+          // ever dropped.
+          least(col("a.sz"), col("b.sz")).cast("double") >= greatest(col("a.sz"), col("b.sz")) * (MinJaccard - 1e-6)
       )
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"), first(col("a.sz")).as("size_a"), first(col("b.sz")).as("size_b"))
@@ -276,20 +284,10 @@ object DedupQueries {
   // -------------------------------------------------------------------
   private val CosThreshold = 0.2
 
-  // native codegen dot product (graft.functions.DotProduct): bit-identical
-  // to the HOF fold, so the oracle SQL below is unchanged.
-  private val dotSpark = "graft_dot(%s, %s)"
-  private def dotDuck(a: String, b: String) =
-    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-      s"list_transform(generate_series(1, 64), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])), (acc, v) -> acc + v)"
-
-  private def embDocs(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      // norm precomputed ONCE per vector (not once per pair in the join)
-      .withColumn("nrm", sqrt(expr(dotSpark.format("v", "v"))))
-  }
+  // shared vector plumbing (native graft_dot + per-vector norms): VecOps
+  private val dotSpark = VecOps.dotSpark
+  private def dotDuck(a: String, b: String) = VecOps.dotDuck(a, b)
+  private def embDocs(s: SparkSession, dir: String): DataFrame = VecOps.vecs(s, dir)
 
   private def embedCos(s: SparkSession, dir: String): DataFrame = {
     val e = embDocs(s, dir).localCheckpoint()

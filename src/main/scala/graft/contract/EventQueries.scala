@@ -102,10 +102,14 @@ object EventQueries {
   // independent as-of implementations must agree row-for-row.
   // -------------------------------------------------------------------
   private def asofPurchase(s: SparkSession, dir: String): DataFrame = {
+    // RANGE (value-based) frame, not ROWS: with a timestamp tie, a ROWS
+    // frame could nondeterministically include the same-instant purchase,
+    // while DuckDB's ASOF condition (e.tsn > p.tsn) is strictly-prior by
+    // value — RANGE ending at -1 matches it exactly.
     val frame = Window
       .partitionBy("user_id")
       .orderBy("tus")
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .rangeBetween(Window.unboundedPreceding, -1)
     ev(s, dir)
       .withColumn("last_purchase_id", last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(frame))
       .withColumn("last_purchase_us", last(when(col("event_type") === "purchase", col("tus")), ignoreNulls = true).over(frame))

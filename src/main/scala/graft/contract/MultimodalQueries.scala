@@ -28,7 +28,12 @@ object MultimodalQueries {
         col("text"),
         col("n_bytes"),
         col("n_frames"),
-        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id")
+        // Spark's sequence(0, -1) DESCENDS (phantom frames for an empty
+        // payload); guard to an empty list like DuckDB's generate_series
+        explode(
+          when(col("n_frames") > 0, sequence(lit(0L), col("n_frames") - 1))
+            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+        ).as("frame_id")
       )
       .select(
         col("doc_id"),

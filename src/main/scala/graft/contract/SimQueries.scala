@@ -18,25 +18,15 @@ import graft.functions.GraftFunctions
   */
 object SimQueries {
   private val P = DetHash.P
-  private val Dim = 64
+  private val Dim = VecOps.Dim
   private val TopK = 5
   private val QueryStride = 50 // vec_id % stride == 0 -> query vector
   private val NumPlanes = 8
 
-  // graft_dot: native codegen Catalyst expression, bit-identical to the
-  // HOF fold formulation (see graft.functions.DotProduct) and ~10x cheaper.
-  private val dotSpark = "graft_dot(%s, %s)"
-  private def dotDuck(a: String, b: String) =
-    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-      s"list_transform(generate_series(1, $Dim), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])), (acc, v) -> acc + v)"
-
-  private def vecs(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      // norm precomputed ONCE per vector (not once per pair in the join)
-      .withColumn("nrm", sqrt(expr(dotSpark.format("v", "v"))))
-  }
+  // shared vector plumbing (native graft_dot + per-vector norms): VecOps
+  private val dotSpark = VecOps.dotSpark
+  private def dotDuck(a: String, b: String) = VecOps.dotDuck(a, b)
+  private def vecs(s: SparkSession, dir: String): DataFrame = VecOps.vecs(s, dir)
 
   // -------------------------------------------------------------------
   // ann_topk — exact brute-force cosine top-k for a query subset.

@@ -185,9 +185,14 @@ object TextQueries {
         col("doc_id"),
         DetHash.polyHashCol(col("text")).as("full_hash"),
         // rolling 8-char window hashes at stride 4 (winnowing-style
-        // subsampling), materialized once; min+max read the column
+        // subsampling), materialized once; min+max read the column.
+        // Guard: sequence(1, n, 4) throws in Spark when n < 1 (texts
+        // shorter than 8 chars) -- emit an empty list like DuckDB's
+        // generate_series, so win_min/max become NULL on both sides.
         expr(
-          s"transform(sequence(1, length(text) - 7, 4), i -> ${DetHash.polyHashSparkSql("substring(text, i, 8)")})"
+          s"CASE WHEN length(text) >= 8 THEN transform(sequence(1, length(text) - 7, 4), " +
+            s"i -> ${DetHash.polyHashSparkSql("substring(text, i, 8)")}) " +
+            s"ELSE CAST(array() AS ARRAY<BIGINT>) END"
         ).as("winh")
       )
       .select(

@@ -91,7 +91,7 @@ object Streams {
     * bounded ring buffer (last `window` points) in state and emits the
     * refreshed correlation on every batch.
     */
-  final case class SeriesState(values: Vector[Double])
+  final case class SeriesState(ts: Vector[Long], values: Vector[Double])
   final case class RollingCorr(userId: Long, n: Int, corr: Double)
 
   def rollingLagCorrelation(events: Dataset[Event], window: Int = 64): Dataset[RollingCorr] = {
@@ -100,11 +100,13 @@ object Streams {
       .groupByKey(_.userId)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SeriesState]) =>
-          val incoming = rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).map(_.value)
-          val prev = state.getOption.map(_.values).getOrElse(Vector.empty)
-          val merged = (prev ++ incoming).takeRight(window)
-          state.update(SeriesState(merged))
-          RollingCorr(userId, merged.length, lagCorr(merged))
+          val incoming = rows.toSeq.map(e => (e.ts.getTime, e.value))
+          val prev = state.getOption.map(s => s.ts.zip(s.values)).getOrElse(Vector.empty)
+          // re-sort the WHOLE buffer: a late arrival in a later micro-batch
+          // must land at its temporal position, not be appended at the end
+          val merged = (prev ++ incoming).sortBy(_._1).takeRight(window).toVector
+          state.update(SeriesState(merged.map(_._1), merged.map(_._2)))
+          RollingCorr(userId, merged.length, lagCorr(merged.map(_._2)))
       }
   }
 
@@ -143,11 +145,17 @@ object Streams {
       .groupByKey(_.skey)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (skey: Long, rows: Iterator[SeriesPoint], state: GroupState[CcmWindowState]) =>
-          val incoming = rows.toSeq.sortBy(_.ord)
+          val incoming = rows.toSeq.map(p => (p.ord, p.x, p.y))
           val prev = state.getOption.getOrElse(CcmWindowState(Vector.empty, Vector.empty, Vector.empty))
-          val ords = (prev.ords ++ incoming.map(_.ord)).takeRight(window)
-          val xs = (prev.xs ++ incoming.map(_.x)).takeRight(window)
-          val ys = (prev.ys ++ incoming.map(_.y)).takeRight(window)
+          // re-sort the WHOLE buffer by ord: a late point arriving in a
+          // later micro-batch must take its temporal position — the CCM
+          // kernel treats array position as time
+          val merged = (prev.ords.lazyZip(prev.xs).lazyZip(prev.ys).toVector ++ incoming)
+            .sortBy(_._1)
+            .takeRight(window)
+          val ords = merged.map(_._1)
+          val xs = merged.map(_._2)
+          val ys = merged.map(_._3)
           state.update(CcmWindowState(ords, xs, ys))
           if (xs.length < minPoints) Iterator.empty
           else {

@@ -108,6 +108,32 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingCcm re-sorts out-of-order arrivals across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (xs, ys) = graft.ccm.Generators.coupledSeries(110, graft.ccm.Generators.CoupledParams(coupling = 0.4, noiseLevel = 0.02))
+    val input = MemoryStream[Streams.SeriesPoint]
+    val q = Streams
+      .streamingCcm(input.toDS(), window = 110, minPoints = 100, spec = graft.ccm.CcmSpec(numSamples = 4))
+      .writeStream.format("memory").queryName("ccm_ooo").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 skips ords 20..29; batch 2 delivers them LATE
+      val late = (20 until 30).toSet
+      input.addData((0 until 110).filterNot(late).map(i => Streams.SeriesPoint(9L, i.toLong, xs(i), ys(i))): _*)
+      q.processAllAvailable()
+      input.addData(late.toSeq.sorted.map(i => Streams.SeriesPoint(9L, i.toLong, xs(i), ys(i))): _*)
+      q.processAllAvailable()
+      val last = spark.table("ccm_ooo").collect().last
+      assert(last.getInt(1) == 110)
+      // must equal the kernel on the CORRECTLY ORDERED full series
+      val direct = graft.ccm.CcmLocal.bidirectional(xs, ys, graft.ccm.CcmSpec(numSamples = 4), 9L)
+      val directMean = direct.xCausesY.results.map(_._2).sum / direct.xCausesY.results.length
+      assert(math.abs(last.getDouble(4) - directMean) < 1e-12,
+        "late arrivals must be re-sorted into temporal position")
+    } finally q.stop()
+  }
+
   test("lagCorr degenerate paths return 0.0 like the reference") {
     assert(Streams.lagCorr(Seq(1.0, 2.0)) == 0.0) // < 2 pairs
     assert(Streams.lagCorr(Seq(5.0, 5.0, 5.0, 5.0)) == 0.0) // zero variance
