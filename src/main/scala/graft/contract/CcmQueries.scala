@@ -172,7 +172,7 @@ object CcmQueries {
         col("sample_id"),
         col("pred_idx"),
         col("actual"),
-        round(col("predicted"), 6).as("predicted")
+        Norm.rnd(col("predicted"), 6).as("predicted")
       )
       .orderBy("user_id", "sample_id", "pred_idx")
   }
@@ -182,7 +182,7 @@ object CcmQueries {
        |${embSql("evf")},
        |${rankSql(2)},
        |${predsSql(40, 4)}
-       |SELECT user_id, sample_id, pred_idx, actual, round(predicted, 6) AS predicted
+       |SELECT user_id, sample_id, pred_idx, actual, round(predicted, 6) + 0.0 AS predicted
        |FROM preds ORDER BY user_id, sample_id, pred_idx""".stripMargin
 
   // -------------------------------------------------------------------
@@ -198,7 +198,7 @@ object CcmQueries {
       .select(
         col("user_id"),
         col("sample_id"),
-        round(when(col("c").isNull || isnan(col("c")), 0.0).otherwise(col("c")), 6).as("rho")
+        Norm.rnd(when(col("c").isNull || isnan(col("c")), 0.0).otherwise(col("c")), 6).as("rho")
       )
       .orderBy("user_id", "sample_id")
   }
@@ -209,7 +209,7 @@ object CcmQueries {
        |${predsSql(40, 4)}
        |SELECT user_id, sample_id,
        |       round(CASE WHEN corr(actual, predicted) IS NULL OR isnan(corr(actual, predicted))
-       |                  THEN 0.0 ELSE corr(actual, predicted) END, 6) AS rho
+       |                  THEN 0.0 ELSE corr(actual, predicted) END, 6) + 0.0 AS rho
        |FROM preds GROUP BY user_id, sample_id ORDER BY user_id, sample_id""".stripMargin
 
   // -------------------------------------------------------------------
@@ -241,8 +241,8 @@ object CcmQueries {
         col("skey").as("user_id"),
         col("direction"),
         col("lib_size"),
-        round(col("rho"), 6).as("rho"),
-        round(col("slope"), 6).as("slope"),
+        Norm.rnd(col("rho"), 6).as("rho"),
+        Norm.rnd(col("slope"), 6).as("slope"),
         col("convergent")
       )
       .orderBy("user_id", "direction", "lib_size")
@@ -332,7 +332,7 @@ object CcmQueries {
   private val curveSql: String =
     s"""$curveSqlCommon
        |SELECT sk.skey AS user_id, sk.direction, sk.lib_size,
-       |       round(sk.rho, 6) AS rho, round(cv.slope, 6) AS slope, cv.convergent
+       |       round(sk.rho, 6) + 0.0 AS rho, round(cv.slope, 6) + 0.0 AS slope, cv.convergent
        |FROM sk JOIN cv ON sk.direction = cv.direction AND sk.skey = cv.skey
        |ORDER BY 1, 2, 3""".stripMargin
 
@@ -349,13 +349,13 @@ object CcmQueries {
         spec = CcmSpec(numSamples = CurveSamples, seed = Seed),
         libSizes = CurveLibs
       )
-      .select(col("skey").as("user_id"), col("direction"), round(col("slope"), 6).as("slope"), col("convergent"))
+      .select(col("skey").as("user_id"), col("direction"), Norm.rnd(col("slope"), 6).as("slope"), col("convergent"))
       .distinct()
       .orderBy("user_id", "direction")
 
   private val convergenceSql: String =
     s"""$curveSqlCommon
-       |SELECT skey AS user_id, direction, round(slope, 6) AS slope, convergent
+       |SELECT skey AS user_id, direction, round(slope, 6) + 0.0 AS slope, convergent
        |FROM cv ORDER BY user_id, direction""".stripMargin
 
   // -------------------------------------------------------------------
@@ -398,7 +398,7 @@ object CcmQueries {
     import graft.ccm.MiTau
     val mi = MiTau
       .miCurve(ev(s, dir), Seq("user_id"), Seq(col("ts")), col("value"), MiMaxTau, MiBins)
-      .withColumn("mi", round(col("mi"), 6))
+      .withColumn("mi", Norm.rnd(col("mi"), 6))
     val best = MiTau.bestTau(mi, Seq("user_id"))
     mi.join(best, "user_id")
       .select(col("user_id"), col("tau"), col("mi"), col("best_tau"))
@@ -431,7 +431,7 @@ object CcmQueries {
        |         sum(c) OVER (PARTITION BY user_id, tau) AS n
        |  FROM joint
        |), mi AS (
-       |  SELECT user_id, tau, round(sum((c / n) * ln((c * n) / (cx * cy))), 6) AS mi
+       |  SELECT user_id, tau, round(sum((c / n) * ln((c * n) / (cx * cy))), 6) + 0.0 AS mi
        |  FROM terms GROUP BY 1, 2
        |), flag AS (
        |  SELECT user_id, tau, mi,
@@ -467,7 +467,7 @@ object CcmQueries {
         col("e"),
         col("n_neighbors"),
         col("n_false"),
-        round(col("fnn_frac"), 6).as("fnn_frac"),
+        Norm.rnd(col("fnn_frac"), 6).as("fnn_frac"),
         col("best_e")
       )
       .orderBy("user_id", "e")
@@ -511,7 +511,7 @@ object CcmQueries {
        |                                min(CASE WHEN rno = 1 THEN e END)) AS INTEGER) AS best_e
        |  FROM rankedE GROUP BY 1
        |)
-       |SELECT a.user_id, a.e, a.n_neighbors, a.n_false, round(a.fnn_frac, 6) AS fnn_frac, b.best_e
+       |SELECT a.user_id, a.e, a.n_neighbors, a.n_false, round(a.fnn_frac, 6) + 0.0 AS fnn_frac, b.best_e
        |FROM agg a JOIN best b ON a.user_id = b.user_id
        |ORDER BY 1, 2""".stripMargin
   }

@@ -259,7 +259,7 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_common"), first(col("a.sz")).as("size_a"), first(col("b.sz")).as("size_b"))
     common
       .withColumn("n_union", col("size_a") + col("size_b") - col("n_common"))
-      .withColumn("jaccard", round(col("n_common") / col("n_union").cast("double"), 6))
+      .withColumn("jaccard", Norm.rnd(col("n_common") / col("n_union").cast("double"), 6))
       .filter(col("jaccard") >= MinJaccard)
       .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -272,7 +272,7 @@ object DedupQueries {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union,
-       |    round(len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+       |    round(len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) + 0.0 AS jaccard
        |  FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id
        |) WHERE jaccard >= $MinJaccard
        |ORDER BY doc_a, doc_b""".stripMargin
@@ -297,14 +297,14 @@ object DedupQueries {
       .select(
         col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"),
-        round(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim")
+        Norm.rnd(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim")
       )
       .filter(col("cos_sim") >= CosThreshold)
       .orderBy("vec_a", "vec_b")
   }
 
   private val embedCosSql: String = {
-    val cos = s"round(${dotDuck("a.v", "b.v")} / (sqrt(${dotDuck("a.v", "a.v")}) * sqrt(${dotDuck("b.v", "b.v")})), 6)"
+    val cos = s"(round(${dotDuck("a.v", "b.v")} / (sqrt(${dotDuck("a.v", "a.v")}) * sqrt(${dotDuck("b.v", "b.v")})), 6) + 0.0)"
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cos_sim
        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id

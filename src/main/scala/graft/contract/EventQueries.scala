@@ -77,7 +77,7 @@ object EventQueries {
       .rollup("event_type", "user_bucket")
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"),
+        Norm.rnd(sum(col("value")), 4).as("sum_value"),
         grouping(col("event_type")).cast("long").as("g_type"),
         grouping(col("user_bucket")).cast("long").as("g_bucket")
       )
@@ -86,7 +86,7 @@ object EventQueries {
   private val rollupSql: String =
     """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
       |  CAST(count(*) AS BIGINT) AS n_events,
-      |  round(sum(value), 4) AS sum_value,
+      |  round(sum(value), 4) + 0.0 AS sum_value,
       |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
       |  CAST(GROUPING(user_id % 10) AS BIGINT) AS g_bucket
       |FROM events
@@ -110,21 +110,30 @@ object EventQueries {
       .partitionBy("user_id")
       .orderBy("tus")
       .rangeBetween(Window.unboundedPreceding, -1)
+    // max(struct(tus, event_id)) — not last() — over the frame: when two
+    // purchases share one microsecond, last() picks an unspecified peer
+    // row, while the struct max is a deterministic argmax (latest tus,
+    // then greatest event_id); the oracle dedups to the same argmax.
     ev(s, dir)
-      .withColumn("last_purchase_id", last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(frame))
-      .withColumn("last_purchase_us", last(when(col("event_type") === "purchase", col("tus")), ignoreNulls = true).over(frame))
+      .withColumn(
+        "last_purchase",
+        max(when(col("event_type") === "purchase", struct(col("tus"), col("event_id")))).over(frame)
+      )
       .select(
         col("event_id"),
         col("user_id"),
-        col("last_purchase_id"),
-        (col("tus") - col("last_purchase_us")).as("us_since_purchase")
+        col("last_purchase.event_id").as("last_purchase_id"),
+        (col("tus") - col("last_purchase.tus")).as("us_since_purchase")
       )
       .orderBy("event_id")
   }
 
   private val asofPurchaseSql: String =
     """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsn FROM events),
-      |p AS (SELECT event_id, user_id, epoch_us(ts) AS tsn FROM events WHERE event_type = 'purchase')
+      |-- dedup same-instant purchases to max(event_id) BEFORE the ASOF join:
+      |-- ASOF's pick among equal-tsn rows is arbitrary; this makes it unique
+      |p AS (SELECT user_id, epoch_us(ts) AS tsn, max(event_id) AS event_id
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
       |SELECT e.event_id, e.user_id, p.event_id AS last_purchase_id,
       |       e.tsn - p.tsn AS us_since_purchase
       |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tsn > p.tsn

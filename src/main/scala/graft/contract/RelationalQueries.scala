@@ -18,20 +18,20 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-01 00:00:00'"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        Norm.rnd(sum(col("l_quantity")), 2).as("sum_qty"),
+        Norm.rnd(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        Norm.rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        Norm.rnd(avg(col("l_quantity")), 6).as("avg_qty"),
         count(lit(1)).as("count_order")
       )
       .orderBy("l_returnflag", "l_linestatus")
 
   private val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(sum(l_quantity), 2) + 0.0 AS sum_qty,
+      |  round(sum(l_extendedprice), 2) + 0.0 AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS sum_disc_price,
+      |  round(avg(l_quantity), 6) + 0.0 AS avg_qty,
       |  CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -69,14 +69,14 @@ object RelationalQueries {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"),
-        round(avg(col("value")), 6).as("avg_value")
+        Norm.rnd(sum(col("value")), 4).as("sum_value"),
+        Norm.rnd(avg(col("value")), 6).as("avg_value")
       )
       .orderBy("event_type")
 
   private val evtTypeAggSql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-      |  round(sum(value), 4) AS sum_value, round(avg(value), 6) AS avg_value
+      |  round(sum(value), 4) + 0.0 AS sum_value, round(avg(value), 6) + 0.0 AS avg_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // sample_stratified — deterministic 10% stratified sample per event_type:

@@ -47,7 +47,7 @@ object SimQueries {
     pairs
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), Norm.rnd(col("cos_sim"), 6).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -62,7 +62,7 @@ object SimQueries {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM pairs
        |)
-       |SELECT query_id, rank, neighbor_id, round(cos_sim, 6) AS cos_sim
+       |SELECT query_id, rank, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   }
 
@@ -111,7 +111,7 @@ object SimQueries {
     pairs
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), Norm.rnd(col("cos_sim"), 6).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -129,7 +129,7 @@ object SimQueries {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM pairs
        |)
-       |SELECT query_id, rank, neighbor_id, round(cos_sim, 6) AS cos_sim
+       |SELECT query_id, rank, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   }
 
@@ -175,7 +175,7 @@ object SimQueries {
     pairs
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos_sim"), 6).as("cos_sim"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), Norm.rnd(col("cos_sim"), 6).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -200,7 +200,7 @@ object SimQueries {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM pairs
        |)
-       |SELECT query_id, rank, neighbor_id, round(cos_sim, 6) AS cos_sim
+       |SELECT query_id, rank, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   }
 

@@ -42,7 +42,7 @@ object TextQueries {
         col("n_chars_calc"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
-        round(
+        Norm.rnd(
           expr("aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))")
             / size(col("toks")).cast("double"),
           6
@@ -58,7 +58,7 @@ object TextQueries {
        |  round(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |          list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT))),
        |          (a, t) -> a + t)
-       |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
+       |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) + 0.0 AS avg_token_len
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
@@ -148,7 +148,7 @@ object TextQueries {
       )
       .withColumn(
         "quality",
-        round(
+        Norm.rnd(
           lit(0.4) * least(lit(1.0), col("n_tokens") / lit(50.0))
             + lit(0.3) * (lit(1.0) - least(lit(1.0), col("punct_cnt") * lit(5.0) / col("n_chars_calc")))
             + lit(0.3) * least(lit(1.0), col("stop_cnt") * lit(10.0) / col("n_tokens")),
@@ -171,7 +171,7 @@ object TextQueries {
        |SELECT doc_id, n_chars_calc, n_tokens, punct_cnt, stop_cnt,
        |  round(0.4 * least(1.0, n_tokens / 50.0)
        |      + 0.3 * (1.0 - least(1.0, punct_cnt * 5.0 / n_chars_calc))
-       |      + 0.3 * least(1.0, stop_cnt * 10.0 / n_tokens), 6) AS quality
+       |      + 0.3 * least(1.0, stop_cnt * 10.0 / n_tokens), 6) + 0.0 AS quality
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
@@ -257,7 +257,7 @@ object TextQueries {
     val df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
     tf.join(df_, "term")
-      .withColumn("score", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .withColumn("score", Norm.rnd(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"), col("score"))
@@ -273,7 +273,7 @@ object TextQueries {
       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1
       |), scored AS (
       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-      |         round(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfreq.df), 6) AS score
+      |         round(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfreq.df), 6) + 0.0 AS score
       |  FROM tf JOIN dfreq ON tf.term = dfreq.term
       |), ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored

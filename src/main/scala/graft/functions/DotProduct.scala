@@ -17,12 +17,17 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * enclosing projection falls out of whole-stage codegen. This expression
   * generates a tight Java loop instead (`doGenCode`), stays inside codegen,
   * allocates nothing, and preserves EXACTLY the same left-to-right IEEE
-  * summation order — so results are bit-identical to the HOF form and the
-  * DuckDB oracle SQL is unchanged.
+  * summation order — so FOR EQUAL-LENGTH ARRAYS OF NON-NULL ELEMENTS
+  * results are bit-identical to the HOF form and the DuckDB oracle SQL is
+  * unchanged. That precondition holds for every caller here (fixed-dim
+  * embedding vectors cast from parquet `array<float>`).
   *
-  * Null contract: null if either array is null (`nullSafeEval`); array
-  * elements are assumed non-null (enforced upstream by the cast from the
-  * parquet `array<float>`).
+  * Outside the precondition the two forms deliberately differ — this
+  * expression is total where the HOF form degenerates: unequal lengths
+  * dot the common prefix (`zip_with` null-pads to the longer length and
+  * `aggregate` then returns null); a null ELEMENT reads as 0.0 via
+  * `ArrayData.getDouble` (the HOF form nulls the whole result). Top-level
+  * null arrays return null in both forms (`nullSafeEval`).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 

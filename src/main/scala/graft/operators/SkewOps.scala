@@ -18,15 +18,30 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
-  /** Two-phase salted count+sum+min+max+avg of `value` per `key`. */
-  def saltedStats(df: DataFrame, key: Column, value: Column, saltBuckets: Int = 32): DataFrame = {
+  /** Two-phase salted count+sum+min+max+avg of `value` per `key`.
+    *
+    * Salt derivation: content-only — `hash(key, value[, rowId])` — so the
+    * bucket of every row is a pure function of its data, independent of
+    * partition layout or row order (a `monotonically_increasing_id`-based
+    * salt changes across runs, which also reorders the floating-point
+    * combine and can move double sums by an ulp). Caveat: without `rowId`,
+    * exact duplicate `(key, value)` rows share one bucket; if a hot key
+    * carries a near-constant value, pass a stable per-row id column so the
+    * salt still spreads.
+    */
+  def saltedStats(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      saltBuckets: Int = 32,
+      rowId: Option[Column] = None
+  ): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
-    // deterministic salt: spreads rows of one key across buckets without
-    // an RNG (reproducible plans); any well-mixed per-row expression works
+    val saltInput = Seq(key, value) ++ rowId
     val salted = df.select(
       key.as("k"),
       value.as("v"),
-      (abs(hash(key, value, monotonically_increasing_id())) % saltBuckets).as("salt")
+      (abs(hash(saltInput: _*)) % saltBuckets).as("salt")
     )
     val partial = salted
       .groupBy(col("k"), col("salt"))

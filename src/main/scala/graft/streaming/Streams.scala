@@ -15,9 +15,11 @@ import graft.ccm.DetHash
   *
   * Scale notes (100 TB / day firehose): every operator below keys its state
   * by a high-cardinality column (event window, content hash, series id), so
-  * state partitions across executors; watermarks bound state size for the
-  * windowed aggregation, and the stateful operators carry explicit state
-  * timeouts for the same reason.
+  * state partitions across executors. State-size bounds differ per operator:
+  * the windowed aggregation is bounded by its watermark; `streamingDedup`
+  * and `rollingLagCorrelation` carry explicit event-time state TTLs; and
+  * `streamingCcm` (whose key is a logical ordinal with no event-time axis)
+  * has NO timeout — it assumes a bounded series-key space (see its doc).
   */
 object Streams {
 
@@ -90,23 +92,44 @@ object Streams {
     * the streaming analogue of the CCM skill signal: each series keeps a
     * bounded ring buffer (last `window` points) in state and emits the
     * refreshed correlation on every batch.
+    *
+    * Per-key state carries an EVENT-TIME TTL (`stateTtlMs` past the key's
+    * newest point), so series that go quiet age out as the watermark
+    * advances and total state stays bounded even under unbounded key
+    * cardinality. Late arrivals inside `watermarkDelay` are re-sorted into
+    * temporal position; rows older than the watermark may be dropped.
     */
   final case class SeriesState(ts: Vector[Long], values: Vector[Double])
   final case class RollingCorr(userId: Long, n: Int, corr: Double)
 
-  def rollingLagCorrelation(events: Dataset[Event], window: Int = 64): Dataset[RollingCorr] = {
+  def rollingLagCorrelation(
+      events: Dataset[Event],
+      window: Int = 64,
+      watermarkDelay: String = "10 seconds",
+      stateTtlMs: Long = 3600L * 1000
+  ): Dataset[RollingCorr] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.userId)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SeriesState]) =>
-          val incoming = rows.toSeq.map(e => (e.ts.getTime, e.value))
-          val prev = state.getOption.map(s => s.ts.zip(s.values)).getOrElse(Vector.empty)
-          // re-sort the WHOLE buffer: a late arrival in a later micro-batch
-          // must land at its temporal position, not be appended at the end
-          val merged = (prev ++ incoming).sortBy(_._1).takeRight(window).toVector
-          state.update(SeriesState(merged.map(_._1), merged.map(_._2)))
-          RollingCorr(userId, merged.length, lagCorr(merged.map(_._2)))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = rows.toSeq.map(e => (e.ts.getTime, e.value))
+            val prev = state.getOption.map(s => s.ts.zip(s.values)).getOrElse(Vector.empty)
+            // re-sort the WHOLE buffer: a late arrival in a later micro-batch
+            // must land at its temporal position, not be appended at the end
+            val merged = (prev ++ incoming).sortBy(_._1).takeRight(window).toVector
+            state.update(SeriesState(merged.map(_._1), merged.map(_._2)))
+            // timeout must be strictly beyond the current watermark
+            state.setTimeoutTimestamp(
+              math.max(merged.last._1 + stateTtlMs, state.getCurrentWatermarkMs() + 1)
+            )
+            Iterator.single(RollingCorr(userId, merged.length, lagCorr(merged.map(_._2))))
+          }
       }
   }
 
@@ -115,8 +138,12 @@ object Streams {
   // full bidirectional CCM per series. Each series keeps the last `window`
   // (ord, x, y) points in state; once `minPoints` are buffered the local
   // kernel re-runs on every batch — the deterministic hash-rank sampling
-  // makes re-estimation reproducible. State is bounded by `window`; keys
-  // (series ids) partition across executors.
+  // makes re-estimation reproducible. PER-KEY state is bounded by `window`,
+  // but there is NO state timeout: `ord` is a logical clock, so there is no
+  // event-time axis to expire against. This operator therefore assumes a
+  // BOUNDED series-key space (total state = |keys| x window points); for an
+  // unbounded key universe, attach a real event-time column and expire
+  // state the way `rollingLagCorrelation` does.
   // -------------------------------------------------------------------
 
   /** One series point on the stream. */

@@ -8,8 +8,14 @@ matching SQL from oracle_sql.json in DuckDB against the sfDir tables, and
 compares: row count, column names, and values (columns sorted by name, rows
 sorted by all columns; exact match required — the Spark/SQL sides are
 expected to round floats identically).
+
+Floats are compared BIT-EXACTLY (struct-packed), matching the driver's
+byte-hash gate: -0.0 != +0.0 here, deliberately — the queries normalize
+the sign of zero on both engines (`round(x, n) + 0.0`, see
+src/main/scala/graft/contract/Norm.scala). The single exception is NaN,
+which is canonicalized (engines may emit different NaN payloads).
 """
-import sys, os, json, math
+import sys, os, json, math, struct
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -21,9 +27,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            return 0.0  # -0.0 == 0.0
-        return v
+        return ("f64", struct.pack("<d", v).hex())  # bit-exact: -0.0 != +0.0
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
