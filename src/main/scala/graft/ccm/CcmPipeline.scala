@@ -135,13 +135,20 @@ object CcmPipeline {
       .filter($"l_rank" <= $"lib_size" && $"q_rank" > $"lib_size")
       .drop("q_rank", "l_rank")
 
-    // top-k neighbors, k = min(E+1, L)  (`lib/ccm.ex:147-149`)
+    // top-k neighbors, k = min(E+1, L)  (`lib/ccm.ex:147-149`). When every
+    // lib size is >= E+1 (the usual case) the limit is the LITERAL e+1,
+    // which lets InferWindowGroupLimit rewrite the rank filter into a
+    // partial+final per-partition TopK (map-side k-row heap BEFORE the
+    // shuffle); a non-foldable `least(e+1, lib_size)` limit would keep the
+    // full pair relation flowing through the exchange.
     val wNN = Window
       .partitionBy((cellKeys :+ col("pred_idx")): _*)
       .orderBy($"dist".asc, $"lib_idx".asc)
+    val kLimit: Column =
+      if (minLib >= e + 1) lit(e + 1) else least(lit(e + 1), $"lib_size")
     val nn = pairs
       .withColumn("nn_rank", row_number().over(wNN))
-      .filter($"nn_rank" <= least(lit(e + 1), $"lib_size"))
+      .filter($"nn_rank" <= kLimit)
 
     // weights (`lib/ccm.ex:246-262`) + weighted prediction (`ccm.ex:168-175`)
     val wMin = Window.partitionBy((cellKeys :+ col("pred_idx")): _*)

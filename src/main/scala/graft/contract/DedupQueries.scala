@@ -312,7 +312,101 @@ object DedupQueries {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // dedup_cluster — the dedup ENDGAME: connected components over the LSH
+  // candidate-pair graph, labeling every involved doc with its cluster
+  // representative (min doc_id in the component) + component size; a
+  // pipeline then keeps one doc per cluster.
+  //
+  // Spark side: Pregel-style iterative min-label propagation — each round
+  // is one distributed join + aggregation (labels flow along edges), with
+  // `localCheckpoint` per round to cut lineage and ONE driver-side scalar
+  // (`isEmpty` on changed labels) as the convergence test. Rounds needed =
+  // graph diameter; near-dup components are shallow (dups of dups), so
+  // this converges in a handful of rounds even at 100 TB. (The known
+  // large-graph refinement is large-star/small-star [Kiveris et al. 2014],
+  // which contracts paths in O(log n) rounds; the propagation loop below
+  // has the same per-round shuffle shape.) Oracle: DuckDB recursive CTE
+  // computing min reachable id — an independent transitive-closure
+  // formulation that must agree exactly.
+  // -------------------------------------------------------------------
+  private val ClusterMaxIter = 25
+
+  private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val e0 = lshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    // undirected: propagate labels both ways along every candidate pair
+    val edges = e0
+      .union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges
+      .select(col("doc_a").as("doc_id"))
+      .distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < ClusterMaxIter) {
+      val nbrMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("nid"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
+        .select(
+          labels("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id")
+        )
+        .localCheckpoint()
+      converged = next
+        .as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupClusterSql: String = {
+    val bandSelect = bandKeyExprs
+      .map { case (b, e) => s"SELECT doc_id, $b AS band, $e AS band_key FROM sig" }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE $whDuckCte,
+       |ds AS (SELECT doc_id, $shingleFromWhDuck AS shh FROM dw),
+       |sig AS (SELECT doc_id,
+       |  ${(0 until NumPerms)
+        .map(k => s"list_min(list_transform(shh, h -> ${DetHash.minhashPermSql("h", k)})) AS mh$k")
+        .mkString(",\n  ")}
+       |  FROM ds),
+       |bands AS (
+       |  $bandSelect
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+       |  UNION
+       |  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+       |),
+       |lbl AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY 1),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lbl GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, z.cluster_size
+       |FROM lbl l JOIN sz z ON l.cluster_id = z.cluster_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster" -> dedupCluster,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> minhashSig,
     "dedup_lsh_pairs" -> lshPairs,
@@ -323,6 +417,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_cluster" -> dedupClusterSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSigSql,
     "dedup_lsh_pairs" -> lshPairsSql,

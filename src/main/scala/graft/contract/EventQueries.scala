@@ -139,15 +139,132 @@ object EventQueries {
       |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.tsn > p.tsn
       |ORDER BY e.event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_percentiles — EXACT interpolated percentiles per event_type
+  // (Spark `percentile` == DuckDB `quantile_cont`: both compute
+  // lower + frac*(upper-lower) at position p*(n-1) of the sorted values).
+  // The approximate path at scale is `percentile_approx` (t-digest, one
+  // pass, mergeable) — exact here so the oracle can pin semantics.
+  // -------------------------------------------------------------------
+  private def percentiles(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        Norm.rnd(expr("percentile(value, 0.5)"), 6).as("p50"),
+        Norm.rnd(expr("percentile(value, 0.95)"), 6).as("p95"),
+        Norm.rnd(expr("percentile(value, 0.99)"), 6).as("p99")
+      )
+      .orderBy("event_type")
+
+  private val percentilesSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+      |  round(quantile_cont(value, 0.95), 6) + 0.0 AS p95,
+      |  round(quantile_cont(value, 0.99), 6) + 0.0 AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // evt_window_agg — tumbling 1-day event-time windows via Spark's
+  // `window()` (the batch twin of the Structured Streaming windowed agg in
+  // graft.streaming.Streams). Spark's window origin is epoch-aligned, so
+  // the oracle reproduces the bucketing as integer arithmetic on epoch
+  // microseconds — two independent definitions that must agree.
+  // -------------------------------------------------------------------
+  private val DayUs: Long = 86400L * 1000 * 1000
+
+  private def windowAgg(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("w", window(timestamp_micros(col("tus")), "1 day"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Norm.rnd(sum(col("value")), 4).as("sum_value")
+      )
+      .select(
+        unix_micros(col("w.start")).as("day_us"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value")
+      )
+      .orderBy("day_us", "event_type")
+
+  private val windowAggSql: String =
+    s"""SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS day_us, event_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  round(sum(value), 4) + 0.0 AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // evt_setops — set-operation surface: users with a high-value purchase
+  // INTERSECT users with a high-value click, EXCEPT users with a severe
+  // error. Spark's intersect/except are set-semantic (dedup built in),
+  // same as SQL. (Thresholds make the sets selective: with ~67 events per
+  // user every user has every event type, so unthresholded sets would be
+  // degenerate — always-empty after EXCEPT.)
+  // -------------------------------------------------------------------
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    def users(t: String, minValue: Double) =
+      e.filter(col("event_type") === t && col("value") > minValue).select("user_id")
+    users("purchase", 100.0)
+      .intersect(users("click", 100.0))
+      .except(users("error", 180.0))
+      .orderBy("user_id")
+  }
+
+  private val setOpsSql: String =
+    """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 100.0
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'click' AND value > 100.0
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error' AND value > 180.0
+      |ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // evt_json_props — semi-structured extraction: the events.props column
+  // is a JSON string; pull $.k out (Spark get_json_object ~ DuckDB
+  // json_extract_string) and aggregate it per event_type. At scale the
+  // same plan applies; for repeated multi-key access you'd from_json to a
+  // struct column once instead of re-parsing per key.
+  // -------------------------------------------------------------------
+  private def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("distinct_k")
+      )
+      .orderBy("event_type")
+
+  private val jsonPropsSql: String =
+    """WITH x AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |SELECT event_type, CAST(count(k) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |       min(k) AS min_k, max(k) AS max_k,
+      |       CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+      |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_sessionize" -> sessionize,
     "evt_rollup" -> rollup,
-    "evt_asof_purchase" -> asofPurchase
+    "evt_asof_purchase" -> asofPurchase,
+    "evt_percentiles" -> percentiles,
+    "evt_window_agg" -> windowAgg,
+    "evt_setops" -> setOps,
+    "evt_json_props" -> jsonProps
   )
 
   val oracle: Map[String, String] = Map(
     "evt_sessionize" -> sessionizeSql,
     "evt_rollup" -> rollupSql,
-    "evt_asof_purchase" -> asofPurchaseSql
+    "evt_asof_purchase" -> asofPurchaseSql,
+    "evt_percentiles" -> percentilesSql,
+    "evt_window_agg" -> windowAggSql,
+    "evt_setops" -> setOpsSql,
+    "evt_json_props" -> jsonPropsSql
   )
 }

@@ -60,11 +60,53 @@ object MultimodalQueries {
        |       ${DetHash.polyHashSql(s"substr(text, CAST(frame_id * $FrameBytes + 1 AS INTEGER), $FrameBytes)")} AS frame_hash
        |FROM frames ORDER BY doc_id, frame_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mm_resize — the "resize/downsample" step of a media pipeline as a
+  // deterministic stride-k payload downsample (every k-th byte of the
+  // stand-in payload survives; a real build swaps the stride projection
+  // for a codec's scaler). Emits the resized length + content digest, so
+  // the oracle pins the exact downsampled payload, not just its size.
+  // -------------------------------------------------------------------
+  private val ResizeStride = 4
+
+  private def mmResize(s: SparkSession, dir: String): DataFrame = {
+    // ceil(len/k) samples; sequence(0,-1) DESCENDS on empty payloads -> guard
+    val resized =
+      s"""array_join(transform(
+         |  CASE WHEN length(text) > 0
+         |       THEN sequence(CAST(0 AS BIGINT), CAST(ceil(length(text) / $ResizeStride.0) AS BIGINT) - 1)
+         |       ELSE CAST(array() AS ARRAY<BIGINT>) END,
+         |  i -> substring(text, CAST(i * $ResizeStride + 1 AS INT), 1)), '')""".stripMargin
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_bytes"), expr(resized).as("rz"))
+      .select(
+        col("doc_id"),
+        col("n_bytes"),
+        length(col("rz")).cast("long").as("resized_bytes"),
+        expr(DetHash.polyHashSparkSql("rz")).as("resized_hash")
+      )
+      .orderBy("doc_id")
+  }
+
+  private val mmResizeSql: String =
+    s"""WITH rz AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+       |         array_to_string(list_transform(
+       |           range(0, CAST(ceil(length(text) / $ResizeStride.0) AS BIGINT)),
+       |           i -> substr(text, CAST(i * $ResizeStride + 1 AS INTEGER), 1)), '') AS rz
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_bytes, CAST(length(rz) AS BIGINT) AS resized_bytes,
+       |       ${DetHash.polyHashSql("rz")} AS resized_hash
+       |FROM rz ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_frames" -> mmMeta
+    "mm_frames" -> mmMeta,
+    "mm_resize" -> mmResize
   )
 
   val oracle: Map[String, String] = Map(
-    "mm_frames" -> mmMetaSql
+    "mm_frames" -> mmMetaSql,
+    "mm_resize" -> mmResizeSql
   )
 }

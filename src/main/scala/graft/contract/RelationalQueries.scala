@@ -111,17 +111,70 @@ object RelationalQueries {
        |ORDER BY event_type, event_id""".stripMargin
   }
 
+  // q3_shipping — TPC-H Q3-shaped 3-way join: lineitem (fact) joins orders
+  // (fact, shuffle equi-join on the order key) and customer (dim,
+  // broadcast — Catalyst picks BroadcastHashJoin via the explicit hint).
+  // Both date filters and the segment filter push into the parquet scans,
+  // so the shuffled sides are pre-pruned. Top-10 by revenue with
+  // deterministic tie-breaks. Timestamps are surfaced as epoch
+  // microseconds (BIGINT) — Spark writes parquet TIMESTAMP as
+  // adjusted-to-UTC, which DuckDB reads as TIMESTAMPTZ and the dtype gate
+  // would flag.
+  private val Q3Cut = "1998-06-01 00:00:00"
+
+  private def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < expr(s"TIMESTAMP '$Q3Cut'"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > expr(s"TIMESTAMP '$Q3Cut'"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Norm.rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        // o_orderdate is parquet TIMESTAMP_NTZ; the session tz is pinned to
+        // UTC, so the NTZ->LTZ cast is instant-preserving and unix_micros
+        // equals DuckDB's epoch_us
+        unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"),
+        col("o_orderpriority")
+      )
+      .orderBy(col("revenue").desc, col("odate_us").asc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  private val q3ShippingSql: String =
+    s"""SELECT l.l_orderkey,
+       |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) + 0.0 AS revenue,
+       |  epoch_us(o.o_orderdate) AS odate_us,
+       |  o.o_orderpriority
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |WHERE c.c_mktsegment = 'BUILDING'
+       |  AND o.o_orderdate < TIMESTAMP '$Q3Cut'
+       |  AND l.l_shipdate > TIMESTAMP '$Q3Cut'
+       |GROUP BY 1, 3, 4
+       |ORDER BY revenue DESC, odate_us, l_orderkey
+       |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "topk_orders" -> topkOrders,
     "evt_type_agg" -> evtTypeAgg,
-    "sample_stratified" -> sampleStratified
+    "sample_stratified" -> sampleStratified,
+    "q3_shipping" -> q3Shipping
   )
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
     "topk_orders" -> topkOrdersSql,
     "evt_type_agg" -> evtTypeAggSql,
-    "sample_stratified" -> sampleStratifiedSql
+    "sample_stratified" -> sampleStratifiedSql,
+    "q3_shipping" -> q3ShippingSql
   )
 }

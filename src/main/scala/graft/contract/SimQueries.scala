@@ -204,15 +204,39 @@ object SimQueries {
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // vec_centroid — element-wise mean embedding per label (the vector
+  // aggregate under k-means / IVF training). posexplode + hash-agg on
+  // (label, pos): fully whole-stage-codegen with map-side partial
+  // aggregation, shuffle volume = |labels| x dim partials — independent
+  // of corpus size. Long (label, pos, centroid) output; assembling the
+  // array is a cosmetic collect_list away.
+  // -------------------------------------------------------------------
+  private def vecCentroid(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).as("pos"))
+      .agg(count(lit(1)).as("n_vecs"), Norm.rnd(avg(col("x")), 6).as("centroid"))
+      .orderBy("label", "pos")
+
+  private val vecCentroidSql: String =
+    s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT label, CAST(t.i AS INTEGER) AS pos, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       round(avg(v[CAST(t.i AS INTEGER)]), 6) + 0.0 AS centroid
+       |FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)
+       |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLshTopk,
-    "ann_ivf_topk" -> annIvfTopk
+    "ann_ivf_topk" -> annIvfTopk,
+    "vec_centroid" -> vecCentroid
   )
 
   val oracle: Map[String, String] = Map(
     "ann_topk" -> annTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
-    "ann_ivf_topk" -> annIvfTopkSql
+    "ann_ivf_topk" -> annIvfTopkSql,
+    "vec_centroid" -> vecCentroidSql
   )
 }

@@ -88,14 +88,19 @@ object GraftFunctions {
   )
 
   /** Idempotent per-session registration (for sessions created without the
-    * extensions config, e.g. the driver's Verify/Bench sessions).
+    * extensions config, e.g. the driver's Verify/Bench sessions). Skips
+    * names that already resolve — re-registering is harmless but logs a
+    * "replaced a previously registered function" WARN per call site.
     */
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder, usage) =>
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions.DotProduct", null, name, usage, ""),
-      builder
-    )
+    val id = FunctionIdentifier(name)
+    if (!spark.sessionState.functionRegistry.functionExists(id)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo("graft.functions.DotProduct", null, name, usage, ""),
+        builder
+      )
+    }
   }
 }
 
