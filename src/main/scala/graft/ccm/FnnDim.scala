@@ -20,15 +20,10 @@ import org.apache.spark.sql.functions._
   *  - fnn_frac(E) = fraction of false neighbors; the suggested E is the
   *    first E whose fraction drops below `frac` (fallback: argmin).
   *
-  * One embedding pass computes E_max+1 lead columns, and ONE pair join
-  * serves every candidate E: d²(E) is a prefix sum of per-coordinate
-  * squared diffs, so the E dimension is unpivoted (`stack`) from a single
-  * joined row instead of re-probing the join maxE times. The nearest
-  * neighbor per (series, E, idx) is then a hash-aggregation argmin —
-  * `min(struct(dist, nn_idx, …))` — which partial-aggregates map-side:
-  * the shuffle carries one candidate row per point, not the O(n²) pair
-  * relation a window-sort formulation would move. Keyed on the series id,
-  * so it distributes across series.
+  * One embedding pass computes E_max+1 lead columns; each candidate E
+  * reuses the same embedded relation (filtered to rows where dimension
+  * E+1 exists), so the scan happens once and the per-E cost is the pair
+  * join — keyed on the series id, distributing across series.
   */
 object FnnDim {
 
@@ -55,49 +50,42 @@ object FnnDim {
     val emb = df
       .select(k ++ Seq((row_number().over(w) - 1).cast("long").as("idx")) ++ leadCols: _*)
 
-    // ONE join at the widest row set (E=1 needs e1 on both sides; lead(j)
-    // non-null implies lead(j-1) non-null, so higher-E validity is just
-    // "the extra coordinate is non-null on both sides").
-    val rows = emb.filter(col("e1").isNotNull)
-    val joinCond = keys.map(kn => col(s"a.$kn") === col(s"b.$kn")).reduce(_ && _) &&
-      col("a.idx") =!= col("b.idx")
-    // d²(E) built as a prefix sum: 0.0 + d0 + d1 + … keeps the exact
-    // left-associated IEEE order of the old per-E reduce (0.0 + x == x
-    // bit-exactly; the squared diffs are never -0.0), so distances — and
-    // the oracle parity — are unchanged.
-    val diffs2 = (0 until maxE)
-      .map(j => (col(s"a.e$j") - col(s"b.e$j")) * (col(s"a.e$j") - col(s"b.e$j")))
-    val d2 = diffs2.scanLeft(lit(0.0): Column)(_ + _).drop(1) // index e-1 -> d²(E=e)
-    val pairBase = rows
-      .as("a")
-      .join(rows.as("b"), joinCond)
-      .select(
-        (keys.map(kn => col(s"a.$kn").as(kn)) ++ Seq(
-          col("a.idx").as("idx"),
-          col("b.idx").as("nn_idx")
-        ) ++ (1 to maxE).map(e => sqrt(d2(e - 1)).as(s"dist_$e"))
-          ++ (1 to maxE).map(e => abs(col(s"a.e$e") - col(s"b.e$e")).as(s"gap_$e"))): _*
-      )
-    // unpivot the E dimension; a null extra_gap means dimension E+1 does
-    // not exist for this pair -> the pair is not in E's candidate set
-    val stackExpr =
-      s"stack($maxE, ${(1 to maxE).map(e => s"$e, dist_$e, gap_$e").mkString(", ")}) AS (e, dist, extra_gap)"
-    val long = pairBase
-      .select((k ++ Seq(col("idx"), col("nn_idx"), expr(stackExpr))): _*)
-      .filter(col("extra_gap").isNotNull)
-    // argmin by (dist, nn_idx) — identical tie semantics to the previous
-    // row_number() ORDER BY dist, nn_idx formulation
-    val nn = long
-      .groupBy((k ++ Seq(col("e"), col("idx"))): _*)
-      .agg(min(struct(col("dist"), col("nn_idx"), col("extra_gap"))).as("m"))
-      .select(
-        (k :+ col("e") :+
-          // zero-distance twins are never false; Kennel ratio otherwise
-          when(col("m.dist") < 1e-12, lit(false))
-            .otherwise(col("m.extra_gap") / col("m.dist") > rTol)
-            .as("is_false")): _*
-      )
-    nn
+    val spark = df.sparkSession
+    val perE = (1 to maxE).map { e =>
+      // rows that have the e-dim point AND the extra coordinate e{e}
+      val rows = emb.filter(col(s"e$e").isNotNull)
+      val joinCond = keys.map(kn => col(s"a.$kn") === col(s"b.$kn")).reduce(_ && _) &&
+        col("a.idx") =!= col("b.idx")
+      val dist2 = (0 until e)
+        .map(j => (col(s"a.e$j") - col(s"b.e$j")) * (col(s"a.e$j") - col(s"b.e$j")))
+        .reduce(_ + _)
+      val pairs = rows
+        .as("a")
+        .join(rows.as("b"), joinCond)
+        .select(
+          (keys.map(kn => col(s"a.$kn").as(kn)) ++ Seq(
+            col("a.idx").as("idx"),
+            col("b.idx").as("nn_idx"),
+            sqrt(dist2).as("dist"),
+            abs(col(s"a.e$e") - col(s"b.e$e")).as("extra_gap")
+          )): _*
+        )
+      val wNN = Window
+        .partitionBy((k :+ col("idx")): _*)
+        .orderBy(col("dist").asc, col("nn_idx").asc)
+      pairs
+        .withColumn("rn", row_number().over(wNN))
+        .filter(col("rn") === 1)
+        .select(
+          (k :+ lit(e).as("e") :+
+            // zero-distance twins are never false; Kennel ratio otherwise
+            when(col("dist") < 1e-12, lit(false))
+              .otherwise(col("extra_gap") / col("dist") > rTol)
+              .as("is_false")): _*
+        )
+    }
+    perE
+      .reduce(_ unionByName _)
       .groupBy((k :+ col("e")): _*)
       .agg(
         count(lit(1)).as("n_neighbors"),

@@ -79,7 +79,7 @@ object CcmQueries {
         col("user_id"),
         DetHash.rankHashCol(col("event_id"), col("event_id") % 7 + 1, col("user_id"), Seed).as("h")
       )
-      .orderBy("event_id")
+      .transform(Norm.ordered(_, col("event_id")))
 
   private val detHashSql: String =
     s"""SELECT event_id, user_id,
@@ -90,7 +90,7 @@ object CcmQueries {
   private def polyHash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), DetHash.polyHashCol(col("text")).as("h"))
-      .orderBy("doc_id")
+      .transform(Norm.ordered(_, col("doc_id")))
 
   private val polyHashSql: String =
     s"SELECT doc_id, ${DetHash.polyHashSql("text")} AS h FROM documents ORDER BY doc_id"
@@ -102,7 +102,7 @@ object CcmQueries {
   private def ccmEmbed(s: SparkSession, dir: String): DataFrame =
     embValue(s, dir)
       .select("user_id", "idx", "e0", "e1", "e2", "tgt")
-      .orderBy("user_id", "idx")
+      .transform(Norm.ordered(_, col("user_id"), col("idx")))
 
   private val ccmEmbedSql: String =
     s"""WITH ${embSql()}
@@ -130,7 +130,7 @@ object CcmQueries {
       )
       // Spark `div` yields BIGINT; the contract type for lib sizes is INT
       .select(col("user_id"), col("lib_size0").cast("int").as("lib_size"))
-      .orderBy("user_id", "lib_size")
+      .transform(Norm.ordered(_, col("user_id"), col("lib_size")))
 
   private val libLadderSql: String =
     s"""WITH n AS (SELECT user_id, CAST(count(*) - 2 AS INTEGER) AS max_lib FROM events GROUP BY user_id),
@@ -150,7 +150,7 @@ object CcmQueries {
     CcmPipeline
       .ranked(embValue(s, dir), Seq("user_id"), 4, Seed, col("user_id"))
       .select(col("user_id"), col("sample_id"), col("idx"), col("rank"))
-      .orderBy("user_id", "sample_id", "idx")
+      .transform(Norm.ordered(_, col("user_id"), col("sample_id"), col("idx")))
 
   private val rankSplitSql: String =
     s"""WITH ${embSql()},
@@ -174,7 +174,7 @@ object CcmQueries {
         col("actual"),
         Norm.rnd(col("predicted"), 6).as("predicted")
       )
-      .orderBy("user_id", "sample_id", "pred_idx")
+      .transform(Norm.ordered(_, col("user_id"), col("sample_id"), col("pred_idx")))
   }
 
   private val knnPredictSql: String =
@@ -200,7 +200,7 @@ object CcmQueries {
         col("sample_id"),
         Norm.rnd(when(col("c").isNull || isnan(col("c")), 0.0).otherwise(col("c")), 6).as("rho")
       )
-      .orderBy("user_id", "sample_id")
+      .transform(Norm.ordered(_, col("user_id"), col("sample_id")))
   }
 
   private val skillCorrSql: String =
@@ -245,7 +245,7 @@ object CcmQueries {
         Norm.rnd(col("slope"), 6).as("slope"),
         col("convergent")
       )
-      .orderBy("user_id", "direction", "lib_size")
+      .transform(Norm.ordered(_, col("user_id"), col("direction"), col("lib_size")))
 
   /** Full declarative chain mirrored as one DuckDB query. */
   private val curveSqlCommon: String = {
@@ -351,7 +351,7 @@ object CcmQueries {
       )
       .select(col("skey").as("user_id"), col("direction"), Norm.rnd(col("slope"), 6).as("slope"), col("convergent"))
       .distinct()
-      .orderBy("user_id", "direction")
+      .transform(Norm.ordered(_, col("user_id"), col("direction")))
 
   private val convergenceSql: String =
     s"""$curveSqlCommon
@@ -399,10 +399,28 @@ object CcmQueries {
     val mi = MiTau
       .miCurve(ev(s, dir), Seq("user_id"), Seq(col("ts")), col("value"), MiMaxTau, MiBins)
       .withColumn("mi", Norm.rnd(col("mi"), 6))
-    val best = MiTau.bestTau(mi, Seq("user_id"))
-    mi.join(best, "user_id")
+    // first-local-min selection as WINDOW aggregates (identical values to
+    // MiTau.bestTau) — a join against a bestTau subquery would execute the
+    // whole MI pipeline twice
+    val w = Window.partitionBy("user_id").orderBy("tau")
+    val wAll = Window.partitionBy("user_id")
+    mi.withColumn("prev", lag(col("mi"), 1).over(w))
+      .withColumn("next", lead(col("mi"), 1).over(w))
+      .withColumn(
+        "best_tau",
+        coalesce(
+          min(
+            when(
+              col("prev").isNotNull && col("next").isNotNull &&
+                col("mi") < col("prev") && col("mi") < col("next"),
+              col("tau")
+            )
+          ).over(wAll),
+          lit(1)
+        ).cast("int")
+      )
       .select(col("user_id"), col("tau"), col("mi"), col("best_tau"))
-      .orderBy("user_id", "tau")
+      .transform(Norm.ordered(_, col("user_id"), col("tau")))
   }
 
   private val miTauSql: String = {
@@ -459,9 +477,18 @@ object CcmQueries {
   private def fnnDim(s: SparkSession, dir: String): DataFrame = {
     import graft.ccm.FnnDim
     val curve = FnnDim.fnnCurve(ev(s, dir), Seq("user_id"), Seq(col("ts")), col("value"), FnnMaxE, 1, FnnRTol)
-    val best = FnnDim.bestE(curve, Seq("user_id"), FnnFrac)
+    // best-E selection as a WINDOW aggregate (identical values to
+    // FnnDim.bestE) — a join against a bestE subquery would execute the
+    // whole FNN pair-join pipeline twice (measured ~2x on the wall clock)
+    val wAll = Window.partitionBy("user_id")
     curve
-      .join(best, "user_id")
+      .withColumn(
+        "best_e",
+        coalesce(
+          min(when(col("fnn_frac") < FnnFrac, col("e"))).over(wAll),
+          min(struct(col("fnn_frac"), col("e"))).over(wAll).getField("e")
+        ).cast("int")
+      )
       .select(
         col("user_id"),
         col("e"),
@@ -470,7 +497,7 @@ object CcmQueries {
         Norm.rnd(col("fnn_frac"), 6).as("fnn_frac"),
         col("best_e")
       )
-      .orderBy("user_id", "e")
+      .transform(Norm.ordered(_, col("user_id"), col("e")))
   }
 
   private val fnnDimSql: String = {
@@ -526,7 +553,7 @@ object CcmQueries {
         xs.indices.map(i => (name, i.toLong, xs(i), ys(i)))
       }
       .toDF("case_name", "t", "x", "y")
-      .orderBy("case_name", "t")
+      .transform(Norm.ordered(_, col("case_name"), col("t")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

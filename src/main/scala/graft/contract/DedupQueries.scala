@@ -78,7 +78,7 @@ object DedupQueries {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc")
       )
-      .orderBy("text_hash")
+      .transform(Norm.ordered(_, col("text_hash")))
 
   private val dedupExactSql: String =
     s"""SELECT ${DetHash.polyHashSql("text")} AS text_hash,
@@ -134,7 +134,7 @@ object DedupQueries {
       )
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy("doc_a", "doc_b")
+      .transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
   }
 
   private val lshPairsSql: String = {
@@ -178,7 +178,7 @@ object DedupQueries {
       .agg(sum(col("sgn")).as("bsum"))
       .groupBy("doc_id", "source")
       .agg(sum(when(col("bsum") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(lit(0L))).as("simhash"))
-      .orderBy("doc_id")
+      .transform(Norm.ordered(_, col("doc_id")))
 
   private val simhashDuck: String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${SimBits - 1}), j ->
@@ -203,7 +203,7 @@ object DedupQueries {
         expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming")
       )
       .filter(col("hamming") <= 6)
-      .orderBy("doc_a", "doc_b")
+      .transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
   }
 
   private val simhashPairsSql: String =
@@ -262,7 +262,7 @@ object DedupQueries {
       .withColumn("jaccard", Norm.rnd(col("n_common") / col("n_union").cast("double"), 6))
       .filter(col("jaccard") >= MinJaccard)
       .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
-      .orderBy("doc_a", "doc_b")
+      .transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
   }
 
   private val ngramJaccardSql: String =
@@ -300,7 +300,7 @@ object DedupQueries {
         Norm.rnd(dotAB / (col("a.nrm") * col("b.nrm")), 6).as("cos_sim")
       )
       .filter(col("cos_sim") >= CosThreshold)
-      .orderBy("vec_a", "vec_b")
+      .transform(Norm.ordered(_, col("vec_a"), col("vec_b")))
   }
 
   private val embedCosSql: String = {
@@ -369,7 +369,7 @@ object DedupQueries {
     labels
       .join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy("doc_id")
+      .transform(Norm.ordered(_, col("doc_id")))
   }
 
   private val dedupClusterSql: String = {

@@ -44,7 +44,7 @@ object EventQueries {
         max(col("tus")).as("end_us")
       )
       .withColumn("duration_us", col("end_us") - col("start_us"))
-      .orderBy("user_id", "session_id")
+      .transform(Norm.ordered(_, col("user_id"), col("session_id")))
   }
 
   private val sessionizeSql: String =
@@ -81,7 +81,7 @@ object EventQueries {
         grouping(col("event_type")).cast("long").as("g_type"),
         grouping(col("user_bucket")).cast("long").as("g_bucket")
       )
-      .orderBy(col("g_type"), col("g_bucket"), col("event_type"), col("user_bucket"))
+      .transform(Norm.ordered(_, col("g_type"), col("g_bucket"), col("event_type"), col("user_bucket")))
 
   private val rollupSql: String =
     """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
@@ -125,7 +125,7 @@ object EventQueries {
         col("last_purchase.event_id").as("last_purchase_id"),
         (col("tus") - col("last_purchase.tus")).as("us_since_purchase")
       )
-      .orderBy("event_id")
+      .transform(Norm.ordered(_, col("event_id")))
   }
 
   private val asofPurchaseSql: String =
@@ -155,7 +155,7 @@ object EventQueries {
         Norm.rnd(expr("percentile(value, 0.95)"), 6).as("p95"),
         Norm.rnd(expr("percentile(value, 0.99)"), 6).as("p99")
       )
-      .orderBy("event_type")
+      .transform(Norm.ordered(_, col("event_type")))
 
   private val percentilesSql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -187,7 +187,7 @@ object EventQueries {
         col("n_events"),
         col("sum_value")
       )
-      .orderBy("day_us", "event_type")
+      .transform(Norm.ordered(_, col("day_us"), col("event_type")))
 
   private val windowAggSql: String =
     s"""SELECT epoch_us(ts) - epoch_us(ts) % $DayUs AS day_us, event_type,
@@ -210,7 +210,7 @@ object EventQueries {
     users("purchase", 100.0)
       .intersect(users("click", 100.0))
       .except(users("error", 180.0))
-      .orderBy("user_id")
+      .transform(Norm.ordered(_, col("user_id")))
   }
 
   private val setOpsSql: String =
@@ -239,7 +239,7 @@ object EventQueries {
         max(col("k")).as("max_k"),
         countDistinct(col("k")).as("distinct_k")
       )
-      .orderBy("event_type")
+      .transform(Norm.ordered(_, col("event_type")))
 
   private val jsonPropsSql: String =
     """WITH x AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)

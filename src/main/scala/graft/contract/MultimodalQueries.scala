@@ -43,7 +43,7 @@ object MultimodalQueries {
         expr(DetHash.polyHashSparkSql(s"substring(text, CAST(frame_id * $FrameBytes + 1 AS INT), $FrameBytes)"))
           .as("frame_hash")
       )
-      .orderBy("doc_id", "frame_id")
+      .transform(Norm.ordered(_, col("doc_id"), col("frame_id")))
 
   private val mmMetaSql: String =
     s"""WITH meta AS (
@@ -85,7 +85,7 @@ object MultimodalQueries {
         length(col("rz")).cast("long").as("resized_bytes"),
         expr(DetHash.polyHashSparkSql("rz")).as("resized_hash")
       )
-      .orderBy("doc_id")
+      .transform(Norm.ordered(_, col("doc_id")))
   }
 
   private val mmResizeSql: String =

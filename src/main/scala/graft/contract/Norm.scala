@@ -1,6 +1,6 @@
 package graft.contract
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{lit, round}
 
 /** Cross-engine float-output normalization for the DuckDB-oracle gate.
@@ -21,4 +21,20 @@ import org.apache.spark.sql.functions.{lit, round}
 object Norm {
   /** `round(c, scale)` with `-0.0` normalized to `+0.0`. */
   def rnd(c: Column, scale: Int): Column = round(c, scale) + lit(0.0)
+
+  /** Deterministic total ordering of a SMALL final result without
+    * `orderBy`'s hidden double execution: a global sort plans
+    * `Exchange(rangepartitioning)`, whose range-boundary SAMPLING job
+    * re-executes the plan's entire unshuffled tail — for queries whose
+    * heavy work sits between the last shuffle and the sort (the CCM pair
+    * joins, the dedup self-joins) that is the whole expensive subtree run
+    * TWICE (measured +55% wall clock on ccm_fnn_dim). `repartition(1)`
+    * inserts a plain hash-shuffle boundary instead — the expensive subtree
+    * executes once, in parallel — and the rows get their total order from
+    * a single-partition sort. Only for small results (every contract
+    * output is <= ~40k rows); a large result would want a real
+    * range-partitioned sort.
+    */
+  def ordered(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
 }

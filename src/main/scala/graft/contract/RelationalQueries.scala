@@ -24,7 +24,7 @@ object RelationalQueries {
         Norm.rnd(avg(col("l_quantity")), 6).as("avg_qty"),
         count(lit(1)).as("count_order")
       )
-      .orderBy("l_returnflag", "l_linestatus")
+      .transform(Norm.ordered(_, col("l_returnflag"), col("l_linestatus")))
 
   private val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
@@ -48,7 +48,7 @@ object RelationalQueries {
       .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
-      .orderBy("c_mktsegment", "rank")
+      .transform(Norm.ordered(_, col("c_mktsegment"), col("rank")))
   }
 
   private val topkOrdersSql: String =
@@ -72,7 +72,7 @@ object RelationalQueries {
         Norm.rnd(sum(col("value")), 4).as("sum_value"),
         Norm.rnd(avg(col("value")), 6).as("avg_value")
       )
-      .orderBy("event_type")
+      .transform(Norm.ordered(_, col("event_type")))
 
   private val evtTypeAggSql: String =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
@@ -94,7 +94,7 @@ object RelationalQueries {
       .withColumn("n_type", count(lit(1)).over(wAll))
       .filter(col("rnk") <= ceil(col("n_type") / 10.0).cast("long"))
       .select("event_type", "event_id", "user_id")
-      .orderBy("event_type", "event_id")
+      .transform(Norm.ordered(_, col("event_type"), col("event_id")))
   }
 
   private val sampleStratifiedSql: String = {

@@ -48,7 +48,7 @@ object SimQueries {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), Norm.rnd(col("cos_sim"), 6).as("cos_sim"))
-      .orderBy("query_id", "rank")
+      .transform(Norm.ordered(_, col("query_id"), col("rank")))
   }
 
   private val annTopkSql: String = {
@@ -112,7 +112,7 @@ object SimQueries {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), Norm.rnd(col("cos_sim"), 6).as("cos_sim"))
-      .orderBy("query_id", "rank")
+      .transform(Norm.ordered(_, col("query_id"), col("rank")))
   }
 
   private val annLshTopkSql: String = {
@@ -176,7 +176,7 @@ object SimQueries {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("rank"), col("neighbor_id"), Norm.rnd(col("cos_sim"), 6).as("cos_sim"))
-      .orderBy("query_id", "rank")
+      .transform(Norm.ordered(_, col("query_id"), col("rank")))
   }
 
   private val annIvfTopkSql: String = {
@@ -217,7 +217,7 @@ object SimQueries {
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), (col("pos") + 1).as("pos"))
       .agg(count(lit(1)).as("n_vecs"), Norm.rnd(avg(col("x")), 6).as("centroid"))
-      .orderBy("label", "pos")
+      .transform(Norm.ordered(_, col("label"), col("pos")))
 
   private val vecCentroidSql: String =
     s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

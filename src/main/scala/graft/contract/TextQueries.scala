@@ -48,7 +48,7 @@ object TextQueries {
           6
         ).as("avg_token_len")
       )
-      .orderBy("doc_id")
+      .transform(Norm.ordered(_, col("doc_id")))
 
   private val textStatsSql: String =
     s"""SELECT doc_id,
@@ -74,7 +74,7 @@ object TextQueries {
         size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe_tokens")
       )
-      .orderBy("doc_id")
+      .transform(Norm.ordered(_, col("doc_id")))
 
   private val tokenCountSql: String =
     s"""SELECT doc_id,
@@ -102,7 +102,7 @@ object TextQueries {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id") +: scoreCols: _*)
       .withColumn("pred_lang", pred)
-      .orderBy("doc_id")
+      .transform(Norm.ordered(_, col("doc_id")))
   }
 
   private val langIdSql: String = {
@@ -155,7 +155,7 @@ object TextQueries {
           6
         )
       )
-      .orderBy("doc_id")
+      .transform(Norm.ordered(_, col("doc_id")))
   }
 
   private val qualityScoreSql: String = {
@@ -201,7 +201,7 @@ object TextQueries {
         array_min(col("winh")).as("win_min_hash"),
         array_max(col("winh")).as("win_max_hash")
       )
-      .orderBy("doc_id")
+      .transform(Norm.ordered(_, col("doc_id")))
 
   private val fingerprintSql: String =
     s"""SELECT doc_id,
@@ -227,7 +227,7 @@ object TextQueries {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select("lang", "rank", "term", "cnt")
-      .orderBy("lang", "rank")
+      .transform(Norm.ordered(_, col("lang"), col("rank")))
   }
 
   private val topTermsSql: String =
@@ -261,7 +261,7 @@ object TextQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"), col("score"))
-      .orderBy("doc_id")
+      .transform(Norm.ordered(_, col("doc_id")))
   }
 
   private val tfidfSql: String =

@@ -3,6 +3,8 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.contract.Norm
+
 /** Multimodal (image/audio/video) column handling: media travels as an
   * opaque `binary` column with typed metadata; decode / feature-extract /
   * frame-sample run per-partition in batches.
@@ -103,7 +105,7 @@ object Multimodal {
         round(col("byteEntropy"), 6).as("byte_entropy"),
         col("nFrames").as("n_frames")
       )
-      .orderBy("id")
+      .transform(Norm.ordered(_, col("id")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> mmFeatures
