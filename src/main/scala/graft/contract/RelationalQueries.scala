@@ -162,12 +162,101 @@ object RelationalQueries {
        |ORDER BY revenue DESC, odate_us, l_orderkey
        |LIMIT 10""".stripMargin
 
+  // q5_nation — TPC-H Q5-shaped 6-table star join ("local supplier"
+  // revenue per nation in one region). The whole dimension chain
+  // region -> nation -> supplier broadcasts (region filter prunes first,
+  // so the broadcast is the FILTERED chain); customer broadcasts; only
+  // lineitem |><| orders shuffles, keyed on the order key. The
+  // c_nationkey = s_nationkey "local supplier" predicate rides on the
+  // supplier broadcast join.
+  private def q5Nation(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Tables.nation(s, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(Norm.rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .transform(Norm.ordered(_, col("revenue").desc, col("n_name")))
+  }
+
+  private val q5NationSql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // q14_promo — TPC-H Q14-shaped conditional-aggregate ratio over a
+  // broadcast fact-dimension join (promo revenue share).
+  private def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select("p_partkey", "p_type")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        Norm.rnd(lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) / sum(rev), 6)
+          .as("promo_revenue_pct"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  private val q14PromoSql: String =
+    """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |        THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |     / sum(l_extendedprice * (1.0 - l_discount)), 6) + 0.0 AS promo_revenue_pct,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  // skew_salted_agg — the two-phase salted aggregation (operators/SkewOps)
+  // as an oracle-checked query: stats per event_type computed via
+  // (key, salt) partials then recombined. The oracle is a PLAIN group-by —
+  // the hash gate therefore proves the salted two-phase plan is
+  // result-identical to the direct aggregation.
+  private def skewSalted(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SkewOps
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"), col("event_id"))
+    SkewOps
+      .saltedStats(ev, col("event_type"), col("value"), saltBuckets = 32, rowId = Some(col("event_id")))
+      .select(
+        col("k").as("event_type"),
+        col("n"),
+        Norm.rnd(col("sum_v"), 4).as("sum_v"),
+        col("min_v"),
+        col("max_v"),
+        Norm.rnd(col("avg_v"), 6).as("avg_v")
+      )
+      .transform(Norm.ordered(_, col("event_type")))
+  }
+
+  private val skewSaltedSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(value), 4) + 0.0 AS sum_v,
+      |  min(value) AS min_v, max(value) AS max_v,
+      |  round(avg(value), 6) + 0.0 AS avg_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "topk_orders" -> topkOrders,
     "evt_type_agg" -> evtTypeAgg,
     "sample_stratified" -> sampleStratified,
-    "q3_shipping" -> q3Shipping
+    "q3_shipping" -> q3Shipping,
+    "q5_nation" -> q5Nation,
+    "q14_promo" -> q14Promo,
+    "skew_salted_agg" -> skewSalted
   )
 
   val oracle: Map[String, String] = Map(
@@ -175,6 +264,9 @@ object RelationalQueries {
     "topk_orders" -> topkOrdersSql,
     "evt_type_agg" -> evtTypeAggSql,
     "sample_stratified" -> sampleStratifiedSql,
-    "q3_shipping" -> q3ShippingSql
+    "q3_shipping" -> q3ShippingSql,
+    "q5_nation" -> q5NationSql,
+    "q14_promo" -> q14PromoSql,
+    "skew_salted_agg" -> skewSaltedSql
   )
 }

@@ -22,4 +22,8 @@ object Tables {
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "supplier")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "region")
+  def part(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "part")
 }
