@@ -89,12 +89,19 @@ object DedupQueries {
   // dedup_minhash — MinHash signatures: k affine permutations of the
   // shingle-hash set, min per permutation. Wide (mh0..mh7) output.
   // -------------------------------------------------------------------
-  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+  /** Unsorted signature relation — the building block for the banding /
+    * clustering pipelines (a sort here would both cost a range-sampling
+    * double execution AND be discarded by the downstream shuffles).
+    */
+  private def minhashSigRaw(s: SparkSession, dir: String): DataFrame = {
     val cols = (0 until NumPerms).map { k =>
       expr(s"array_min(transform(shh, h -> ${DetHash.minhashPermSql("h", k)}))").as(s"mh$k")
     }
-    shingled(s, dir).select(col("doc_id") +: cols: _*).orderBy("doc_id")
+    shingled(s, dir).select(col("doc_id") +: cols: _*)
   }
+
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSigRaw(s, dir).transform(Norm.ordered(_, col("doc_id")))
 
   private val minhashSigSql: String = {
     val cols = (0 until NumPerms)
@@ -120,8 +127,11 @@ object DedupQueries {
       (b, e)
     }
 
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(s, dir).localCheckpoint()
+  /** Unsorted candidate pairs (doc_a, doc_b, n_shared_bands) — feeds both
+    * the contract query and the clustering operator.
+    */
+  private def lshPairsRaw(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigRaw(s, dir).localCheckpoint()
     val bandExprs = bandKeyExprs.map { case (b, e) => expr(s"named_struct('band', $b, 'band_key', $e)") }
     val long = sig
       .select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
@@ -134,8 +144,10 @@ object DedupQueries {
       )
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-      .transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
   }
+
+  private def lshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsRaw(s, dir).transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
 
   private val lshPairsSql: String = {
     val bandSelect = bandKeyExprs
@@ -333,7 +345,7 @@ object DedupQueries {
   private val ClusterMaxIter = 25
 
   private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
-    val e0 = lshPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val e0 = lshPairsRaw(s, dir).select(col("doc_a"), col("doc_b"))
     // undirected: propagate labels both ways along every candidate pair
     val edges = e0
       .union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -365,6 +377,15 @@ object DedupQueries {
       labels = next
       iter += 1
     }
+    // fail LOUDLY on non-convergence: emitting partially-propagated labels
+    // would be silently-wrong clusters (a >25-hop dup-of-dup chain is
+    // unlikely but possible at corpus scale)
+    require(
+      converged,
+      s"dedup_cluster: min-label propagation did not converge within $ClusterMaxIter rounds — " +
+        "the candidate graph has a component of diameter > ClusterMaxIter; raise the cap or " +
+        "switch to large-star/small-star contraction"
+    )
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels
       .join(sizes, "cluster_id")

@@ -101,8 +101,10 @@ object Multimodal {
         col("id"),
         col("kind"),
         col("nBytes").as("n_bytes"),
-        round(col("meanByte"), 6).as("mean_byte"),
-        round(col("byteEntropy"), 6).as("byte_entropy"),
+        // Norm.rnd, not round: a constant-byte payload yields entropy
+        // -(1*log 1) = -0.0, and the byte-hash gate distinguishes zero signs
+        Norm.rnd(col("meanByte"), 6).as("mean_byte"),
+        Norm.rnd(col("byteEntropy"), 6).as("byte_entropy"),
         col("nFrames").as("n_frames")
       )
       .transform(Norm.ordered(_, col("id")))

@@ -96,8 +96,12 @@ object Streams {
     * Per-key state carries an EVENT-TIME TTL (`stateTtlMs` past the key's
     * newest point), so series that go quiet age out as the watermark
     * advances and total state stays bounded even under unbounded key
-    * cardinality. Late arrivals inside `watermarkDelay` are re-sorted into
-    * temporal position; rows older than the watermark may be dropped.
+    * cardinality. THE TTL CHANGES LATE-DATA SEMANTICS: rows later than
+    * `watermarkDelay` behind the stream's max event time are dropped by
+    * the engine before reaching the state function (pre-TTL versions
+    * merged arbitrarily late rows). Arrivals INSIDE the delay are still
+    * re-sorted into temporal position; size `watermarkDelay` to the
+    * worst lateness the source can produce.
     */
   final case class SeriesState(ts: Vector[Long], values: Vector[Double])
   final case class RollingCorr(userId: Long, n: Int, corr: Double)
@@ -105,7 +109,7 @@ object Streams {
   def rollingLagCorrelation(
       events: Dataset[Event],
       window: Int = 64,
-      watermarkDelay: String = "10 seconds",
+      watermarkDelay: String = "10 minutes",
       stateTtlMs: Long = 3600L * 1000
   ): Dataset[RollingCorr] = {
     import events.sparkSession.implicits._
@@ -120,8 +124,9 @@ object Streams {
           } else {
             val incoming = rows.toSeq.map(e => (e.ts.getTime, e.value))
             val prev = state.getOption.map(s => s.ts.zip(s.values)).getOrElse(Vector.empty)
-            // re-sort the WHOLE buffer: a late arrival in a later micro-batch
-            // must land at its temporal position, not be appended at the end
+            // re-sort the WHOLE buffer: a late arrival (within the watermark
+            // delay — anything later was dropped upstream) must land at its
+            // temporal position, not be appended at the end
             val merged = (prev ++ incoming).sortBy(_._1).takeRight(window).toVector
             state.update(SeriesState(merged.map(_._1), merged.map(_._2)))
             // timeout must be strictly beyond the current watermark
