@@ -248,7 +248,64 @@ object EventQueries {
       |       CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
       |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_running_metrics — per-user cumulative sum + 4-event moving average
+  // over event time: the sliding-ROWS-frame surface of the engine (the
+  // unbounded running frame is covered by sessionize). Tie-safe: the
+  // window orders by (tus, event_id), which is unique.
+  // -------------------------------------------------------------------
+  private def runningMetrics(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = ord.rowsBetween(-3, Window.currentRow)
+    ev(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        Norm.rnd(sum(col("value")).over(run), 4).as("cum_value"),
+        Norm.rnd(avg(col("value")).over(mov), 6).as("mov_avg4")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("event_id")))
+  }
+
+  private val runningMetricsSql: String =
+    """SELECT user_id, event_id,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0 AS cum_value,
+      |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) + 0.0 AS mov_avg4
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // evt_keep_first — keep-first canonicalization: the earliest event per
+  // (user, event_type) with the dupe count — the event-stream analogue of
+  // dedup canonical-doc selection (argmin by (time, id) inside a group).
+  // -------------------------------------------------------------------
+  private def keepFirst(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("tus"), col("event_id"))
+    val wAll = Window.partitionBy("user_id", "event_type")
+    ev(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_dupes", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"), col("tus").as("first_us"), col("n_dupes"))
+      .transform(Norm.ordered(_, col("user_id"), col("event_type")))
+  }
+
+  private val keepFirstSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tsn,
+      |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS rn,
+      |         CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT) AS n_dupes
+      |  FROM events
+      |)
+      |SELECT user_id, event_type, event_id AS first_event_id, tsn AS first_us, n_dupes
+      |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_running_metrics" -> runningMetrics,
+    "evt_keep_first" -> keepFirst,
     "evt_sessionize" -> sessionize,
     "evt_rollup" -> rollup,
     "evt_asof_purchase" -> asofPurchase,
@@ -259,6 +316,8 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_running_metrics" -> runningMetricsSql,
+    "evt_keep_first" -> keepFirstSql,
     "evt_sessionize" -> sessionizeSql,
     "evt_rollup" -> rollupSql,
     "evt_asof_purchase" -> asofPurchaseSql,
