@@ -330,62 +330,21 @@ object DedupQueries {
   // representative (min doc_id in the component) + component size; a
   // pipeline then keeps one doc per cluster.
   //
-  // Spark side: Pregel-style iterative min-label propagation — each round
-  // is one distributed join + aggregation (labels flow along edges), with
-  // `localCheckpoint` per round to cut lineage and ONE driver-side scalar
-  // (`isEmpty` on changed labels) as the convergence test. Rounds needed =
-  // graph diameter; near-dup components are shallow (dups of dups), so
-  // this converges in a handful of rounds even at 100 TB. (The known
-  // large-graph refinement is large-star/small-star [Kiveris et al. 2014],
-  // which contracts paths in O(log n) rounds; the propagation loop below
-  // has the same per-round shuffle shape.) Oracle: DuckDB recursive CTE
+  // Spark side: [[graft.operators.ConnectedComponents.minLabelPropagation]]
+  // over the candidate-pair edge list (see that operator's scaladoc for the
+  // per-round shuffle shape, convergence guard, and the
+  // large-star/small-star scale refinement). Oracle: DuckDB recursive CTE
   // computing min reachable id — an independent transitive-closure
   // formulation that must agree exactly.
   // -------------------------------------------------------------------
   private val ClusterMaxIter = 25
 
   private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
-    val e0 = lshPairsRaw(s, dir).select(col("doc_a"), col("doc_b"))
-    // undirected: propagate labels both ways along every candidate pair
-    val edges = e0
-      .union(e0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
-    var labels = edges
-      .select(col("doc_a").as("doc_id"))
-      .distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < ClusterMaxIter) {
-      val nbrMin = edges
-        .join(labels, edges("doc_b") === labels("doc_id"))
-        .groupBy(edges("doc_a").as("nid"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("nid"), "left")
-        .select(
-          labels("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id")
-        )
-        .localCheckpoint()
-      converged = next
-        .as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .isEmpty
-      labels = next
-      iter += 1
-    }
-    // fail LOUDLY on non-convergence: emitting partially-propagated labels
-    // would be silently-wrong clusters (a >25-hop dup-of-dup chain is
-    // unlikely but possible at corpus scale)
-    require(
-      converged,
-      s"dedup_cluster: min-label propagation did not converge within $ClusterMaxIter rounds — " +
-        "the candidate graph has a component of diameter > ClusterMaxIter; raise the cap or " +
-        "switch to large-star/small-star contraction"
-    )
+    import graft.operators.ConnectedComponents
+    val edges = lshPairsRaw(s, dir).select(col("doc_a"), col("doc_b"))
+    val labels = ConnectedComponents
+      .minLabelPropagation(edges, ClusterMaxIter)
+      .select(col("vertex").as("doc_id"), col("component").as("cluster_id"))
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels
       .join(sizes, "cluster_id")

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list by Pregel-style
+  * min-label propagation — the dedup-clustering endgame (duplicate
+  * components -> one canonical representative per doc).
+  *
+  * Each round is one distributed equi-join (labels flow along edges) plus a
+  * partial-aggregating `min`; rounds needed = component diameter. Near-dup
+  * graphs are shallow (dups of dups), so a handful of rounds suffices; for
+  * adversarial diameters the documented refinement is large-star/small-star
+  * contraction (Kiveris et al. 2014), which has the same per-round shuffle
+  * shape but contracts paths in O(log n) rounds.
+  *
+  * Scale notes: the driver sees ONE boolean per round (`isEmpty` of changed
+  * labels) — no data is collected; `localCheckpoint` per round caps lineage
+  * (on a cluster: checkpoint to storage every few rounds). Non-convergence
+  * at the round cap FAILS loudly — emitting partially-propagated labels
+  * would be silently wrong clusters.
+  */
+object ConnectedComponents {
+
+  /** Label every vertex of the (src, dst) edge list with the minimum vertex
+    * id reachable from it. Vertices are whatever appears in the edge list;
+    * isolated vertices (no edges) are the caller's concern.
+    *
+    * @param edges DataFrame with two LongType columns (src, dst), one row
+    *              per undirected edge (either orientation)
+    * @return (vertex: Long, component: Long)
+    */
+  def minLabelPropagation(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e0 = edges.toDF("src", "dst")
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = sym
+      .select(col("src").as("vertex"))
+      .distinct()
+      .select(col("vertex"), col("vertex").as("component"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels, sym("dst") === labels("vertex"))
+        .groupBy(sym("src").as("nid"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("vertex") === nbrMin("nid"), "left")
+        .select(
+          labels("vertex"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component")
+        )
+        .localCheckpoint()
+      converged = next
+        .as("n")
+        .join(labels.as("o"), "vertex")
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(
+      converged,
+      s"minLabelPropagation did not converge within $maxIter rounds — the graph has a component " +
+        "of diameter > maxIter; raise the cap or switch to large-star/small-star contraction"
+    )
+    labels
+  }
+}
