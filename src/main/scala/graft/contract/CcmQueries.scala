@@ -247,6 +247,29 @@ object CcmQueries {
       )
       .transform(Norm.ordered(_, col("user_id"), col("direction"), col("lib_size")))
 
+  // ccm_curve_perseries — the SAME workload as ccm_curve executed through
+  // the 100 TB scale path: Ccm.perSeries (one groupByKey shuffle, then the
+  // CcmLocal kernel runs partition-local per series). It shares ccm_curve's
+  // oracle SQL VERBATIM, so the hash gate proves the two execution
+  // strategies — fully declarative Catalyst plan vs partition-local
+  // kernel — are value-identical to each other and to DuckDB.
+  private def curvePerSeries(s: SparkSession, dir: String): DataFrame = {
+    val in = curveInput(s, dir)
+      .select(col("user_id").as("skey"), col("ts").as("ord"), col("x"), col("y"))
+    Ccm
+      .perSeries(in, CcmSpec(numSamples = CurveSamples, seed = Seed), Some(CurveLibs))
+      .toDF()
+      .select(
+        col("skey").as("user_id"),
+        col("direction"),
+        col("lib_size"),
+        Norm.rnd(col("rho"), 6).as("rho"),
+        Norm.rnd(col("slope"), 6).as("slope"),
+        col("convergent")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("direction"), col("lib_size")))
+  }
+
   /** Full declarative chain mirrored as one DuckDB query. */
   private val curveSqlCommon: String = {
     val libsValues = CurveLibs.map(l => s"($l)").mkString(", ")
@@ -565,6 +588,7 @@ object CcmQueries {
     "ccm_knn_predict" -> knnPredict,
     "ccm_skill_corr" -> skillCorr,
     "ccm_curve" -> curve,
+    "ccm_curve_perseries" -> curvePerSeries,
     "ccm_convergence" -> convergenceQ,
     "ccm_gen_logistic" -> genLogistic,
     "ccm_gen_coupled" -> genCoupled,
@@ -581,6 +605,7 @@ object CcmQueries {
     "ccm_knn_predict" -> knnPredictSql,
     "ccm_skill_corr" -> skillCorrSql,
     "ccm_curve" -> curveSql,
+    "ccm_curve_perseries" -> curveSql,
     "ccm_convergence" -> convergenceSql,
     "ccm_gen_logistic" -> genLogisticSql,
     "ccm_mi_tau" -> miTauSql,
