@@ -208,6 +208,68 @@ object Streams {
       }
   }
 
+  // -------------------------------------------------------------------
+  // Streaming sessionization — the batch evt_sessionize operator's
+  // streaming twin: per-user sessions close when the event-time gap to
+  // the next event exceeds `gapMs`, detected via EventTimeTimeout (the
+  // timeout fires once the watermark passes last_event + gap, i.e. no
+  // in-gap event can still arrive). State = one open session per key ->
+  // bounded by key cardinality, and closed sessions leave state
+  // entirely. Emitted rows match the batch operator's schema.
+  // -------------------------------------------------------------------
+
+  /** A closed session. */
+  final case class Session(userId: Long, nEvents: Long, startMs: Long, endMs: Long) {
+    def durationMs: Long = endMs - startMs
+  }
+
+  final case class OpenSession(nEvents: Long, startMs: Long, endMs: Long)
+
+  def streamingSessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 1000L,
+      watermarkDelay: String = "10 seconds"
+  ): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: no event can extend this session
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.nEvents, s.startMs, s.endMs))
+          } else {
+            val ts = rows.map(_.ts.getTime).toVector.sorted
+            val prev = state.getOption
+            // fold the batch's (sorted) event times into sessions; the open
+            // tail stays in state, fully closed ones emit immediately
+            var open = prev
+            val closed = Vector.newBuilder[Session]
+            ts.foreach { t =>
+              open match {
+                case Some(o) if t - o.endMs <= gapMs =>
+                  open = Some(o.copy(nEvents = o.nEvents + 1, endMs = math.max(o.endMs, t)))
+                case Some(o) =>
+                  closed += Session(userId, o.nEvents, o.startMs, o.endMs)
+                  open = Some(OpenSession(1L, t, t))
+                case None =>
+                  open = Some(OpenSession(1L, t, t))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(
+                math.max(o.endMs + gapMs + 1, state.getCurrentWatermarkMs() + 1)
+              )
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Pearson r of (x_t, x_{t-1}) with the reference's degenerate-path
     * contract: < 2 pairs or zero variance -> 0.0 (`lib/ccm.ex:187-213`).
     */

@@ -134,6 +134,37 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingSessionize closes sessions on gap timeout and intra-batch gaps") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // gap 30s, watermark 5s
+    val q = streamingSessionize(input.toDS(), gapMs = 30 * 1000L, watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("sess_stream").outputMode(OutputMode.Append()).start()
+    try {
+      // base offset keeps ts(B) strictly above the initial watermark (0):
+      // an event AT epoch 0 is dropped as late before reaching the state fn
+      val B = 1000L
+      // user 1: events at B,B+10 then a >30s gap then B+100 -> the first
+      // session (2 events, B..B+10) closes INTRA-BATCH; B+100 stays open
+      input.addData(
+        Event(ts(B), 1L, "t", 1.0), Event(ts(B + 10), 1L, "t", 1.0), Event(ts(B + 100), 1L, "t", 1.0)
+      )
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sess_stream").as[Session].collect()
+      assert(afterBatch1.toSet == Set(Session(1L, 2L, B * 1000L, (B + 10) * 1000L)))
+      // advance the watermark far past B+100 + gap via another key -> the
+      // open session (1 event at B+100) closes by TIMEOUT
+      input.addData(Event(ts(B + 400), 2L, "t", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(B + 500), 2L, "t", 1.0)) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val all = spark.table("sess_stream").as[Session].collect()
+      assert(all.toSet.contains(Session(1L, 1L, (B + 100) * 1000L, (B + 100) * 1000L)))
+    } finally q.stop()
+  }
+
   test("lagCorr degenerate paths return 0.0 like the reference") {
     assert(Streams.lagCorr(Seq(1.0, 2.0)) == 0.0) // < 2 pairs
     assert(Streams.lagCorr(Seq(5.0, 5.0, 5.0, 5.0)) == 0.0) // zero variance
