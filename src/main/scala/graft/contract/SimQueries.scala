@@ -226,7 +226,34 @@ object SimQueries {
        |FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)
        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin
 
+  // -------------------------------------------------------------------
+  // vec_normalize — L2 normalization of the query-subset embeddings (the
+  // standard pre-processing step before cosine ANN: normalized vectors
+  // turn cosine into a plain dot product). Map-side only — no shuffle
+  // except the final output ordering.
+  // -------------------------------------------------------------------
+  private def vecNormalize(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir)
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id"), col("nrm"), posexplode(col("v")).as(Seq("pos0", "x")))
+      .select(
+        col("vec_id"),
+        (col("pos0") + 1).as("pos"),
+        Norm.rnd(col("x") / col("nrm"), 6).as("unit_val")
+      )
+      .transform(Norm.ordered(_, col("vec_id"), col("pos")))
+
+  private val vecNormalizeSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           WHERE vec_id % $QueryStride = 0),
+       |n AS (SELECT vec_id, v, sqrt(${dotDuck("e.v", "e.v")}) AS nrm FROM e)
+       |SELECT vec_id, CAST(t.i AS INTEGER) AS pos,
+       |       round(v[CAST(t.i AS INTEGER)] / nrm, 6) + 0.0 AS unit_val
+       |FROM n CROSS JOIN range(1, ${Dim + 1}) t(i)
+       |ORDER BY vec_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_normalize" -> vecNormalize,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
@@ -234,6 +261,7 @@ object SimQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "vec_normalize" -> vecNormalizeSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,

@@ -280,7 +280,37 @@ object TextQueries {
       |)
       |SELECT doc_id, term AS top_term, tf, df, score FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // doc_split — deterministic train/val/test split (80/10/10): the
+  // canonical training-data op. Bucket = DetHash permutation of doc_id
+  // mod 100 — a pure function of the row's id, so the split is stable
+  // across runs, engines, and repartitioning (df.randomSplit is none of
+  // those), and a later incremental batch lands in the same buckets.
+  // -------------------------------------------------------------------
+  private val SplitSeed = 42L
+
+  private def docSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.ccm.DetHash
+    val bucket = DetHash.rankHashCol(col("doc_id"), lit(1), lit(0), SplitSeed) % 100
+    docs(s, dir)
+      .select(col("doc_id"), bucket.as("bucket"))
+      .withColumn(
+        "split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test")
+      )
+      .transform(Norm.ordered(_, col("doc_id")))
+  }
+
+  private val docSplitSql: String = {
+    import graft.ccm.DetHash
+    val bucket = s"(${DetHash.rankHashSql("doc_id", "1", "0", SplitSeed)} % 100)"
+    s"""SELECT doc_id, $bucket AS bucket,
+       |  CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_split" -> docSplit,
     "text_stats" -> textStats,
     "token_count" -> tokenCount,
     "lang_id" -> langId,
@@ -291,6 +321,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "doc_split" -> docSplitSql,
     "text_stats" -> textStatsSql,
     "token_count" -> tokenCountSql,
     "lang_id" -> langIdSql,
