@@ -43,20 +43,26 @@ object Generators {
   /** Coupled series with observation noise
     * (`lib/coupled_series_generator.ex:10-83`): **X drives Y**:
     * y' = clamp(rY*y*(1-y) + c*(x-y), 0.001, 0.999); x' = clamp(rX*x*(1-x));
-    * then additive uniform noise value + noise*(U(0,1)-0.5)*2. The reference
-    * seeds the BEAM RNG in its demo (`:117`); we use a seeded
-    * java.util.Random for the same intended determinism.
+    * then additive uniform noise value + noise*(U(0,1)-0.5)*2. The
+    * reference seeds the BEAM RNG in its demo (`:117`) — determinism is the
+    * intended property, not a specific RNG. The uniform source here is the
+    * [[DetHash]] permutation (stream 1 for x, stream 2 for y, scaled to
+    * [0,1)): seeded, engine-portable integer arithmetic, so the ENTIRE
+    * generator — recurrence AND noise — is reproducible as DuckDB SQL and
+    * the generated series can pass the exact-hash oracle gate (a
+    * java.util.Random stream cannot: its 48-bit LCG products overflow
+    * BIGINT in SQL).
     */
   def coupledSeries(length: Int = 50, p: CoupledParams = CoupledParams()): (Array[Double], Array[Double]) = {
-    val rng = new java.util.Random(p.seed)
     val xs = new Array[Double](length)
     val ys = new Array[Double](length)
     var x = p.x0; var y = p.y0
     var i = 0
     def clamp(v: Double) = math.max(0.001, math.min(0.999, v))
+    def u(stream: Long): Double = DetHash.rankHash(i.toLong, stream, 0L, p.seed).toDouble / DetHash.P
     while (i < length) {
-      xs(i) = x + p.noiseLevel * (rng.nextDouble() - 0.5) * 2
-      ys(i) = y + p.noiseLevel * (rng.nextDouble() - 0.5) * 2
+      xs(i) = x + p.noiseLevel * (u(1) - 0.5) * 2
+      ys(i) = y + p.noiseLevel * (u(2) - 0.5) * 2
       val nx = clamp(p.rX * x * (1 - x))
       val ny = clamp(p.rY * y * (1 - y) + p.coupling * (x - y))
       x = nx; y = ny

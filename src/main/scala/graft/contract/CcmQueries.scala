@@ -566,8 +566,11 @@ object CcmQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
-  // ccm_gen_coupled — G2/G4 (seeded java.util.Random; not SQL-reproducible,
-  // so no oracle entry -> driver records a rows-only check).
+  // ccm_gen_coupled — G2/G4: all four canned coupled-series cases. The
+  // observation noise is the DetHash uniform (streams 1/2 scaled to [0,1)),
+  // so the oracle replays BOTH the clean recurrence (recursive CTE, the
+  // bit-parity technique proven by ccm_gen_logistic) and the noise as
+  // integer arithmetic — the full generator is exact-hash checked.
   private def genCoupled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Generators.testCases
@@ -577,6 +580,31 @@ object CcmQueries {
       }
       .toDF("case_name", "t", "x", "y")
       .transform(Norm.ordered(_, col("case_name"), col("t")))
+  }
+
+  private val genCoupledSql: String = {
+    val ctes = Generators.testCases.map { case (name, p) =>
+      s"""g_$name(t, x, y) AS (
+         |  SELECT CAST(0 AS BIGINT), CAST(${p.x0} AS DOUBLE), CAST(${p.y0} AS DOUBLE)
+         |  UNION ALL
+         |  SELECT t + 1,
+         |    greatest(CAST(0.001 AS DOUBLE), least(CAST(0.999 AS DOUBLE), ${p.rX}*x*(1-x))),
+         |    greatest(CAST(0.001 AS DOUBLE), least(CAST(0.999 AS DOUBLE), ${p.rY}*y*(1-y) + ${p.coupling}*(x-y)))
+         |  FROM g_$name WHERE t < 49
+         |)""".stripMargin
+    }
+    val selects = Generators.testCases.map { case (name, p) =>
+      val u1 = s"(CAST(${DetHash.rankHashSql("t", "1", "0", p.seed)} AS DOUBLE) / ${DetHash.P})"
+      val u2 = s"(CAST(${DetHash.rankHashSql("t", "2", "0", p.seed)} AS DOUBLE) / ${DetHash.P})"
+      s"""SELECT '$name' AS case_name, t,
+         |  x + ${p.noiseLevel} * ($u1 - 0.5) * 2 AS x,
+         |  y + ${p.noiseLevel} * ($u2 - 0.5) * 2 AS y
+         |FROM g_$name""".stripMargin
+    }
+    s"""WITH RECURSIVE
+       |${ctes.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY case_name, t""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -608,6 +636,7 @@ object CcmQueries {
     "ccm_curve_perseries" -> curveSql,
     "ccm_convergence" -> convergenceSql,
     "ccm_gen_logistic" -> genLogisticSql,
+    "ccm_gen_coupled" -> genCoupledSql,
     "ccm_mi_tau" -> miTauSql,
     "ccm_fnn_dim" -> fnnDimSql
   )

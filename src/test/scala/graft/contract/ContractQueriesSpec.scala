@@ -25,8 +25,10 @@ class ContractQueriesSpec extends SparkTestBase {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
     assert(ok.subsetOf(qk), s"oracle keys without query: ${ok.diff(qk)}")
-    // non-oracled queries are the documented exceptions only
-    assert(qk.diff(ok) == Set("ccm_gen_coupled", "mm_features"))
+    // every query is oracle-checked since round 3 (the generator noise is
+    // DetHash-based and the decode stub's ASCII byte stats are
+    // SQL-expressible, so the two former rows-only exceptions got oracles)
+    assert(qk.diff(ok).isEmpty, s"queries without oracle: ${qk.diff(ok)}")
   }
 
   test("det_hash / poly_hash values stay within the field [0, P)") {
