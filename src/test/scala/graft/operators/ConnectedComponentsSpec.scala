@@ -32,6 +32,29 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("matches a local union-find on seeded random graphs") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(v: Long): Long = {
+        val p = parent.getOrElse(v, v)
+        if (p == v) v else { val r = find(p); parent(v) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(v => v -> find(v)).toMap
+    }
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      val edges = Seq.fill(15)((rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+        .filter { case (a, b) => a != b }
+      val got = components(edges)
+      assert(got == unionFind(edges), s"seed=$seed edges=$edges")
+    }
+  }
+
   test("non-convergence within maxIter fails loudly instead of returning partial labels") {
     val path = (0L until 10L).map(i => (i, i + 1))
     val ex = intercept[IllegalArgumentException](components(path, maxIter = 2))
