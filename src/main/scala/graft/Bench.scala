@@ -37,21 +37,27 @@ object Bench {
     val Runs = 2
     val ExtraRunAboveSec = 2.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      // only SUCCESSFUL runs may contribute a timing: a run that dies fast
+      // must not win the min and masquerade as a fast query (it is still
+      // recorded by name in "failed")
+      var failElapsed = 0.0
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch {
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
             if (!failed.contains(name)) failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            failElapsed = (System.nanoTime() - t0) / 1e9
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      val times = (1 to Runs).map(_ => once())
-      val best =
-        if (times.min >= ExtraRunAboveSec && !failed.contains(name)) math.min(times.min, once())
-        else times.min
-      name -> best
+      val times = (1 to Runs).flatMap(_ => once())
+      val withExtra =
+        if (times.nonEmpty && times.min >= ExtraRunAboveSec) times ++ once() else times
+      name -> (if (withExtra.nonEmpty) withExtra.min else failElapsed)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -111,25 +111,32 @@ object MultimodalQueries {
   // code point, so the byte histogram is a character histogram. A real
   // codec binding would drop this oracle (back to rows-only) — the point
   // here is that the PLUMBING around the stub is exact-checked.
-  private val mmFeaturesSql: String =
-    """WITH chars AS (
-      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
-      |), hist AS (
-      |  SELECT doc_id, ascii(ch) AS b, CAST(count(*) AS BIGINT) AS c FROM chars GROUP BY 1, 2
-      |), nb AS (
-      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes FROM documents
-      |), st AS (
-      |  SELECT h.doc_id,
-      |    sum(h.b * (h.c / CAST(n.n_bytes AS DOUBLE))) AS mean_byte,
-      |    -sum((h.c / CAST(n.n_bytes AS DOUBLE)) * ln(h.c / CAST(n.n_bytes AS DOUBLE)) / ln(2)) AS ent
-      |  FROM hist h JOIN nb n ON h.doc_id = n.doc_id GROUP BY 1
-      |)
-      |SELECT n.doc_id AS id, 'text/plain' AS kind, n.n_bytes,
-      |  round(st.mean_byte, 6) + 0.0 AS mean_byte,
-      |  round(st.ent, 6) + 0.0 AS byte_entropy,
-      |  (n.n_bytes + 63) // 64 AS n_frames
-      |FROM nb n JOIN st ON n.doc_id = st.doc_id
-      |ORDER BY id""".stripMargin
+  // Totality: the LEFT JOIN + coalesce + greatest(1, n) replicate the
+  // stub's empty-payload path (hist(…)/max(1, len) -> mean 0, entropy 0,
+  // 0 frames) — an empty document must not divide by zero or drop out.
+  private val mmFeaturesSql: String = {
+    val fb = graft.multimodal.Multimodal.FrameBytes
+    s"""WITH chars AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+       |), nb AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes FROM documents
+       |), hist AS (
+       |  SELECT doc_id, ascii(ch) AS b, CAST(count(*) AS BIGINT) AS c FROM chars
+       |  WHERE ch <> '' GROUP BY 1, 2
+       |), st AS (
+       |  SELECT h.doc_id,
+       |    sum(h.b * (h.c / CAST(greatest(1, n.n_bytes) AS DOUBLE))) AS mean_byte,
+       |    -sum((h.c / CAST(greatest(1, n.n_bytes) AS DOUBLE))
+       |         * ln(h.c / CAST(greatest(1, n.n_bytes) AS DOUBLE)) / ln(2)) AS ent
+       |  FROM hist h JOIN nb n ON h.doc_id = n.doc_id GROUP BY 1
+       |)
+       |SELECT n.doc_id AS id, 'text/plain' AS kind, n.n_bytes,
+       |  round(coalesce(st.mean_byte, 0.0), 6) + 0.0 AS mean_byte,
+       |  round(coalesce(st.ent, 0.0), 6) + 0.0 AS byte_entropy,
+       |  (n.n_bytes + ${fb - 1}) // $fb AS n_frames
+       |FROM nb n LEFT JOIN st ON n.doc_id = st.doc_id
+       |ORDER BY id""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "mm_frames" -> mmMetaSql,

@@ -37,7 +37,10 @@ object Multimodal {
       nFrames: Long
   )
 
-  private val FrameBytes = 64
+  /** Frame/chunk size of the stub pipeline; the mm_features oracle SQL
+    * (contract/MultimodalQueries) interpolates this same constant.
+    */
+  val FrameBytes = 64
 
   /** STUB decoder — deterministic fake. A real build binds an image/audio
     * codec here; the signature (bytes in, features out) is the contract.
@@ -91,8 +94,12 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Driver-contract query (no SQL oracle — the decode stub is Scala-side;
-    * driver records a rows-only check).
+  /** Driver-contract query. ORACLE-CHECKED since round 3: the stand-in
+    * payloads are pure printable-ASCII, so the stub's byte statistics are
+    * reproducible as SQL character statistics (`mmFeaturesSql` in
+    * [[graft.contract.MultimodalQueries]]); changing the stub's math means
+    * changing that oracle in lockstep. A real codec binding would return
+    * this query to a rows-only check.
     */
   private def mmFeatures(spark: SparkSession, sfDir: String): DataFrame =
     extractFeatures(mediaFromDocuments(spark, sfDir))

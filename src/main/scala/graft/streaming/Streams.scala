@@ -210,12 +210,16 @@ object Streams {
 
   // -------------------------------------------------------------------
   // Streaming sessionization — the batch evt_sessionize operator's
-  // streaming twin: per-user sessions close when the event-time gap to
-  // the next event exceeds `gapMs`, detected via EventTimeTimeout (the
-  // timeout fires once the watermark passes last_event + gap, i.e. no
-  // in-gap event can still arrive). State = one open session per key ->
-  // bounded by key cardinality, and closed sessions leave state
-  // entirely. Emitted rows match the batch operator's schema.
+  // streaming twin: per-user sessions close when the event-time gap
+  // exceeds `gapMs`. A session is emitted ONLY once the watermark passes
+  // its end + gap: until then a late-but-within-watermark event from a
+  // later micro-batch could still extend it, merge it with a neighbor,
+  // or start a new session inside an apparent gap — so pending event
+  // times stay buffered in state (re-sorted on every batch, like the
+  // other stateful operators here) and finalization is watermark-
+  // governed, via EventTimeTimeout for keys that go quiet. State per key
+  // = the event times newer than (newest - gap chain above the
+  // watermark), i.e. watermark-bounded; finalized sessions leave state.
   // -------------------------------------------------------------------
 
   /** A closed session. */
@@ -223,7 +227,7 @@ object Streams {
     def durationMs: Long = endMs - startMs
   }
 
-  final case class OpenSession(nEvents: Long, startMs: Long, endMs: Long)
+  final case class SessionBuf(ts: Vector[Long])
 
   def streamingSessionize(
       events: Dataset[Event],
@@ -231,42 +235,36 @@ object Streams {
       watermarkDelay: String = "10 seconds"
   ): Dataset[Session] = {
     import events.sparkSession.implicits._
+
+    // fold sorted times into gap-delimited (nEvents, start, end) sessions
+    def fold(ts: Vector[Long]): Vector[(Long, Long, Long)] =
+      ts.foldLeft(Vector.empty[(Long, Long, Long)]) {
+        case (acc :+ ((n, s, e)), t) if t - e <= gapMs => acc :+ ((n + 1, s, t))
+        case (acc, t) => acc :+ ((1L, t, t))
+      }
+
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            // watermark passed end + gap: no event can extend this session
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, s.nEvents, s.startMs, s.endMs))
-          } else {
-            val ts = rows.map(_.ts.getTime).toVector.sorted
-            val prev = state.getOption
-            // fold the batch's (sorted) event times into sessions; the open
-            // tail stays in state, fully closed ones emit immediately
-            var open = prev
-            val closed = Vector.newBuilder[Session]
-            ts.foreach { t =>
-              open match {
-                case Some(o) if t - o.endMs <= gapMs =>
-                  open = Some(o.copy(nEvents = o.nEvents + 1, endMs = math.max(o.endMs, t)))
-                case Some(o) =>
-                  closed += Session(userId, o.nEvents, o.startMs, o.endMs)
-                  open = Some(OpenSession(1L, t, t))
-                case None =>
-                  open = Some(OpenSession(1L, t, t))
-              }
-            }
-            open.foreach { o =>
-              state.update(o)
-              state.setTimeoutTimestamp(
-                math.max(o.endMs + gapMs + 1, state.getCurrentWatermarkMs() + 1)
-              )
-            }
-            closed.result().iterator
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionBuf]) =>
+          val prev = state.getOption.map(_.ts).getOrElse(Vector.empty)
+          // re-sort the WHOLE buffer: a late arrival (within the watermark
+          // delay) must land at its temporal position
+          val merged = (prev ++ rows.map(_.ts.getTime)).sorted
+          val wm = state.getCurrentWatermarkMs()
+          val sessions = fold(merged)
+          // final iff the watermark passed end + gap: every future event
+          // has t > wm >= end + gap, so it can neither extend this session
+          // nor land between it and its successor
+          val (fin, pending) = sessions.partition { case (_, _, e) => e + gapMs <= wm }
+          if (pending.isEmpty) state.remove()
+          else {
+            val keep = merged.dropWhile(_ < pending.head._2)
+            state.update(SessionBuf(keep))
+            state.setTimeoutTimestamp(math.max(pending.last._3 + gapMs + 1, wm + 1))
           }
+          fin.iterator.map { case (n, s, e) => Session(userId, n, s, e) }
       }
   }
 

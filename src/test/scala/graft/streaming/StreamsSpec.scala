@@ -139,29 +139,37 @@ class StreamsSpec extends SparkTestBase {
     import spark2.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
-    // gap 30s, watermark 5s
-    val q = streamingSessionize(input.toDS(), gapMs = 30 * 1000L, watermarkDelay = "5 seconds")
+    // gap 30s, watermark 60s (wide enough that the deliberately-late event
+    // below is late-but-WITHIN-watermark instead of engine-dropped)
+    val q = streamingSessionize(input.toDS(), gapMs = 30 * 1000L, watermarkDelay = "60 seconds")
       .writeStream.format("memory").queryName("sess_stream").outputMode(OutputMode.Append()).start()
     try {
       // base offset keeps ts(B) strictly above the initial watermark (0):
       // an event AT epoch 0 is dropped as late before reaching the state fn
       val B = 1000L
-      // user 1: events at B,B+10 then a >30s gap then B+100 -> the first
-      // session (2 events, B..B+10) closes INTRA-BATCH; B+100 stays open
+      // user 1: events at B,B+10 then a >30s gap then B+100
       input.addData(
         Event(ts(B), 1L, "t", 1.0), Event(ts(B + 10), 1L, "t", 1.0), Event(ts(B + 100), 1L, "t", 1.0)
       )
       q.processAllAvailable()
-      val afterBatch1 = spark.table("sess_stream").as[Session].collect()
-      assert(afterBatch1.toSet == Set(Session(1L, 2L, B * 1000L, (B + 10) * 1000L)))
-      // advance the watermark far past B+100 + gap via another key -> the
-      // open session (1 event at B+100) closes by TIMEOUT
+      // watermark is still 0 during batch 1 -> NOTHING is final yet (a
+      // late event could still reshape any apparent session)
+      assert(spark.table("sess_stream").count() == 0L)
+      // batch 2: a LATE event at B+50 (above watermark 0) — more than the
+      // gap after B+10 AND more than the gap before B+100, so it must
+      // become its OWN session, not be absorbed into a neighbor
+      input.addData(Event(ts(B + 50), 1L, "t", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past B+100 + gap via another key, then
+      // one more batch so the EventTimeTimeout fires for quiet user 1
       input.addData(Event(ts(B + 400), 2L, "t", 1.0))
       q.processAllAvailable()
-      input.addData(Event(ts(B + 500), 2L, "t", 1.0)) // one more batch so timeouts fire
+      input.addData(Event(ts(B + 500), 2L, "t", 1.0))
       q.processAllAvailable()
-      val all = spark.table("sess_stream").as[Session].collect()
-      assert(all.toSet.contains(Session(1L, 1L, (B + 100) * 1000L, (B + 100) * 1000L)))
+      val all = spark.table("sess_stream").as[Session].collect().toSet
+      assert(all.contains(Session(1L, 2L, B * 1000L, (B + 10) * 1000L)))
+      assert(all.contains(Session(1L, 1L, (B + 50) * 1000L, (B + 50) * 1000L)))
+      assert(all.contains(Session(1L, 1L, (B + 100) * 1000L, (B + 100) * 1000L)))
     } finally q.stop()
   }
 
