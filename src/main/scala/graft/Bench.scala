@@ -23,9 +23,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed JIT/codegen warmup on the smallest SF: the first heavy
     // window+join job otherwise pays ~20s of one-time compilation that
-    // would be attributed to an arbitrary query.
-    try SparkEntry.queries("ccm_curve")(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
-    catch { case _: Throwable => () }
+    // would be attributed to an arbitrary query. ccm_convergence is the
+    // first heavy query in bench (alphabetical) order and has repeatedly
+    // absorbed residual first-heavy-job costs, so warm it explicitly too.
+    for (w <- Seq("ccm_curve", "ccm_convergence"))
+      try SparkEntry.queries(w)(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
     var failed = List.empty[String]
     // The host VM shows multi-x run-to-run noise (identical code has
     // measured 81s and 249s totals); per query we time `Runs` executions
