@@ -176,21 +176,24 @@ object DedupQueries {
   // -------------------------------------------------------------------
   private val SimBits = 24
 
-  private def simhash(s: SparkSession, dir: String): DataFrame =
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    // one word row carries all SimBits bit-signs as SimBits conditional SUM
+    // aggregates (ONE map-side-partial hash-agg pass over |words| rows) —
+    // the previous explode-per-bit formulation pushed SimBits x |words|
+    // rows through two aggregation levels for identical arithmetic
+    val bitSums = (0 until SimBits).map { j =>
+      sum(expr(s"((h div ${1L << j}) % 2) * 2 - 1")).as(s"b$j")
+    }
+    val fold = (0 until SimBits)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
     docs(s, dir)
       .select(col("doc_id"), col("source"), explode(expr(wordHashesSpark)).as("h"))
-      .select(col("doc_id"), col("source"), col("h"), explode(expr(s"sequence(0, ${SimBits - 1})")).as("j"))
-      .select(
-        col("doc_id"),
-        col("source"),
-        col("j"),
-        expr("((h div CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1").as("sgn")
-      )
-      .groupBy("doc_id", "source", "j")
-      .agg(sum(col("sgn")).as("bsum"))
       .groupBy("doc_id", "source")
-      .agg(sum(when(col("bsum") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(lit(0L))).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), col("source"), fold.as("simhash"))
       .transform(Norm.ordered(_, col("doc_id")))
+  }
 
   private val simhashDuck: String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${SimBits - 1}), j ->
