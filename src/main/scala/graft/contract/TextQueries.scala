@@ -179,29 +179,27 @@ object TextQueries {
   // doc_fingerprint — whole-doc polynomial hash + min/max of rolling
   // 8-char window hashes (winnowing-style document fingerprint).
   // -------------------------------------------------------------------
-  private def fingerprint(s: SparkSession, dir: String): DataFrame =
+  private def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     docs(s, dir)
       .select(
         col("doc_id"),
         DetHash.polyHashCol(col("text")).as("full_hash"),
-        // rolling 8-char window hashes at stride 4 (winnowing-style
-        // subsampling), materialized once; min+max read the column.
-        // Guard: sequence(1, n, 4) throws in Spark when n < 1 (texts
-        // shorter than 8 chars) -- emit an empty list like DuckDB's
-        // generate_series, so win_min/max become NULL on both sides.
-        expr(
-          s"CASE WHEN length(text) >= 8 THEN transform(sequence(1, length(text) - 7, 4), " +
-            s"i -> ${DetHash.polyHashSparkSql("substring(text, i, 8)")}) " +
-            s"ELSE CAST(array() AS ARRAY<BIGINT>) END"
-        ).as("winh")
+        // native codegen rolling-window hash (graft.functions.WindowHash):
+        // one compiled nested loop per doc instead of two interpreted HOF
+        // lambdas per window; NULL struct for texts shorter than the
+        // window, so win_min/max are NULL on both sides like the oracle's
+        // min/max over an empty generate_series
+        expr("graft_winhash(text, 8, 4)").as("wh")
       )
       .select(
         col("doc_id"),
         col("full_hash"),
-        array_min(col("winh")).as("win_min_hash"),
-        array_max(col("winh")).as("win_max_hash")
+        col("wh.win_min").as("win_min_hash"),
+        col("wh.win_max").as("win_max_hash")
       )
       .transform(Norm.ordered(_, col("doc_id")))
+  }
 
   private val fingerprintSql: String =
     s"""SELECT doc_id,

@@ -84,6 +84,14 @@ object GraftFunctions {
         DotProduct(children.head, children(1))
       },
       "graft_dot(a, b) - dot product of two array<double> columns (codegen)"
+    ),
+    (
+      "graft_winhash",
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_winhash expects (text, width, stride)")
+        WindowHashMinMax(children.head, children(1), children(2))
+      },
+      "graft_winhash(text, width, stride) - struct(win_min, win_max) of sliding-window poly hashes (codegen)"
     )
   )
 
@@ -109,7 +117,7 @@ object GraftFunctions {
   * [[GraftFunctions.register]] is the programmatic equivalent).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(
       (
         FunctionIdentifier("graft_dot"),
@@ -117,4 +125,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => DotProduct(children.head, children(1))
       )
     )
+    e.injectFunction(
+      (
+        FunctionIdentifier("graft_winhash"),
+        new ExpressionInfo("graft.functions.WindowHashMinMax", null, "graft_winhash"),
+        (children: Seq[Expression]) => WindowHashMinMax(children.head, children(1), children(2))
+      )
+    )
+  }
 }

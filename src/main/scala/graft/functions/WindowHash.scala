@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native min/max of polynomial hashes over sliding character windows —
+  * the winnowing-style document fingerprint kernel.
+  *
+  * `graft_winhash(text, width, stride)` hashes every `width`-char window
+  * at offsets 1, 1+stride, 1+2*stride, … with the [[graft.ccm.DetHash]]
+  * polynomial (Horner, base 31, mod P over per-char code units) and
+  * returns `struct(win_min, win_max)`; NULL when the text is shorter than
+  * `width` (mirroring `array_min/array_max` of an empty window list).
+  *
+  * Why native: the portable formulation —
+  * `transform(sequence(1, len-width+1, stride), i -> aggregate(split(
+  * substring(text, i, width), ''), …))` — evaluates two nested
+  * interpreted lambdas per window and materializes per-window substrings
+  * and per-char arrays. This expression runs the same arithmetic as one
+  * compiled nested loop over the string's code units: no allocation, no
+  * interpreter, identical values (for BMP text; per-CHAR semantics match
+  * `split(s, '')` + `ascii`, and the DuckDB oracle's per-char fold).
+  */
+case class WindowHashMinMax(text: Expression, width: Expression, stride: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = text
+  override def second: Expression = width
+  override def third: Expression = stride
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"graft_winhash expects a string, got ${text.dataType.sql}")
+    else if (width.dataType != IntegerType || !width.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_winhash width must be an int literal")
+    else if (stride.dataType != IntegerType || !stride.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_winhash stride must be an int literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType =
+    StructType(Seq(StructField("win_min", LongType), StructField("win_max", LongType)))
+
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_winhash"
+
+  private lazy val w: Int = width.eval().asInstanceOf[Int]
+  private lazy val st: Int = stride.eval().asInstanceOf[Int]
+
+  override def eval(input: InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) return null
+    WindowHashMinMax.minMax(t.asInstanceOf[UTF8String].toString, w, st)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tEv = text.genCode(ctx)
+    val s = ctx.freshName("s")
+    val n = ctx.freshName("n")
+    val mn = ctx.freshName("mn")
+    val mx = ctx.freshName("mx")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val h = ctx.freshName("h")
+    val ww = w
+    val ss = st
+    val p = graft.ccm.DetHash.P
+    val rowCls = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+    ev.copy(code = code"""
+      ${tEv.code}
+      boolean ${ev.isNull} = true;
+      InternalRow ${ev.value} = null;
+      if (!${tEv.isNull}) {
+        String $s = ${tEv.value}.toString();
+        int $n = $s.length();
+        if ($n >= $ww) {
+          long $mn = Long.MAX_VALUE;
+          long $mx = Long.MIN_VALUE;
+          for (int $i = 0; $i + $ww <= $n; $i += $ss) {
+            long $h = 0L;
+            for (int $j = 0; $j < $ww; $j++) {
+              $h = ($h * 31L + (long) $s.charAt($i + $j)) % ${p}L;
+            }
+            if ($h < $mn) $mn = $h;
+            if ($h > $mx) $mx = $h;
+          }
+          ${ev.isNull} = false;
+          ${ev.value} = new $rowCls(new Object[] {
+            java.lang.Long.valueOf($mn), java.lang.Long.valueOf($mx) });
+        }
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression,
+      newSecond: Expression,
+      newThird: Expression
+  ): Expression = copy(text = newFirst, width = newSecond, stride = newThird)
+}
+
+object WindowHashMinMax {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** Interpreted twin of the codegen loop (also the spec's reference). */
+  def minMax(s: String, width: Int, stride: Int): GenericInternalRow = {
+    val n = s.length
+    if (n < width) return null
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var i = 0
+    while (i + width <= n) {
+      var h = 0L
+      var j = 0
+      while (j < width) {
+        h = (h * 31L + s.charAt(i + j).toLong) % graft.ccm.DetHash.P
+        j += 1
+      }
+      if (h < mn) mn = h
+      if (h > mx) mx = h
+      i += stride
+    }
+    new GenericInternalRow(Array[Any](mn, mx))
+  }
+}
