@@ -22,9 +22,10 @@ import graft.functions.GraftFunctions
   *    Spark duplicates the plan on both sides of a self-join, which would
   *    re-run the whole hashing stage twice (at scale: persist / write the
   *    signature table once, join against it);
-  *  - SimHash bit-sums run as explode + two-level hash aggregation (all
-  *    whole-stage codegen with map-side partial aggregation) instead of a
-  *    per-row interpreted lambda over bits x words;
+  *  - SimHash bit-sums run as ONE hash-aggregation pass over exploded word
+  *    rows (SimBits conditional SUM aggregates, map-side partial, all
+  *    whole-stage codegen) instead of a per-row interpreted lambda over
+  *    bits x words;
   *  - the expensive pair verifications (Jaccard, cosine) run only inside
   *    blocking keys (source / label / LSH band bucket), so group size — not
   *    corpus size — bounds the quadratic term.
@@ -171,7 +172,7 @@ object DedupQueries {
 
   // -------------------------------------------------------------------
   // dedup_simhash — 24-bit SimHash over word hashes, computed as
-  // explode + two-level partial aggregation (whole-stage codegen), plus
+  // one hash-agg pass of SimBits conditional sums over word rows, plus
   // near-dup pairs within the same source at Hamming distance <= 6.
   // -------------------------------------------------------------------
   private val SimBits = 24

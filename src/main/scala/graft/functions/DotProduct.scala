@@ -76,9 +76,13 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 }
 
 object GraftFunctions {
-  private val fns: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+  /** The one registry both registration paths iterate:
+    * (name, implementing class, builder, usage).
+    */
+  private[functions] val fns: Seq[(String, String, Seq[Expression] => Expression, String)] = Seq(
     (
       "graft_dot",
+      classOf[DotProduct].getName,
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot expects 2 arguments")
         DotProduct(children.head, children(1))
@@ -87,6 +91,7 @@ object GraftFunctions {
     ),
     (
       "graft_winhash",
+      classOf[WindowHashMinMax].getName,
       (children: Seq[Expression]) => {
         require(children.length == 3, "graft_winhash expects (text, width, stride)")
         WindowHashMinMax(children.head, children(1), children(2))
@@ -100,12 +105,12 @@ object GraftFunctions {
     * names that already resolve — re-registering is harmless but logs a
     * "replaced a previously registered function" WARN per call site.
     */
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder, usage) =>
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, cls, builder, usage) =>
     val id = FunctionIdentifier(name)
     if (!spark.sessionState.functionRegistry.functionExists(id)) {
       spark.sessionState.functionRegistry.registerFunction(
         id,
-        new ExpressionInfo("graft.functions.DotProduct", null, name, usage, ""),
+        new ExpressionInfo(cls, null, name, usage, ""),
         builder
       )
     }
@@ -114,23 +119,15 @@ object GraftFunctions {
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` — injects the
   * engine's native functions at session build time (the deployment path;
-  * [[GraftFunctions.register]] is the programmatic equivalent).
+  * [[GraftFunctions.register]] is the programmatic equivalent). Both paths
+  * iterate the same [[GraftFunctions.fns]] registry, so names, builders
+  * (incl. arity checks) and ExpressionInfo can never diverge.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(
-      (
-        FunctionIdentifier("graft_dot"),
-        new ExpressionInfo("graft.functions.DotProduct", null, "graft_dot"),
-        (children: Seq[Expression]) => DotProduct(children.head, children(1))
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.fns.foreach { case (name, cls, builder, usage) =>
+      e.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(cls, null, name, usage, ""), builder)
       )
-    )
-    e.injectFunction(
-      (
-        FunctionIdentifier("graft_winhash"),
-        new ExpressionInfo("graft.functions.WindowHashMinMax", null, "graft_winhash"),
-        (children: Seq[Expression]) => WindowHashMinMax(children.head, children(1), children(2))
-      )
-    )
-  }
+    }
 }

@@ -22,9 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * substring(text, i, width), ''), …))` — evaluates two nested
   * interpreted lambdas per window and materializes per-window substrings
   * and per-char arrays. This expression runs the same arithmetic as one
-  * compiled nested loop over the string's code units: no allocation, no
-  * interpreter, identical values (for BMP text; per-CHAR semantics match
-  * `split(s, '')` + `ascii`, and the DuckDB oracle's per-char fold).
+  * compiled nested loop over the string's CODE POINTS — the same unit
+  * Spark's `length`/`substring` (and therefore the HOF form's window
+  * boundaries) and [[graft.ccm.DetHash.polyHash]] count by, so window
+  * offsets, the below-width null boundary, and hash inputs all agree
+  * with the portable formulation and the DuckDB oracle for any text.
   */
 case class WindowHashMinMax(text: Expression, width: Expression, stride: Expression)
     extends TernaryExpression {
@@ -40,6 +42,11 @@ case class WindowHashMinMax(text: Expression, width: Expression, stride: Express
       TypeCheckResult.TypeCheckFailure("graft_winhash width must be an int literal")
     else if (stride.dataType != IntegerType || !stride.foldable)
       TypeCheckResult.TypeCheckFailure("graft_winhash stride must be an int literal")
+    else if (width.eval() == null || width.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure("graft_winhash width must be >= 1 and non-null")
+    else if (stride.eval() == null || stride.eval().asInstanceOf[Int] < 1)
+      // stride 0 would make the window loop infinite
+      TypeCheckResult.TypeCheckFailure("graft_winhash stride must be >= 1 and non-null")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType =
@@ -70,20 +77,34 @@ case class WindowHashMinMax(text: Expression, width: Expression, stride: Express
     val ss = st
     val p = graft.ccm.DetHash.P
     val rowCls = "org.apache.spark.sql.catalyst.expressions.GenericInternalRow"
+    val cps = ctx.freshName("cps")
+    val ci = ctx.freshName("ci")
+    val off = ctx.freshName("off")
+    val cp = ctx.freshName("cp")
+    val len = ctx.freshName("len")
     ev.copy(code = code"""
       ${tEv.code}
       boolean ${ev.isNull} = true;
       InternalRow ${ev.value} = null;
       if (!${tEv.isNull}) {
         String $s = ${tEv.value}.toString();
-        int $n = $s.length();
+        int $len = $s.length();
+        int $n = $s.codePointCount(0, $len);
         if ($n >= $ww) {
+          int[] $cps = new int[$n];
+          int $ci = 0;
+          int $off = 0;
+          while ($off < $len) {
+            int $cp = $s.codePointAt($off);
+            $cps[$ci++] = $cp;
+            $off += java.lang.Character.charCount($cp);
+          }
           long $mn = Long.MAX_VALUE;
           long $mx = Long.MIN_VALUE;
           for (int $i = 0; $i + $ww <= $n; $i += $ss) {
             long $h = 0L;
             for (int $j = 0; $j < $ww; $j++) {
-              $h = ($h * 31L + (long) $s.charAt($i + $j)) % ${p}L;
+              $h = ($h * 31L + (long) $cps[$i + $j]) % ${p}L;
             }
             if ($h < $mn) $mn = $h;
             if ($h > $mx) $mx = $h;
@@ -108,7 +129,8 @@ object WindowHashMinMax {
 
   /** Interpreted twin of the codegen loop (also the spec's reference). */
   def minMax(s: String, width: Int, stride: Int): GenericInternalRow = {
-    val n = s.length
+    val cps = s.codePoints().toArray
+    val n = cps.length
     if (n < width) return null
     var mn = Long.MaxValue
     var mx = Long.MinValue
@@ -117,7 +139,7 @@ object WindowHashMinMax {
       var h = 0L
       var j = 0
       while (j < width) {
-        h = (h * 31L + s.charAt(i + j).toLong) % graft.ccm.DetHash.P
+        h = (h * 31L + cps(i + j).toLong) % graft.ccm.DetHash.P
         j += 1
       }
       if (h < mn) mn = h

@@ -217,9 +217,14 @@ object Streams {
   // or start a new session inside an apparent gap — so pending event
   // times stay buffered in state (re-sorted on every batch, like the
   // other stateful operators here) and finalization is watermark-
-  // governed, via EventTimeTimeout for keys that go quiet. State per key
-  // = the event times newer than (newest - gap chain above the
-  // watermark), i.e. watermark-bounded; finalized sessions leave state.
+  // governed, via EventTimeTimeout for keys that go quiet.
+  //
+  // State size is WATERMARK-BOUNDED even for a continuously-active key:
+  // raw times older than (watermark - gap) cannot participate in any
+  // future gap decision (new events arrive strictly above the watermark),
+  // so they are COMPRESSED to a (count, start, end) prefix of the first
+  // pending session; only times above (watermark - gap) stay raw.
+  // Finalized sessions leave state entirely.
   // -------------------------------------------------------------------
 
   /** A closed session. */
@@ -227,7 +232,10 @@ object Streams {
     def durationMs: Long = endMs - startMs
   }
 
-  final case class SessionBuf(ts: Vector[Long])
+  /** Compressed prefix of the first pending session (nPrefix == 0 -> none)
+    * + the raw times still inside the watermark's reach.
+    */
+  final case class SessionBuf(nPrefix: Long, prefixStart: Long, prefixEnd: Long, ts: Vector[Long])
 
   def streamingSessionize(
       events: Dataset[Event],
@@ -236,9 +244,10 @@ object Streams {
   ): Dataset[Session] = {
     import events.sparkSession.implicits._
 
-    // fold sorted times into gap-delimited (nEvents, start, end) sessions
-    def fold(ts: Vector[Long]): Vector[(Long, Long, Long)] =
-      ts.foldLeft(Vector.empty[(Long, Long, Long)]) {
+    // fold sorted times into gap-delimited (nEvents, start, end) sessions,
+    // optionally seeded with the compressed head-session prefix
+    def fold(seed: Option[(Long, Long, Long)], ts: Vector[Long]): Vector[(Long, Long, Long)] =
+      ts.foldLeft(seed.toVector) {
         case (acc :+ ((n, s, e)), t) if t - e <= gapMs => acc :+ ((n + 1, s, t))
         case (acc, t) => acc :+ ((1L, t, t))
       }
@@ -248,20 +257,35 @@ object Streams {
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionBuf]) =>
-          val prev = state.getOption.map(_.ts).getOrElse(Vector.empty)
-          // re-sort the WHOLE buffer: a late arrival (within the watermark
-          // delay) must land at its temporal position
-          val merged = (prev ++ rows.map(_.ts.getTime)).sorted
+          val prev = state.getOption
+          val seed = prev.filter(_.nPrefix > 0).map(b => (b.nPrefix, b.prefixStart, b.prefixEnd))
+          // re-sort the raw buffer: a late arrival (within the watermark
+          // delay) must land at its temporal position. All raw times are
+          // above the compressed prefix by construction, so seeding the
+          // fold keeps global order.
+          val merged = (prev.map(_.ts).getOrElse(Vector.empty) ++ rows.map(_.ts.getTime)).sorted
           val wm = state.getCurrentWatermarkMs()
-          val sessions = fold(merged)
+          val sessions = fold(seed, merged)
           // final iff the watermark passed end + gap: every future event
           // has t > wm >= end + gap, so it can neither extend this session
           // nor land between it and its successor
           val (fin, pending) = sessions.partition { case (_, _, e) => e + gapMs <= wm }
           if (pending.isEmpty) state.remove()
           else {
-            val keep = merged.dropWhile(_ < pending.head._2)
-            state.update(SessionBuf(keep))
+            // compress: only the FIRST pending session can contain times
+            // <= wm - gap (any earlier session would already be final);
+            // those times are immutable — fold them into the prefix
+            val (n1, s1, e1) = pending.head
+            val cutoff = wm - gapMs
+            val pendingTimes = merged.filter(_ >= s1) // final sessions' times drop out
+            val raw = pendingTimes.filter(_ > cutoff)
+            val sess1RawKept = raw.count(_ <= e1)
+            val comp = n1 - sess1RawKept // old prefix + newly-compressible session-1 times
+            if (comp > 0) {
+              val compEnd = (pendingTimes.filter(_ <= cutoff).lastOption.toSeq ++
+                seed.map(_._3).toSeq).max
+              state.update(SessionBuf(comp, s1, compEnd, raw))
+            } else state.update(SessionBuf(0L, 0L, 0L, raw))
             state.setTimeoutTimestamp(math.max(pending.last._3 + gapMs + 1, wm + 1))
           }
           fin.iterator.map { case (n, s, e) => Session(userId, n, s, e) }

@@ -173,6 +173,35 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingSessionize keeps exact counts across batches while compressing old times") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // gap 30s, watermark 5s: by batch 3 the earliest times sit below
+    // (watermark - gap) and get compressed into the prefix — the final
+    // emitted session must still carry the full count and true start
+    val q = streamingSessionize(input.toDS(), gapMs = 30 * 1000L, watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("sess_comp").outputMode(OutputMode.Append()).start()
+    try {
+      val B = 2000L
+      input.addData(Seq(B, B + 10, B + 20).map(t => Event(ts(t), 1L, "t", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData(Seq(B + 30, B + 40, B + 50).map(t => Event(ts(t), 1L, "t", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData(Seq(B + 60, B + 70, B + 80).map(t => Event(ts(t), 1L, "t", 1.0)): _*)
+      q.processAllAvailable()
+      // silence for user 1; advance the watermark past end + gap, then one
+      // more batch so the timeout fires
+      input.addData(Event(ts(B + 400), 2L, "t", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(B + 500), 2L, "t", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_comp").as[Session].collect().toSet
+      assert(all.contains(Session(1L, 9L, B * 1000L, (B + 80) * 1000L)))
+    } finally q.stop()
+  }
+
   test("lagCorr degenerate paths return 0.0 like the reference") {
     assert(Streams.lagCorr(Seq(1.0, 2.0)) == 0.0) // < 2 pairs
     assert(Streams.lagCorr(Seq(5.0, 5.0, 5.0, 5.0)) == 0.0) // zero variance
