@@ -68,7 +68,14 @@ object Ccm {
         .withColumn("direction", lit(dir))
     val emb = oneDir($"y", $"x", DirXCausesY).unionByName(oneDir($"x", $"y", DirYCausesX))
     val keys = Seq("skey", "direction")
-    val rk = CcmPipeline.ranked(emb, keys, spec.numSamples, spec.seed, col("skey"))
+    // localCheckpoint: the ranked relation feeds BOTH sides of the kNN
+    // self-join (plus the n_pts guard subquery) — ReuseExchange dedupes
+    // only the shuffle below the rank window, so without materialization
+    // the hash-rank window itself runs once per consumer. At cluster
+    // scale the equivalent is persisting the ranked table once.
+    val rk = CcmPipeline
+      .ranked(emb, keys, spec.numSamples, spec.seed, col("skey"))
+      .localCheckpoint()
     val sk = CcmPipeline.skill(rk, keys, libSizes, spec.numSamples, spec.embeddingDim)
     // Convergence as a WINDOW aggregate over the skill rows (identical values
     // to the groupBy form in [[CcmPipeline.convergence]]) — a join against a

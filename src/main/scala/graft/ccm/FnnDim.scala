@@ -47,8 +47,14 @@ object FnnDim {
     val leadCols = (0 to maxE).map { j =>
       (if (j == 0) value else lead(value, j * tau).over(w)).as(s"e$j")
     }
+    // localCheckpoint: the embedded relation feeds BOTH sides of maxE
+    // self-joins — without materialization Spark re-executes the scan +
+    // window 2*maxE times (the same self-join trap the dedup signature
+    // relations document); at cluster scale the equivalent is persisting
+    // the embedding table once
     val emb = df
       .select(k ++ Seq((row_number().over(w) - 1).cast("long").as("idx")) ++ leadCols: _*)
+      .localCheckpoint()
 
     val spark = df.sparkSession
     val perE = (1 to maxE).map { e =>

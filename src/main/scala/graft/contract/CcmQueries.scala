@@ -164,7 +164,9 @@ object CcmQueries {
   private def knnPredict(s: SparkSession, dir: String): DataFrame = {
     val sub = ev(s, dir).filter(col("user_id") % 5 === 0)
     val emb = CcmPipeline.embedded(sub, Seq("user_id"), Seq(col("ts")), col("value"), col("value"), 3, 1)
-    val rk = CcmPipeline.ranked(emb, Seq("user_id"), 2, Seed, col("user_id"))
+    // localCheckpoint: rk feeds both sides of the kNN self-join (see
+    // Ccm.bidirectional for the rationale)
+    val rk = CcmPipeline.ranked(emb, Seq("user_id"), 2, Seed, col("user_id")).localCheckpoint()
     CcmPipeline
       .predictions(rk, Seq("user_id"), Seq(40), 3)
       .select(
@@ -190,7 +192,7 @@ object CcmQueries {
   // (series, sample) cell, degenerate paths -> 0.0 (`lib/ccm.ex:187-213`).
   // -------------------------------------------------------------------
   private def skillCorr(s: SparkSession, dir: String): DataFrame = {
-    val rk = CcmPipeline.ranked(embValue(s, dir), Seq("user_id"), 2, Seed, col("user_id"))
+    val rk = CcmPipeline.ranked(embValue(s, dir), Seq("user_id"), 2, Seed, col("user_id")).localCheckpoint()
     CcmPipeline
       .predictions(rk, Seq("user_id"), Seq(40), 3)
       .groupBy("user_id", "sample_id")
