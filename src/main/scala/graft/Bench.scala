@@ -43,7 +43,6 @@ object Bench {
       // only SUCCESSFUL runs may contribute a timing: a run that dies fast
       // must not win the min and masquerade as a fast query (it is still
       // recorded by name in "failed")
-      var failElapsed = 0.0
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
@@ -53,19 +52,24 @@ object Bench {
           case e: Throwable =>
             if (!failed.contains(name)) failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            failElapsed = (System.nanoTime() - t0) / 1e9
             None
         }
       }
       val times = (1 to Runs).flatMap(_ => once())
       val withExtra =
         if (times.nonEmpty && times.min >= ExtraRunAboveSec) times ++ once() else times
-      name -> (if (withExtra.nonEmpty) withExtra.min else failElapsed)
+      // free any localCheckpoint blocks the query pinned so 55 queries don't
+      // accumulate storage memory across the session
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // a query with ZERO successful runs gets NO timing entry (it is listed
+      // in "failed") — reporting the crash duration would let a fast-failing
+      // query masquerade as a fast one
+      name -> (if (withExtra.nonEmpty) Some(withExtra.min) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir"}"""
     println(json)

@@ -242,7 +242,7 @@ object EventQueries {
       .transform(Norm.ordered(_, col("event_type")))
 
   private val jsonPropsSql: String =
-    """WITH x AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+    """WITH x AS (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
       |SELECT event_type, CAST(count(k) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
       |       min(k) AS min_k, max(k) AS max_k,
       |       CAST(count(DISTINCT k) AS BIGINT) AS distinct_k

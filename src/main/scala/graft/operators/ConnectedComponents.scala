@@ -31,15 +31,26 @@ object ConnectedComponents {
     * @return (vertex: Long, component: Long)
     */
   def minLabelPropagation(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Dataset.localCheckpoint has no public "unpersist" — track the RDD ids
+    // each checkpoint pins (queries run sequentially, so the id delta is
+    // ours) and free the superseded round's blocks explicitly; otherwise
+    // checkpoint storage grows linearly with rounds (ADVICE r3).
+    val sc = edges.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      ((out, (sc.getPersistentRDDs -- before).values.toSeq))
+    }
     val e0 = edges.toDF("src", "dst")
-    val sym = e0
-      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = sym
-      .select(col("src").as("vertex"))
-      .distinct()
-      .select(col("vertex"), col("vertex").as("component"))
-      .localCheckpoint()
+    val (sym, symRdds) = checkpointTracked(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    )
+    var (labels, labelRdds) = checkpointTracked(
+      sym
+        .select(col("src").as("vertex"))
+        .distinct()
+        .select(col("vertex"), col("vertex").as("component"))
+    )
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -47,21 +58,25 @@ object ConnectedComponents {
         .join(labels, sym("dst") === labels("vertex"))
         .groupBy(sym("src").as("nid"))
         .agg(min(col("component")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin, labels("vertex") === nbrMin("nid"), "left")
-        .select(
-          labels("vertex"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component")
-        )
-        .localCheckpoint()
+      val (next, nextRdds) = checkpointTracked(
+        labels
+          .join(nbrMin, labels("vertex") === nbrMin("nid"), "left")
+          .select(
+            labels("vertex"),
+            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component")
+          )
+      )
       converged = next
         .as("n")
         .join(labels.as("o"), "vertex")
         .filter(col("n.component") =!= col("o.component"))
         .isEmpty
+      labelRdds.foreach(_.unpersist(blocking = false))
       labels = next
+      labelRdds = nextRdds
       iter += 1
     }
+    symRdds.foreach(_.unpersist(blocking = false))
     require(
       converged,
       s"minLabelPropagation did not converge within $maxIter rounds — the graph has a component " +

@@ -42,6 +42,39 @@ class WindowHashSpec extends SparkTestBase {
     }
   }
 
+  test("graft_winhash equals the HOF formulation on multi-byte and supplementary-plane text") {
+    val spark2 = spark
+    import spark2.implicits._
+    GraftFunctions.register(spark)
+    // Spark's length/substring count CODE POINTS; supplementary-plane chars
+    // (emoji) are 2 UTF-16 chars, so a charAt-based native impl would window
+    // at the wrong offsets and split surrogate pairs. ADVICE r3.
+    val rng = new scala.util.Random(13)
+    val alphabet: IndexedSeq[String] =
+      ("abcXYZ".map(_.toString) ++ Seq("é", "ß", "日", "本", "語", "中", "🌍", "🚀", "😀", "𝕊", "🇺🇸", "é", "é"))
+    val texts = (0 until 80).map { i =>
+      val n = rng.nextInt(30)
+      (i.toLong, (0 until n).map(_ => alphabet(rng.nextInt(alphabet.size))).mkString)
+    } ++ Seq((1000L, "🌍🚀😀𝕊🌍🚀😀𝕊🌍🚀😀𝕊"), (1001L, "日本語中日本語中"), (1002L, "🌍"))
+    val rows = texts.toDF("id", "text")
+      .select(
+        col("id"),
+        expr("graft_winhash(text, 8, 4)").as("native"),
+        array_min(hofForm(8, 4)).as("hof_min"),
+        array_max(hofForm(8, 4)).as("hof_max")
+      )
+      .collect()
+    rows.foreach { r =>
+      val native = r.getStruct(1)
+      if (native == null) {
+        assert(r.isNullAt(2) && r.isNullAt(3), s"id=${r.getLong(0)}: HOF non-null where native null")
+      } else {
+        assert(native.getLong(0) == r.getLong(2), s"id=${r.getLong(0)} min mismatch")
+        assert(native.getLong(1) == r.getLong(3), s"id=${r.getLong(0)} max mismatch")
+      }
+    }
+  }
+
   test("interpreted eval path matches the reference loop") {
     val s = "abcdefghijklmnop"
     val ref = WindowHashMinMax.minMax(s, 8, 4)
