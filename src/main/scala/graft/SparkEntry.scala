@@ -43,6 +43,7 @@ object SparkEntry {
       MultimodalQueries.queries ++
       RelationalQueries.queries ++
       EventQueries.queries ++
+      PipelineQueries.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,5 +57,6 @@ object SparkEntry {
       SimQueries.oracle ++
       MultimodalQueries.oracle ++
       RelationalQueries.oracle ++
-      EventQueries.oracle
+      EventQueries.oracle ++
+      PipelineQueries.oracle
 }

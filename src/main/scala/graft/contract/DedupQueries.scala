@@ -32,13 +32,13 @@ import graft.functions.GraftFunctions
   */
 object DedupQueries {
   private val P = DetHash.P
-  private val NumPerms = 8 // MinHash signature length
+  private[contract] val NumPerms = 8 // MinHash signature length
   private val BandRows = 2 // LSH: 4 bands x 2 rows
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
   /** Spark: per-word polyHash list straight off `text`. */
-  private val wordHashesSpark = s"transform(split(text, ' '), w -> ${DetHash.polyHashSparkSql("w")})"
+  private[contract] val wordHashesSpark = s"transform(split(text, ' '), w -> ${DetHash.polyHashSparkSql("w")})"
 
   /** Word 3-gram shingle hashes, combined ARITHMETICALLY from the per-word
     * hash list `wh`: sh = ((h1*131 + h2)*131 + h3) % P. All intermediates
@@ -47,7 +47,7 @@ object DedupQueries {
   // Guard: Spark's sequence(0, n) DESCENDS when n < 0 (docs with < 3
   // tokens would evaluate element_at(wh, 0) and throw); short docs get an
   // empty shingle set, matching DuckDB's empty range().
-  private val shingleFromWhSpark =
+  private[contract] val shingleFromWhSpark =
     s"CASE WHEN size(wh) >= 3 THEN transform(sequence(0, size(wh) - 3), i -> " +
       s"((element_at(wh, i + 1) * 131 + element_at(wh, i + 2)) * 131 + element_at(wh, i + 3)) % $P) " +
       s"ELSE CAST(array() AS ARRAY<BIGINT>) END"
@@ -57,9 +57,28 @@ object DedupQueries {
     s"dw AS (SELECT doc_id, source, " +
       s"list_transform(string_split(text, ' '), w -> ${DetHash.polyHashSql("w")}) AS wh FROM documents)"
 
-  private val shingleFromWhDuck =
+  private[contract] val shingleFromWhDuck =
     s"list_transform(range(len(wh) - 2), i -> " +
       s"((wh[i + 1] * 131 + wh[i + 2]) * 131 + wh[i + 3]) % $P)"
+
+  /** Parameterized word-hash CTE (no source column) for pipelines that
+    * shingle a FILTERED doc relation instead of raw `documents`.
+    */
+  private[contract] def whDuckCteFrom(src: String): String =
+    s"dw AS (SELECT doc_id, " +
+      s"list_transform(string_split(text, ' '), w -> ${DetHash.polyHashSql("w")}) AS wh FROM $src)"
+
+  /** MinHash signature column list (SQL), shared by every banding oracle. */
+  private[contract] val sigColsSql: String =
+    (0 until NumPerms)
+      .map(k => s"list_min(list_transform(shh, h -> ${DetHash.minhashPermSql("h", k)})) AS mh$k")
+      .mkString(",\n  ")
+
+  /** LSH band long-format SELECT over a `sig` CTE (SQL). */
+  private[contract] def bandSelectSql: String =
+    bandKeyExprs
+      .map { case (b, e) => s"SELECT doc_id, $b AS band, $e AS band_key FROM sig" }
+      .mkString("\n  UNION ALL\n  ")
 
   /** (doc_id, source, shh: array<long>) with wh materialized once per doc. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
@@ -94,26 +113,38 @@ object DedupQueries {
     * clustering pipelines (a sort here would both cost a range-sampling
     * double execution AND be discarded by the downstream shuffles).
     */
-  private def minhashSigRaw(s: SparkSession, dir: String): DataFrame = {
+  private def minhashSigRaw(s: SparkSession, dir: String): DataFrame =
+    minhashSigFrom(docs(s, dir))
+
+  /** MinHash signature (doc_id, mh0..mh7) from any (doc_id, text) relation
+    * — the building block pipelines reuse on filtered doc sets.
+    */
+  private[contract] def minhashSigFrom(d: DataFrame): DataFrame = {
     val cols = (0 until NumPerms).map { k =>
       expr(s"array_min(transform(shh, h -> ${DetHash.minhashPermSql("h", k)}))").as(s"mh$k")
     }
-    shingled(s, dir).select(col("doc_id") +: cols: _*)
+    d.select(col("doc_id"), expr(wordHashesSpark).as("wh"))
+      .select(col("doc_id"), expr(shingleFromWhSpark).as("shh"))
+      .select(col("doc_id") +: cols: _*)
+  }
+
+  /** LSH band long format (doc_id, band, band_key) from a signature. */
+  private[contract] def bandsFrom(sig: DataFrame): DataFrame = {
+    val bandExprs = bandKeyExprs.map { case (b, e) => expr(s"named_struct('band', $b, 'band_key', $e)") }
+    sig
+      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
   private def minhashSig(s: SparkSession, dir: String): DataFrame =
     minhashSigRaw(s, dir).transform(Norm.ordered(_, col("doc_id")))
 
-  private val minhashSigSql: String = {
-    val cols = (0 until NumPerms)
-      .map(k => s"list_min(list_transform(shh, h -> ${DetHash.minhashPermSql("h", k)})) AS mh$k")
-      .mkString(",\n  ")
+  private val minhashSigSql: String =
     s"""WITH $whDuckCte,
        |ds AS (SELECT doc_id, $shingleFromWhDuck AS shh FROM dw)
        |SELECT doc_id,
-       |  $cols
+       |  $sigColsSql
        |FROM ds ORDER BY doc_id""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // dedup_lsh_pairs — LSH banding over the MinHash signature: band key =
@@ -131,12 +162,9 @@ object DedupQueries {
   /** Unsorted candidate pairs (doc_a, doc_b, n_shared_bands) — feeds both
     * the contract query and the clustering operator.
     */
-  private def lshPairsRaw(s: SparkSession, dir: String): DataFrame = {
+  private[contract] def lshPairsRaw(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSigRaw(s, dir).localCheckpoint()
-    val bandExprs = bandKeyExprs.map { case (b, e) => expr(s"named_struct('band', $b, 'band_key', $e)") }
-    val long = sig
-      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val long = bandsFrom(sig)
     long
       .as("a")
       .join(
@@ -150,25 +178,23 @@ object DedupQueries {
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsRaw(s, dir).transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
 
-  private val lshPairsSql: String = {
-    val bandSelect = bandKeyExprs
-      .map { case (b, e) => s"SELECT doc_id, $b AS band, $e AS band_key FROM sig" }
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH $whDuckCte,
+  /** Shared CTE chain dw → ds → sig → bands over raw `documents` (SQL). */
+  private[contract] def bandsCteSql: String =
+    s"""$whDuckCte,
        |ds AS (SELECT doc_id, $shingleFromWhDuck AS shh FROM dw),
        |sig AS (SELECT doc_id,
-       |  ${(0 until NumPerms)
-        .map(k => s"list_min(list_transform(shh, h -> ${DetHash.minhashPermSql("h", k)})) AS mh$k")
-        .mkString(",\n  ")}
+       |  $sigColsSql
        |  FROM ds),
        |bands AS (
-       |  $bandSelect
-       |)
+       |  $bandSelectSql
+       |)""".stripMargin
+
+  private val lshPairsSql: String =
+    s"""WITH $bandsCteSql
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared_bands
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // dedup_simhash — 24-bit SimHash over word hashes, computed as
@@ -357,19 +383,7 @@ object DedupQueries {
   }
 
   private val dedupClusterSql: String = {
-    val bandSelect = bandKeyExprs
-      .map { case (b, e) => s"SELECT doc_id, $b AS band, $e AS band_key FROM sig" }
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH RECURSIVE $whDuckCte,
-       |ds AS (SELECT doc_id, $shingleFromWhDuck AS shh FROM dw),
-       |sig AS (SELECT doc_id,
-       |  ${(0 until NumPerms)
-        .map(k => s"list_min(list_transform(shh, h -> ${DetHash.minhashPermSql("h", k)})) AS mh$k")
-        .mkString(",\n  ")}
-       |  FROM ds),
-       |bands AS (
-       |  $bandSelect
-       |),
+    s"""WITH RECURSIVE $bandsCteSql,
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b

@@ -135,12 +135,16 @@ object TextQueries {
   // All inputs are integer counts, so the score is bit-identical across
   // engines before rounding.
   // -------------------------------------------------------------------
-  private def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, lang, text, counts…, quality) over any documents-shaped
+    * relation — the quality formula shared with the corpus-prep pipeline.
+    */
+  private[contract] def qualityBase(df: DataFrame): DataFrame = {
     val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
-    docs(s, dir)
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+    df.select(col("doc_id"), col("lang"), col("text"), split(col("text"), " ").as("toks"))
       .select(
         col("doc_id"),
+        col("lang"),
+        col("text"),
         length(col("text")).cast("long").as("n_chars_calc"),
         size(col("toks")).cast("long").as("n_tokens"),
         length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long").as("punct_cnt"),
@@ -155,25 +159,36 @@ object TextQueries {
           6
         )
       )
-      .transform(Norm.ordered(_, col("doc_id")))
   }
 
-  private val qualityScoreSql: String = {
+  /** SQL twin of [[qualityBase]]: a `qc` CTE over `documents`. */
+  private[contract] def qualityCteSql: String = {
     val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH c AS (
-       |  SELECT doc_id,
-       |    CAST(length(text) AS BIGINT) AS n_chars_calc,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct_cnt,
-       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS BIGINT) AS stop_cnt
-       |  FROM documents
-       |)
-       |SELECT doc_id, n_chars_calc, n_tokens, punct_cnt, stop_cnt,
-       |  round(0.4 * least(1.0, n_tokens / 50.0)
-       |      + 0.3 * (1.0 - least(1.0, punct_cnt * 5.0 / n_chars_calc))
-       |      + 0.3 * least(1.0, stop_cnt * 10.0 / n_tokens), 6) + 0.0 AS quality
-       |FROM c ORDER BY doc_id""".stripMargin
+    s"""qc AS (
+       |  SELECT doc_id, lang, text, n_chars_calc, n_tokens, punct_cnt, stop_cnt,
+       |    round(0.4 * least(1.0, n_tokens / 50.0)
+       |        + 0.3 * (1.0 - least(1.0, punct_cnt * 5.0 / n_chars_calc))
+       |        + 0.3 * least(1.0, stop_cnt * 10.0 / n_tokens), 6) + 0.0 AS quality
+       |  FROM (
+       |    SELECT doc_id, lang, text,
+       |      CAST(length(text) AS BIGINT) AS n_chars_calc,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS punct_cnt,
+       |      CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS BIGINT) AS stop_cnt
+       |    FROM documents
+       |  )
+       |)""".stripMargin
   }
+
+  private def qualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityBase(docs(s, dir))
+      .select("doc_id", "n_chars_calc", "n_tokens", "punct_cnt", "stop_cnt", "quality")
+      .transform(Norm.ordered(_, col("doc_id")))
+
+  private val qualityScoreSql: String =
+    s"""WITH $qualityCteSql
+       |SELECT doc_id, n_chars_calc, n_tokens, punct_cnt, stop_cnt, quality
+       |FROM qc ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // doc_fingerprint — whole-doc polynomial hash + min/max of rolling

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global prefix sum (running total in a total order).
+  *
+  * The naive formulation — `sum(x).over(Window.orderBy(key))` with no
+  * partition clause — funnels the ENTIRE table through one task (Spark even
+  * warns "No Partition Defined for Window operation"); at 100 TB that is
+  * not slow, it is dead. This operator is the classic two-phase scan
+  * instead:
+  *
+  *  1. range-partition by the order key (the shuffle a global order needs
+  *     anyway), pin the physical partitioning, and compute PARTITION-LOCAL
+  *     running sums with a window keyed on the physical partition id — all
+  *     partitions work in parallel;
+  *  2. aggregate one total per partition (numPartitions rows — metadata,
+  *     not data), exclusive-prefix-sum them on the driver, and broadcast
+  *     the offsets back: each row's global prefix = local prefix + its
+  *     partition's offset.
+  *
+  * The result is invariant to the (sampled, hence nondeterministic) range
+  * boundaries, because the offset correction is exact per partition.
+  *
+  * The `localCheckpoint` between the two phases is load-bearing twice over:
+  * it pins ONE physical partitioning (range boundaries are re-sampled per
+  * action, so phases could otherwise see different partitions), and it
+  * stops the totals pass and the main pass each re-executing the upstream
+  * plan. On a cluster, persisting the partitioned relation (or writing it
+  * bucketed) plays the same role.
+  */
+object PrefixSum {
+
+  /** Append inclusive running sum `out` of integral column `value` in the
+    * total order given by `order` (which must be a UNIQUE key — ties would
+    * make the running sum nondeterministic in any engine).
+    */
+  def runningSum(
+      df: DataFrame,
+      order: Seq[Column],
+      value: Column,
+      out: String,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val n =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df
+      .repartitionByRange(n, order: _*)
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy(col("__part")).orderBy(order: _*)
+    // per-partition totals: n rows to the driver — metadata, not data
+    val totals = parted
+      .groupBy(col("__part"))
+      .agg(sum(value.cast("long")).as("__tot"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    // exclusive prefix: offset of partition p = sum of totals before p
+    val offsets = totals
+      .scanLeft((0, 0L)) { case ((_, acc), (p, t)) => (p, acc + t) }
+      .init
+      .zip(totals)
+      .map { case ((_, off), (p, _)) => (p, off) }
+    val spark2 = spark
+    import spark2.implicits._
+    // broadcast-join the offsets back (a when-chain would break codegen
+    // past a few hundred partitions; the join scales to any count)
+    val offDf = offsets.toSeq.toDF("__part", "__off")
+    parted
+      .join(broadcast(offDf), "__part")
+      .withColumn(out, sum(value.cast("long")).over(w) + col("__off"))
+      .drop("__part", "__off")
+  }
+}
