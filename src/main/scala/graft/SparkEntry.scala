@@ -44,6 +44,7 @@ object SparkEntry {
       RelationalQueries.queries ++
       EventQueries.queries ++
       PipelineQueries.queries ++
+      GraphQueries.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,5 +59,6 @@ object SparkEntry {
       MultimodalQueries.oracle ++
       RelationalQueries.oracle ++
       EventQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++
+      GraphQueries.oracle
 }

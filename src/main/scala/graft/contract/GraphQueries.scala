@@ -1,0 +1,155 @@
+package graft.contract
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+
+/** Graph analytics over the near-duplicate candidate graph (vertices =
+  * documents, edges = MinHash-LSH candidate pairs — the same edge list the
+  * dedup clustering consumes): degree histogram, triangle census, PageRank
+  * centrality. Complements [[graft.operators.ConnectedComponents]] as the
+  * engine's iterative/graph surface.
+  *
+  * Scale notes:
+  *  - the edge list is produced by LSH banding (bucket-bounded, never
+  *    all-pairs) and every operator below shuffles on vertex ids only;
+  *  - triangle counting orients edges from lower to higher (degree, id) —
+  *    the classic trick that bounds every wedge fan-out by sqrt(m) instead
+  *    of the max degree, so one hub vertex cannot produce a quadratic
+  *    wedge set. The count is orientation-invariant, which the oracle
+  *    (id-ordered, no degree trick) independently confirms;
+  *  - PageRank is a fixed-iteration power loop (see
+  *    [[graft.operators.PageRank]]); its oracle is the same recurrence
+  *    UNROLLED into ten chained SQL CTEs — generated, not hand-written.
+  */
+object GraphQueries {
+
+  /** Distinct undirected candidate pairs (doc_a < doc_b). */
+  private def pairsOf(s: SparkSession, dir: String): DataFrame =
+    DedupQueries.lshPairsRaw(s, dir).select("doc_a", "doc_b")
+
+  private def symOf(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+
+  private val pairsCteSql: String =
+    s"""pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT s AS vertex, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // graph_degree — degree histogram of the candidate graph (the shape
+  // diagnostic that decides salting / skew handling downstream).
+  // -------------------------------------------------------------------
+  private def graphDegree(s: SparkSession, dir: String): DataFrame =
+    symOf(pairsOf(s, dir))
+      .groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_vertices"))
+      .transform(Norm.ordered(_, col("deg")))
+
+  private val graphDegreeSql: String =
+    s"""WITH ${DedupQueries.bandsCteSql},
+       |$pairsCteSql
+       |SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices
+       |FROM deg GROUP BY 1 ORDER BY deg""".stripMargin
+
+  // -------------------------------------------------------------------
+  // graph_triangles — triangle census: (n_vertices, n_edges, n_triangles)
+  // in one row. Spark orients by (degree, id) so wedge fan-out is bounded;
+  // the oracle counts the same triangles with the plain id-ordered
+  // three-way join.
+  // -------------------------------------------------------------------
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairsOf(s, dir).localCheckpoint() // feeds deg + three joins
+    val deg = symOf(pairs).groupBy(col("src").as("vertex")).agg(count(lit(1)).as("deg"))
+    val withDeg = pairs
+      .join(deg.select(col("vertex"), col("deg").as("deg_a")), pairs("doc_a") === col("vertex"))
+      .drop("vertex")
+      .join(deg.select(col("vertex"), col("deg").as("deg_b")), pairs("doc_b") === col("vertex"))
+      .drop("vertex")
+    def lt(d1: Column, v1: Column, d2: Column, v2: Column): Column =
+      d1 < d2 || (d1 === d2 && v1 < v2)
+    // orient each edge from the lower (deg, id) endpoint; carry dst's key
+    val oriented = withDeg
+      .select(
+        when(lt(col("deg_a"), col("doc_a"), col("deg_b"), col("doc_b")), col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(lt(col("deg_a"), col("doc_a"), col("deg_b"), col("doc_b")), col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(lt(col("deg_a"), col("doc_a"), col("deg_b"), col("doc_b")), col("deg_b")).otherwise(col("deg_a")).as("dst_deg")
+      )
+      .localCheckpoint() // wedge self-join + closure probe
+    val wedges = oriented
+      .as("e1")
+      .join(
+        oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          lt(col("e1.dst_deg"), col("e1.dst"), col("e2.dst_deg"), col("e2.dst"))
+      )
+      .select(col("e1.dst").as("w_src"), col("e2.dst").as("w_dst"))
+    val tri = wedges.join(
+      oriented.as("c"),
+      col("w_src") === col("c.src") && col("w_dst") === col("c.dst")
+    )
+    deg
+      .agg(count(lit(1)).as("n_vertices"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  private val graphTrianglesSql: String =
+    s"""WITH ${DedupQueries.bandsCteSql},
+       |$pairsCteSql
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+       |       (SELECT CAST(count(*) AS BIGINT)
+       |        FROM pairs e1
+       |        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+       |        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b) AS n_triangles""".stripMargin
+
+  // -------------------------------------------------------------------
+  // graph_pagerank — 10 power iterations, damping 0.85, over the
+  // symmetrized candidate graph (every vertex has out-degree >= 1).
+  // -------------------------------------------------------------------
+  private val PrIters = 10
+  private val PrDamping = 0.85
+
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    PageRank
+      .run(symOf(pairsOf(s, dir)), PrIters, PrDamping)
+      .select(col("vertex"), Norm.rnd(col("rank"), 6).as("pagerank"))
+      .transform(Norm.ordered(_, col("vertex")))
+
+  private val graphPagerankSql: String = {
+    val iters = (1 to PrIters)
+      .map { i =>
+        s"""pr$i AS (SELECT y.d AS vertex, ${1.0 - PrDamping} / (SELECT n FROM nv) + $PrDamping * sum(p.rank / g.deg) AS rank
+           |  FROM sym y JOIN pr${i - 1} p ON p.vertex = y.s JOIN deg g ON g.vertex = y.s GROUP BY y.d)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH ${DedupQueries.bandsCteSql},
+       |$pairsCteSql,
+       |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+       |pr0 AS (SELECT vertex, 1.0 / (SELECT n FROM nv) AS rank FROM deg),
+       |$iters
+       |SELECT vertex, round(rank, 6) + 0.0 AS pagerank FROM pr$PrIters ORDER BY vertex""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree" -> graphDegree,
+    "graph_triangles" -> graphTriangles,
+    "graph_pagerank" -> graphPagerank
+  )
+
+  val oracle: Map[String, String] = Map(
+    "graph_degree" -> graphDegreeSql,
+    "graph_triangles" -> graphTrianglesSql,
+    "graph_pagerank" -> graphPagerankSql
+  )
+}

@@ -1,0 +1,23 @@
+package graft.operators
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+
+/** Tracked `localCheckpoint` for iterative operators (connected components,
+  * PageRank): Dataset.localCheckpoint has no public "unpersist", so we
+  * capture the RDD ids each checkpoint pins (queries run sequentially, so
+  * the id delta is ours) and let the caller free a superseded iteration's
+  * blocks explicitly — otherwise checkpoint storage grows linearly with
+  * rounds. On a cluster the same pattern applies with reliable checkpoints
+  * to storage every few rounds.
+  */
+object Checkpoints {
+  def tracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    (out, (sc.getPersistentRDDs -- before).values.toSeq)
+  }
+
+  def free(rdds: Seq[RDD[_]]): Unit = rdds.foreach(_.unpersist(blocking = false))
+}

@@ -31,16 +31,8 @@ object ConnectedComponents {
     * @return (vertex: Long, component: Long)
     */
   def minLabelPropagation(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // Dataset.localCheckpoint has no public "unpersist" — track the RDD ids
-    // each checkpoint pins (queries run sequentially, so the id delta is
-    // ours) and free the superseded round's blocks explicitly; otherwise
-    // checkpoint storage grows linearly with rounds (ADVICE r3).
-    val sc = edges.sparkSession.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      ((out, (sc.getPersistentRDDs -- before).values.toSeq))
-    }
+    // superseded rounds' checkpoint blocks are freed explicitly (ADVICE r3)
+    import Checkpoints.{tracked => checkpointTracked}
     val e0 = edges.toDF("src", "dst")
     val (sym, symRdds) = checkpointTracked(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -71,12 +63,12 @@ object ConnectedComponents {
         .join(labels.as("o"), "vertex")
         .filter(col("n.component") =!= col("o.component"))
         .isEmpty
-      labelRdds.foreach(_.unpersist(blocking = false))
+      Checkpoints.free(labelRdds)
       labels = next
       labelRdds = nextRdds
       iter += 1
     }
-    symRdds.foreach(_.unpersist(blocking = false))
+    Checkpoints.free(symRdds)
     require(
       converged,
       s"minLabelPropagation did not converge within $maxIter rounds — the graph has a component " +

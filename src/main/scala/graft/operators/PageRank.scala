@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank by power iteration — each round is ONE equi-join (ranks flow
+  * along edges) plus a partial-aggregating sum, the same shuffle shape as
+  * [[ConnectedComponents]]: shuffles are keyed on vertex ids (never on
+  * anything lower-cardinality), the driver never sees data (only the fixed
+  * iteration count), and superseded iterations' checkpoint blocks are freed
+  * as the loop advances. Skewed hub vertices are exactly the AQE skew-join
+  * case; at cluster scale enable AQE skew handling or pre-salt the hub ids.
+  */
+object PageRank {
+
+  /** Ranks after a fixed number of power iterations.
+    *
+    * @param edges      directed (src, dst) edge list; callers with an
+    *                   undirected graph pass both orientations. Every
+    *                   vertex must appear as a src at least once (true for
+    *                   symmetrized graphs) — dangling-mass redistribution
+    *                   is deliberately out of scope.
+    * @return (vertex: Long, rank: Double), unnormalized beyond the
+    *         teleport term (sums to ~1 over vertices)
+    */
+  def run(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e0 = edges.toDF("src", "dst")
+    // (src, dst, deg): out-degrees joined in ONCE, checkpointed — every
+    // iteration reuses this relation on both sides of its join
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val (e, eRdds) = Checkpoints.tracked(e0.join(deg, "src"))
+    val n = e.select("src").distinct().count()
+    val nD = n.toDouble
+    var (ranks, rankRdds) = Checkpoints.tracked(
+      e.select(col("src").as("vertex")).distinct().select(col("vertex"), (lit(1.0) / lit(nD)).as("rank"))
+    )
+    for (_ <- 1 to iterations) {
+      val (next, nextRdds) = Checkpoints.tracked(
+        e.join(ranks, e("src") === ranks("vertex"))
+          .groupBy(col("dst"))
+          .agg(sum(col("rank") / col("deg")).as("contrib"))
+          .select(
+            col("dst").as("vertex"),
+            (lit(1.0 - damping) / lit(nD) + lit(damping) * col("contrib")).as("rank")
+          )
+      )
+      Checkpoints.free(rankRdds)
+      ranks = next
+      rankRdds = nextRdds
+    }
+    Checkpoints.free(eRdds)
+    ranks
+  }
+}
