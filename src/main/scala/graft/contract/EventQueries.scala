@@ -303,7 +303,90 @@ object EventQueries {
       |SELECT user_id, event_type, event_id AS first_event_id, tsn AS first_us, n_dupes
       |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_range_join — interval join: clicks within the 7 days BEFORE each
+  // purchase of the same user. The naive plan equi-joins on user alone and
+  // filters the range AFTER the join — per-user-quadratic. This one is the
+  // bucketed range join: bucket width = range width, so a lookback spans
+  // at most two buckets; the join is keyed on (user, bucket) and the exact
+  // range predicate only ever runs inside a bucket. Bucket count grows
+  // with the time span, so the key space scales WITH the data — no skew
+  // funnel at 100 TB (plus AQE skew-join for hot users).
+  // -------------------------------------------------------------------
+  private val RangeUs: Long = 7L * 86400L * 1000 * 1000 // 7-day lookback
+
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val clicks = e
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus").as("c_us"), col("value").as("c_val"))
+      .withColumn("bucket", expr(s"c_us div $RangeUs"))
+    val purchases = e
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("tus").as("p_us"))
+    val probes = purchases
+      .withColumn("bucket", explode(array(expr(s"p_us div $RangeUs - 1"), expr(s"p_us div $RangeUs"))))
+    val matched = probes
+      .join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_us") >= col("p_us") - RangeUs && col("c_us") < col("p_us"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_hits"), sum(col("c_val")).as("sum_val"))
+    purchases
+      .join(matched, Seq("event_id"), "left")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("p_us"),
+        coalesce(col("n_hits"), lit(0L)).as("n_clicks"),
+        Norm.rnd(coalesce(col("sum_val"), lit(0.0)), 4).as("click_value")
+      )
+      .transform(Norm.ordered(_, col("event_id")))
+  }
+
+  private val rangeJoinSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tus FROM events),
+       |p AS (SELECT user_id, event_id, tus AS p_us FROM e WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, tus AS c_us, value FROM e WHERE event_type = 'click')
+       |SELECT p.event_id, p.user_id, p.p_us,
+       |  CAST(count(c.c_us) AS BIGINT) AS n_clicks,
+       |  round(COALESCE(sum(c.value), 0), 4) + 0.0 AS click_value
+       |FROM p LEFT JOIN c ON c.user_id = p.user_id
+       |  AND c.c_us >= p.p_us - $RangeUs AND c.c_us < p.p_us
+       |GROUP BY 1, 2, 3 ORDER BY p.event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // evt_pivot — per-user event-type count matrix (the pivot surface).
+  // The type list is explicit, so Spark skips the distinct-values
+  // discovery pass and the whole pivot is one hash aggregation.
+  // -------------------------------------------------------------------
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def pivotTypes(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na
+      .fill(0L, EventTypes)
+      .select(
+        col("user_id") +: EventTypes.map(t => col(t).as(s"n_$t")) :+
+          EventTypes.map(t => col(t)).reduce(_ + _).as("n_events"): _*
+      )
+      .transform(Norm.ordered(_, col("user_id")))
+
+  private val pivotTypesSql: String = {
+    val cols = EventTypes
+      .map(t => s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS n_$t")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols,
+       |  CAST(count(*) AS BIGINT) AS n_events
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_range_join" -> rangeJoin,
+    "evt_pivot" -> pivotTypes,
     "evt_running_metrics" -> runningMetrics,
     "evt_keep_first" -> keepFirst,
     "evt_sessionize" -> sessionize,
@@ -316,6 +399,8 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_range_join" -> rangeJoinSql,
+    "evt_pivot" -> pivotTypesSql,
     "evt_running_metrics" -> runningMetricsSql,
     "evt_keep_first" -> keepFirstSql,
     "evt_sessionize" -> sessionizeSql,

@@ -322,7 +322,73 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // text_bm25 — BM25 relevance (k1 = 1.2, b = 0.75) of every document
+  // against a fixed query-term set; top-20 by rounded score. Corpus
+  // statistics (N, total tokens) are two driver scalars — metadata, like
+  // the oracle's scalar subqueries; ranking compares the ROUNDED score
+  // with doc_id tie-break so cross-engine ln/sum ulp differences cannot
+  // reorder the cut (same device as text_tfidf). The top-k is
+  // orderBy+limit = TakeOrderedAndProject (per-partition heap, no global
+  // sort).
+  // -------------------------------------------------------------------
+  private val BmK1 = 1.2
+  private val BmB = 0.75
+  private val BmTopK = 20
+  private val BmQuery = Seq("the", "scan", "hash", "join", "table")
+
+  private def bm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = d.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).collect()(0)
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs.toDouble // same division the oracle performs
+    val tf = d
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(BmQuery: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val score =
+      log((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * lit(BmK1 + 1.0)) /
+        (col("tf") + lit(BmK1) * (lit(1.0) - lit(BmB) + lit(BmB) * col("dl") / lit(avgdl)))
+    tf.join(dfq, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), Norm.rnd(sum(score), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(BmTopK)
+  }
+
+  private val bm25Sql: String = {
+    val terms = BmQuery.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents
+       |), stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS tot FROM t
+       |), terms AS (
+       |  SELECT doc_id, dl, unnest(toks) AS term FROM t
+       |), tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM terms WHERE term IN ($terms) GROUP BY 1, 2, 3
+       |), dfq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |    ln(((SELECT n FROM stats) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+       |      * (tf.tf * ${BmK1 + 1.0})
+       |      / (tf.tf + $BmK1 * (1.0 - $BmB + $BmB * tf.dl / ((SELECT tot FROM stats) / (SELECT n FROM stats)))) AS score
+       |  FROM tf JOIN dfq ON tf.term = dfq.term
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, round(sum(score), 6) + 0.0 AS bm25
+       |FROM scored GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT $BmTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> bm25,
     "doc_split" -> docSplit,
     "text_stats" -> textStats,
     "token_count" -> tokenCount,
@@ -334,6 +400,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_bm25" -> bm25Sql,
     "doc_split" -> docSplitSql,
     "text_stats" -> textStatsSql,
     "token_count" -> tokenCountSql,
