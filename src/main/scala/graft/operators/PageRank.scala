@@ -23,6 +23,14 @@ object PageRank {
     * @return (vertex: Long, rank: Double), unnormalized beyond the
     *         teleport term (sums to ~1 over vertices)
     */
+  /** Every `checkpointInterval`-th iteration is materialized (eager
+    * localCheckpoint) and the previous checkpoint freed; intermediate
+    * iterations stay lazy, so a 10-iteration run schedules ~3 jobs instead
+    * of 10 — per-iteration job latency, not compute, dominates small
+    * graphs, and bounded-depth lineage (a few joins) is cheap to carry.
+    */
+  private val CheckpointInterval = 3
+
   def run(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
     val e0 = edges.toDF("src", "dst")
     // (src, dst, deg): out-degrees joined in ONCE, checkpointed — every
@@ -34,19 +42,21 @@ object PageRank {
     var (ranks, rankRdds) = Checkpoints.tracked(
       e.select(col("src").as("vertex")).distinct().select(col("vertex"), (lit(1.0) / lit(nD)).as("rank"))
     )
-    for (_ <- 1 to iterations) {
-      val (next, nextRdds) = Checkpoints.tracked(
-        e.join(ranks, e("src") === ranks("vertex"))
-          .groupBy(col("dst"))
-          .agg(sum(col("rank") / col("deg")).as("contrib"))
-          .select(
-            col("dst").as("vertex"),
-            (lit(1.0 - damping) / lit(nD) + lit(damping) * col("contrib")).as("rank")
-          )
-      )
-      Checkpoints.free(rankRdds)
-      ranks = next
-      rankRdds = nextRdds
+    for (i <- 1 to iterations) {
+      val next = e
+        .join(ranks, e("src") === ranks("vertex"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+        .select(
+          col("dst").as("vertex"),
+          (lit(1.0 - damping) / lit(nD) + lit(damping) * col("contrib")).as("rank")
+        )
+      if (i % CheckpointInterval == 0 || i == iterations) {
+        val (cp, cpRdds) = Checkpoints.tracked(next)
+        Checkpoints.free(rankRdds)
+        ranks = cp
+        rankRdds = cpRdds
+      } else ranks = next
     }
     Checkpoints.free(eRdds)
     ranks
