@@ -384,7 +384,66 @@ object EventQueries {
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // evt_funnel — ordered-sequence funnel signup → click → purchase: per
+  // user, the earliest signup, the earliest click strictly after it, the
+  // earliest purchase strictly after that; then the per-stage user counts
+  // and median stage-to-stage latency. Each stage is one conditional min
+  // aggregate over the (already tiny) per-user event set — three hash
+  // aggregations, no window, no self-join; user_id keys every shuffle.
+  // -------------------------------------------------------------------
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select("user_id", "event_type", "tus")
+    val t1 = e
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(col("tus")).as("t1"))
+    val t2 = e
+      .filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("tus") > col("t1"))
+      .groupBy("user_id")
+      .agg(first(col("t1")).as("t1"), min(col("tus")).as("t2"))
+    val t3 = e
+      .filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("tus") > col("t2"))
+      .groupBy("user_id")
+      .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"), min(col("tus")).as("t3"))
+    // floor before the integer cast: Spark's double->long cast truncates
+    // while DuckDB's rounds, and an even-count median is fractional
+    val s1 = t1
+      .agg(count(lit(1)).as("n_users"))
+      .select(lit("1_signup").as("stage"), col("n_users"), lit(null).cast("long").as("median_lat_us"))
+    val s2 = t2
+      .select((col("t2") - col("t1")).as("lat"))
+      .agg(count(lit(1)).as("n_users"), expr("CAST(floor(percentile(lat, 0.5)) AS BIGINT)").as("median_lat_us"))
+      .select(lit("2_click").as("stage"), col("n_users"), col("median_lat_us"))
+    val s3 = t3
+      .select((col("t3") - col("t2")).as("lat"))
+      .agg(count(lit(1)).as("n_users"), expr("CAST(floor(percentile(lat, 0.5)) AS BIGINT)").as("median_lat_us"))
+      .select(lit("3_purchase").as("stage"), col("n_users"), col("median_lat_us"))
+    s1.union(s2).union(s3).transform(Norm.ordered(_, col("stage")))
+  }
+
+  private val funnelSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+       |t1 AS (SELECT user_id, min(tus) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1),
+       |t2 AS (SELECT e.user_id, any_value(t1.t1) AS t1, min(e.tus) AS t2
+       |       FROM e JOIN t1 ON e.user_id = t1.user_id
+       |       WHERE e.event_type = 'click' AND e.tus > t1.t1 GROUP BY 1),
+       |t3 AS (SELECT e.user_id, any_value(t2.t2) AS t2, min(e.tus) AS t3
+       |       FROM e JOIN t2 ON e.user_id = t2.user_id
+       |       WHERE e.event_type = 'purchase' AND e.tus > t2.t2 GROUP BY 1)
+       |SELECT '1_signup' AS stage, CAST(count(*) AS BIGINT) AS n_users, CAST(NULL AS BIGINT) AS median_lat_us FROM t1
+       |UNION ALL
+       |SELECT '2_click', CAST(count(*) AS BIGINT), CAST(floor(quantile_cont(t2 - t1, 0.5)) AS BIGINT) FROM t2
+       |UNION ALL
+       |SELECT '3_purchase', CAST(count(*) AS BIGINT), CAST(floor(quantile_cont(t3 - t2, 0.5)) AS BIGINT) FROM t3
+       |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_funnel" -> funnel,
     "evt_range_join" -> rangeJoin,
     "evt_pivot" -> pivotTypes,
     "evt_running_metrics" -> runningMetrics,
@@ -399,6 +458,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_funnel" -> funnelSql,
     "evt_range_join" -> rangeJoinSql,
     "evt_pivot" -> pivotTypesSql,
     "evt_running_metrics" -> runningMetricsSql,

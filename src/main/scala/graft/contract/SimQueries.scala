@@ -252,7 +252,61 @@ object SimQueries {
        |FROM n CROSS JOIN range(1, ${Dim + 1}) t(i)
        |ORDER BY vec_id, pos""".stripMargin
 
+  // -------------------------------------------------------------------
+  // vec_quantize — int8 scalar quantization per vector (the embedding-
+  // compression step before shipping a 100 TB vector corpus to an ANN
+  // index): codes q = clamp(floor((x - min) / scale), 255) with
+  // scale = (max - min)/255, midpoint dequantization error, and an
+  // order-dependent polynomial checksum of the codes (integer-exact, so
+  // the oracle verifies every code, not just the error stats). Map-side
+  // only; constant vectors (scale = 0) quantize to code 0 by convention.
+  // -------------------------------------------------------------------
+  private def vecQuantize(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.ccm.DetHash.P
+    vecs(s, dir)
+      .select(col("vec_id"), col("v"), array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      .withColumn(
+        "codes",
+        expr("CASE WHEN scale = 0.0 THEN transform(v, x -> CAST(0 AS BIGINT)) " +
+          "ELSE transform(v, x -> least(CAST(floor((x - mn) / scale) AS BIGINT), CAST(255 AS BIGINT))) END")
+      )
+      .select(
+        col("vec_id"),
+        Norm.rnd(col("mn"), 6).as("mn"),
+        Norm.rnd(col("mx"), 6).as("mx"),
+        expr(s"aggregate(codes, CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % $P)").as("code_hash"),
+        Norm.rnd(
+          expr("CASE WHEN scale = 0.0 THEN CAST(0.0 AS DOUBLE) ELSE " +
+            "aggregate(zip_with(v, codes, (x, q) -> abs(x - (mn + (q + 0.5) * scale))), CAST(0.0 AS DOUBLE), (acc, d) -> acc + d) " +
+            s"/ CAST($Dim AS DOUBLE) END"),
+          6
+        ).as("mean_abs_err")
+      )
+      .transform(Norm.ordered(_, col("vec_id")))
+  }
+
+  private val vecQuantizeSql: String = {
+    val P = graft.ccm.DetHash.P
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+       |             (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+       |q AS (SELECT vec_id, v, mn, mx, scale,
+       |        CASE WHEN scale = 0.0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |             ELSE list_transform(v, x -> least(CAST(floor((x - mn) / scale) AS BIGINT), CAST(255 AS BIGINT))) END AS codes
+       |      FROM b)
+       |SELECT vec_id, round(mn, 6) + 0.0 AS mn, round(mx, 6) + 0.0 AS mx,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (acc, c) -> (acc * 31 + c) % $P) AS code_hash,
+       |  round(CASE WHEN scale = 0.0 THEN 0.0 ELSE
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, $Dim), i ->
+       |        abs(v[CAST(i AS INTEGER)] - (mn + (codes[CAST(i AS INTEGER)] + 0.5) * scale)))),
+       |      (acc, d) -> acc + d) / CAST($Dim AS DOUBLE) END, 6) + 0.0 AS mean_abs_err
+       |FROM q ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_quantize" -> vecQuantize,
     "vec_normalize" -> vecNormalize,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLshTopk,
@@ -261,6 +315,7 @@ object SimQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "vec_quantize" -> vecQuantizeSql,
     "vec_normalize" -> vecNormalizeSql,
     "ann_topk" -> annTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
