@@ -50,21 +50,20 @@ object ConnectedComponents {
         .join(labels, sym("dst") === labels("vertex"))
         .groupBy(sym("src").as("nid"))
         .agg(min(col("component")).as("nbr_min"))
-      val (next, nextRdds) = checkpointTracked(
+      // the changed flag rides the checkpointed relation, so convergence is
+      // a filter over cached blocks — not a second join re-executing labels
+      val (nextFlagged, nextRdds) = checkpointTracked(
         labels
           .join(nbrMin, labels("vertex") === nbrMin("nid"), "left")
           .select(
             labels("vertex"),
-            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component")
+            least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+            (coalesce(col("nbr_min"), col("component")) < col("component")).as("changed")
           )
       )
-      converged = next
-        .as("n")
-        .join(labels.as("o"), "vertex")
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
+      converged = nextFlagged.filter(col("changed")).isEmpty
       Checkpoints.free(labelRdds)
-      labels = next
+      labels = nextFlagged.select("vertex", "component")
       labelRdds = nextRdds
       iter += 1
     }
