@@ -442,7 +442,36 @@ object EventQueries {
        |SELECT '3_purchase', CAST(count(*) AS BIGINT), CAST(floor(quantile_cont(t3 - t2, 0.5)) AS BIGINT) FROM t3
        |ORDER BY stage""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_retention — cohort retention: cohort = the user's first active
+  // day; cell (cohort, offset) = distinct users of that cohort active
+  // `offset` days later. Two hash aggregations + one equi-join on
+  // user_id; the user-day dedup happens BEFORE the join, so the join and
+  // the distinct-count shuffle user-days, not raw events.
+  // -------------------------------------------------------------------
+  private def retention(s: SparkSession, dir: String): DataFrame = {
+    val days = ev(s, dir)
+      .select(col("user_id"), (col("tus") - col("tus") % DayUs).as("day_us"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min(col("day_us")).as("cohort_us"))
+    days
+      .join(cohort, "user_id")
+      .withColumn("day_offset", expr(s"(day_us - cohort_us) div $DayUs"))
+      .groupBy("cohort_us", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .transform(Norm.ordered(_, col("cohort_us"), col("day_offset")))
+  }
+
+  private val retentionSql: String =
+    s"""WITH d AS (SELECT DISTINCT user_id, epoch_us(ts) - epoch_us(ts) % $DayUs AS day_us FROM events),
+       |c AS (SELECT user_id, min(day_us) AS cohort_us FROM d GROUP BY 1)
+       |SELECT c.cohort_us, (d.day_us - c.cohort_us) // $DayUs AS day_offset,
+       |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+       |FROM d JOIN c ON d.user_id = c.user_id
+       |GROUP BY 1, 2 ORDER BY cohort_us, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_retention" -> retention,
     "evt_funnel" -> funnel,
     "evt_range_join" -> rangeJoin,
     "evt_pivot" -> pivotTypes,
@@ -458,6 +487,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_retention" -> retentionSql,
     "evt_funnel" -> funnelSql,
     "evt_range_join" -> rangeJoinSql,
     "evt_pivot" -> pivotTypesSql,
