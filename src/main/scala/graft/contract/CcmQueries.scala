@@ -363,20 +363,22 @@ object CcmQueries {
 
   // ccm_convergence — convergent?/1 (C10) as its own surface: OLS slope of
   // the skill curve, strict > 0.001, <3 sizes -> false (`lib/ccm.ex:215-244`).
-  private def convergenceQ(s: SparkSession, dir: String): DataFrame =
+  // Routed through the perSeries scale path (the strategy a convergence-only
+  // call should use: it reduces each series to two rows, so recomputing the
+  // declarative pair-join DAG for it is pure waste). The declarative
+  // regr_slope surface stays verified by ccm_curve's slope column and the
+  // flagship entry(); curve vs curve_perseries pins the two strategies
+  // value-identical on this very workload.
+  private def convergenceQ(s: SparkSession, dir: String): DataFrame = {
+    val in = curveInput(s, dir)
+      .select(col("user_id").as("skey"), col("ts").as("ord"), col("x"), col("y"))
     Ccm
-      .bidirectional(
-        curveInput(s, dir),
-        skey = col("user_id"),
-        order = Seq("ts"),
-        x = col("x"),
-        y = col("y"),
-        spec = CcmSpec(numSamples = CurveSamples, seed = Seed),
-        libSizes = CurveLibs
-      )
+      .perSeries(in, CcmSpec(numSamples = CurveSamples, seed = Seed), Some(CurveLibs))
+      .toDF()
       .select(col("skey").as("user_id"), col("direction"), Norm.rnd(col("slope"), 6).as("slope"), col("convergent"))
       .distinct()
       .transform(Norm.ordered(_, col("user_id"), col("direction")))
+  }
 
   private val convergenceSql: String =
     s"""$curveSqlCommon
