@@ -37,8 +37,13 @@ object DedupQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
-  /** Spark: per-word polyHash list straight off `text`. */
-  private[contract] val wordHashesSpark = s"transform(split(text, ' '), w -> ${DetHash.polyHashSparkSql("w")})"
+  /** Spark: per-word polyHash list straight off `text` — the native
+    * codegen expression ([[graft.functions.WordHashes]]); value-identical
+    * to `transform(split(text, ' '), w -> polyHash(w))` but one compiled
+    * pass instead of an interpreted lambda per character. Callers must
+    * have run [[GraftFunctions.register]].
+    */
+  private[contract] val wordHashesSpark = "graft_wordhashes(text)"
 
   /** Word 3-gram shingle hashes, combined ARITHMETICALLY from the per-word
     * hash list `wh`: sh = ((h1*131 + h2)*131 + h3) % P. All intermediates
@@ -81,10 +86,12 @@ object DedupQueries {
       .mkString("\n  UNION ALL\n  ")
 
   /** (doc_id, source, shh: array<long>) with wh materialized once per doc. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     docs(s, dir)
       .select(col("doc_id"), col("source"), expr(wordHashesSpark).as("wh"))
       .select(col("doc_id"), col("source"), expr(shingleFromWhSpark).as("shh"))
+  }
 
   // -------------------------------------------------------------------
   // dedup_exact — exact duplicate groups by content hash (hash-groupBy;
@@ -120,6 +127,7 @@ object DedupQueries {
     * — the building block pipelines reuse on filtered doc sets.
     */
   private[contract] def minhashSigFrom(d: DataFrame): DataFrame = {
+    GraftFunctions.register(d.sparkSession)
     val cols = (0 until NumPerms).map { k =>
       expr(s"array_min(transform(shh, h -> ${DetHash.minhashPermSql("h", k)}))").as(s"mh$k")
     }
@@ -214,6 +222,7 @@ object DedupQueries {
     val fold = (0 until SimBits)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
+    GraftFunctions.register(s)
     docs(s, dir)
       .select(col("doc_id"), col("source"), explode(expr(wordHashesSpark)).as("h"))
       .groupBy("doc_id", "source")

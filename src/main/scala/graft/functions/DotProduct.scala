@@ -97,6 +97,15 @@ object GraftFunctions {
         WindowHashMinMax(children.head, children(1), children(2))
       },
       "graft_winhash(text, width, stride) - struct(win_min, win_max) of sliding-window poly hashes (codegen)"
+    ),
+    (
+      "graft_wordhashes",
+      classOf[WordHashes].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_wordhashes expects 1 argument")
+        WordHashes(children.head)
+      },
+      "graft_wordhashes(text) - array of per-word polynomial hashes, single-space split (codegen)"
     )
   )
 
