@@ -361,18 +361,16 @@ object EventQueries {
   // -------------------------------------------------------------------
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
-  private def pivotTypes(s: SparkSession, dir: String): DataFrame =
+  private def pivotTypes(s: SparkSession, dir: String): DataFrame = {
+    // conditional counts rather than .pivot: same single hash aggregation,
+    // but n_events can be a true count(*) in the same pass — so it matches
+    // the oracle even if a type OUTSIDE the pivoted list ever appears
+    val typeCounts = EventTypes.map(t => count(when(col("event_type") === t, 1)).as(s"n_$t"))
     ev(s, dir)
       .groupBy("user_id")
-      .pivot("event_type", EventTypes)
-      .agg(count(lit(1)))
-      .na
-      .fill(0L, EventTypes)
-      .select(
-        col("user_id") +: EventTypes.map(t => col(t).as(s"n_$t")) :+
-          EventTypes.map(t => col(t)).reduce(_ + _).as("n_events"): _*
-      )
+      .agg(typeCounts.head, typeCounts.tail :+ count(lit(1)).as("n_events"): _*)
       .transform(Norm.ordered(_, col("user_id")))
+  }
 
   private val pivotTypesSql: String = {
     val cols = EventTypes

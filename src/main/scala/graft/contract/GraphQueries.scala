@@ -24,7 +24,14 @@ import graft.operators.PageRank
   */
 object GraphQueries {
 
-  /** Distinct undirected candidate pairs (doc_a < doc_b). */
+  /** Distinct undirected candidate pairs (doc_a < doc_b). NOT checkpointed:
+    * symOf's union does duplicate the band-join subtree (the plan shows two
+    * aggregate+exchange branches), but at bench scale the duplicated
+    * subtree costs less than an eager materialization job — measured both
+    * ways. At cluster scale the pair table would be persisted/bucketed
+    * once instead (SCALE.md "Graph"), which graph_triangles' checkpoint
+    * (three consumers + a self-join) already models.
+    */
   private def pairsOf(s: SparkSession, dir: String): DataFrame =
     DedupQueries.lshPairsRaw(s, dir).select("doc_a", "doc_b")
 

@@ -60,7 +60,9 @@ object PipelineQueries {
       .select("doc_id", "text", "rn")
       .localCheckpoint()
     val survivors = exRanked.filter(col("rn") === 1).select("doc_id", "text")
-    val bands = DedupQueries.bandsFrom(DedupQueries.minhashSigFrom(survivors))
+    // sig checkpointed before the band self-join (self-join rule): without
+    // it the 8-permutation MinHash stage executes once per join side
+    val bands = DedupQueries.bandsFrom(DedupQueries.minhashSigFrom(survivors).localCheckpoint())
     val nearDropped = bands
       .as("a")
       .join(

@@ -35,7 +35,10 @@ object PrefixSum {
 
   /** Append inclusive running sum `out` of integral column `value` in the
     * total order given by `order` (which must be a UNIQUE key — ties would
-    * make the running sum nondeterministic in any engine).
+    * make the running sum nondeterministic in any engine). NULL values
+    * count as 0 — normalized up front so the per-partition totals and the
+    * partition-local window can never disagree about null handling (an
+    * all-NULL partition would otherwise NPE the totals collect).
     */
   def runningSum(
       df: DataFrame,
@@ -48,6 +51,7 @@ object PrefixSum {
     val n =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val v = coalesce(value.cast("long"), lit(0L))
     val parted = df
       .repartitionByRange(n, order: _*)
       .withColumn("__part", spark_partition_id())
@@ -56,7 +60,7 @@ object PrefixSum {
     // per-partition totals: n rows to the driver — metadata, not data
     val totals = parted
       .groupBy(col("__part"))
-      .agg(sum(value.cast("long")).as("__tot"))
+      .agg(sum(v).as("__tot"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
@@ -73,7 +77,7 @@ object PrefixSum {
     val offDf = offsets.toSeq.toDF("__part", "__off")
     parted
       .join(broadcast(offDf), "__part")
-      .withColumn(out, sum(value.cast("long")).over(w) + col("__off"))
+      .withColumn(out, sum(v).over(w) + col("__off"))
       .drop("__part", "__off")
   }
 }
