@@ -37,7 +37,11 @@ object Bench {
     // still above `ExtraRunAboveSec` get ONE extra run: the heavy queries
     // are exactly where a noise spike distorts the round's number most,
     // and a third sample costs little relative to their runtime.
-    val Runs = 2
+    // three runs per query: the host VM's noise spikes routinely hit one
+    // run of a query (round 3 recorded 93 s for a suite whose quiet total
+    // is 36 s with Runs=2); a third sample makes the min robust to a
+    // single spike at ~40% more bench wall time
+    val Runs = 3
     val ExtraRunAboveSec = 2.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // only SUCCESSFUL runs may contribute a timing: a run that dies fast

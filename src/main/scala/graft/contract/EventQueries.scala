@@ -94,6 +94,37 @@ object EventQueries {
       |ORDER BY g_type, g_bucket, event_type, user_bucket""".stripMargin
 
   // -------------------------------------------------------------------
+  // evt_cube — CUBE (event_type, value bucket): all four grouping sets in
+  // one pass (rollup covers the hierarchical sets; cube adds the
+  // bucket-only marginals). Spark expands to a single expand+hash-agg.
+  // -------------------------------------------------------------------
+  private def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("val_bucket", floor(col("value")).cast("long"))
+      .cube("event_type", "val_bucket")
+      // sum, not avg: this data's ~5-decimal values make avg-of-few-rows
+      // land exactly on round() boundaries where cross-engine summation
+      // order flips the last digit (observed at floor(value)=68: avg
+      // .61625); the sums stay off-boundary like evt_rollup's
+      .agg(
+        count(lit(1)).as("n_events"),
+        Norm.rnd(sum(col("value")), 4).as("sum_value"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("val_bucket")).cast("long").as("g_bucket")
+      )
+      .transform(Norm.ordered(_, col("g_type"), col("g_bucket"), col("event_type"), col("val_bucket")))
+
+  private val cubeAggSql: String =
+    """SELECT event_type, CAST(floor(value) AS BIGINT) AS val_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value), 4) + 0.0 AS sum_value,
+      |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+      |  CAST(GROUPING(CAST(floor(value) AS BIGINT)) AS BIGINT) AS g_bucket
+      |FROM events
+      |GROUP BY CUBE(event_type, CAST(floor(value) AS BIGINT))
+      |ORDER BY g_type, g_bucket, event_type, val_bucket""".stripMargin
+
+  // -------------------------------------------------------------------
   // evt_asof_purchase — as-of join: for every event, the most recent
   // STRICTLY PRIOR 'purchase' event of the same user. Spark side: a single
   // ordered window with `last(..., ignoreNulls)` over an unbounded-to-(-1)
@@ -471,6 +502,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_retention" -> retention,
     "evt_funnel" -> funnel,
+    "evt_cube" -> cubeAgg,
     "evt_range_join" -> rangeJoin,
     "evt_pivot" -> pivotTypes,
     "evt_running_metrics" -> runningMetrics,
@@ -487,6 +519,7 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "evt_retention" -> retentionSql,
     "evt_funnel" -> funnelSql,
+    "evt_cube" -> cubeAggSql,
     "evt_range_join" -> rangeJoinSql,
     "evt_pivot" -> pivotTypesSql,
     "evt_running_metrics" -> runningMetricsSql,
