@@ -58,7 +58,7 @@ object DedupQueries {
       s"ELSE CAST(array() AS ARRAY<BIGINT>) END"
 
   /** DuckDB oracle: word-hash CTE over documents + the same combine. */
-  private val whDuckCte =
+  private[contract] val whDuckCte =
     s"dw AS (SELECT doc_id, source, " +
       s"list_transform(string_split(text, ' '), w -> ${DetHash.polyHashSql("w")}) AS wh FROM documents)"
 
@@ -86,7 +86,7 @@ object DedupQueries {
       .mkString("\n  UNION ALL\n  ")
 
   /** (doc_id, source, shh: array<long>) with wh materialized once per doc. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  private[contract] def shingled(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     docs(s, dir)
       .select(col("doc_id"), col("source"), expr(wordHashesSpark).as("wh"))

@@ -191,13 +191,79 @@ object PipelineQueries {
        |  CAST(sum(n_tokens) AS BIGINT) AS win_tokens
        |FROM c GROUP BY 1 ORDER BY window_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // contam_check — benchmark decontamination: flag training documents
+  // whose word-3-gram shingles overlap a held-out benchmark set (source
+  // 'src0' stands in for the eval suite). The benchmark shingle set is
+  // DISTINCT and tiny relative to the corpus, so it broadcasts — the scan
+  // over 100 TB of training docs is then map-side: explode, broadcast-hash
+  // probe, partial-count. No training-side self-join anywhere.
+  // -------------------------------------------------------------------
+  private val BenchmarkSource = "src0"
+  private val ContamThreshold = 0.2
+
+  private def contamCheck(s: SparkSession, dir: String): DataFrame = {
+    val sh = DedupQueries
+      .shingled(s, dir)
+      .select(col("doc_id"), col("source"), expr("array_distinct(shh)").as("sh"))
+    val bench = sh
+      .filter(col("source") === BenchmarkSource)
+      .select(explode(col("sh")).as("h"))
+      .distinct()
+    val train = sh
+      .filter(col("source") =!= BenchmarkSource)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"), col("sh"))
+      .localCheckpoint() // feeds the hit join AND the left-join base
+    val hits = train
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"))
+    train
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_hit"), lit(0L)))
+      .withColumn(
+        "contam_ratio",
+        Norm.rnd(
+          when(col("n_shingles") === 0, 0.0)
+            .otherwise(col("n_contaminated") / col("n_shingles").cast("double")),
+          6
+        )
+      )
+      .withColumn("contaminated", col("contam_ratio") >= ContamThreshold)
+      .select("doc_id", "n_shingles", "n_contaminated", "contam_ratio", "contaminated")
+      .transform(Norm.ordered(_, col("doc_id")))
+  }
+
+  private val contamCheckSql: String =
+    s"""WITH ${DedupQueries.whDuckCte},
+       |ds AS (SELECT doc_id, source, list_distinct(${DedupQueries.shingleFromWhDuck}) AS sh FROM dw),
+       |bench AS (SELECT DISTINCT unnest(sh) AS h FROM ds WHERE source = '$BenchmarkSource'),
+       |train AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, sh FROM ds
+       |          WHERE source <> '$BenchmarkSource'),
+       |tok AS (SELECT doc_id, unnest(sh) AS h FROM train),
+       |hits AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+       |         FROM tok t JOIN bench b ON t.h = b.h GROUP BY 1),
+       |scored AS (
+       |  SELECT tr.doc_id, tr.n_shingles,
+       |    COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_contaminated,
+       |    round(CASE WHEN tr.n_shingles = 0 THEN 0.0
+       |               ELSE COALESCE(h.n_hit, 0) / CAST(tr.n_shingles AS DOUBLE) END, 6) + 0.0 AS contam_ratio
+       |  FROM train tr LEFT JOIN hits h ON h.doc_id = tr.doc_id
+       |)
+       |SELECT doc_id, n_shingles, n_contaminated, contam_ratio,
+       |       contam_ratio >= $ContamThreshold AS contaminated
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contam_check" -> contamCheck,
     "corpus_prep" -> corpusPrep,
     "quantile_bucket" -> quantileBucket,
     "pack_windows" -> packWindows
   )
 
   val oracle: Map[String, String] = Map(
+    "contam_check" -> contamCheckSql,
     "corpus_prep" -> corpusPrepSql,
     "quantile_bucket" -> quantileBucketSql,
     "pack_windows" -> packWindowsSql
