@@ -49,6 +49,16 @@ object Streams {
         col("avg_value")
       )
 
+  /** Stream-static enrichment: join the event stream against a static
+    * (batch) dimension table on the grouping key. Spark replans the static
+    * side per micro-batch, broadcasting it when small — the canonical
+    * "enrich a firehose with reference data" shape; no state, no
+    * watermark interaction, works in append mode. At scale the static
+    * side is a broadcast (small dim) or a bucketed table (big dim).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** First-seen document id per content hash. */
   final case class DedupEmit(textHash: Long, docId: Long, ts: Timestamp)
 

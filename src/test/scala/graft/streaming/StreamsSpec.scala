@@ -12,6 +12,24 @@ class StreamsSpec extends SparkTestBase {
 
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
+  test("enrichWithDim joins each micro-batch against the static dimension") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq(("click", 1.5), ("view", 2.0)).toDF("eventType", "weight")
+    val q = enrichWithDim(input.toDF(), dim, "eventType")
+      .writeStream.format("memory").queryName("enriched").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(ts(1), 1L, "click", 2.0), Event(ts(2), 2L, "view", 3.0), Event(ts(3), 3L, "error", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getString(r.fieldIndex("eventType")), Option(r.get(r.fieldIndex("weight")))))
+        .toSet
+      assert(rows == Set(("click", Some(1.5)), ("view", Some(2.0)), ("error", None)))
+    } finally q.stop()
+  }
+
   test("windowedEventStats aggregates per window and drops late data past the watermark") {
     val spark2 = spark
     import spark2.implicits._
