@@ -128,12 +128,16 @@ object DedupQueries {
     */
   private[contract] def minhashSigFrom(d: DataFrame): DataFrame = {
     GraftFunctions.register(d.sparkSession)
-    val cols = (0 until NumPerms).map { k =>
-      expr(s"array_min(transform(shh, h -> ${DetHash.minhashPermSql("h", k)}))").as(s"mh$k")
-    }
+    // fused native expression: shingling + all permutations in one
+    // compiled pass; element_at of its NULL result (docs with < 3 words)
+    // reproduces the per-column NULLs of the array_min(transform(...))
+    // formulation, so the oracle SQL is untouched
     d.select(col("doc_id"), expr(wordHashesSpark).as("wh"))
-      .select(col("doc_id"), expr(shingleFromWhSpark).as("shh"))
-      .select(col("doc_id") +: cols: _*)
+      .select(col("doc_id"), expr(s"graft_minhashsig(wh, $NumPerms)").as("sig"))
+      .select(
+        col("doc_id") +:
+          (0 until NumPerms).map(k => element_at(col("sig"), k + 1).as(s"mh$k")): _*
+      )
   }
 
   /** LSH band long format (doc_id, band, band_key) from a signature. */

@@ -106,6 +106,15 @@ object GraftFunctions {
         WordHashes(children.head)
       },
       "graft_wordhashes(text) - array of per-word polynomial hashes, single-space split (codegen)"
+    ),
+    (
+      "graft_minhashsig",
+      classOf[MinHashSig].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_minhashsig expects (word_hashes, num_perms)")
+        MinHashSig(children.head, children(1))
+      },
+      "graft_minhashsig(wh, k) - k-permutation MinHash signature over word-3-gram shingles (codegen)"
     )
   )
 
