@@ -45,6 +45,7 @@ object SparkEntry {
       EventQueries.queries ++
       PipelineQueries.queries ++
       GraphQueries.queries ++
+      ClusterQueries.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +61,6 @@ object SparkEntry {
       RelationalQueries.oracle ++
       EventQueries.oracle ++
       PipelineQueries.oracle ++
-      GraphQueries.oracle
+      GraphQueries.oracle ++
+      ClusterQueries.oracle
 }

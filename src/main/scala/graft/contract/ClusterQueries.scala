@@ -1,0 +1,177 @@
+package graft.contract
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering operators: Lloyd's k-means (the training step
+  * behind IVF / semantic-dedup indexes) and SemDeDup-style semantic
+  * deduplication (within-cluster cosine pruning — the clustered form of
+  * `dedup_embed_cos` that avoids the all-pairs blocked join entirely).
+  *
+  * Scale design:
+  *  - centroids are a tiny relation (`vec_id % CentStride == 0` seeds, so
+  *    k grows with the corpus like an IVF codebook). Assignment is a
+  *    broadcast nested-loop join + a map-side-combined hash `min(struct)`
+  *    argmin — per-row work is k·dim inside one codegen stage, shuffle
+  *    volume is one row per vector. No window sort anywhere.
+  *  - centroid recompute is posexplode + hash agg on (cid, pos): partial
+  *    aggregation makes shuffle volume k·dim partials, independent of
+  *    corpus size.
+  *  - each iteration's centroids are rounded to 6 decimals ON BOTH ENGINES
+  *    before the next assignment, so float summation-order differences
+  *    cannot compound across iterations — the unrolled-CTE oracle sees
+  *    bit-identical centroids at every step (same technique as the
+  *    PageRank recurrence oracle, `GraphQueries.graphPagerankSql`).
+  *  - semantic dedup joins pairs WITHIN a cluster only: candidate count is
+  *    sum of squared cluster sizes, not corpus², and the join key (cid)
+  *    shuffles both sides once.
+  */
+object ClusterQueries {
+  private val Dim = VecOps.Dim
+  private val CentStride = 71 // seed centroids: vec_id % 71 == 0 (k ~ n/71)
+  private val Iters = 3
+  private val SemThreshold = 0.2 // same bar as dedup_embed_cos
+
+  /** Squared-L2 distance, identical left-fold order in both engines. */
+  private val d2Spark =
+    "aggregate(zip_with(%s, %s, (x, c) -> (x - c) * (x - c)), CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
+  private def d2Duck(v: String, c: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, $Dim), i -> ($v[CAST(i AS INTEGER)] - $c[CAST(i AS INTEGER)]) * " +
+      s"($v[CAST(i AS INTEGER)] - $c[CAST(i AS INTEGER)]))), (acc, d) -> acc + d)"
+
+  /** One Lloyd assignment: nearest centroid by (d2, cid) — a broadcast
+    * cross join folded back to one row per vector by a hash-agg argmin
+    * (`min` over a (d2, cid) struct is the lexicographic argmin with the
+    * deterministic cid tie-break).
+    */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("d2", expr(d2Spark.format("v", "cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"), first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("m.cid").as("cid"))
+
+  /** Long-form recompute: per-(cid, pos) mean rounded to 6 decimals (the
+    * cross-engine determinism anchor) + exact member counts.
+    */
+  private def recomputeLong(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos0", "x")))
+      .groupBy(col("cid"), (col("pos0") + 1).cast("int").as("pos"))
+      .agg(count(lit(1)).as("n_vecs"), Norm.rnd(avg(col("x")), 6).as("c_val"))
+
+  /** Reassemble (cid, cv: array<double>) from the long form. */
+  private def toVectors(longForm: DataFrame): DataFrame =
+    longForm
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c_val")))).as("ps"))
+      .select(col("cid"), expr("transform(ps, p -> p.c_val)").as("cv"))
+
+  /** Runs the full loop; returns (finalLongForm, finalAssignment). */
+  private def kmeans(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = VecOps.vecs(s, dir).select(col("vec_id"), col("v"), col("nrm")).localCheckpoint()
+    var cents = e.filter(col("vec_id") % CentStride === 0).select(col("vec_id").as("cid"), col("v").as("cv"))
+    var assigned: DataFrame = null
+    var longForm: DataFrame = null
+    for (_ <- 1 to Iters) {
+      assigned = assign(e, cents)
+      longForm = recomputeLong(assigned)
+      // tiny relation (k x dim rows); checkpoint truncates the per-iteration
+      // lineage so the final plan is one assignment deep, not Iters deep
+      cents = toVectors(longForm).localCheckpoint()
+    }
+    (longForm, assigned)
+  }
+
+  // -------------------------------------------------------------------
+  // vec_kmeans — final centroids in long form: (cid, pos, n_vecs, c_val).
+  // -------------------------------------------------------------------
+  private def vecKmeans(s: SparkSession, dir: String): DataFrame = {
+    val (longForm, _) = kmeans(s, dir)
+    longForm
+      .select(col("cid"), col("pos"), col("n_vecs"), col("c_val"))
+      .transform(Norm.ordered(_, col("cid"), col("pos")))
+  }
+
+  /** Unrolled Lloyd recurrence as chained CTEs (generated, not
+    * hand-written): a{i} = assignment against c{i-1}, cl{i} = rounded
+    * long-form centroids, c{i} = reassembled vectors.
+    */
+  private val kmeansCteSql: String = {
+    val iters = (1 to Iters)
+      .map { i =>
+        s"""a$i AS (
+           |  SELECT vec_id, v, nrm, cid FROM (
+           |    SELECT e.vec_id, e.v, e.nrm, c.cid,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |                              ORDER BY ${d2Duck("e.v", "c.cv")}, c.cid) AS rn
+           |    FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1
+           |),
+           |cl$i AS (
+           |  SELECT cid, CAST(t.i AS INTEGER) AS pos, CAST(count(*) AS BIGINT) AS n_vecs,
+           |         round(avg(v[CAST(t.i AS INTEGER)]), 6) + 0.0 AS c_val
+           |  FROM a$i CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY 1, 2
+           |),
+           |c$i AS (SELECT cid, list(c_val ORDER BY pos) AS cv FROM cl$i GROUP BY cid)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, sqrt(${VecOps.dotDuck("e0.v", "e0.v")}) AS nrm FROM e0),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $CentStride = 0),
+       |$iters""".stripMargin
+  }
+
+  private val vecKmeansSql: String =
+    s"""WITH $kmeansCteSql
+       |SELECT cid, pos, n_vecs, c_val FROM cl$Iters ORDER BY cid, pos""".stripMargin
+
+  // -------------------------------------------------------------------
+  // dedup_semantic — SemDeDup: within each k-means cluster, a document is
+  // pruned when an earlier (lower vec_id) cluster-mate is more similar
+  // than the threshold; `dup_of` is the earliest such mate. The pair join
+  // is keyed on cid, so candidate volume is bounded by cluster sizes.
+  // -------------------------------------------------------------------
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val (_, assigned) = kmeans(s, dir)
+    val a = assigned.localCheckpoint() // feeds both sides of the self-join
+    val cos = expr(VecOps.dotSpark.format("a.v", "b.v")) / (col("a.nrm") * col("b.nrm"))
+    a.as("a")
+      .join(a.as("b"), col("a.cid") === col("b.cid") && col("a.vec_id") > col("b.vec_id"))
+      .withColumn("cos_sim", cos)
+      .filter(col("cos_sim") >= SemThreshold)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(
+        first(col("a.cid")).as("cid"),
+        min(struct(col("b.vec_id").as("dup_of"), col("cos_sim"))).as("m")
+      )
+      .select(col("vec_id"), col("cid"), col("m.dup_of").as("dup_of"), Norm.rnd(col("m.cos_sim"), 6).as("cos_sim"))
+      .transform(Norm.ordered(_, col("vec_id")))
+  }
+
+  private val dedupSemanticSql: String = {
+    val cos = s"${VecOps.dotDuck("a.v", "b.v")} / (a.nrm * b.nrm)"
+    s"""WITH $kmeansCteSql,
+       |pairs AS (
+       |  SELECT a.vec_id, a.cid, b.vec_id AS dup_of, $cos AS cos_sim
+       |  FROM a$Iters a JOIN a$Iters b ON a.cid = b.cid AND a.vec_id > b.vec_id
+       |  WHERE $cos >= $SemThreshold
+       |), ranked AS (
+       |  SELECT vec_id, cid, dup_of, cos_sim,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rn
+       |  FROM pairs
+       |)
+       |SELECT vec_id, cid, dup_of, round(cos_sim, 6) + 0.0 AS cos_sim
+       |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_kmeans" -> vecKmeans,
+    "dedup_semantic" -> dedupSemantic
+  )
+
+  val oracle: Map[String, String] = Map(
+    "vec_kmeans" -> vecKmeansSql,
+    "dedup_semantic" -> dedupSemanticSql
+  )
+}
