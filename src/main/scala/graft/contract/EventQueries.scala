@@ -499,7 +499,91 @@ object EventQueries {
        |FROM d JOIN c ON d.user_id = c.user_id
        |GROUP BY 1, 2 ORDER BY cohort_us, day_offset""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_pii_scrub — PII-style redaction over the raw `props` payload:
+  // mask every digit run, count redactions, and checksum the masked
+  // strings per event type (the checksum proves every masked byte, not
+  // just the counts). Pure map-side scan + one map-side-combined agg —
+  // the shape of a 100 TB scrubbing pass.
+  // -------------------------------------------------------------------
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val P = graft.ccm.DetHash.P
+    Tables.events(s, dir)
+      .select(
+        col("event_type"),
+        regexp_count(col("props"), lit("[0-9]+")).cast("long").as("n_masked"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("masked")
+      )
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("n_masked")).as("n_redactions"),
+        sum(graft.ccm.DetHash.polyHashCol(col("masked")) % P).as("mask_hash_sum")
+      )
+      .transform(Norm.ordered(_, col("event_type")))
+  }
+
+  private val piiScrubSql: String = {
+    val P = graft.ccm.DetHash.P
+    val h = graft.ccm.DetHash.polyHashSql("regexp_replace(props, '[0-9]+', '#', 'g')")
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_redactions,
+       |  CAST(sum($h % $P) AS BIGINT) AS mask_hash_sum
+       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // evt_anomaly — rolling z-score outlier detection: each event is scored
+  // against the PRIOR 8 events of its user (full frames only). Variance
+  // is built from explicit frame sums (sum, sum of squares) instead of an
+  // engine stddev — Spark and DuckDB use different one-pass variance
+  // algorithms, but identical sums feed an identical formula here. One
+  // window pass per user partition; no self-join.
+  // -------------------------------------------------------------------
+  private val ZWin = 8
+  private val ZThreshold = 2.5
+
+  private def anomaly(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val prior = ord.rowsBetween(-ZWin, -1)
+    ev(s, dir)
+      .withColumn("n_prior", count(lit(1)).over(prior))
+      .withColumn("s1", sum(col("value")).over(prior))
+      .withColumn("s2", sum(col("value") * col("value")).over(prior))
+      .filter(col("n_prior") === ZWin)
+      .withColumn("variance", (col("s2") - col("s1") * col("s1") / ZWin) / (ZWin - 1))
+      .filter(col("variance") > 1e-9)
+      .withColumn("z", (col("value") - col("s1") / ZWin) / sqrt(col("variance")))
+      .filter(abs(col("z")) >= ZThreshold)
+      .select(col("user_id"), col("event_id"), col("value"), Norm.rnd(col("z"), 6).as("z_score"))
+      .transform(Norm.ordered(_, col("user_id"), col("event_id")))
+  }
+
+  private val anomalySql: String =
+    s"""WITH w AS (
+       |  SELECT user_id, event_id, value,
+       |         count(*) OVER f AS n_prior,
+       |         sum(value) OVER f AS s1,
+       |         sum(value * value) OVER f AS s2
+       |  FROM events
+       |  WINDOW f AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       |               ROWS BETWEEN $ZWin PRECEDING AND 1 PRECEDING)
+       |), v AS (
+       |  SELECT user_id, event_id, value,
+       |         (s2 - s1 * s1 / $ZWin) / ${ZWin - 1} AS variance, s1
+       |  FROM w WHERE n_prior = $ZWin
+       |), z AS (
+       |  SELECT user_id, event_id, value,
+       |         (value - s1 / $ZWin) / sqrt(variance) AS z
+       |  FROM v WHERE variance > 1e-9
+       |)
+       |SELECT user_id, event_id, value, round(z, 6) + 0.0 AS z_score
+       |FROM z WHERE abs(z) >= $ZThreshold
+       |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_pii_scrub" -> piiScrub,
+    "evt_anomaly" -> anomaly,
     "evt_retention" -> retention,
     "evt_funnel" -> funnel,
     "evt_cube" -> cubeAgg,
@@ -517,6 +601,8 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_pii_scrub" -> piiScrubSql,
+    "evt_anomaly" -> anomalySql,
     "evt_retention" -> retentionSql,
     "evt_funnel" -> funnelSql,
     "evt_cube" -> cubeAggSql,

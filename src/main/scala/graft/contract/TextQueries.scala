@@ -387,7 +387,75 @@ object TextQueries {
        |FROM scored GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT $BmTopK""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // text_repetition — Gopher-style repetition signals: duplicate-word /
+  // duplicate-2-gram / duplicate-3-gram fractions and the most-frequent-
+  // word fraction. Everything is computed INSIDE the row from the token
+  // array (no explode, no shuffle): the scale-correct shape for per-doc
+  // corpus filtering — a 100 TB corpus maps each document once and emits
+  // five numbers. All fractions are ratios of integer counts, so the
+  // doubles are bit-identical across engines before rounding.
+  //
+  // Spark trap: `sequence(1, 0)` DESCENDS ([1, 0]) instead of returning
+  // empty — every gram builder is guarded by a CASE on the word count.
+  // -------------------------------------------------------------------
+  private def grams(n: Int): (String, String) = {
+    val sparkParts = (0 until n).map(k => s"element_at(ws, i + $k)").mkString(", ' ', ")
+    val duckParts = (0 until n).map(k => s"ws[i + $k]").mkString(" || ' ' || ")
+    (
+      s"CASE WHEN nw >= $n THEN transform(sequence(1, CAST(nw AS INT) - ${n - 1}), i -> concat($sparkParts)) ELSE array() END",
+      s"CASE WHEN nw >= $n THEN list_transform(generate_series(1, CAST(nw AS INTEGER) - ${n - 1}), i -> $duckParts) ELSE [] END"
+    )
+  }
+
+  private def dupFrac(arr: String, distinctFn: String, lenFn: String): String =
+    s"CASE WHEN $lenFn($arr) = 0 THEN 0.0 ELSE " +
+      s"CAST($lenFn($arr) - $lenFn($distinctFn($arr)) AS DOUBLE) / CAST($lenFn($arr) AS DOUBLE) END"
+
+  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val (g2s, _) = grams(2)
+    val (g3s, _) = grams(3)
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+      .withColumn("g2", expr(g2s))
+      .withColumn("g3", expr(g3s))
+      .select(
+        col("doc_id"),
+        col("nw").as("n_words"),
+        Norm.rnd(expr(dupFrac("ws", "array_distinct", "size")), 6).as("dup_word_frac"),
+        Norm.rnd(expr(dupFrac("g2", "array_distinct", "size")), 6).as("dup_2gram_frac"),
+        Norm.rnd(expr(dupFrac("g3", "array_distinct", "size")), 6).as("dup_3gram_frac"),
+        Norm.rnd(
+          expr("CAST(array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w)))) AS DOUBLE)")
+            / col("nw").cast("double"),
+          6
+        ).as("top_word_frac")
+      )
+      .transform(Norm.ordered(_, col("doc_id")))
+  }
+
+  private val textRepetitionSql: String = {
+    val (_, g2d) = grams(2)
+    val (_, g3d) = grams(3)
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, ws, nw, $g2d AS g2, $g3d AS g3 FROM t
+       |)
+       |SELECT doc_id, nw AS n_words,
+       |  round(${dupFrac("ws", "list_distinct", "len")}, 6) + 0.0 AS dup_word_frac,
+       |  round(${dupFrac("g2", "list_distinct", "len")}, 6) + 0.0 AS dup_2gram_frac,
+       |  round(${dupFrac("g3", "list_distinct", "len")}, 6) + 0.0 AS dup_3gram_frac,
+       |  round(CAST(list_max(list_transform(list_distinct(ws), w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+       |        / CAST(nw AS DOUBLE), 6) + 0.0 AS top_word_frac
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> textRepetition,
     "text_bm25" -> bm25,
     "doc_split" -> docSplit,
     "text_stats" -> textStats,
@@ -400,6 +468,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionSql,
     "text_bm25" -> bm25Sql,
     "doc_split" -> docSplitSql,
     "text_stats" -> textStatsSql,

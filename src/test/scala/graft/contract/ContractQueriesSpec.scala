@@ -236,4 +236,34 @@ class ContractQueriesSpec extends SparkTestBase {
       assert(prices.sliding(2).forall(p => p(0) >= p(1)))
     }
   }
+
+  test("text_repetition: fractions in [0,1], top word at least 1/n_words") {
+    for (r <- q("text_repetition").collect()) {
+      val n = r.getLong(1)
+      for (i <- 2 to 5) {
+        val f = r.getDouble(i)
+        assert(f >= 0.0 && f <= 1.0, s"col $i out of range")
+      }
+      assert(r.getDouble(5) >= 1.0 / n - 1e-6, "top_word_frac lower bound") // 6-decimal rounding slack
+    }
+  }
+
+  test("evt_pii_scrub: redaction counts cover every digit run") {
+    // masked strings must contain no digits at all -> per-type totals equal
+    // a direct recount over the raw props
+    val got = q("evt_pii_scrub").collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val direct = Tables.events(spark, SfDir)
+      .groupBy("event_type")
+      .agg(sum(size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(got == direct)
+  }
+
+  test("evt_anomaly: every reported z-score clears the threshold") {
+    val rows = q("evt_anomaly").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) assert(math.abs(r.getDouble(3)) >= 2.5 - 1e-9)
+  }
 }
