@@ -32,9 +32,11 @@ object ClusterQueries {
   private val Iters = 3
   private val SemThreshold = 0.2 // same bar as dedup_embed_cos
 
-  /** Squared-L2 distance, identical left-fold order in both engines. */
-  private val d2Spark =
-    "aggregate(zip_with(%s, %s, (x, c) -> (x - c) * (x - c)), CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
+  /** Squared-L2 distance: native codegen on the Spark side
+    * ([[graft.functions.L2Sq]] — bit-identical to the HOF fold), the same
+    * left-fold in the DuckDB oracle.
+    */
+  private val d2Spark = "graft_l2sq(%s, %s)"
   private def d2Duck(v: String, c: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(generate_series(1, $Dim), i -> ($v[CAST(i AS INTEGER)] - $c[CAST(i AS INTEGER)]) * " +

@@ -412,25 +412,25 @@ object TextQueries {
     s"CASE WHEN $lenFn($arr) = 0 THEN 0.0 ELSE " +
       s"CAST($lenFn($arr) - $lenFn($distinctFn($arr)) AS DOUBLE) / CAST($lenFn($arr) AS DOUBLE) END"
 
+  /** All five signals come out of ONE native pass per row
+    * ([[graft.functions.RepStats]]); the gram totals are nw-1 / nw-2 by
+    * construction, so only the distinct counts need the scan. The portable
+    * HOF formulation (array_distinct + a filter-count per distinct word)
+    * is what the oracle still runs.
+    */
   private def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val (g2s, _) = grams(2)
-    val (g3s, _) = grams(3)
+    graft.functions.GraftFunctions.register(s)
+    def frac(total: String, distinct: String) =
+      s"CASE WHEN $total <= 0 THEN 0.0 ELSE CAST($total - $distinct AS DOUBLE) / CAST($total AS DOUBLE) END"
     docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("nw", size(col("ws")).cast("long"))
-      .withColumn("g2", expr(g2s))
-      .withColumn("g3", expr(g3s))
+      .select(col("doc_id"), expr("graft_repstats(text)").as("r"))
       .select(
         col("doc_id"),
-        col("nw").as("n_words"),
-        Norm.rnd(expr(dupFrac("ws", "array_distinct", "size")), 6).as("dup_word_frac"),
-        Norm.rnd(expr(dupFrac("g2", "array_distinct", "size")), 6).as("dup_2gram_frac"),
-        Norm.rnd(expr(dupFrac("g3", "array_distinct", "size")), 6).as("dup_3gram_frac"),
-        Norm.rnd(
-          expr("CAST(array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w)))) AS DOUBLE)")
-            / col("nw").cast("double"),
-          6
-        ).as("top_word_frac")
+        col("r.nw").as("n_words"),
+        Norm.rnd(expr(frac("r.nw", "r.dw")), 6).as("dup_word_frac"),
+        Norm.rnd(expr(frac("(r.nw - 1)", "r.d2")), 6).as("dup_2gram_frac"),
+        Norm.rnd(expr(frac("(r.nw - 2)", "r.d3")), 6).as("dup_3gram_frac"),
+        Norm.rnd(col("r.mw").cast("double") / col("r.nw").cast("double"), 6).as("top_word_frac")
       )
       .transform(Norm.ordered(_, col("doc_id")))
   }

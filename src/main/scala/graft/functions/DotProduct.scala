@@ -115,6 +115,24 @@ object GraftFunctions {
         MinHashSig(children.head, children(1))
       },
       "graft_minhashsig(wh, k) - k-permutation MinHash signature over word-3-gram shingles (codegen)"
+    ),
+    (
+      "graft_l2sq",
+      classOf[L2Sq].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_l2sq expects 2 arguments")
+        L2Sq(children.head, children(1))
+      },
+      "graft_l2sq(a, b) - squared L2 distance of two array<double> columns (codegen)"
+    ),
+    (
+      "graft_repstats",
+      classOf[RepStats].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_repstats expects 1 argument")
+        RepStats(children.head)
+      },
+      "graft_repstats(text) - struct(nw, dw, mw, d2, d3) repetition stats over the single-space split (codegen)"
     )
   )
 
