@@ -581,7 +581,44 @@ object EventQueries {
        |FROM z WHERE abs(z) >= $ZThreshold
        |ORDER BY user_id, event_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_transitions — first-order Markov transition matrix over each
+  // user's event-type sequence: one lead() window pass per user
+  // partition, then a global (src, dst) count with the row-probability
+  // as an exact integer ratio. The sequence-mining primitive behind
+  // session modeling / next-event prediction.
+  // -------------------------------------------------------------------
+  private def transitions(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val wSrc = Window.partitionBy("src_type")
+    ev(s, dir)
+      .withColumn("dst_type", lead(col("event_type"), 1).over(ord))
+      .filter(col("dst_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn(
+        "p",
+        Norm.rnd(col("n_transitions").cast("double") / sum(col("n_transitions")).over(wSrc).cast("double"), 6)
+      )
+      .transform(Norm.ordered(_, col("src_type"), col("dst_type")))
+  }
+
+  private val transitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS src_type,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst_type
+      |  FROM events
+      |), c AS (
+      |  SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n_transitions
+      |  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT src_type, dst_type, n_transitions,
+      |  round(CAST(n_transitions AS DOUBLE) /
+      |        CAST(sum(n_transitions) OVER (PARTITION BY src_type) AS DOUBLE), 6) + 0.0 AS p
+      |FROM c ORDER BY src_type, dst_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_transitions" -> transitions,
     "evt_pii_scrub" -> piiScrub,
     "evt_anomaly" -> anomaly,
     "evt_retention" -> retention,
@@ -601,6 +638,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_transitions" -> transitionsSql,
     "evt_pii_scrub" -> piiScrubSql,
     "evt_anomaly" -> anomalySql,
     "evt_retention" -> retentionSql,

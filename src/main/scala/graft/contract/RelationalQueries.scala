@@ -248,7 +248,41 @@ object RelationalQueries {
       |  round(avg(value), 6) + 0.0 AS avg_v
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q4_priority — TPC-H Q4 shape: orders in a quarter having at least one
+  // RETURNED lineitem (the driver's lineitem carries no commit/receipt
+  // dates, so l_returnflag = 'R' stands in for lateness), counted per
+  // priority. The EXISTS decorrelates to a LEFT SEMI join: the date filter
+  // pushes into the orders scan, the flag filter into the lineitem scan,
+  // and the semi join never materializes matched lineitems (first match
+  // wins).
+  // -------------------------------------------------------------------
+  private val Q4Lo = "1995-01-01 00:00:00"
+  private val Q4Hi = "1995-04-01 00:00:00"
+
+  private def q4Priority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= expr(s"TIMESTAMP '$Q4Lo'") && col("o_orderdate") < expr(s"TIMESTAMP '$Q4Hi'"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val late = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .transform(Norm.ordered(_, col("o_orderpriority")))
+  }
+
+  private val q4PrioritySql: String =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '$Q4Lo' AND o_orderdate < TIMESTAMP '$Q4Hi'
+       |  AND EXISTS (SELECT 1 FROM lineitem
+       |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority" -> q4Priority,
     "q1_agg" -> q1Agg,
     "topk_orders" -> topkOrders,
     "evt_type_agg" -> evtTypeAgg,
@@ -260,6 +294,7 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q4_priority" -> q4PrioritySql,
     "q1_agg" -> q1AggSql,
     "topk_orders" -> topkOrdersSql,
     "evt_type_agg" -> evtTypeAggSql,

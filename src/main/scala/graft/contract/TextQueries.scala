@@ -454,7 +454,43 @@ object TextQueries {
        |FROM g ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // text_lm_score — CCNet-style unigram language-model scoring: MLE word
+  // probabilities from the corpus itself, per-doc mean negative
+  // log-likelihood as the quality/typicality signal (high = unusual
+  // vocabulary). The vocabulary relation is corpus-bounded and broadcast;
+  // the scan side is explode + broadcast-hash-join + one per-doc agg —
+  // no all-pairs anything. ln() parity with DuckDB is established by
+  // text_bm25 (last-ulp differences vanish at round 6).
+  // -------------------------------------------------------------------
+  private def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = toks.count() // corpus size: one scalar, computed once
+    toks
+      .join(broadcast(vocab), "w")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        Norm.rnd(sum(-log(col("c").cast("double") / lit(total.toDouble))) / count(lit(1)), 6).as("lm_nll")
+      )
+      .transform(Norm.ordered(_, col("doc_id")))
+  }
+
+  private val lmScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), vocab AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+      |), total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(sum(-ln(CAST(v.c AS DOUBLE) / (SELECT n FROM total))) / count(*), 6) + 0.0 AS lm_nll
+      |FROM toks t JOIN vocab v ON t.w = v.w
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> lmScore,
     "text_repetition" -> textRepetition,
     "text_bm25" -> bm25,
     "doc_split" -> docSplit,
@@ -468,6 +504,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_lm_score" -> lmScoreSql,
     "text_repetition" -> textRepetitionSql,
     "text_bm25" -> bm25Sql,
     "doc_split" -> docSplitSql,

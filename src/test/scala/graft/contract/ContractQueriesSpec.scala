@@ -261,6 +261,15 @@ class ContractQueriesSpec extends SparkTestBase {
     assert(got == direct)
   }
 
+  test("evt_transitions: probabilities sum to ~1 per source type") {
+    val bySrc = q("evt_transitions").collect().groupBy(_.getString(0))
+    assert(bySrc.nonEmpty)
+    for ((src, rows) <- bySrc) {
+      val p = rows.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"src $src sums to $p")
+    }
+  }
+
   test("evt_anomaly: every reported z-score clears the threshold") {
     val rows = q("evt_anomaly").collect()
     assert(rows.nonEmpty)
