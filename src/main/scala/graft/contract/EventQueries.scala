@@ -538,7 +538,12 @@ object EventQueries {
   // is built from explicit frame sums (sum, sum of squares) instead of an
   // engine stddev — Spark and DuckDB use different one-pass variance
   // algorithms, but identical sums feed an identical formula here. One
-  // window pass per user partition; no self-join.
+  // window pass per user partition; no self-join. The frame sums are
+  // ROUNDED before any threshold compare: engines may combine a window
+  // frame in different orders (DuckDB's segment tree vs Spark's running
+  // sum), so the raw s1/s2 can differ in the last ulp — rounding both
+  // sides to the same grid BEFORE the variance/z filters keeps the
+  // emitted row set engine-independent.
   // -------------------------------------------------------------------
   private val ZWin = 8
   private val ZThreshold = 2.5
@@ -548,8 +553,8 @@ object EventQueries {
     val prior = ord.rowsBetween(-ZWin, -1)
     ev(s, dir)
       .withColumn("n_prior", count(lit(1)).over(prior))
-      .withColumn("s1", sum(col("value")).over(prior))
-      .withColumn("s2", sum(col("value") * col("value")).over(prior))
+      .withColumn("s1", Norm.rnd(sum(col("value")).over(prior), 6))
+      .withColumn("s2", Norm.rnd(sum(col("value") * col("value")).over(prior), 6))
       .filter(col("n_prior") === ZWin)
       .withColumn("variance", (col("s2") - col("s1") * col("s1") / ZWin) / (ZWin - 1))
       .filter(col("variance") > 1e-9)
@@ -563,8 +568,8 @@ object EventQueries {
     s"""WITH w AS (
        |  SELECT user_id, event_id, value,
        |         count(*) OVER f AS n_prior,
-       |         sum(value) OVER f AS s1,
-       |         sum(value * value) OVER f AS s2
+       |         round(sum(value) OVER f, 6) + 0.0 AS s1,
+       |         round(sum(value * value) OVER f, 6) + 0.0 AS s2
        |  FROM events
        |  WINDOW f AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
        |               ROWS BETWEEN $ZWin PRECEDING AND 1 PRECEDING)

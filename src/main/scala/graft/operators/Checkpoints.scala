@@ -12,11 +12,22 @@ import org.apache.spark.sql.DataFrame
   * to storage every few rounds.
   */
 object Checkpoints {
-  def tracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
+  def tracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = synchronized {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    (out, (sc.getPersistentRDDs -- before).values.toSeq)
+    val delta = (sc.getPersistentRDDs -- before).values.toSeq
+    // one localCheckpoint pins exactly one RDD; a bigger delta means some
+    // OTHER thread persisted concurrently and free() would unpersist its
+    // blocks — fail loudly instead of silently corrupting foreign state
+    // (the synchronized above serializes tracked() against itself, but not
+    // against arbitrary caller-side persists)
+    require(
+      delta.size == 1,
+      s"Checkpoints.tracked expected exactly 1 newly-pinned RDD, saw ${delta.size} " +
+        s"(ids ${delta.map(_.id).sorted.mkString(",")}) — concurrent persist detected"
+    )
+    (out, delta)
   }
 
   def free(rdds: Seq[RDD[_]]): Unit = rdds.foreach(_.unpersist(blocking = false))

@@ -16,12 +16,16 @@ object PageRank {
   /** Ranks after a fixed number of power iterations.
     *
     * @param edges      directed (src, dst) edge list; callers with an
-    *                   undirected graph pass both orientations. Every
-    *                   vertex must appear as a src at least once (true for
-    *                   symmetrized graphs) — dangling-mass redistribution
-    *                   is deliberately out of scope.
+    *                   undirected graph pass both orientations. The vertex
+    *                   set is src ∪ dst: zero-in-degree vertices keep their
+    *                   teleport-only rank every round (the full vertex set
+    *                   is left-joined back each iteration), and dangling
+    *                   vertices (no out-edges) simply contribute nothing —
+    *                   dangling-MASS redistribution is deliberately out of
+    *                   scope (ranks then sum to < 1).
     * @return (vertex: Long, rank: Double), unnormalized beyond the
-    *         teleport term (sums to ~1 over vertices)
+    *         teleport term (sums to ~1 over vertices when no vertex
+    *         dangles)
     */
   /** Every `checkpointInterval`-th iteration is materialized (eager
     * localCheckpoint) and the previous checkpoint freed; intermediate
@@ -37,19 +41,27 @@ object PageRank {
     // iteration reuses this relation on both sides of its join
     val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
     val (e, eRdds) = Checkpoints.tracked(e0.join(deg, "src"))
-    val n = e.select("src").distinct().count()
+    // the vertex set is src ∪ dst, checkpointed ONCE: every iteration
+    // left-joins it back so zero-in-degree vertices (no contrib row from
+    // the groupBy(dst)) keep their teleport rank instead of vanishing
+    val (vertices, vRdds) = Checkpoints.tracked(
+      e.select(col("src").as("vertex")).union(e.select(col("dst").as("vertex"))).distinct()
+    )
+    val n = vertices.count()
     val nD = n.toDouble
     var (ranks, rankRdds) = Checkpoints.tracked(
-      e.select(col("src").as("vertex")).distinct().select(col("vertex"), (lit(1.0) / lit(nD)).as("rank"))
+      vertices.select(col("vertex"), (lit(1.0) / lit(nD)).as("rank"))
     )
     for (i <- 1 to iterations) {
-      val next = e
+      val contribs = e
         .join(ranks, e("src") === ranks("vertex"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") / col("deg")).as("contrib"))
+      val next = vertices
+        .join(contribs, vertices("vertex") === contribs("dst"), "left")
         .select(
-          col("dst").as("vertex"),
-          (lit(1.0 - damping) / lit(nD) + lit(damping) * col("contrib")).as("rank")
+          vertices("vertex"),
+          (lit(1.0 - damping) / lit(nD) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")
         )
       if (i % CheckpointInterval == 0 || i == iterations) {
         val (cp, cpRdds) = Checkpoints.tracked(next)
@@ -59,6 +71,7 @@ object PageRank {
       } else ranks = next
     }
     Checkpoints.free(eRdds)
+    Checkpoints.free(vRdds)
     ranks
   }
 }

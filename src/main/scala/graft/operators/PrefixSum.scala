@@ -39,6 +39,12 @@ object PrefixSum {
     * count as 0 — normalized up front so the per-partition totals and the
     * partition-local window can never disagree about null handling (an
     * all-NULL partition would otherwise NPE the totals collect).
+    *
+    * PINS one localCheckpoint for the life of the returned (lazy) plan —
+    * it cannot be freed here because the result still reads through it.
+    * Callers that keep the session alive must unpersist after consuming
+    * the result (use [[runningSumTracked]] for an explicit handle; the
+    * Bench/Verify harness unpersists all persistent RDDs between queries).
     */
   def runningSum(
       df: DataFrame,
@@ -46,16 +52,28 @@ object PrefixSum {
       value: Column,
       out: String,
       numPartitions: Int = 0
-  ): DataFrame = {
+  ): DataFrame = runningSumTracked(df, order, value, out, numPartitions)._1
+
+  /** [[runningSum]] plus the pinned checkpoint blocks, for callers that
+    * free them once the result is materialized (same tracked/free
+    * discipline as the iterative operators).
+    */
+  def runningSumTracked(
+      df: DataFrame,
+      order: Seq[Column],
+      value: Column,
+      out: String,
+      numPartitions: Int = 0
+  ): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
     val spark = df.sparkSession
     val n =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val v = coalesce(value.cast("long"), lit(0L))
-    val parted = df
-      .repartitionByRange(n, order: _*)
-      .withColumn("__part", spark_partition_id())
-      .localCheckpoint()
+    val (parted, pinned) = Checkpoints.tracked(
+      df.repartitionByRange(n, order: _*)
+        .withColumn("__part", spark_partition_id())
+    )
     val w = Window.partitionBy(col("__part")).orderBy(order: _*)
     // per-partition totals: n rows to the driver — metadata, not data
     val totals = parted
@@ -75,9 +93,10 @@ object PrefixSum {
     // broadcast-join the offsets back (a when-chain would break codegen
     // past a few hundred partitions; the join scales to any count)
     val offDf = offsets.toSeq.toDF("__part", "__off")
-    parted
+    val result = parted
       .join(broadcast(offDf), "__part")
       .withColumn(out, sum(v).over(w) + col("__off"))
       .drop("__part", "__off")
+    (result, pinned)
   }
 }

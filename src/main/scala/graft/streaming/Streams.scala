@@ -51,13 +51,16 @@ object Streams {
 
   /** Stream-static enrichment: join the event stream against a static
     * (batch) dimension table on the grouping key. Spark replans the static
-    * side per micro-batch, broadcasting it when small — the canonical
-    * "enrich a firehose with reference data" shape; no state, no
-    * watermark interaction, works in append mode. At scale the static
-    * side is a broadcast (small dim) or a bucketed table (big dim).
+    * side per micro-batch, broadcasting it when its size estimate is under
+    * the autoBroadcastJoinThreshold — no hint here, so a large dim table
+    * degrades to a shuffled join instead of force-broadcasting itself into
+    * an executor OOM. The canonical "enrich a firehose with reference
+    * data" shape; no state, no watermark interaction, works in append
+    * mode. At scale the static side is a broadcast (small dim) or a
+    * bucketed table (big dim).
     */
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    events.join(broadcast(dim), Seq(key), "left")
+    events.join(dim, Seq(key), "left")
 
   /** First-seen document id per content hash. */
   final case class DedupEmit(textHash: Long, docId: Long, ts: Timestamp)

@@ -40,4 +40,34 @@ class PageRankSpec extends SparkTestBase {
       assert(math.abs(rank.values.sum - 1.0) < 1e-6)
     }
   }
+
+  test("keeps zero-in-degree vertices at their teleport-fed rank on directed graphs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 0 -> 1 -> 2, 0 -> 2: vertex 0 has in-degree 0 (appears only as src),
+    // vertex 2 has out-degree 0 (appears only as dst = dangling, no
+    // contribution outward — its mass is deliberately not redistributed)
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("src", "dst")
+    val got = PageRank
+      .run(edges, iterations = 10, damping = 0.85)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+
+    // local reference over the same vertex set {0,1,2}
+    val verts = Seq(0L, 1L, 2L)
+    val deg = Map(0L -> 2.0, 1L -> 1.0)
+    val out = Map(0L -> Seq(1L, 2L), 1L -> Seq(2L))
+    var rank = verts.map(v => v -> 1.0 / 3).toMap
+    for (_ <- 1 to 10) {
+      val contrib = verts.map { v =>
+        v -> out.collect { case (u, ds) if ds.contains(v) => rank(u) / deg(u) }.sum
+      }.toMap
+      rank = verts.map(v => v -> (0.15 / 3 + 0.85 * contrib(v))).toMap
+    }
+    assert(got.keySet == Set(0L, 1L, 2L), "every vertex (incl. in-degree 0 and dangling) must survive")
+    verts.foreach(v => assert(math.abs(got(v) - rank(v)) < 1e-12, s"vertex $v: ${got(v)} vs ${rank(v)}"))
+    // vertex 0 never receives mass: teleport-only rank each round
+    assert(math.abs(got(0L) - 0.05) < 1e-12)
+  }
 }
