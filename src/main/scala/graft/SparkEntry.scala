@@ -46,6 +46,7 @@ object SparkEntry {
       PipelineQueries.queries ++
       GraphQueries.queries ++
       ClusterQueries.queries ++
+      SketchQueries.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,5 +63,6 @@ object SparkEntry {
       EventQueries.oracle ++
       PipelineQueries.oracle ++
       GraphQueries.oracle ++
-      ClusterQueries.oracle
+      ClusterQueries.oracle ++
+      SketchQueries.oracle
 }

@@ -1,0 +1,336 @@
+package graft.contract
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ccm.DetHash
+import graft.functions.GraftFunctions
+
+/** Probabilistic-sketch operators — the approximate-query layer a 100 TB
+  * engine leans on when exact answers are too expensive to shuffle:
+  *
+  *  - `sketch_hll`     HyperLogLog distinct-count estimate (m=64 registers)
+  *                     next to the exact count it approximates;
+  *  - `sketch_cms_topk` Count-Min-Sketch heavy hitters (depth 4, width 8192)
+  *                     over document word bigrams, estimate vs exact;
+  *  - `sketch_bloom_join` Bloom-filter semi-join pre-filter (k=3 hashes,
+  *                     m=8192 bits) with its false-positive census.
+  *
+  * Every sketch here is built from [[DetHash]] arithmetic — pure int64
+  * expressions both engines evaluate identically — so unlike engine-native
+  * sketches (`approx_count_distinct` HLL++ implementations differ between
+  * Spark and DuckDB) each one is DuckDB-oracle-checkable bit-exactly.
+  *
+  * Scale notes (what changes at 100 TB, and what does not):
+  *  - HLL registers: the per-group state is m integers regardless of input
+  *    size; `groupBy(group, register).max(rho)` partially aggregates
+  *    map-side, so the shuffle carries at most |groups|·m rows — this is
+  *    THE pattern for distinct-counting a firehose (the exact
+  *    `countDistinct` half of the query is the part that stops scaling).
+  *    Real deployments raise m (2^14 registers = 16 KiB/group for ~0.8%
+  *    error) — the plan shape is unchanged.
+  *  - CMS: the sketch is depth·width counters built by one map-side-
+  *    combined aggregation; estimates need only the candidate set, never
+  *    a global sort. Width grows to 2^20+ at scale; depth stays 3-5.
+  *  - Bloom: the bit set (m bits = 1 KiB here) ships as a broadcast and
+  *    rows are filtered map-side BEFORE the expensive join shuffle —
+  *    expressed relationally below (the broadcast hash join against the
+  *    distinct-position set IS the bitmap probe), which is what makes it
+  *    oracle-expressible. Spark's own `bloom_filter_agg`-based join
+  *    pruning does the same thing with an opaque binary sketch.
+  */
+object SketchQueries {
+  private val P = DetHash.P
+
+  // ---- shared per-depth hash family: [[DetHash.rankHash]] with the depth
+  // as its sampleId — i.e. a per-depth multiplier followed by a SQUARING
+  // step mod P. The nonlinearity is load-bearing for power-of-two
+  // bucketing: an AFFINE family (h*(2d+1)+c_d, the MinHash permutation)
+  // is a bijection mod 2^k for every odd multiplier, so two keys that
+  // collide in one sketch row collide in EVERY row (measured: CMS min-of-
+  // depths repaired nothing, bloom k=3 behaved like k~1). Squaring mod a
+  // prime breaks the shared linear structure, making rows independent.
+  private def hashD(key: Column, d: Column, seed: Long): Column =
+    DetHash.rankHashCol(key, d, lit(0L), seed)
+
+  private def hashDSql(key: String, d: String, seed: Long): String =
+    DetHash.rankHashSql(key, d, "0", seed)
+
+  // =====================================================================
+  // sketch_hll — HLL distinct l_orderkey per l_returnflag.
+  // =====================================================================
+  // Register math, fully integral: h = rankHash(orderkey) in [0, 2^31);
+  // register = h % 64; w = h div 64 (< 2^25); rho = index of w's lowest
+  // set bit + 1 (1..25), or 26 when w = 0. The harmonic mean is computed
+  // in SCALED INTEGERS: each register contributes 2^(26 - max_rho) —
+  // a BIGINT — so the cross-register sum is exact and order-independent;
+  // the sole floating-point step is the final one-division estimate
+  // alpha_64 * m^2 * 2^26 / S. (No small-range linear-counting branch:
+  // it needs ln(), whose last ulp is libm-dependent — the raw estimator
+  // is biased low at small cardinalities but ENGINE-EXACT, which is what
+  // the oracle gate needs; the bias is visible next to n_exact.)
+  private val HllM = 64
+  private val HllWBits = 26 // w < 2^25, so rho in [1, 26]
+  private val HllScale = 1L << HllWBits
+  private val HllSeed = 77L
+  // alpha_64 = 0.709 (Flajolet et al. 2007); Scala double literal
+  // interpolation round-trips exactly, keeping both engines IEEE-identical
+  private val HllNumerator: Double = 0.709 * HllM.toDouble * HllM.toDouble * HllScale.toDouble
+
+  private def rhoCol(w: Column): Column =
+    (1 to HllWBits - 1).foldRight(lit(HllWBits)) { (k, acc) =>
+      when(w % (1L << k) === (1L << (k - 1)), lit(k)).otherwise(acc)
+    }
+
+  private def rhoSql(w: String): String = {
+    val cases = (1 to HllWBits - 1)
+      .map(k => s"WHEN ($w) % ${1L << k} = ${1L << (k - 1)} THEN $k")
+      .mkString(" ")
+    s"(CASE $cases ELSE $HllWBits END)"
+  }
+
+  private def sketchHll(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_orderkey"))
+    val h = DetHash.rankHashCol(col("l_orderkey"), lit(0L), lit(0L), HllSeed)
+    val regs = li
+      .select(col("l_returnflag"), (h % HllM).as("reg"), rhoCol(shiftright(h, 6)).as("rho"))
+      .groupBy(col("l_returnflag"), col("reg"))
+      .agg(max(col("rho")).as("mj"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllWBits - mj)")).as("s_used"),
+        count(lit(1)).as("n_used")
+      )
+      .select(
+        col("l_returnflag"),
+        Norm.rnd(
+          lit(HllNumerator) / (col("s_used") + (lit(HllM.toLong) - col("n_used")) * HllScale).cast("double"),
+          4
+        ).as("hll_est")
+      )
+    val exact = li.groupBy("l_returnflag").agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    exact
+      .join(regs, "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"), col("hll_est"))
+      .transform(Norm.ordered(_, col("l_returnflag")))
+  }
+
+  private val sketchHllSql: String = {
+    val h = DetHash.rankHashSql("l_orderkey", "0", "0", HllSeed)
+    s"""WITH r AS (
+       |  SELECT l_returnflag, ($h) % $HllM AS reg, ${rhoSql(s"($h) // $HllM")} AS rho
+       |  FROM lineitem
+       |), m AS (
+       |  SELECT l_returnflag, reg, max(rho) AS mj FROM r GROUP BY 1, 2
+       |), z AS (
+       |  SELECT l_returnflag,
+       |         sum(CAST(1 AS BIGINT) << ($HllWBits - mj)) AS s_used,
+       |         CAST(count(*) AS BIGINT) AS n_used
+       |  FROM m GROUP BY 1
+       |)
+       |SELECT l.l_returnflag AS l_returnflag,
+       |       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_exact,
+       |       round($HllNumerator / CAST(z.s_used + ($HllM - z.n_used) * $HllScale AS DOUBLE), 4) + 0.0 AS hll_est
+       |FROM lineitem l JOIN z ON z.l_returnflag = l.l_returnflag
+       |GROUP BY l.l_returnflag, z.s_used, z.n_used
+       |ORDER BY l.l_returnflag""".stripMargin
+  }
+
+  // =====================================================================
+  // sketch_cms_topk — Count-Min heavy hitters over word bigrams.
+  // =====================================================================
+  // Bigram hash combines the per-word [[DetHash.polyHash]]es
+  // arithmetically — hb = (h1*131 + h2) % P — exactly like the dedup
+  // shingles, so Spark rides the native graft_wordhashes scan. The
+  // sketch: 4 rows of 8192 counters; cell(d, b) = count of bigram
+  // occurrences with perm_d(hb) % 8192 = b; estimate(bigram) = min_d of
+  // its 4 cells (>= exact by construction; collisions inflate it, the
+  // min over independent rows repairs most of them — visible in the
+  // output next to the exact count). Top 20 by (estimate desc, bigram).
+  // WIDTH SIZING (load-bearing for a flat distribution like this corpus's
+  // <= 961 bigrams over a 31-word vocabulary): top-k-by-ESTIMATE surfaces
+  // whichever keys collided in ALL depths, so width must make that event
+  // rare — P(all-d collision) = (1-e^(-keys/width))^depth, ~1e-4 at
+  // 961/8192 x depth 4 (at width 2048 it was ~2%, i.e. ~19 of 961 keys —
+  // exactly a fake top-20). Same rule at 100 TB: width a few x distinct
+  // keys, 2^20+ counters is still KBs per executor.
+  private val CmsDepth = 4
+  private val CmsWidth = 8192
+  private val CmsTopK = 20
+  private val CmsSeed = 19L
+
+  /** (bg: String, hb: Long, exact: Long) distinct bigrams with counts. */
+  private def bigrams(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        posexplode(expr("arrays_zip(split(text, ' '), graft_wordhashes(text))"))
+      )
+      .select(
+        col("doc_id"),
+        col("pos"),
+        col("col").getField("0").as("w"),
+        col("col").getField("1").as("h")
+      )
+      .withColumn("w2", lead(col("w"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .withColumn("h2", lead(col("h"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select(
+        concat(col("w"), lit(" "), col("w2")).as("bg"),
+        ((col("h") * 131L + col("h2")) % P).as("hb")
+      )
+  }
+
+  private def sketchCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    // one pass builds both the sketch and the candidate counts; checkpoint
+    // so the two consumers don't re-run the window stage
+    val bg = bigrams(s, dir).localCheckpoint()
+    val cells = bg
+      .select(explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("d"), col("hb"))
+      .select(col("d"), (hashD(col("hb"), col("d"), CmsSeed) % CmsWidth).as("bucket"))
+      .groupBy("d", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val cand = bg.groupBy("bg", "hb").agg(count(lit(1)).as("exact_count"))
+    cand
+      .select(col("bg"), col("hb"), col("exact_count"),
+        explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("d"))
+      .select(col("bg"), col("exact_count"), col("d"),
+        (hashD(col("hb"), col("d"), CmsSeed) % CmsWidth).as("bucket"))
+      .join(cells, Seq("d", "bucket"))
+      .groupBy("bg", "exact_count")
+      .agg(min(col("c")).as("est_count"))
+      .select(col("bg").as("bigram"), col("est_count"), col("exact_count"))
+      .orderBy(col("est_count").desc, col("bigram"))
+      .limit(CmsTopK)
+  }
+
+  private val sketchCmsTopkSql: String = {
+    val bucket = s"(${hashDSql("hb", "d", CmsSeed)} % $CmsWidth)"
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |         list_transform(string_split(text, ' '), t -> ${DetHash.polyHashSql("t")}) AS wh
+       |  FROM documents
+       |), b0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(len(ws) - 1), i ->
+       |           struct_pack(bg := ws[i + 1] || ' ' || ws[i + 2],
+       |                       hb := (wh[i + 1] * 131 + wh[i + 2]) % $P))) AS u
+       |  FROM w
+       |), b AS (
+       |  SELECT u.bg AS bg, u.hb AS hb FROM b0
+       |), cells AS (
+       |  SELECT d, $bucket AS bucket, CAST(count(*) AS BIGINT) AS c
+       |  FROM b, (SELECT unnest(range($CmsDepth)) AS d)
+       |  GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT bg, hb, CAST(count(*) AS BIGINT) AS exact_count FROM b GROUP BY 1, 2
+       |), cexp AS (
+       |  SELECT cand.bg, cand.exact_count, dd.d, ${hashDSql("cand.hb", "dd.d", CmsSeed)} % $CmsWidth AS bucket
+       |  FROM cand, (SELECT unnest(range($CmsDepth)) AS d) dd
+       |)
+       |SELECT cexp.bg AS bigram, min(cells.c) AS est_count, cexp.exact_count
+       |FROM cexp JOIN cells ON cells.d = cexp.d AND cells.bucket = cexp.bucket
+       |GROUP BY cexp.bg, cexp.exact_count
+       |ORDER BY est_count DESC, bigram LIMIT $CmsTopK""".stripMargin
+  }
+
+  // =====================================================================
+  // sketch_bloom_join — Bloom semi-join pre-filter + false-positive census.
+  // =====================================================================
+  // Build side: custkeys with an URGENT order over 400k (495 keys at
+  // sf0.01) -> k=3 positions each in an m=8192-bit filter (~17% fill,
+  // ~0.5% fpr). Probe side: every customer tests its 3 positions; it
+  // passes iff all 3 are set. Per nation: customers, bloom passes, true
+  // members, false positives — the filter's effectiveness report.
+  private val BloomM = 8192
+  private val BloomK = 3
+  private val BloomSeed = 31L
+  private val BloomPriceMin = 400000.0
+
+  private def bloomPos(key: Column, d: Column): Column =
+    hashD(key, d, BloomSeed) % BloomM
+
+  private def sketchBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val build = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > BloomPriceMin)
+      .select(col("o_custkey")).distinct()
+    // the bit set: ~1.5k distinct positions = the 1 KiB bitmap, relationally
+    val bits = build
+      .select(explode(sequence(lit(0L), lit(BloomK - 1L))).as("d"), col("o_custkey"))
+      .select(bloomPos(col("o_custkey"), col("d")).as("pos"))
+      .distinct()
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val probed = cust
+      .select(col("c_custkey"), col("c_nationkey"),
+        explode(sequence(lit(0L), lit(BloomK - 1L))).as("d"))
+      .select(col("c_custkey"), col("c_nationkey"), bloomPos(col("c_custkey"), col("d")).as("pos"))
+      .join(broadcast(bits), Seq("pos")) // map-side: the bitmap probe
+      .groupBy("c_custkey", "c_nationkey")
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === BloomK)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val trueMembers = cust.join(build, cust("c_custkey") === build("o_custkey"), "left_semi")
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    val passAgg = probed.groupBy("c_nationkey").agg(count(lit(1)).as("n_bloom_pass"))
+    val trueAgg = trueMembers.groupBy("c_nationkey").agg(count(lit(1)).as("n_true_match"))
+    cust
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+      .join(passAgg, Seq("c_nationkey"), "left")
+      .join(trueAgg, Seq("c_nationkey"), "left")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name"),
+        col("n_customers"),
+        coalesce(col("n_bloom_pass"), lit(0L)).as("n_bloom_pass"),
+        coalesce(col("n_true_match"), lit(0L)).as("n_true_match"),
+        (coalesce(col("n_bloom_pass"), lit(0L)) - coalesce(col("n_true_match"), lit(0L))).as("n_false_pos")
+      )
+      .transform(Norm.ordered(_, col("n_name")))
+  }
+
+  private val sketchBloomJoinSql: String = {
+    val buildPos = s"(${hashDSql("o_custkey", "d", BloomSeed)} % $BloomM)"
+    s"""WITH build AS (
+       |  SELECT DISTINCT o_custkey FROM orders
+       |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > $BloomPriceMin
+       |), bits AS (
+       |  SELECT DISTINCT $buildPos AS pos
+       |  FROM build, (SELECT unnest(range($BloomK)) AS d)
+       |), cpos AS (
+       |  SELECT c.c_custkey, c.c_nationkey,
+       |         ${s"(${hashDSql("c.c_custkey", "dd.d", BloomSeed)} % $BloomM)"} AS pos
+       |  FROM customer c, (SELECT unnest(range($BloomK)) AS d) dd
+       |), probed AS (
+       |  SELECT cpos.c_custkey, cpos.c_nationkey
+       |  FROM cpos JOIN bits ON bits.pos = cpos.pos
+       |  GROUP BY 1, 2 HAVING count(*) = $BloomK
+       |), truem AS (
+       |  SELECT c.c_custkey, c.c_nationkey FROM customer c
+       |  WHERE c.c_custkey IN (SELECT o_custkey FROM build)
+       |)
+       |SELECT n.n_name,
+       |       CAST(count(*) AS BIGINT) AS n_customers,
+       |       CAST(count(p.c_custkey) AS BIGINT) AS n_bloom_pass,
+       |       CAST(count(t.c_custkey) AS BIGINT) AS n_true_match,
+       |       CAST(count(p.c_custkey) - count(t.c_custkey) AS BIGINT) AS n_false_pos
+       |FROM customer c
+       |JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |LEFT JOIN probed p ON p.c_custkey = c.c_custkey
+       |LEFT JOIN truem t ON t.c_custkey = c.c_custkey
+       |GROUP BY n.n_name
+       |ORDER BY n_name""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll" -> sketchHll,
+    "sketch_cms_topk" -> sketchCmsTopk,
+    "sketch_bloom_join" -> sketchBloomJoin
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sketch_hll" -> sketchHllSql,
+    "sketch_cms_topk" -> sketchCmsTopkSql,
+    "sketch_bloom_join" -> sketchBloomJoinSql
+  )
+}

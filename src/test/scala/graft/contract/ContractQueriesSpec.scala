@@ -275,4 +275,32 @@ class ContractQueriesSpec extends SparkTestBase {
     assert(rows.nonEmpty)
     for (r <- rows) assert(math.abs(r.getDouble(3)) >= 2.5 - 1e-9)
   }
+
+  test("sketch_cms_topk: the count-min estimate never undercounts") {
+    val rows = q("sketch_cms_topk").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getLong(1) >= r.getLong(2), s"${r.getString(0)}: est ${r.getLong(1)} < exact ${r.getLong(2)}")
+  }
+
+  test("sketch_bloom_join: no false negatives, pass-count consistency") {
+    val rows = q("sketch_bloom_join").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (pass, truem, fp) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(pass >= truem, s"${r.getString(0)}: bloom dropped a true member") // no false negatives
+      assert(fp == pass - truem)
+      assert(pass <= r.getLong(1))
+    }
+  }
+
+  test("sketch_hll: estimate lands within the m=64 error regime of exact") {
+    val rows = q("sketch_hll").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (exact, est) = (r.getLong(1).toDouble, r.getDouble(2))
+      // 1.04/sqrt(64) ~ 13% standard error; allow a wide 3-sigma-ish band
+      assert(est > exact * 0.6 && est < exact * 1.4, s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
 }
