@@ -622,7 +622,125 @@ object EventQueries {
       |        CAST(sum(n_transitions) OVER (PARTITION BY src_type) AS DOUBLE), 6) + 0.0 AS p
       |FROM c ORDER BY src_type, dst_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_gapfill — time-series densification: per user, generate every
+  // hour bucket between the user's first and last event (sequence +
+  // explode — the distributed gap-fill operator: each user's range
+  // expands inside its own task, no driver loop), anti-join the active
+  // hours away, and report the gap census incl. the longest outage run
+  // (gaps-and-islands via h - row_number). The checksum pins the exact
+  // generated row set, not just its size. At 100 TB the explode fans out
+  // WITHIN partitions keyed by user — no shuffle grows with the fill
+  // factor; only the per-user gap summary (constant per user) shuffles.
+  // -------------------------------------------------------------------
+  private val HourUs: Long = 3600L * 1000 * 1000
+
+  private def gapfill(s: SparkSession, dir: String): DataFrame = {
+    val active = ev(s, dir)
+      .select(col("user_id"), expr(s"tus div $HourUs").as("h"))
+      .distinct()
+      .localCheckpoint() // feeds span, the anti-join, and nothing twice
+    val span = active
+      .groupBy("user_id")
+      .agg(min(col("h")).as("h_min"), max(col("h")).as("h_max"), count(lit(1)).as("n_active"))
+    val gaps = span
+      .select(col("user_id"), col("h_min"), explode(sequence(col("h_min"), col("h_max"))).as("h"))
+      .join(active, Seq("user_id", "h"), "left_anti")
+    val isl = gaps
+      .withColumn("g", col("h") - row_number().over(Window.partitionBy("user_id").orderBy("h")))
+    val maxRun = isl
+      .groupBy("user_id", "g")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("user_id")
+      .agg(max(col("run")).as("max_gap_run"))
+    val gapSum = gaps
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("h") - col("h_min")).as("gap_checksum"))
+    span
+      .join(gapSum, Seq("user_id"), "left")
+      .join(maxRun, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        (col("h_max") - col("h_min") + 1).as("n_hours"),
+        col("n_active"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        coalesce(col("gap_checksum"), lit(0L)).as("gap_checksum"),
+        coalesce(col("max_gap_run"), lit(0L)).as("max_gap_run")
+      )
+      .transform(Norm.ordered(_, col("user_id")))
+  }
+
+  private val gapfillSql: String =
+    s"""WITH active AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $HourUs AS h FROM events
+       |), span AS (
+       |  SELECT user_id, min(h) AS h_min, max(h) AS h_max,
+       |         CAST(count(*) AS BIGINT) AS n_active
+       |  FROM active GROUP BY 1
+       |), gaps AS (
+       |  SELECT f.user_id, f.h, f.h_min
+       |  FROM (SELECT user_id, h_min,
+       |               unnest(generate_series(h_min, h_max)) AS h FROM span) f
+       |  LEFT JOIN active a ON a.user_id = f.user_id AND a.h = f.h
+       |  WHERE a.h IS NULL
+       |), isl AS (
+       |  SELECT user_id, h, h_min,
+       |         h - row_number() OVER (PARTITION BY user_id ORDER BY h) AS g
+       |  FROM gaps
+       |), runs AS (
+       |  SELECT user_id, g, CAST(count(*) AS BIGINT) AS run FROM isl GROUP BY 1, 2
+       |), mr AS (
+       |  SELECT user_id, max(run) AS max_gap_run FROM runs GROUP BY 1
+       |), gs AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       |         CAST(sum(h - h_min) AS BIGINT) AS gap_checksum
+       |  FROM gaps GROUP BY 1
+       |)
+       |SELECT s.user_id, s.h_max - s.h_min + 1 AS n_hours, s.n_active,
+       |       coalesce(gs.n_gaps, 0) AS n_gaps,
+       |       coalesce(gs.gap_checksum, 0) AS gap_checksum,
+       |       coalesce(mr.max_gap_run, 0) AS max_gap_run
+       |FROM span s
+       |LEFT JOIN gs ON gs.user_id = s.user_id
+       |LEFT JOIN mr ON mr.user_id = s.user_id
+       |ORDER BY s.user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // evt_ntile — decile statistics per event type: ntile(10) over the
+  // value order (ties broken by event_id for a total order — ntile is
+  // deterministic only under a total order), then one aggregate per
+  // (type, decile). Both engines implement SQL-standard ntile (first
+  // n mod 10 buckets take the extra row).
+  // -------------------------------------------------------------------
+  private def ntileStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    ev(s, dir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("event_type", "decile")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        Norm.rnd(sum(col("value")), 4).as("sum_value")
+      )
+      .transform(Norm.ordered(_, col("event_type"), col("decile")))
+  }
+
+  private val ntileStatsSql: String =
+    """WITH d AS (
+      |  SELECT event_type, value,
+      |         CAST(ntile(10) OVER (PARTITION BY event_type
+      |                              ORDER BY value, event_id) AS BIGINT) AS decile
+      |  FROM events
+      |)
+      |SELECT event_type, decile, CAST(count(*) AS BIGINT) AS n,
+      |       min(value) AS min_value, max(value) AS max_value,
+      |       round(sum(value), 4) + 0.0 AS sum_value
+      |FROM d GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_gapfill" -> gapfill,
+    "evt_ntile" -> ntileStats,
     "evt_transitions" -> transitions,
     "evt_pii_scrub" -> piiScrub,
     "evt_anomaly" -> anomaly,
@@ -643,6 +761,8 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_gapfill" -> gapfillSql,
+    "evt_ntile" -> ntileStatsSql,
     "evt_transitions" -> transitionsSql,
     "evt_pii_scrub" -> piiScrubSql,
     "evt_anomaly" -> anomalySql,

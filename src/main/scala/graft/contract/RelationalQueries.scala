@@ -281,7 +281,158 @@ object RelationalQueries {
        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q6_forecast — TPC-H Q6 shape: the pure scan-filter-aggregate. Every
+  // predicate (date range, discount band, quantity cap) pushes into the
+  // parquet scan; the aggregate is a two-column partial+final with no
+  // grouping key — the cheapest possible full-table question, and the
+  // canonical "is pushdown working" probe.
+  // -------------------------------------------------------------------
+  private def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24
+      )
+      .agg(
+        Norm.rnd(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+
+  private val q6ForecastSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) + 0.0 AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q10_returns — TPC-H Q10 shape: top-20 customers by revenue lost to
+  // returned items in one quarter. lineitem |><| orders is the only
+  // shuffle (both sides pre-filtered at the scan); customer and nation
+  // broadcast onto the aggregated result. Revenue is summed in INTEGER
+  // CENTS (per-row round, then an exact integer sum): per-customer sums
+  // are small enough that a last-ulp sum-order difference between engines
+  // flipped a round(x, 2) boundary on this very dataset — integer cents
+  // make the aggregate order-independent.
+  // -------------------------------------------------------------------
+  private val Q10Lo = "1996-01-01 00:00:00"
+  private val Q10Hi = "1996-04-01 00:00:00"
+
+  private def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= expr(s"TIMESTAMP '$Q10Lo'") && col("o_orderdate") < expr(s"TIMESTAMP '$Q10Hi'"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(
+        Norm.rnd(
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0).cast("long")) / 100.0,
+          2
+        ).as("revenue")
+      )
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  private val q10ReturnsSql: String =
+    s"""SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+       |  round(CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |WHERE l.l_returnflag = 'R'
+       |  AND o.o_orderdate >= TIMESTAMP '$Q10Lo' AND o.o_orderdate < TIMESTAMP '$Q10Hi'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q18_large — TPC-H Q18 shape: large-volume orders. The HAVING
+  // aggregate-subquery runs FIRST (one partial+final agg over lineitem,
+  // keyed on the order key) and only the surviving keys join back —
+  // never orders |><| raw-lineitem. Top-100 by total quantity.
+  // -------------------------------------------------------------------
+  private val Q18MinQty = 190.0
+
+  private def q18Large(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > Q18MinQty)
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+    big
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"),
+        Norm.rnd(col("total_qty"), 2).as("total_qty")
+      )
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  private val q18LargeSql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+       |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > $Q18MinQty
+       |)
+       |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+       |       round(big.total_qty, 2) + 0.0 AS total_qty
+       |FROM big
+       |JOIN orders o ON big.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q19_disjunct — TPC-H Q19 shape: disjunction of conjunctive predicate
+  // groups SPANNING the join (part attributes AND lineitem quantity).
+  // The per-side residuals (p_size >= 1, quantity inside the hull) push
+  // to the scans; the OR-of-ANDs evaluates post-join. The optimizer test
+  // is that the disjunction does NOT force a cartesian plan — it stays an
+  // equi-join on l_partkey with a filter on top.
+  // -------------------------------------------------------------------
+  private def q19Disjunct(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    val l = Tables.lineitem(s, dir).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val pred =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(
+        Norm.rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  private val q19DisjunctSql: String =
+    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> q6Forecast,
+    "q10_returns" -> q10Returns,
+    "q18_large" -> q18Large,
+    "q19_disjunct" -> q19Disjunct,
     "q4_priority" -> q4Priority,
     "q1_agg" -> q1Agg,
     "topk_orders" -> topkOrders,
@@ -294,6 +445,10 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q6_forecast" -> q6ForecastSql,
+    "q10_returns" -> q10ReturnsSql,
+    "q18_large" -> q18LargeSql,
+    "q19_disjunct" -> q19DisjunctSql,
     "q4_priority" -> q4PrioritySql,
     "q1_agg" -> q1AggSql,
     "topk_orders" -> topkOrdersSql,
