@@ -489,7 +489,79 @@ object TextQueries {
       |FROM toks t JOIN vocab v ON t.w = v.w
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // text_bigram_lm — interpolated bigram language model (Jelinek-Mercer
+  // smoothing): p(w2|w1) = λ·c(w1w2)/c(w1·) + (1−λ)·c(w2)/N, per-doc mean
+  // negative log-likelihood over bigrams — the sequence-aware upgrade of
+  // text_lm_score's unigram typicality signal (KenLM-style filtering in
+  // corpus pipelines). All three count relations (bigram, bigram-start,
+  // unigram) are corpus-vocabulary-bounded and broadcast; the scan side
+  // is one explode + three broadcast joins + one per-doc aggregate.
+  // c(w1·) counts bigram STARTS, not unigrams — each doc's last token
+  // continues nothing, and the two differ exactly there.
+  // -------------------------------------------------------------------
+  private val LmLambda = 0.9
+
+  private def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val bg = d
+      .filter(size(col("ws")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> named_struct('w', element_at(ws, i), 'w2', element_at(ws, i + 1)))"
+        )).as("b")
+      )
+      .select(col("doc_id"), col("b.w").as("w"), col("b.w2").as("w2"))
+      .localCheckpoint() // feeds the count relations AND the scoring scan
+    val toks = d.select(col("doc_id"), explode(col("ws")).as("w"))
+    val big = bg.groupBy("w", "w2").agg(count(lit(1)).as("c12"))
+    val starts = bg.groupBy("w").agg(count(lit(1)).as("c1"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c2")).withColumnRenamed("w", "w2")
+    val total = toks.count() // corpus token count: one scalar
+    val p = lit(LmLambda) * col("c12").cast("double") / col("c1").cast("double") +
+      lit(1.0 - LmLambda) * col("c2").cast("double") / lit(total.toDouble)
+    bg.join(broadcast(big), Seq("w", "w2"))
+      .join(broadcast(starts), Seq("w"))
+      .join(broadcast(uni), Seq("w2"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        Norm.rnd(sum(-log(p)) / count(lit(1)), 6).as("bigram_nll")
+      )
+      .transform(Norm.ordered(_, col("doc_id")))
+  }
+
+  private val bigramLmSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), bg0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(len(ws) - 1), i ->
+       |           struct_pack(w := ws[i + 1], w2 := ws[i + 2]))) AS b
+       |  FROM d
+       |), bg AS (
+       |  SELECT doc_id, b.w AS w, b.w2 AS w2 FROM bg0
+       |), toks AS (
+       |  SELECT doc_id, unnest(ws) AS w FROM d
+       |), big AS (
+       |  SELECT w, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+       |), starts AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1
+       |), uni AS (
+       |  SELECT w AS w2, CAST(count(*) AS BIGINT) AS c2 FROM toks GROUP BY 1
+       |), total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+       |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  round(sum(-ln($LmLambda * CAST(big.c12 AS DOUBLE) / CAST(starts.c1 AS DOUBLE)
+       |                + ${1.0 - LmLambda} * CAST(uni.c2 AS DOUBLE) / (SELECT n FROM total)))
+       |        / count(*), 6) + 0.0 AS bigram_nll
+       |FROM bg
+       |JOIN big ON big.w = bg.w AND big.w2 = bg.w2
+       |JOIN starts ON starts.w = bg.w
+       |JOIN uni ON uni.w2 = bg.w2
+       |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_lm" -> bigramLm,
     "text_lm_score" -> lmScore,
     "text_repetition" -> textRepetition,
     "text_bm25" -> bm25,
@@ -504,6 +576,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_bigram_lm" -> bigramLmSql,
     "text_lm_score" -> lmScoreSql,
     "text_repetition" -> textRepetitionSql,
     "text_bm25" -> bm25Sql,
