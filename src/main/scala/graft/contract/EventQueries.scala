@@ -636,8 +636,15 @@ object EventQueries {
   private val HourUs: Long = 3600L * 1000 * 1000
 
   private def gapfill(s: SparkSession, dir: String): DataFrame = {
+    // FLOOR division, NOT `div`: Spark's `div` truncates toward zero while
+    // the oracle's `//` floors — they diverge for negative epochs
+    // (pre-1970 timestamps). Integer-exact floordiv: adjust the truncated
+    // quotient down by one when the remainder is negative.
     val active = ev(s, dir)
-      .select(col("user_id"), expr(s"tus div $HourUs").as("h"))
+      .select(
+        col("user_id"),
+        (expr(s"tus div $HourUs") - when(expr(s"tus % $HourUs") < 0, 1L).otherwise(0L)).as("h")
+      )
       .distinct()
       .localCheckpoint() // feeds span, the anti-join, and nothing twice
     val span = active

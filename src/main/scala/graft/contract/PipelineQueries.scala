@@ -128,7 +128,7 @@ object PipelineQueries {
     val q = TextQueries.qualityBase(docs(s, dir)).select("doc_id", "n_tokens", "quality")
     val nDocs = docs(s, dir).count() // driver scalar — metadata, like the oracle's subquery
     PrefixSum
-      .runningSum(q, Seq(col("quality").desc, col("doc_id")), lit(1L), "rank")
+      .runningSumPinned(q, Seq(col("quality").desc, col("doc_id")), lit(1L), "rank")
       .withColumn("bucket", expr(s"((rank - 1) * $NBuckets) div $nDocs"))
       .groupBy("bucket")
       .agg(
@@ -164,7 +164,7 @@ object PipelineQueries {
     val t = docs(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
     PrefixSum
-      .runningSum(t, Seq(col("doc_id")), col("n_tokens"), "cum")
+      .runningSumPinned(t, Seq(col("doc_id")), col("n_tokens"), "cum")
       .withColumn("window_id", expr(s"(cum - n_tokens) div $WindowTokens"))
       .groupBy("window_id")
       .agg(

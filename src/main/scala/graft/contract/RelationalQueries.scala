@@ -38,13 +38,14 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  // topk_orders — broadcast join (customer is the small dim side) +
+  // topk_orders — dim join (customer; no hard hint — AQE broadcasts it
+  // at small SF, shuffles at scale since customer is data-proportional) +
   // per-group window top-k (WindowGroupLimit pushes the limit down).
   private def topkOrders(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
@@ -112,8 +113,8 @@ object RelationalQueries {
   }
 
   // q3_shipping — TPC-H Q3-shaped 3-way join: lineitem (fact) joins orders
-  // (fact, shuffle equi-join on the order key) and customer (dim,
-  // broadcast — Catalyst picks BroadcastHashJoin via the explicit hint).
+  // (fact, shuffle equi-join on the order key) and customer (dim — no
+  // hard hint: customer is data-proportional, AQE broadcasts at small SF).
   // Both date filters and the segment filter push into the parquet scans,
   // so the shuffled sides are pre-pruned. Top-10 by revenue with
   // deterministic tie-breaks. Timestamps are surfaced as epoch
@@ -131,7 +132,7 @@ object RelationalQueries {
       .filter(col("l_shipdate") > expr(s"TIMESTAMP '$Q3Cut'"))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(Norm.rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .select(
@@ -165,10 +166,10 @@ object RelationalQueries {
   // q5_nation — TPC-H Q5-shaped 6-table star join ("local supplier"
   // revenue per nation in one region). The whole dimension chain
   // region -> nation -> supplier broadcasts (region filter prunes first,
-  // so the broadcast is the FILTERED chain); customer broadcasts; only
-  // lineitem |><| orders shuffles, keyed on the order key. The
-  // c_nationkey = s_nationkey "local supplier" predicate rides on the
-  // supplier broadcast join.
+  // so the broadcast is the FILTERED chain). customer/supplier carry NO
+  // hard hint — they are data-proportional relations, so AQE broadcasts
+  // them at small SF and shuffle-joins at scale. The c_nationkey =
+  // s_nationkey "local supplier" predicate rides on the supplier join.
   private def q5Nation(s: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(s, dir).filter(col("r_name") === "ASIA").select("r_regionkey")
     val n = Tables.nation(s, dir)
@@ -181,8 +182,8 @@ object RelationalQueries {
     val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
     val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(Norm.rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .transform(Norm.ordered(_, col("revenue").desc, col("n_name")))
@@ -199,13 +200,14 @@ object RelationalQueries {
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
   // q14_promo — TPC-H Q14-shaped conditional-aggregate ratio over a
-  // broadcast fact-dimension join (promo revenue share).
+  // fact-dimension join (promo revenue share; part is data-proportional,
+  // so no hard broadcast hint — AQE decides).
   private def q14Promo(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir).select("p_partkey", "p_type")
     val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     Tables.lineitem(s, dir)
       .select("l_partkey", "l_extendedprice", "l_discount")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .agg(
         Norm.rnd(lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) / sum(rev), 6)
           .as("promo_revenue_pct"),
@@ -297,12 +299,19 @@ object RelationalQueries {
           col("l_quantity") < 24
       )
       .agg(
-        Norm.rnd(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        // integer-cents sum (per-row round to cents, exact long sum, divide
+        // once): the aggregate is combine-order-independent, so a
+        // partitioning or engine re-order can never flip a round(x, 2)
+        // boundary (the q10 pattern — that flake occurred on this dataset)
+        Norm.rnd(
+          sum(round(col("l_extendedprice") * col("l_discount") * 100.0).cast("long")) / 100.0,
+          2
+        ).as("revenue"),
         count(lit(1)).as("n_items")
       )
 
   private val q6ForecastSql: String =
-    """SELECT round(sum(l_extendedprice * l_discount), 2) + 0.0 AS revenue,
+    """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS revenue,
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -312,8 +321,9 @@ object RelationalQueries {
   // -------------------------------------------------------------------
   // q10_returns — TPC-H Q10 shape: top-20 customers by revenue lost to
   // returned items in one quarter. lineitem |><| orders is the only
-  // shuffle (both sides pre-filtered at the scan); customer and nation
-  // broadcast onto the aggregated result. Revenue is summed in INTEGER
+  // guaranteed shuffle (both sides pre-filtered at the scan); customer
+  // (unhinted — data-proportional) and nation (hinted — constant 25
+  // rows) join onto the aggregated result. Revenue is summed in INTEGER
   // CENTS (per-row round, then an exact integer sum): per-customer sums
   // are small enough that a last-ulp sum-order difference between engines
   // flipped a round(x, 2) boundary on this very dataset — integer cents
@@ -339,7 +349,7 @@ object RelationalQueries {
           2
         ).as("revenue")
       )
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
@@ -375,7 +385,7 @@ object RelationalQueries {
     val c = Tables.customer(s, dir).select("c_custkey", "c_name")
     big
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .select(
         col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"),
@@ -412,16 +422,20 @@ object RelationalQueries {
       (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
         (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .filter(pred)
       .agg(
-        Norm.rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        // integer-cents sum — combine-order-independent (q10 pattern)
+        Norm.rnd(
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0).cast("long")) / 100.0,
+          2
+        ).as("revenue"),
         count(lit(1)).as("n_items")
       )
   }
 
   private val q19DisjunctSql: String =
-    """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) + 0.0 AS revenue,
+    """SELECT round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS revenue,
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)

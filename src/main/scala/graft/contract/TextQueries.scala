@@ -494,9 +494,9 @@ object TextQueries {
   // smoothing): p(w2|w1) = λ·c(w1w2)/c(w1·) + (1−λ)·c(w2)/N, per-doc mean
   // negative log-likelihood over bigrams — the sequence-aware upgrade of
   // text_lm_score's unigram typicality signal (KenLM-style filtering in
-  // corpus pipelines). All three count relations (bigram, bigram-start,
-  // unigram) are corpus-vocabulary-bounded and broadcast; the scan side
-  // is one explode + three broadcast joins + one per-doc aggregate.
+  // corpus pipelines). The unigram relations (bigram-start, unigram) are
+  // vocabulary-bounded and broadcast; the bigram count relation shuffles
+  // (bigram types grow ~linearly with corpus size).
   // c(w1·) counts bigram STARTS, not unigrams — each doc's last token
   // continues nothing, and the two differ exactly there.
   // -------------------------------------------------------------------
@@ -521,7 +521,12 @@ object TextQueries {
     val total = toks.count() // corpus token count: one scalar
     val p = lit(LmLambda) * col("c12").cast("double") / col("c1").cast("double") +
       lit(1.0 - LmLambda) * col("c2").cast("double") / lit(total.toDouble)
-    bg.join(broadcast(big), Seq("w", "w2"))
+    // NO broadcast hint on `big`: bigram TYPES grow near-linearly with the
+    // corpus (Heaps' law) — at 100 TB a forced broadcast is an executor
+    // OOM. The shuffle join keys on (w, w2); AQE still broadcasts it when
+    // it is actually small. `starts`/`uni` are unigram-vocab-bounded
+    // (sub-linear growth) and keep the hint.
+    bg.join(big, Seq("w", "w2"))
       .join(broadcast(starts), Seq("w"))
       .join(broadcast(uni), Seq("w2"))
       .groupBy("doc_id")

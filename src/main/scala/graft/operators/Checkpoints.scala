@@ -2,32 +2,32 @@ package graft.operators
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Tracked `localCheckpoint` for iterative operators (connected components,
   * PageRank): Dataset.localCheckpoint has no public "unpersist", so we
-  * capture the RDD ids each checkpoint pins (queries run sequentially, so
-  * the id delta is ours) and let the caller free a superseded iteration's
-  * blocks explicitly — otherwise checkpoint storage grows linearly with
-  * rounds. On a cluster the same pattern applies with reliable checkpoints
-  * to storage every few rounds.
+  * recover the pinned RDD from the checkpointed Dataset itself and let the
+  * caller free a superseded iteration's blocks explicitly — otherwise
+  * checkpoint storage grows linearly with rounds. On a cluster the same
+  * pattern applies with reliable checkpoints to storage every few rounds.
   */
 object Checkpoints {
-  def tracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = synchronized {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
+  /** Checkpoint `df` and return it with the exact RDD the checkpoint pinned.
+    * An (eager) localCheckpoint materializes the plan into an internal-row
+    * RDD and wraps it in a `LogicalRDD` leaf — that leaf's RDD is precisely
+    * the persisted one, so we read it off the returned plan instead of
+    * diffing `sc.getPersistentRDDs` (which would race with concurrent
+    * caller-side persists and need a lock).
+    */
+  def tracked(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
     val out = df.localCheckpoint()
-    val delta = (sc.getPersistentRDDs -- before).values.toSeq
-    // one localCheckpoint pins exactly one RDD; a bigger delta means some
-    // OTHER thread persisted concurrently and free() would unpersist its
-    // blocks — fail loudly instead of silently corrupting foreign state
-    // (the synchronized above serializes tracked() against itself, but not
-    // against arbitrary caller-side persists)
+    val pinned = out.queryExecution.logical.collect { case lr: LogicalRDD => lr.rdd }
     require(
-      delta.size == 1,
-      s"Checkpoints.tracked expected exactly 1 newly-pinned RDD, saw ${delta.size} " +
-        s"(ids ${delta.map(_.id).sorted.mkString(",")}) — concurrent persist detected"
+      pinned.nonEmpty,
+      "Checkpoints.tracked: checkpointed plan has no LogicalRDD leaf — " +
+        "Spark changed localCheckpoint's plan shape; update the extractor"
     )
-    (out, delta)
+    (out, pinned)
   }
 
   def free(rdds: Seq[RDD[_]]): Unit = rdds.foreach(_.unpersist(blocking = false))

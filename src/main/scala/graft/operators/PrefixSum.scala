@@ -41,12 +41,13 @@ object PrefixSum {
     * all-NULL partition would otherwise NPE the totals collect).
     *
     * PINS one localCheckpoint for the life of the returned (lazy) plan —
-    * it cannot be freed here because the result still reads through it.
-    * Callers that keep the session alive must unpersist after consuming
-    * the result (use [[runningSumTracked]] for an explicit handle; the
-    * Bench/Verify harness unpersists all persistent RDDs between queries).
+    * it cannot be freed here because the result still reads through it, so
+    * the pin is named in the method: callers opt into leaving blocks
+    * persisted for the session (the Bench/Verify harness unpersists all
+    * persistent RDDs between queries). Library users who keep the session
+    * alive should prefer [[runningSumTracked]] and free after consuming.
     */
-  def runningSum(
+  def runningSumPinned(
       df: DataFrame,
       order: Seq[Column],
       value: Column,
