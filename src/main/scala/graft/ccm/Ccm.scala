@@ -164,4 +164,12 @@ object Ccm {
     require(parsed(0).length >= 10, "series must have at least 10 points")
     (parsed(0), parsed(1))
   }
+
+  /** Column form of one [[parseSeriesText]] row — identical split / trim /
+    * cast-to-double semantics, but distributed: parses a comma-separated
+    * series line per row without leaving the executor (`ingest_series`
+    * contract query; ParseSeriesSpec pins equality with the driver path).
+    */
+  def parseCsvLine(line: Column): Column =
+    transform(split(line, ","), x => trim(x).cast("double"))
 }

@@ -611,7 +611,64 @@ object CcmQueries {
        |ORDER BY case_name, t""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ingest_series — the reference's custom-data ingestion path (I1,
+  // examples.livemd: comma-separated series text -> parsed double series)
+  // as a DISTRIBUTED query: per user, the events table is rendered to one
+  // CSV line (integer cents — BIGINT-to-string formatting is engine-
+  // portable where double-to-string is not), then PARSED back with the
+  // same split/trim/cast semantics as `Ccm.parseSeriesText`
+  // (ParseSeriesSpec pins column-path ≡ driver-path equality) and
+  // summarized. The parse is the operator under test; the render is just
+  // a deterministic fixture. Scales as one groupBy + per-row array ops —
+  // a line never leaves its user's partition.
+  // -------------------------------------------------------------------
+  private def ingestSeries(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.events(s, dir)
+      .select(
+        col("user_id"),
+        struct(col("ts"), col("event_id"), round(col("value") * 100).cast("long").as("cents")).as("p")
+      )
+      .groupBy("user_id")
+      .agg(
+        expr("concat_ws(', ', transform(array_sort(collect_list(p)), x -> CAST(x.cents AS STRING)))")
+          .as("line")
+      )
+    lines
+      .select(col("user_id"), Ccm.parseCsvLine(col("line")).as("vals"))
+      .select(
+        col("user_id"),
+        size(col("vals")).cast("long").as("n_points"),
+        (element_at(col("vals"), 1) / 100.0 + lit(0.0)).as("first_v"),
+        (element_at(col("vals"), -1) / 100.0 + lit(0.0)).as("last_v"),
+        Norm.rnd(
+          expr("aggregate(vals, 0L, (acc, x) -> acc + CAST(round(x) AS BIGINT))") / 100.0,
+          2
+        ).as("sum_v")
+      )
+      .transform(Norm.ordered(_, col("user_id")))
+  }
+
+  private val ingestSeriesSql: String =
+    """WITH lines AS (
+      |  SELECT user_id,
+      |    string_agg(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), ', '
+      |               ORDER BY epoch_ns(ts), event_id) AS line
+      |  FROM events GROUP BY 1
+      |), parsed AS (
+      |  SELECT user_id,
+      |    list_transform(string_split(line, ','), x -> CAST(trim(x) AS DOUBLE)) AS vals
+      |  FROM lines
+      |)
+      |SELECT user_id,
+      |  CAST(len(vals) AS BIGINT) AS n_points,
+      |  vals[1] / 100.0 + 0.0 AS first_v,
+      |  vals[-1] / 100.0 + 0.0 AS last_v,
+      |  round(CAST(list_sum(list_transform(vals, x -> CAST(round(x) AS BIGINT))) AS BIGINT) / 100.0, 2) + 0.0 AS sum_v
+      |FROM parsed ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_series" -> ingestSeries,
     "det_hash" -> detHash,
     "poly_hash" -> polyHash,
     "ccm_embed" -> ccmEmbed,
@@ -629,6 +686,7 @@ object CcmQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ingest_series" -> ingestSeriesSql,
     "det_hash" -> detHashSql,
     "poly_hash" -> polyHashSql,
     "ccm_embed" -> ccmEmbedSql,

@@ -1,6 +1,7 @@
 package graft.contract
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ccm.DetHash
 import graft.functions.GraftFunctions
@@ -416,7 +417,70 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // dedup_incremental — new-batch-vs-existing-corpus dedup, the shape a
+  // production pipeline actually runs: the corpus's MinHash signature /
+  // band relation is PERSISTED (here: the docs with doc_id % 10 != 0
+  // stand in for the stored signature table; at scale it is a parquet
+  // table bucketed by (band, band_key) — see SCALE.md), and each new
+  // batch (doc_id % 10 == 0) computes signatures for ITS docs only and
+  // probes the band buckets. Cost per batch ∝ batch size + matched
+  // buckets — the corpus is never rescanned, never self-joined. Output:
+  // per batch doc, how many corpus near-dup candidates it hit and the
+  // strongest one (most shared bands, ties to the smallest doc id).
+  // -------------------------------------------------------------------
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandsFrom(minhashSigRaw(s, dir).localCheckpoint())
+    val batchBands = bands.filter(col("doc_id") % 10 === 0)
+    val corpusBands = bands.filter(col("doc_id") % 10 =!= 0)
+    val cand = batchBands
+      .as("a")
+      .join(
+        corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+      )
+      .groupBy(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy("batch_doc").orderBy(col("n_shared").desc, col("corpus_doc").asc)
+    val best = cand
+      .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy("batch_doc")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    docs(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("batch_doc"))
+      .join(best, Seq("batch_doc"), "left")
+      .select(
+        col("batch_doc"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("corpus_doc").as("best_match"),
+        col("n_shared").as("best_bands")
+      )
+      .transform(Norm.ordered(_, col("batch_doc")))
+  }
+
+  private val dedupIncrementalSql: String =
+    s"""WITH $bandsCteSql,
+       |cand AS (
+       |  SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+       |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+       |  GROUP BY 1, 2
+       |), best AS (
+       |  SELECT batch_doc, corpus_doc, n_shared,
+       |         row_number() OVER (PARTITION BY batch_doc ORDER BY n_shared DESC, corpus_doc) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY batch_doc) AS BIGINT) AS n_candidates
+       |  FROM cand
+       |)
+       |SELECT d.doc_id AS batch_doc,
+       |  coalesce(b.n_candidates, 0) AS n_candidates,
+       |  b.corpus_doc AS best_match, b.n_shared AS best_bands
+       |FROM documents d LEFT JOIN best b ON b.batch_doc = d.doc_id AND b.rn = 1
+       |WHERE d.doc_id % 10 = 0
+       |ORDER BY batch_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> dedupIncremental,
     "dedup_cluster" -> dedupCluster,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> minhashSig,
@@ -428,6 +492,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_cluster" -> dedupClusterSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSigSql,

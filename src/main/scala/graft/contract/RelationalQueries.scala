@@ -442,7 +442,70 @@ object RelationalQueries {
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q21_waiting — TPC-H Q21 shape: multi-semi/anti self-join on the fact
+  // table ("suppliers who were the ONLY late supplier in a multi-supplier
+  // finished order"; late = shipped > 60 days after the order date, since
+  // this schema has no receipt/commit dates). The EXISTS / NOT-EXISTS
+  // chain is rewritten as AGGREGATES: one (orderkey, suppkey) rollup of
+  // the lineitem|><|orders join, then an orderkey-level census
+  // (n suppliers, n late suppliers) — so lineitem is scanned ONCE and
+  // never self-joined row-to-row; the decision join is aggregate ⋈
+  // aggregate on the order key. The oracle runs the literal
+  // EXISTS/NOT-EXISTS form, proving the rewrite.
+  // -------------------------------------------------------------------
+  private def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    // per-(order, supplier) rollup straight off the join — the widest
+    // relation after this line is |orders|·|suppliers-per-order|, not
+    // |lineitem|; checkpointed because it feeds two consumers
+    val grp = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(
+        sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L).otherwise(0L))
+          .as("n_late_lines")
+      )
+      .localCheckpoint()
+    val ord = grp
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_supp"),
+        sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp")
+      )
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name")
+    grp
+      .filter(col("n_late_lines") > 0)
+      .join(ord, "l_orderkey")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum(col("n_late_lines")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  private val q21WaitingSql: String =
+    """WITH lo AS (
+      |  SELECT l.l_orderkey, l.l_suppkey,
+      |         (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F'
+      |)
+      |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM lo l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE l1.late
+      |  AND EXISTS (SELECT 1 FROM lo l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lo l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_waiting" -> q21Waiting,
     "q6_forecast" -> q6Forecast,
     "q10_returns" -> q10Returns,
     "q18_large" -> q18Large,
@@ -459,6 +522,7 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q21_waiting" -> q21WaitingSql,
     "q6_forecast" -> q6ForecastSql,
     "q10_returns" -> q10ReturnsSql,
     "q18_large" -> q18LargeSql,
