@@ -47,6 +47,7 @@ object SparkEntry {
       GraphQueries.queries ++
       ClusterQueries.queries ++
       SketchQueries.queries ++
+      StreamQueries.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,5 +65,6 @@ object SparkEntry {
       PipelineQueries.oracle ++
       GraphQueries.oracle ++
       ClusterQueries.oracle ++
-      SketchQueries.oracle
+      SketchQueries.oracle ++
+      StreamQueries.oracle
 }

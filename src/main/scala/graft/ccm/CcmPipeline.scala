@@ -87,7 +87,8 @@ object CcmPipeline {
       rankedDf: DataFrame,
       keys: Seq[String],
       libSizes: Seq[Int],
-      e: Int
+      e: Int,
+      knnBuckets: Int = 0
   ): DataFrame = {
     val spark = rankedDf.sparkSession
     import spark.implicits._
@@ -97,6 +98,44 @@ object CcmPipeline {
     val maxLib = libSizes.max
     val minLib = libSizes.min
 
+    // Approximate-kNN candidate pruning (CcmSpec.knnBuckets > 0): grid-
+    // bucket every embedding row along e0 with per-series bucket width
+    // (max(e0)-min(e0))/knnBuckets, and make the bucket id part of the
+    // JOIN KEY — the query side probes its own bucket ±1 via a 3-row
+    // explode, so the pair join enumerates only candidates within one
+    // bucket width along e0 (dist >= |Δe0|, so any true neighbor closer
+    // than the bucket width is guaranteed to be probed). Putting the
+    // bucket in the equi-key matters at scale: a `abs(q.b - l.b) <= 1`
+    // range predicate would still stream the full per-series group
+    // through the sort-merge join; the equi-key bounds the build side
+    // per (series, sample, bucket). All bucket arithmetic is single IEEE
+    // ops on raw inputs (min/max are selections, not sums), so the
+    // bucketing is bit-reproducible and oracle-expressible.
+    val useBuckets = knnBuckets > 0
+    val bucketed =
+      if (!useBuckets) rankedDf
+      else {
+        val stats = rankedDf
+          .filter($"sample_id" === 1)
+          .groupBy(k: _*)
+          .agg(min($"e0").as("__mn"), max($"e0").as("__mx"))
+        val width = ($"__mx" - $"__mn") / lit(knnBuckets.toDouble)
+        rankedDf
+          .join(stats, keys) // series-count-proportional: AQE may broadcast
+          .withColumn(
+            "bucket",
+            when(width > 0.0, floor(($"e0" - $"__mn") / width)).otherwise(0.0).cast("long")
+          )
+          .drop("__mn", "__mx")
+      }
+    val qSide =
+      if (!useBuckets) bucketed
+      else
+        bucketed.withColumn(
+          "probe",
+          explode(array($"bucket" - 1, $"bucket", $"bucket" + 1))
+        )
+
     // kNN pairs, joined ONCE per (series, sample) cell. A (query, library)
     // pair participates in lib size L iff l.rank <= L < q.rank, so every
     // useful pair satisfies l.rank < q.rank, l.rank <= max(libSizes) and
@@ -104,20 +143,22 @@ object CcmPipeline {
     // single time per pair and the lib-size dimension is attached AFTERWARDS
     // with cheap range predicates (an |libSizes|-fold reduction in distance
     // evaluations and join output vs fanning out before the join).
-    val joinCond = keys
+    val joinCondBase = keys
       .map(kn => col(s"q.$kn") === col(s"l.$kn"))
       .reduce(_ && _) && $"q.sample_id" === $"l.sample_id" &&
       $"l.rank" < $"q.rank" && $"l.rank" <= lit(maxLib.toLong)
+    val joinCond =
+      if (useBuckets) joinCondBase && $"l.bucket" === $"q.probe" else joinCondBase
     val dims = 0 until e
     val distExpr = sqrt(
       dims
         .map(j => (col(s"q.e$j") - col(s"l.e$j")) * (col(s"q.e$j") - col(s"l.e$j")))
         .reduce(_ + _)
     )
-    val pairsOnce = rankedDf
+    val pairsOnce = qSide
       .as("q")
       .filter($"q.rank" > lit(minLib.toLong))
-      .join(rankedDf.as("l"), joinCond)
+      .join(bucketed.as("l"), joinCond)
       .select(
         (keys.map(kn => col(s"q.$kn").as(kn)) ++ Seq(
           $"q.sample_id".as("sample_id"),
@@ -173,14 +214,15 @@ object CcmPipeline {
       keys: Seq[String],
       libSizes: Seq[Int],
       numSamples: Int,
-      e: Int
+      e: Int,
+      knnBuckets: Int = 0
   ): DataFrame = {
     val spark = rankedDf.sparkSession
     import spark.implicits._
     val k = keys.map(col)
     val libs = broadcast(libSizes.toDF("lib_size"))
     val cellKeys = k ++ Seq(col("sample_id"), col("lib_size"))
-    val preds = predictions(rankedDf, keys, libSizes, e)
+    val preds = predictions(rankedDf, keys, libSizes, e, knnBuckets)
 
     // Pearson per cell; NULL/NaN (corr of <2 rows or zero variance) -> 0.0
     val corrCell = preds

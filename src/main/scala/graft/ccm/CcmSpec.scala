@@ -9,17 +9,29 @@ package graft.ccm
   * Unlike the reference (unseeded `Enum.take_random`, `lib/ccm.ex:117`) the
   * library sampling here is fully deterministic given `seed` — see
   * [[DetHash]] — so results are reproducible and oracle-checkable.
+  *
+  * `knnBuckets` (engine extension, SURVEY §4.3): 0 = exact brute-force
+  * kNN (the reference's semantics, `lib/ccm.ex:151-160`); > 0 enables the
+  * approximate candidate path — each embedding row is grid-bucketed along
+  * `e0` into `knnBuckets` per-series buckets and the kNN join probes only
+  * the query's bucket ±1 (see [[CcmPipeline.predictions]]). Deterministic
+  * (bucket edges derive from per-series min/max, not RNG), so still
+  * oracle-checkable; candidate count per query point drops from the whole
+  * library to the ~3/knnBuckets fraction within one bucket width — the
+  * 100 TB escape hatch for very long series.
   */
 final case class CcmSpec(
     embeddingDim: Int = 3,
     tau: Int = 1,
     libSizes: Option[Seq[Int]] = None,
     numSamples: Int = 100,
-    seed: Long = 42L
+    seed: Long = 42L,
+    knnBuckets: Int = 0
 ) {
   require(embeddingDim >= 1, "embeddingDim must be >= 1")
   require(tau >= 1, "tau must be >= 1")
   require(numSamples >= 1, "numSamples must be >= 1")
+  require(knnBuckets >= 0, "knnBuckets must be >= 0 (0 = exact kNN)")
   libSizes.foreach(ls => require(ls.nonEmpty, "libSizes must be non-empty when given"))
 
   /** Number of embedding rows for a series of length n: n - (E-1)*tau. */

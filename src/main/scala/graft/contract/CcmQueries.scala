@@ -228,7 +228,7 @@ object CcmQueries {
       .filter(col("y").isNotNull)
   }
 
-  private def curve(s: SparkSession, dir: String): DataFrame =
+  private def curveWith(s: SparkSession, dir: String, knnBuckets: Int): DataFrame =
     Ccm
       .bidirectional(
         curveInput(s, dir),
@@ -236,7 +236,7 @@ object CcmQueries {
         order = Seq("ts"),
         x = col("x"),
         y = col("y"),
-        spec = CcmSpec(numSamples = CurveSamples, seed = Seed),
+        spec = CcmSpec(numSamples = CurveSamples, seed = Seed, knnBuckets = knnBuckets),
         libSizes = CurveLibs
       )
       .select(
@@ -248,6 +248,19 @@ object CcmQueries {
         col("convergent")
       )
       .transform(Norm.ordered(_, col("user_id"), col("direction"), col("lib_size")))
+
+  private def curve(s: SparkSession, dir: String): DataFrame = curveWith(s, dir, 0)
+
+  // ccm_curve_approx — the SAME workload as ccm_curve with the approximate
+  // kNN candidate path on (CcmSpec.knnBuckets, SURVEY §4.3): per-series e0
+  // grid buckets, ±1-bucket probing. Its own oracle replays the bucketing
+  // in SQL, so the approximation is pinned bit-exactly too — and its bench
+  // time sits next to ccm_curve's as the candidate-pruning cost comparison
+  // at identical workload.
+  private val ApproxBuckets = 8
+
+  private def curveApprox(s: SparkSession, dir: String): DataFrame =
+    curveWith(s, dir, ApproxBuckets)
 
   // ccm_curve_perseries — the SAME workload as ccm_curve executed through
   // the 100 TB scale path: Ccm.perSeries (one groupByKey shuffle, then the
@@ -272,9 +285,32 @@ object CcmQueries {
       .transform(Norm.ordered(_, col("user_id"), col("direction"), col("lib_size")))
   }
 
-  /** Full declarative chain mirrored as one DuckDB query. */
-  private val curveSqlCommon: String = {
+  /** Full declarative chain mirrored as one DuckDB query.
+    *
+    * `knnBuckets = Some(b)` mirrors CcmPipeline's approximate-kNN path:
+    * per-series e0 grid buckets + ±1-bucket candidate probing. The bucket
+    * arithmetic is single IEEE ops on raw parquet doubles (min/max are
+    * selections, not accumulations), so both engines compute bit-identical
+    * bucket ids and the approximate path hash-matches like the exact one.
+    */
+  private def curveSqlCommon(knnBuckets: Option[Int] = None): String = {
     val libsValues = CurveLibs.map(l => s"($l)").mkString(", ")
+    val pairSrc = if (knnBuckets.isEmpty) "rk" else "rkb"
+    val bucketCtes = knnBuckets
+      .map { nb =>
+        s"""bst AS (
+           |  SELECT direction, skey, min(e0) AS mn, max(e0) AS mx FROM emb GROUP BY 1, 2
+           |), rkb AS (
+           |  SELECT rk.*, CASE WHEN (b.mx - b.mn) / CAST($nb AS DOUBLE) > 0.0
+           |         THEN CAST(floor((rk.e0 - b.mn) / ((b.mx - b.mn) / CAST($nb AS DOUBLE))) AS BIGINT)
+           |         ELSE 0 END AS bucket
+           |  FROM rk JOIN bst b ON rk.direction = b.direction AND rk.skey = b.skey
+           |), """.stripMargin
+      }
+      .getOrElse("")
+    val bucketPred = knnBuckets
+      .map(_ => "\n   AND l.bucket BETWEEN q.bucket - 1 AND q.bucket + 1")
+      .getOrElse("")
     s"""WITH base0 AS (
        |  SELECT user_id AS skey, ts, value AS x,
        |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS y
@@ -296,14 +332,14 @@ object CcmQueries {
        |         CAST(row_number() OVER (PARTITION BY e.direction, e.skey, s.sample_id
        |              ORDER BY ${DetHash.rankHashSql("e.idx", "s.sample_id", "e.skey", Seed)}, e.idx) AS BIGINT) AS rank
        |  FROM emb e CROSS JOIN samples s
-       |), libs(lib_size) AS (VALUES $libsValues),
+       |), ${bucketCtes}libs(lib_size) AS (VALUES $libsValues),
        |pairs AS (
        |  SELECT q.direction, q.skey, q.sample_id, q.rank AS q_rank, l.rank AS l_rank,
        |         q.idx AS pred_idx, q.tgt AS actual, l.idx AS lib_idx, l.tgt AS lib_tgt,
        |         sqrt((q.e0-l.e0)*(q.e0-l.e0) + (q.e1-l.e1)*(q.e1-l.e1) + (q.e2-l.e2)*(q.e2-l.e2)) AS dist
-       |  FROM rk q JOIN rk l
+       |  FROM $pairSrc q JOIN $pairSrc l
        |    ON q.direction = l.direction AND q.skey = l.skey AND q.sample_id = l.sample_id
-       |   AND l.rank < q.rank AND l.rank <= ${CurveLibs.max}
+       |   AND l.rank < q.rank AND l.rank <= ${CurveLibs.max}$bucketPred
        |  WHERE q.rank > ${CurveLibs.min}
        |), fan AS (
        |  SELECT p.*, ls.lib_size FROM pairs p CROSS JOIN libs ls
@@ -354,12 +390,15 @@ object CcmQueries {
        |)""".stripMargin
   }
 
-  private val curveSql: String =
-    s"""$curveSqlCommon
+  private def curveSqlWith(knnBuckets: Option[Int]): String =
+    s"""${curveSqlCommon(knnBuckets)}
        |SELECT sk.skey AS user_id, sk.direction, sk.lib_size,
        |       round(sk.rho, 6) + 0.0 AS rho, round(cv.slope, 6) + 0.0 AS slope, cv.convergent
        |FROM sk JOIN cv ON sk.direction = cv.direction AND sk.skey = cv.skey
        |ORDER BY 1, 2, 3""".stripMargin
+
+  private val curveSql: String = curveSqlWith(None)
+  private val curveApproxSql: String = curveSqlWith(Some(ApproxBuckets))
 
   // ccm_convergence — convergent?/1 (C10) as its own surface: OLS slope of
   // the skill curve, strict > 0.001, <3 sizes -> false (`lib/ccm.ex:215-244`).
@@ -381,7 +420,7 @@ object CcmQueries {
   }
 
   private val convergenceSql: String =
-    s"""$curveSqlCommon
+    s"""${curveSqlCommon()}
        |SELECT skey AS user_id, direction, round(slope, 6) + 0.0 AS slope, convergent
        |FROM cv ORDER BY user_id, direction""".stripMargin
 
@@ -677,6 +716,7 @@ object CcmQueries {
     "ccm_knn_predict" -> knnPredict,
     "ccm_skill_corr" -> skillCorr,
     "ccm_curve" -> curve,
+    "ccm_curve_approx" -> curveApprox,
     "ccm_curve_perseries" -> curvePerSeries,
     "ccm_convergence" -> convergenceQ,
     "ccm_gen_logistic" -> genLogistic,
@@ -695,6 +735,7 @@ object CcmQueries {
     "ccm_knn_predict" -> knnPredictSql,
     "ccm_skill_corr" -> skillCorrSql,
     "ccm_curve" -> curveSql,
+    "ccm_curve_approx" -> curveApproxSql,
     "ccm_curve_perseries" -> curveSql,
     "ccm_convergence" -> convergenceSql,
     "ccm_gen_logistic" -> genLogisticSql,
