@@ -293,8 +293,16 @@ object CcmQueries {
     * selections, not accumulations), so both engines compute bit-identical
     * bucket ids and the approximate path hash-matches like the exact one.
     */
-  private def curveSqlCommon(knnBuckets: Option[Int] = None): String = {
-    val libsValues = CurveLibs.map(l => s"($l)").mkString(", ")
+  private def curveSqlCommon(
+      knnBuckets: Option[Int] = None,
+      samples: Int = CurveSamples,
+      libs: Seq[Int] = CurveLibs,
+      skeySql: String = "user_id",
+      ord: Seq[String] = Seq("ts"),
+      baseFrom: String = "events"
+  ): String = {
+    val ordSql = ord.mkString(", ")
+    val libsValues = libs.map(l => s"($l)").mkString(", ")
     val pairSrc = if (knnBuckets.isEmpty) "rk" else "rkb"
     val bucketCtes = knnBuckets
       .map { nb =>
@@ -312,21 +320,21 @@ object CcmQueries {
       .map(_ => "\n   AND l.bucket BETWEEN q.bucket - 1 AND q.bucket + 1")
       .getOrElse("")
     s"""WITH base0 AS (
-       |  SELECT user_id AS skey, ts, value AS x,
-       |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS y
-       |  FROM events
+       |  SELECT $skeySql AS skey, $ordSql, value AS x,
+       |         lag(value, 1) OVER (PARTITION BY $skeySql ORDER BY $ordSql) AS y
+       |  FROM $baseFrom
        |), base AS (SELECT * FROM base0 WHERE y IS NOT NULL),
        |dir AS (
-       |  SELECT 'x_causes_y' AS direction, skey, ts, y AS src, x AS tgt FROM base
+       |  SELECT 'x_causes_y' AS direction, skey, $ordSql, y AS src, x AS tgt FROM base
        |  UNION ALL
-       |  SELECT 'y_causes_x' AS direction, skey, ts, x AS src, y AS tgt FROM base
+       |  SELECT 'y_causes_x' AS direction, skey, $ordSql, x AS src, y AS tgt FROM base
        |), emb0 AS (
        |  SELECT direction, skey, CAST(row_number() OVER w - 1 AS BIGINT) AS idx,
        |         src AS e0, lead(src, 1) OVER w AS e1, lead(src, 2) OVER w AS e2,
        |         lead(tgt, 2) OVER w AS tgt
-       |  FROM dir WINDOW w AS (PARTITION BY direction, skey ORDER BY ts)
+       |  FROM dir WINDOW w AS (PARTITION BY direction, skey ORDER BY $ordSql)
        |), emb AS (SELECT * FROM emb0 WHERE e2 IS NOT NULL),
-       |samples AS (SELECT CAST(unnest(generate_series(1, $CurveSamples)) AS BIGINT) AS sample_id),
+       |samples AS (SELECT CAST(unnest(generate_series(1, $samples)) AS BIGINT) AS sample_id),
        |rk AS (
        |  SELECT e.direction, e.skey, s.sample_id, e.idx, e.e0, e.e1, e.e2, e.tgt,
        |         CAST(row_number() OVER (PARTITION BY e.direction, e.skey, s.sample_id
@@ -339,8 +347,8 @@ object CcmQueries {
        |         sqrt((q.e0-l.e0)*(q.e0-l.e0) + (q.e1-l.e1)*(q.e1-l.e1) + (q.e2-l.e2)*(q.e2-l.e2)) AS dist
        |  FROM $pairSrc q JOIN $pairSrc l
        |    ON q.direction = l.direction AND q.skey = l.skey AND q.sample_id = l.sample_id
-       |   AND l.rank < q.rank AND l.rank <= ${CurveLibs.max}$bucketPred
-       |  WHERE q.rank > ${CurveLibs.min}
+       |   AND l.rank < q.rank AND l.rank <= ${libs.max}$bucketPred
+       |  WHERE q.rank > ${libs.min}
        |), fan AS (
        |  SELECT p.*, ls.lib_size FROM pairs p CROSS JOIN libs ls
        |  WHERE p.l_rank <= ls.lib_size AND p.q_rank > ls.lib_size
@@ -399,6 +407,82 @@ object CcmQueries {
 
   private val curveSql: String = curveSqlWith(None)
   private val curveApproxSql: String = curveSqlWith(Some(ApproxBuckets))
+
+  // -------------------------------------------------------------------
+  // ccm_wide / ccm_wide_approx — the wide-series cost demonstration for
+  // the approximate-kNN path (VERDICT r5 item 5). Users are folded into
+  // WideMod long synthetic series (user_id % 40 -> ~2.5k points each at
+  // sf0.1), where the exact per-cell pair join is ~20x ccm_curve's
+  // per-cell width; ccm_wide runs it exact, ccm_wide_approx with
+  // WideBuckets e0 grid buckets. Same workload, same oracle chain, so
+  // the bench times are the apples-to-apples candidate-pruning story —
+  // and both stay bit-exact under their oracles.
+  // -------------------------------------------------------------------
+  private val WideMod = 80
+  private val WideLibs = Seq(60, 120)
+  private val WideSamples = 1
+  private val WideBuckets = 16
+
+  private def wideInput(s: SparkSession, dir: String): DataFrame = {
+    val skey = col("user_id") % WideMod
+    // (ts, user_id) is a total order (verified: (user_id, ts) unique), so
+    // the folded series is deterministic despite cross-user interleaving;
+    // the even-user filter halves series length to keep the bench entry's
+    // absolute cost moderate while staying ~10x ccm_curve's series width
+    val w = Window.partitionBy(skey).orderBy(col("ts"), col("user_id"))
+    ev(s, dir)
+      .filter(col("user_id") % 2 === 0)
+      .select(
+        skey.as("skey"),
+        col("ts"),
+        col("user_id"),
+        col("value").as("x"),
+        lag(col("value"), 1).over(w).as("y")
+      )
+      .filter(col("y").isNotNull)
+  }
+
+  private def wideWith(s: SparkSession, dir: String, knnBuckets: Int): DataFrame =
+    Ccm
+      .bidirectional(
+        wideInput(s, dir),
+        skey = col("skey"),
+        order = Seq("ts", "user_id"),
+        x = col("x"),
+        y = col("y"),
+        spec = CcmSpec(numSamples = WideSamples, seed = Seed, knnBuckets = knnBuckets),
+        libSizes = WideLibs
+      )
+      .select(
+        col("skey").as("series_id"),
+        col("direction"),
+        col("lib_size"),
+        Norm.rnd(col("rho"), 6).as("rho"),
+        Norm.rnd(col("slope"), 6).as("slope"),
+        col("convergent")
+      )
+      .transform(Norm.ordered(_, col("series_id"), col("direction"), col("lib_size")))
+
+  private def wide(s: SparkSession, dir: String): DataFrame = wideWith(s, dir, 0)
+  private def wideApprox(s: SparkSession, dir: String): DataFrame =
+    wideWith(s, dir, WideBuckets)
+
+  private def wideSqlWith(knnBuckets: Option[Int]): String =
+    s"""${curveSqlCommon(
+          knnBuckets,
+          WideSamples,
+          WideLibs,
+          s"user_id % $WideMod",
+          Seq("ts", "user_id"),
+          "(SELECT * FROM events WHERE user_id % 2 = 0)"
+        )}
+       |SELECT sk.skey AS series_id, sk.direction, sk.lib_size,
+       |       round(sk.rho, 6) + 0.0 AS rho, round(cv.slope, 6) + 0.0 AS slope, cv.convergent
+       |FROM sk JOIN cv ON sk.direction = cv.direction AND sk.skey = cv.skey
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  private val wideSql: String = wideSqlWith(None)
+  private val wideApproxSql: String = wideSqlWith(Some(WideBuckets))
 
   // ccm_convergence — convergent?/1 (C10) as its own surface: OLS slope of
   // the skill curve, strict > 0.001, <3 sizes -> false (`lib/ccm.ex:215-244`).
@@ -718,6 +802,8 @@ object CcmQueries {
     "ccm_curve" -> curve,
     "ccm_curve_approx" -> curveApprox,
     "ccm_curve_perseries" -> curvePerSeries,
+    "ccm_wide" -> wide,
+    "ccm_wide_approx" -> wideApprox,
     "ccm_convergence" -> convergenceQ,
     "ccm_gen_logistic" -> genLogistic,
     "ccm_gen_coupled" -> genCoupled,
@@ -737,6 +823,8 @@ object CcmQueries {
     "ccm_curve" -> curveSql,
     "ccm_curve_approx" -> curveApproxSql,
     "ccm_curve_perseries" -> curveSql,
+    "ccm_wide" -> wideSql,
+    "ccm_wide_approx" -> wideApproxSql,
     "ccm_convergence" -> convergenceSql,
     "ccm_gen_logistic" -> genLogisticSql,
     "ccm_gen_coupled" -> genCoupledSql,
