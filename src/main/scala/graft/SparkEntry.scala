@@ -48,6 +48,7 @@ object SparkEntry {
       ClusterQueries.queries ++
       SketchQueries.queries ++
       StreamQueries.queries ++
+      SinkQueries.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,5 +67,6 @@ object SparkEntry {
       GraphQueries.oracle ++
       ClusterQueries.oracle ++
       SketchQueries.oracle ++
-      StreamQueries.oracle
+      StreamQueries.oracle ++
+      SinkQueries.oracle
 }

@@ -1,0 +1,49 @@
+package graft.contract
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The point of the bucketed sink: a join between two tables bucketed on
+  * the join key with equal bucket counts must plan WITHOUT a shuffle on
+  * either side.
+  */
+class BucketedSinkSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bucketed-table join plans with zero shuffle exchanges") {
+    val (lt, ot) = SinkQueries.writeBucketed(spark, dir, "planspec")
+    val joined = SinkQueries.joinPlanUnderTest(spark, lt, ot)
+    joined.collect() // execute so AQE finalizes the plan
+    val plan = joined.queryExecution.executedPlan
+    val finalPlan = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = finalPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"expected exchange-free bucket join, found:\n$finalPlan")
+  }
+
+  test("bucketed round-trip is value-identical to the direct join") {
+    val (lt, ot) = SinkQueries.writeBucketed(spark, dir, "valspec")
+    val viaBuckets = spark
+      .table(lt)
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val direct = Tables
+      .lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(viaBuckets == direct)
+  }
+}
