@@ -96,6 +96,11 @@ object Ccm {
   /** Scale path: one shuffle to co-locate each series, then the local kernel.
     * Input columns: (skey: Long, ord: Long, x: Double, y: Double).
     *
+    * `CcmSpec.knnBuckets` is NOT consulted here: the kernel is
+    * partition-local brute force. For a series long enough that the local
+    * O(n²) kNN matters, use [[bidirectional]] with `knnBuckets > 0` (the
+    * bucketed candidate join) or resample the series upstream.
+    *
     * @param maxPoints each series is materialized in ONE task's heap
     *        (~32 bytes/point), so a runaway series would OOM the executor;
     *        series longer than this fail fast with a clear message instead.

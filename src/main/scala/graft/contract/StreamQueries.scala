@@ -216,17 +216,68 @@ object StreamQueries {
        |WHERE le.last_end + $GapMs < mx.max_ms - $SessionDelayMs
        |ORDER BY s.user_id, s.start_ms""".stripMargin
 
+  // -------------------------------------------------------------------
+  // stream_enrich — Streams.enrichWithDim: stream-static join (the
+  // canonical "enrich a firehose with reference data" shape) followed by
+  // a streaming aggregation. The static side is a BATCH aggregate over
+  // the same events table (per-user event count -> integer activity
+  // tier); Spark replans it per micro-batch. Tier derives from an exact
+  // integer count — never from a float aggregate — so the bucket edges
+  // cannot flip between engines. Complete output mode; the oracle is the
+  // equivalent batch join + GROUP BY.
+  // -------------------------------------------------------------------
+  private val TierDiv = 10
+
+  private def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val prof = Tables
+      .events(s, dir)
+      .groupBy(col("user_id").as("userId"))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("tier", expr(s"n_total div $TierDiv"))
+      .select("userId", "tier")
+    val enriched = Streams.enrichWithDim(evStream(s, dir), prof, "userId")
+    // integer-cents sum (the q10 pattern): exact integer accumulation is
+    // combine-order independent, immune to micro-batch partial-agg order
+    val agg = enriched
+      .groupBy(col("eventType"), col("tier"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100.0).cast("long")).as("cents")
+      )
+    val out = StreamHarness.runAvailableNow(agg, "complete")
+    out
+      .select(
+        col("eventType").as("event_type"),
+        col("tier"),
+        col("n_events"),
+        Norm.rnd(col("cents") / 100.0, 2).as("sum_value")
+      )
+      .transform(Norm.ordered(_, col("event_type"), col("tier")))
+  }
+
+  private val streamEnrichSql: String =
+    s"""WITH prof AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) // $TierDiv AS tier
+       |  FROM events GROUP BY user_id
+       |)
+       |SELECT e.event_type, p.tier, CAST(count(*) AS BIGINT) AS n_events,
+       |       round(CAST(sum(CAST(round(e.value * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS sum_value
+       |FROM events e JOIN prof p ON e.user_id = p.user_id
+       |GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_stats" -> windowStats,
     "stream_dedup" -> streamDedup,
     "stream_rolling_corr" -> rollingCorr,
-    "stream_sessionize" -> streamSessionize
+    "stream_sessionize" -> streamSessionize,
+    "stream_enrich" -> streamEnrich
   )
 
   val oracle: Map[String, String] = Map(
     "stream_window_stats" -> windowStatsSql,
     "stream_dedup" -> streamDedupSql,
     "stream_rolling_corr" -> rollingCorrSql,
-    "stream_sessionize" -> streamSessionizeSql
+    "stream_sessionize" -> streamSessionizeSql,
+    "stream_enrich" -> streamEnrichSql
   )
 }
