@@ -96,10 +96,12 @@ object Ccm {
   /** Scale path: one shuffle to co-locate each series, then the local kernel.
     * Input columns: (skey: Long, ord: Long, x: Double, y: Double).
     *
-    * `CcmSpec.knnBuckets` is NOT consulted here: the kernel is
-    * partition-local brute force. For a series long enough that the local
-    * O(n²) kNN matters, use [[bidirectional]] with `knnBuckets > 0` (the
-    * bucketed candidate join) or resample the series upstream.
+    * `CcmSpec.knnBuckets > 0` enables the same approximate-kNN candidate
+    * pruning as the declarative path, with BIT-IDENTICAL bucket semantics
+    * ([[CcmLocal]] e0Buckets — `ccm_wide_approx_perseries` shares
+    * `ccm_wide_approx`'s oracle verbatim): each prediction point scans
+    * only library rows within ±1 e0 grid bucket instead of the whole
+    * library, cutting the kernel's O(n·lib) distance work per sample.
     *
     * @param maxPoints each series is materialized in ONE task's heap
     *        (~32 bytes/point), so a runaway series would OOM the executor;

@@ -138,7 +138,8 @@ object CcmLocal {
       libSize: Int,
       sampleId: Long,
       seriesKey: Long,
-      seed: Long
+      seed: Long,
+      buckets: Array[Long] = null
   ): Double = {
     val n = embedding.length
     if (libSize >= n) return 0.0
@@ -149,10 +150,47 @@ object CcmLocal {
     val libIdx = order.take(libSize).map(_._2)
     val predIdx = order.drop(libSize).map(_._2)
     if (predIdx.length < 2) return 0.0
-    val preds = predIdx.toSeq.map { pi =>
-      (adjustedTarget(pi), predictPoint(embedding(pi), libIdx, embedding, adjustedTarget))
-    }
+    // Approximate-kNN parity with CcmPipeline.predictions(knnBuckets > 0):
+    // candidates = library rows within ±1 e0 grid bucket of the query; a
+    // query with ZERO candidates contributes NO (actual, predicted) pair
+    // (the declarative join simply produces no rows for it), it does NOT
+    // contribute a 0.0 prediction.
+    val preds = predIdx.iterator.flatMap { pi =>
+      if (buckets == null)
+        Iterator.single(
+          (adjustedTarget(pi), predictPoint(embedding(pi), libIdx, embedding, adjustedTarget))
+        )
+      else {
+        val qb = buckets(pi)
+        val cand = libIdx.filter(i => buckets(i) >= qb - 1 && buckets(i) <= qb + 1)
+        if (cand.isEmpty) Iterator.empty
+        else
+          Iterator.single(
+            (adjustedTarget(pi), predictPoint(embedding(pi), cand, embedding, adjustedTarget))
+          )
+      }
+    }.toSeq
     correlation(preds)
+  }
+
+  /** e0 grid-bucket ids for every embedding row — BIT-IDENTICAL to the
+    * declarative path's bucketing (`CcmPipeline.predictions`): width
+    * (max(e0)-min(e0))/knnBuckets, bucket = floor((e0-mn)/width), all
+    * single IEEE ops on raw values; constant series -> all bucket 0.
+    */
+  private def e0Buckets(embedding: Array[Array[Double]], knnBuckets: Int): Array[Long] = {
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < embedding.length) {
+      val v = embedding(i)(0)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      i += 1
+    }
+    val width = (mx - mn) / knnBuckets.toDouble
+    if (width > 0.0) embedding.map(r => math.floor((r(0) - mn) / width).toLong)
+    else Array.fill(embedding.length)(0L)
   }
 
   /** Cross-map one direction (`lib/ccm.ex:48-74`). NOTE the direction trap
@@ -169,11 +207,13 @@ object CcmLocal {
     val tau = spec.tau
     val embedding = embed(source, e, tau)
     val adjusted = target.drop((e - 1) * tau) // alignment, `ccm.ex:119`
+    val buckets =
+      if (spec.knnBuckets > 0) e0Buckets(embedding, spec.knnBuckets) else null
     val results = spec.resolvedLibSizes(source.length).map { l =>
       var sum = 0.0
       var s = 1
       while (s <= spec.numSamples) {
-        sum += crossMapSample(embedding, adjusted, l, s.toLong, seriesKey, spec.seed)
+        sum += crossMapSample(embedding, adjusted, l, s.toLong, seriesKey, spec.seed, buckets)
         s += 1
       }
       (l, sum / spec.numSamples)

@@ -467,6 +467,39 @@ object CcmQueries {
   private def wideApprox(s: SparkSession, dir: String): DataFrame =
     wideWith(s, dir, WideBuckets)
 
+  // ccm_wide_approx_perseries — the SAME wide approximate workload through
+  // the Ccm.perSeries scale path: the CcmLocal kernel's bucket pruning
+  // must be bit-identical to the declarative bucket join, so this shares
+  // ccm_wide_approx's oracle VERBATIM (kernel ≡ declarative ≡ DuckDB).
+  // ord = per-series row_number over the (ts, user_id) total order (the
+  // composite order folded to the single Long ordinal perSeries expects).
+  private def wideApproxPerSeries(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("skey")).orderBy(col("ts"), col("user_id"))
+    val in = wideInput(s, dir)
+      .select(
+        col("skey"),
+        row_number().over(w).cast("long").as("ord"),
+        col("x"),
+        col("y")
+      )
+    Ccm
+      .perSeries(
+        in,
+        CcmSpec(numSamples = WideSamples, seed = Seed, knnBuckets = WideBuckets),
+        Some(WideLibs)
+      )
+      .toDF()
+      .select(
+        col("skey").as("series_id"),
+        col("direction"),
+        col("lib_size"),
+        Norm.rnd(col("rho"), 6).as("rho"),
+        Norm.rnd(col("slope"), 6).as("slope"),
+        col("convergent")
+      )
+      .transform(Norm.ordered(_, col("series_id"), col("direction"), col("lib_size")))
+  }
+
   private def wideSqlWith(knnBuckets: Option[Int]): String =
     s"""${curveSqlCommon(
           knnBuckets,
@@ -804,6 +837,7 @@ object CcmQueries {
     "ccm_curve_perseries" -> curvePerSeries,
     "ccm_wide" -> wide,
     "ccm_wide_approx" -> wideApprox,
+    "ccm_wide_approx_perseries" -> wideApproxPerSeries,
     "ccm_convergence" -> convergenceQ,
     "ccm_gen_logistic" -> genLogistic,
     "ccm_gen_coupled" -> genCoupled,
@@ -825,6 +859,7 @@ object CcmQueries {
     "ccm_curve_perseries" -> curveSql,
     "ccm_wide" -> wideSql,
     "ccm_wide_approx" -> wideApproxSql,
+    "ccm_wide_approx_perseries" -> wideApproxSql,
     "ccm_convergence" -> convergenceSql,
     "ccm_gen_logistic" -> genLogisticSql,
     "ccm_gen_coupled" -> genCoupledSql,
