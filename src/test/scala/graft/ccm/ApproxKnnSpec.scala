@@ -52,6 +52,34 @@ class ApproxKnnSpec extends SparkTestBase {
     assert(worst <= 0.20, s"max |Δrho| $worst > 0.20")
   }
 
+  test("kernel approx path equals declarative approx path (to corr-impl ulps)") {
+    import spark.implicits._
+    val declarative = run(8)
+    val viaKernel = Ccm
+      .perSeries(
+        inputDf.select(col("skey"), col("ord"), col("x"), col("y")),
+        CcmSpec(numSamples = Samples, knnBuckets = 8),
+        Some(Libs)
+      )
+      .toDF()
+      .select("skey", "direction", "lib_size", "rho", "convergent")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)) -> (r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(declarative.keySet == viaKernel.keySet)
+    // Spark's corr (streaming co-moments) and CcmLocal.correlation
+    // (two-pass) agree only to last ulps — same as the exact-path pair,
+    // which is why the shared oracle rounds to 6 decimals. 1e-9 is far
+    // below any semantic difference and far above ulp noise.
+    declarative.foreach { case (k, (rho, conv)) =>
+      assert(
+        math.abs(viaKernel(k)._1 - rho) <= 1e-9,
+        s"$k: kernel rho ${viaKernel(k)._1} != declarative $rho"
+      )
+      assert(viaKernel(k)._2 == conv, s"$k: convergent flag differs")
+    }
+  }
+
   test("bucketed join prunes the candidate pair set") {
     import spark.implicits._
     val base = inputDf
