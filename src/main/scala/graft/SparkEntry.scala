@@ -49,6 +49,7 @@ object SparkEntry {
       SketchQueries.queries ++
       StreamQueries.queries ++
       SinkQueries.queries ++
+      graft.sources.FormatRoundTrip.queries ++
       graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,5 +69,6 @@ object SparkEntry {
       ClusterQueries.oracle ++
       SketchQueries.oracle ++
       StreamQueries.oracle ++
-      SinkQueries.oracle
+      SinkQueries.oracle ++
+      graft.sources.FormatRoundTrip.oracle
 }

@@ -55,7 +55,7 @@ object PrefixSum {
       numPartitions: Int = 0
   ): DataFrame = runningSumTracked(df, order, value, out, numPartitions)._1
 
-  /** [[runningSum]] plus the pinned checkpoint blocks, for callers that
+  /** [[runningSumPinned]] plus the pinned checkpoint blocks, for callers that
     * free them once the result is materialized (same tracked/free
     * discipline as the iterative operators).
     */

@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.contract.{Norm, Tables}
+
+/** Source/sink format coverage: write the events table out in a non-parquet
+  * format, read it back through that format's reader, and aggregate — the
+  * oracle computes the same aggregate from the original parquet, so the
+  * round-trip (writer options, reader schema, type mapping) is pinned by
+  * hash, not by "it didn't throw".
+  *
+  * CSV exercises the text-format edges that actually bite in ingest
+  * pipelines: explicit schema (no inference nondeterminism), delimiter,
+  * header, and LOSSLESS value transport — the epoch-nanos BIGINT and the
+  * double `value` survive a text round-trip exactly (longs trivially;
+  * doubles because Spark writes round-trippable representations and
+  * reads them back with exact binary-to-decimal-to-binary parity).
+  * ORC exercises the columnar alternative's type mapping.
+  *
+  * Scale note: both queries keep the write DISTRIBUTED (no coalesce) —
+  * format conversion of a 100 TB table is a map-only job; the aggregate
+  * afterwards reads back with normal partition parallelism.
+  */
+object FormatRoundTrip {
+  private val ctr = new AtomicInteger(0)
+
+  /** events projected to stable primitive columns for transport. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+
+  private def agg(df: DataFrame): DataFrame =
+    df.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        // micros, not nanos: DuckDB reads parquet TIMESTAMP(NANOS) at
+        // microsecond precision, so the oracle can only see micros
+        min(expr("ts div 1000")).as("min_ts"),
+        max(expr("ts div 1000")).as("max_ts"),
+        sum(round(col("value") * 100.0).cast("long")).as("cents")
+      )
+      .select(
+        col("event_type"),
+        col("n_events"),
+        col("min_ts"),
+        col("max_ts"),
+        Norm.rnd(col("cents") / 100.0, 2).as("sum_value")
+      )
+      .transform(Norm.ordered(_, col("event_type")))
+
+  private val aggSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts,
+      |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts,
+      |  round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  private def csvRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory(s"graft-csv-${ctr.incrementAndGet()}").toString
+    val src = ev(s, dir)
+    src.write.option("header", "true").option("delimiter", "\t").csv(s"$tmp/events_csv")
+    val back = s.read
+      .schema(src.schema) // explicit schema: no sampling-based inference
+      .option("header", "true")
+      .option("delimiter", "\t")
+      .csv(s"$tmp/events_csv")
+    agg(back)
+  }
+
+  private def orcRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory(s"graft-orc-${ctr.incrementAndGet()}").toString
+    val src = ev(s, dir)
+    src.write.orc(s"$tmp/events_orc")
+    agg(s.read.orc(s"$tmp/events_orc"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip" -> csvRoundTrip,
+    "src_orc_roundtrip" -> orcRoundTrip
+  )
+
+  val oracle: Map[String, String] = Map(
+    "src_csv_roundtrip" -> aggSql,
+    "src_orc_roundtrip" -> aggSql
+  )
+}
