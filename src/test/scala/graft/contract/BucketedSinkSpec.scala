@@ -15,15 +15,24 @@ class BucketedSinkSpec extends SparkTestBase {
 
   test("bucketed-table join plans with zero shuffle exchanges") {
     val (lt, ot) = SinkQueries.writeBucketed(spark, dir, "planspec")
-    val joined = SinkQueries.joinPlanUnderTest(spark, lt, ot)
-    joined.collect() // execute so AQE finalizes the plan
-    val plan = joined.queryExecution.executedPlan
-    val finalPlan = plan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val shuffles = finalPlan.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.isEmpty, s"expected exchange-free bucket join, found:\n$finalPlan")
+    // disable broadcast: a broadcast join would be shuffle-free trivially;
+    // the claim under test is that the SORT-MERGE path needs no exchange
+    // because both sides are bucketed on the join key
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = SinkQueries.joinPlanUnderTest(spark, lt, ot)
+      joined.collect() // execute so AQE finalizes the plan
+      val plan = joined.queryExecution.executedPlan
+      val finalPlan = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val planStr = finalPlan.toString
+      assert(planStr.contains("SortMergeJoin"), s"expected sort-merge join:\n$planStr")
+      val shuffles = finalPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty, s"expected exchange-free bucket join, found:\n$finalPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("bucketed round-trip is value-identical to the direct join") {
