@@ -15,7 +15,7 @@ import graft.ccm.{Ccm, CcmPipeline, CcmSpec, DetHash, Generators}
   * raw column values and integer outputs are exact.
   */
 object CcmQueries {
-  private val Seed = 42L
+  private[contract] val Seed = 42L
   private val P = DetHash.P
 
   private def ev(s: SparkSession, dir: String): DataFrame =
@@ -299,9 +299,12 @@ object CcmQueries {
       libs: Seq[Int] = CurveLibs,
       skeySql: String = "user_id",
       ord: Seq[String] = Seq("ts"),
-      baseFrom: String = "events"
+      baseFrom: String = "events",
+      ySqlOpt: Option[String] = None
   ): String = {
     val ordSql = ord.mkString(", ")
+    val ySql =
+      ySqlOpt.getOrElse(s"lag(value, 1) OVER (PARTITION BY $skeySql ORDER BY $ordSql)")
     val libsValues = libs.map(l => s"($l)").mkString(", ")
     val pairSrc = if (knnBuckets.isEmpty) "rk" else "rkb"
     val bucketCtes = knnBuckets
@@ -321,7 +324,7 @@ object CcmQueries {
       .getOrElse("")
     s"""WITH base0 AS (
        |  SELECT $skeySql AS skey, $ordSql, value AS x,
-       |         lag(value, 1) OVER (PARTITION BY $skeySql ORDER BY $ordSql) AS y
+       |         $ySql AS y
        |  FROM $baseFrom
        |), base AS (SELECT * FROM base0 WHERE y IS NOT NULL),
        |dir AS (
@@ -407,6 +410,33 @@ object CcmQueries {
 
   private val curveSql: String = curveSqlWith(None)
   private val curveApproxSql: String = curveSqlWith(Some(ApproxBuckets))
+
+  /** Oracle for `stream_ccm` (graft.contract.StreamQueries): the full
+    * declarative curve chain on a custom y expression, aggregated to the
+    * StreamCcmResult shape — mean rho over the explicit lib ladder and
+    * the convergence flag, one row per (series), both directions pivoted
+    * wide. Reuses the sk/cv CTEs, so the streaming kernel's answers are
+    * pinned by the very same SQL that pins ccm_curve.
+    */
+  private[contract] def streamCcmSql(
+      samples: Int,
+      libs: Seq[Int],
+      ySql: String,
+      minPoints: Int
+  ): String =
+    s"""${curveSqlCommon(None, samples, libs, "user_id", Seq("ts"), "events", Some(ySql))},
+       |mr AS (SELECT skey, direction, avg(rho) AS mean_rho FROM sk GROUP BY 1, 2),
+       |np AS (SELECT skey, CAST(count(*) AS INTEGER) AS n FROM base
+       |       GROUP BY 1 HAVING count(*) >= $minPoints)
+       |SELECT np.skey AS user_id, np.n AS n_points,
+       |  cx.convergent AS x_causes_y, cy.convergent AS y_causes_x,
+       |  round(mx.mean_rho, 6) + 0.0 AS rho_xy, round(my.mean_rho, 6) + 0.0 AS rho_yx
+       |FROM np
+       |JOIN cv cx ON np.skey = cx.skey AND cx.direction = 'x_causes_y'
+       |JOIN cv cy ON np.skey = cy.skey AND cy.direction = 'y_causes_x'
+       |JOIN mr mx ON np.skey = mx.skey AND mx.direction = 'x_causes_y'
+       |JOIN mr my ON np.skey = my.skey AND my.direction = 'y_causes_x'
+       |ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------------------------
   // ccm_wide / ccm_wide_approx — the wide-series cost demonstration for

@@ -265,12 +265,79 @@ object StreamQueries {
        |FROM events e JOIN prof p ON e.user_id = p.user_id
        |GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin
 
+  // -------------------------------------------------------------------
+  // stream_ccm — Streams.streamingCcm: the sliding-window bidirectional
+  // CCM re-estimator, replayed over the events table as per-user series
+  // points. y cannot be a lag window (streams reject non-time windows),
+  // so the second observable derives arithmetically from event_id —
+  // integer mod then divide, bit-exact in both engines. With window >=
+  // series length the single-batch re-estimation equals full-series CCM,
+  // so the oracle is the SAME declarative curve chain that pins
+  // ccm_curve, aggregated to the StreamCcmResult shape (mean rho over
+  // the explicit lib ladder + convergence, both directions pivoted).
+  // -------------------------------------------------------------------
+  private val StreamCcmLibs = Seq(20, 40, 60)
+  private val StreamCcmSamples = 2
+  private val StreamCcmMinPoints = 60 // users below this emit nothing (the
+  // minPoints gate IS part of the semantics under test; the oracle mirrors
+  // it with a HAVING — 116/150 users emit at sf0.01)
+
+  private def streamCcm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(s, dir).schema
+    val in = s.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque[t]")
+      .select(
+        col("user_id").as("skey"),
+        col("ts").as("ord"), // epoch nanos: unique per user -> total order
+        col("value").as("x"),
+        ((col("event_id") % 1000).cast("double") / 1000.0).as("y")
+      )
+      .as[Streams.SeriesPoint]
+    val out = StreamHarness.runAvailableNow(
+      Streams
+        .streamingCcm(
+          in,
+          window = 128, // >= any per-user series length at gate SFs
+          minPoints = StreamCcmMinPoints,
+          spec = graft.ccm.CcmSpec(
+            numSamples = StreamCcmSamples,
+            seed = CcmQueries.Seed,
+            libSizes = Some(StreamCcmLibs)
+          )
+        )
+        .toDF(),
+      "append"
+    )
+    out
+      .select(
+        col("skey").as("user_id"),
+        col("n").as("n_points"),
+        col("xCausesY").as("x_causes_y"),
+        col("yCausesX").as("y_causes_x"),
+        Norm.rnd(col("rhoXY"), 6).as("rho_xy"),
+        Norm.rnd(col("rhoYX"), 6).as("rho_yx")
+      )
+      .transform(Norm.ordered(_, col("user_id")))
+  }
+
+  private val streamCcmSql: String =
+    CcmQueries.streamCcmSql(
+      StreamCcmSamples,
+      StreamCcmLibs,
+      "(event_id % 1000) / 1000.0",
+      StreamCcmMinPoints
+    )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_stats" -> windowStats,
     "stream_dedup" -> streamDedup,
     "stream_rolling_corr" -> rollingCorr,
     "stream_sessionize" -> streamSessionize,
-    "stream_enrich" -> streamEnrich
+    "stream_enrich" -> streamEnrich,
+    "stream_ccm" -> streamCcm
   )
 
   val oracle: Map[String, String] = Map(
@@ -278,6 +345,7 @@ object StreamQueries {
     "stream_dedup" -> streamDedupSql,
     "stream_rolling_corr" -> rollingCorrSql,
     "stream_sessionize" -> streamSessionizeSql,
-    "stream_enrich" -> streamEnrichSql
+    "stream_enrich" -> streamEnrichSql,
+    "stream_ccm" -> streamCcmSql
   )
 }
