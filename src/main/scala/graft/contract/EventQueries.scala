@@ -234,6 +234,57 @@ object EventQueries {
   // user every user has every event type, so unthresholded sets would be
   // degenerate — always-empty after EXCEPT.)
   // -------------------------------------------------------------------
+  // -------------------------------------------------------------------
+  // evt_full_outer — the one join type no other query exercises:
+  // reconcile two partial per-user aggregates (high-value purchasers vs
+  // severe-error users) with a FULL OUTER join, coalescing both sides.
+  // Thresholds keep the sides genuinely partial (35 left / 40 right /
+  // 12 both at sf0.01) so left-only, right-only and matched rows all
+  // flow. At scale this is a plain shuffle join on the user key — full
+  // outer forbids broadcast, which is exactly why it deserves its own
+  // plan surface.
+  // -------------------------------------------------------------------
+  private val FullOuterMin = 195.0
+
+  private def fullOuter(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val p = e
+      .filter(col("event_type") === "purchase" && col("value") > FullOuterMin)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_big_purchases"),
+        sum(round(col("value") * 100.0).cast("long")).as("pc")
+      )
+    val x = e
+      .filter(col("event_type") === "error" && col("value") > FullOuterMin)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_severe_errors"))
+    p.join(x, Seq("user_id"), "full_outer")
+      .select(
+        col("user_id"),
+        coalesce(col("n_big_purchases"), lit(0L)).as("n_big_purchases"),
+        Norm.rnd(coalesce(col("pc"), lit(0L)) / 100.0, 2).as("purchase_value"),
+        coalesce(col("n_severe_errors"), lit(0L)).as("n_severe_errors")
+      )
+      .transform(Norm.ordered(_, col("user_id")))
+  }
+
+  private val fullOuterSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_big_purchases,
+       |         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS pc
+       |  FROM events WHERE event_type = 'purchase' AND value > $FullOuterMin GROUP BY 1
+       |), x AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_severe_errors
+       |  FROM events WHERE event_type = 'error' AND value > $FullOuterMin GROUP BY 1
+       |)
+       |SELECT coalesce(p.user_id, x.user_id) AS user_id,
+       |  coalesce(p.n_big_purchases, 0) AS n_big_purchases,
+       |  round(coalesce(p.pc, 0) / 100.0, 2) + 0.0 AS purchase_value,
+       |  coalesce(x.n_severe_errors, 0) AS n_severe_errors
+       |FROM p FULL OUTER JOIN x ON p.user_id = x.user_id
+       |ORDER BY user_id""".stripMargin
+
   private def setOps(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
     def users(t: String, minValue: Double) =
@@ -764,7 +815,8 @@ object EventQueries {
     "evt_percentiles" -> percentiles,
     "evt_window_agg" -> windowAgg,
     "evt_setops" -> setOps,
-    "evt_json_props" -> jsonProps
+    "evt_json_props" -> jsonProps,
+    "evt_full_outer" -> fullOuter
   )
 
   val oracle: Map[String, String] = Map(
@@ -786,6 +838,7 @@ object EventQueries {
     "evt_percentiles" -> percentilesSql,
     "evt_window_agg" -> windowAggSql,
     "evt_setops" -> setOpsSql,
-    "evt_json_props" -> jsonPropsSql
+    "evt_json_props" -> jsonPropsSql,
+    "evt_full_outer" -> fullOuterSql
   )
 }
