@@ -565,6 +565,63 @@ object TextQueries {
        |JOIN uni ON uni.w2 = bg.w2
        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // doc_chunk — overlapping token-window chunking (context/RAG prep):
+  // each doc splits into windows of ChunkSize tokens advancing by
+  // ChunkStride (16-token overlap); the last window may be short. Chunk
+  // count derives from INTEGER arithmetic (truncation-vs-floor safe
+  // after greatest(0, ·)), and the emitted chunk content is pinned by
+  // its poly hash rather than shipping the text. Scale: explode fans out
+  // inside the doc's partition — no shuffle until a consumer asks for
+  // one; at 100 TB this is the map-only pre-tokenization pass.
+  // -------------------------------------------------------------------
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  private def docChunk(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn(
+        "chunk_id",
+        // integer `div`: trunc-vs-floor divergence only occurs for n < 17,
+        // where greatest(0, ·) pins both engines to 0
+        explode(
+          sequence(
+            lit(0L),
+            expr(s"greatest(CAST(0 AS BIGINT), CAST(n - $ChunkSize + $ChunkStride - 1 AS BIGINT) div $ChunkStride)")
+          )
+        )
+      )
+      .withColumn(
+        "chunk",
+        slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast("int"), lit(ChunkSize))
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        graft.ccm.DetHash.polyHashCol(array_join(col("chunk"), " ")).as("chunk_hash")
+      )
+      .transform(Norm.ordered(_, col("doc_id"), col("chunk_id")))
+
+  private val docChunkSql: String = {
+    val slice = s"toks[CAST(chunk_id * $ChunkStride + 1 AS BIGINT) : CAST(chunk_id * $ChunkStride + $ChunkSize AS BIGINT)]"
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, toks,
+       |         unnest(generate_series(CAST(0 AS BIGINT),
+       |           greatest(CAST(0 AS BIGINT), CAST((n - $ChunkSize + $ChunkStride - 1) AS BIGINT) // $ChunkStride))) AS chunk_id
+       |  FROM t
+       |)
+       |SELECT doc_id, chunk_id,
+       |  CAST(len($slice) AS BIGINT) AS n_tokens,
+       |  ${graft.ccm.DetHash.polyHashSql(s"array_to_string($slice, ' ')")} AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bigram_lm" -> bigramLm,
     "text_lm_score" -> lmScore,
@@ -577,7 +634,8 @@ object TextQueries {
     "quality_score" -> qualityScore,
     "doc_fingerprint" -> fingerprint,
     "text_top_terms" -> topTerms,
-    "text_tfidf" -> tfidf
+    "text_tfidf" -> tfidf,
+    "doc_chunk" -> docChunk
   )
 
   val oracle: Map[String, String] = Map(
@@ -592,6 +650,7 @@ object TextQueries {
     "quality_score" -> qualityScoreSql,
     "doc_fingerprint" -> fingerprintSql,
     "text_top_terms" -> topTermsSql,
-    "text_tfidf" -> tfidfSql
+    "text_tfidf" -> tfidfSql,
+    "doc_chunk" -> docChunkSql
   )
 }
