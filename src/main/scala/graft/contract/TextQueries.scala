@@ -622,6 +622,52 @@ object TextQueries {
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // text_source_divergence — distribution drift per corpus slice:
+  // KL(P_source || P_corpus) over unigram distributions. No smoothing
+  // is needed because every source word is by construction in the
+  // corpus distribution (support(P_s) ⊆ support(P)). The per-source and
+  // corpus totals ride 1-row/`#sources`-row relations (cross/equi join,
+  // auto-broadcast) — no collect. The KL sum is a per-source sum of
+  // ~thousands of tiny doubles; combine-order noise is ~1e-12, rounded
+  // at 6. At 100 TB this is two shuffles on the word key + one tiny
+  // join — the standard "is this week's crawl drifting?" probe.
+  // -------------------------------------------------------------------
+  private def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val bySrcWord = toks.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val byWord = toks.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val bySrc = toks.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val total = toks.agg(count(lit(1)).as("n_all"))
+    bySrcWord
+      .join(byWord, "w")
+      .join(bySrc, "source")
+      .crossJoin(total)
+      .withColumn("p", col("c_sw").cast("double") / col("n_s"))
+      .withColumn("q", col("c_w").cast("double") / col("n_all"))
+      .groupBy("source")
+      .agg(
+        first(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        Norm.rnd(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_vs_corpus")
+      )
+      .transform(Norm.ordered(_, col("source")))
+  }
+
+  private val sourceDivergenceSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      |), sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw FROM toks GROUP BY 1, 2),
+      |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM toks GROUP BY 1),
+      |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM toks GROUP BY 1),
+      |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM toks)
+      |SELECT sw.source, any_value(ns.n_s) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS vocab_size,
+      |  round(sum((CAST(c_sw AS DOUBLE) / n_s) * ln((CAST(c_sw AS DOUBLE) / n_s) / (CAST(c_w AS DOUBLE) / n_all))), 6) + 0.0 AS kl_vs_corpus
+      |FROM sw JOIN cw ON sw.w = cw.w JOIN ns ON sw.source = ns.source CROSS JOIN na
+      |GROUP BY sw.source ORDER BY sw.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bigram_lm" -> bigramLm,
     "text_lm_score" -> lmScore,
@@ -635,7 +681,8 @@ object TextQueries {
     "doc_fingerprint" -> fingerprint,
     "text_top_terms" -> topTerms,
     "text_tfidf" -> tfidf,
-    "doc_chunk" -> docChunk
+    "doc_chunk" -> docChunk,
+    "text_source_divergence" -> sourceDivergence
   )
 
   val oracle: Map[String, String] = Map(
@@ -651,6 +698,7 @@ object TextQueries {
     "doc_fingerprint" -> fingerprintSql,
     "text_top_terms" -> topTermsSql,
     "text_tfidf" -> tfidfSql,
-    "doc_chunk" -> docChunkSql
+    "doc_chunk" -> docChunkSql,
+    "text_source_divergence" -> sourceDivergenceSql
   )
 }
