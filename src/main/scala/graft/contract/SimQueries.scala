@@ -305,13 +305,65 @@ object SimQueries {
        |FROM q ORDER BY vec_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // vec_covariance — embedding covariance matrix (PCA / whitening prep):
+  // upper-triangle (i <= j) sample covariance over all vectors via
+  // explicit co-moment sums, so both engines share the identical final
+  // arithmetic ((Σxy − ΣxΣy/n)/(n−1)) instead of trusting two covar
+  // implementations to agree. The double posexplode fans each vector to
+  // d(d+1)/2 component pairs MAP-SIDE, and the aggregate's partial
+  // (map-side combine) reduces them to d(d+1)/2 groups before the only
+  // shuffle — at 100 TB the shuffle carries 2080 rows per partition, not
+  // n·d² rows.
+  // -------------------------------------------------------------------
+  private val CovDim = 64
+
+  private def vecCovariance(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("embedding").cast("array<double>").as("v"))
+    e.select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"),
+        sum(col("xj")).as("sy"),
+        sum(col("xi") * col("xj")).as("sxy")
+      )
+      .select(
+        col("i"),
+        col("j"),
+        Norm.rnd(
+          (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1),
+          6
+        ).as("cov")
+      )
+      .transform(Norm.ordered(_, col("i"), col("j")))
+  }
+
+  private val vecCovarianceSql: String =
+    s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (SELECT CAST(unnest(generate_series(0, ${CovDim - 1})) AS INTEGER) AS i),
+       |p AS (SELECT a.i AS i, b.i AS j FROM d a, d b WHERE b.i >= a.i),
+       |s AS (
+       |  SELECT p.i, p.j, CAST(count(*) AS BIGINT) AS n,
+       |         sum(v[p.i + 1]) AS sx, sum(v[p.j + 1]) AS sy,
+       |         sum(v[p.i + 1] * v[p.j + 1]) AS sxy
+       |  FROM e CROSS JOIN p GROUP BY 1, 2
+       |)
+       |SELECT i, j, round((sxy - sx * sy / n) / (n - 1), 6) + 0.0 AS cov
+       |FROM s ORDER BY i, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_quantize" -> vecQuantize,
     "vec_normalize" -> vecNormalize,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
-    "vec_centroid" -> vecCentroid
+    "vec_centroid" -> vecCentroid,
+    "vec_covariance" -> vecCovariance
   )
 
   val oracle: Map[String, String] = Map(
@@ -320,6 +372,7 @@ object SimQueries {
     "ann_topk" -> annTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
-    "vec_centroid" -> vecCentroidSql
+    "vec_centroid" -> vecCentroidSql,
+    "vec_covariance" -> vecCovarianceSql
   )
 }
