@@ -285,6 +285,30 @@ object EventQueries {
        |FROM p FULL OUTER JOIN x ON p.user_id = x.user_id
        |ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_histogram — fixed-width value histogram per event type: the
+  // classic distribution profile (bin = floor(value / width), a single
+  // IEEE divide + floor on a raw input, bit-identical across engines).
+  // Pure two-key hash aggregate: map-side partials, one shuffle of
+  // |types|×|bins| rows regardless of input size.
+  // -------------------------------------------------------------------
+  private val HistWidth = 25.0
+
+  private def histogram(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("bin", floor(col("value") / HistWidth).cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", Norm.rnd(col("bin") * HistWidth, 2))
+      .select("event_type", "bin", "bin_lo", "n")
+      .transform(Norm.ordered(_, col("event_type"), col("bin")))
+
+  private val histogramSql: String =
+    s"""SELECT event_type, CAST(floor(value / $HistWidth) AS BIGINT) AS bin,
+       |  round(CAST(floor(value / $HistWidth) AS BIGINT) * $HistWidth, 2) + 0.0 AS bin_lo,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
   private def setOps(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir)
     def users(t: String, minValue: Double) =
@@ -816,7 +840,8 @@ object EventQueries {
     "evt_window_agg" -> windowAgg,
     "evt_setops" -> setOps,
     "evt_json_props" -> jsonProps,
-    "evt_full_outer" -> fullOuter
+    "evt_full_outer" -> fullOuter,
+    "evt_histogram" -> histogram
   )
 
   val oracle: Map[String, String] = Map(
@@ -839,6 +864,7 @@ object EventQueries {
     "evt_window_agg" -> windowAggSql,
     "evt_setops" -> setOpsSql,
     "evt_json_props" -> jsonPropsSql,
-    "evt_full_outer" -> fullOuterSql
+    "evt_full_outer" -> fullOuterSql,
+    "evt_histogram" -> histogramSql
   )
 }
