@@ -9,6 +9,27 @@ import java.nio.file.{Files, Paths}
   * JSON is ALSO written to bench_out.json in the working directory; failed
   * queries are recorded by name in "failed" instead of being silently timed
   * as -1.
+  *
+  * Noise robustness (VERDICT r6 item 1): the host VM shows multi-x
+  * run-to-run noise (identical code measured 45.9-109.9 s totals across
+  * eleven round-6 invocations), which made the 2x-per-query regression bar
+  * unfalsifiable from any single run. This bench therefore interleaves a
+  * FIXED CANARY workload (constant cost, independent of SF) through the
+  * run:
+  *   - after warmup, the canary runs CanaryBaseRuns times; its min is the
+  *     invocation's quiet-host reference (canary_base);
+  *   - each query's timing window is bracketed by one canary before and
+  *     one after; the window's inflation estimate is the QUIETER of the
+  *     two adjacent canaries over canary_base (conservative: less
+  *     normalization), clamped at >= 1;
+  *   - "queries" reports the raw min (comparable to BASELINE.md merged
+  *     mins); "queries_norm" reports min over windows of raw/inflation;
+  *   - any query whose raw min exceeds 2x its embedded round-6 baseline
+  *     (BenchBaseline) is AUTO-RERUN with a fresh bracketed window, up to
+  *     MaxRetryWindows times — stopping early if a QUIET window (both
+  *     adjacent canaries < QuietFactor x base) still lands above the bar,
+  *     which is evidence of a real regression rather than noise; such
+  *     queries are listed in "above_bar_quiet".
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,6 +42,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Fixed canary: constant-cost scan + small shuffle, no data files, no
+    // caching effects. Its drift measures HOST noise, not query cost.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000L, 1L, 16)
+        .selectExpr("id % 64 AS k", "id % 9973 AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // Untimed JIT/codegen warmup on the smallest SF: the first heavy
     // window+join job otherwise pays ~20s of one-time compilation that
     // would be attributed to an arbitrary query. ccm_convergence is the
@@ -29,20 +62,26 @@ object Bench {
     for (w <- Seq("ccm_curve", "ccm_convergence"))
       try SparkEntry.queries(w)(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
       catch { case _: Throwable => () }
-    var failed = List.empty[String]
-    // The host VM shows multi-x run-to-run noise (identical code has
-    // measured 81s and 249s totals); per query we time `Runs` executions
-    // and report the MIN — the steady-state cost of the plan, which is the
-    // number that extrapolates to a real cluster. Queries whose min is
-    // still above `ExtraRunAboveSec` get ONE extra run: the heavy queries
-    // are exactly where a noise spike distorts the round's number most,
-    // and a third sample costs little relative to their runtime.
-    // three runs per query: the host VM's noise spikes routinely hit one
-    // run of a query (round 3 recorded 93 s for a suite whose quiet total
-    // is 36 s with Runs=2); a third sample makes the min robust to a
-    // single spike at ~40% more bench wall time
+    canaryOnce() // warm the canary's codegen too before baselining it
+
+    val CanaryBaseRuns = 5
+    val QuietFactor = 1.3
+    val MaxRetryWindows = 4
     val Runs = 3
     val ExtraRunAboveSec = 2.0
+    val canarySamples = collection.mutable.ArrayBuffer.empty[Double]
+    def canary(): Double = { val c = canaryOnce(); canarySamples += c; c }
+    // the base is the RUNNING MIN of every canary sample so far: the
+    // initial 5-sample min may itself be measured during a noise burst
+    // (observed: 0.154 initial vs 0.088 run-wide min), and a too-high
+    // base understates inflation. During the run the live min drives the
+    // retry heuristic; final verdicts are recomputed against the run-wide
+    // min below.
+    (1 to CanaryBaseRuns).foreach(_ => canary())
+    def canaryBase: Double = canarySamples.min
+
+    var failed = List.empty[String]
+    var aboveBarQuiet = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // only SUCCESSFUL runs may contribute a timing: a run that dies fast
       // must not win the min and masquerade as a fast query (it is still
@@ -59,23 +98,67 @@ object Bench {
             None
         }
       }
-      val times = (1 to Runs).flatMap(_ => once())
-      val withExtra =
-        if (times.nonEmpty && times.min >= ExtraRunAboveSec) times ++ once() else times
-      // free any localCheckpoint blocks the query pinned so 55 queries don't
-      // accumulate storage memory across the session
+      // one bracketed window = canary, N query runs, canary. Keeps the
+      // raw adjacent canaries so verdicts can be recomputed against the
+      // run-wide canary min at the end.
+      def window(runs: Int): (Option[Double], Double, Double) = {
+        val cB = canary()
+        val times = (1 to runs).flatMap(_ => once())
+        val withExtra =
+          if (times.nonEmpty && times.min >= ExtraRunAboveSec) times ++ once() else times
+        val cA = canary()
+        (if (withExtra.nonEmpty) Some(withExtra.min) else None, cB, cA)
+      }
+      def quiet(w: (Option[Double], Double, Double)) =
+        math.max(w._2, w._3) < QuietFactor * canaryBase
+      var windows = List(window(Runs))
+      val bar = BenchBaseline.round6MergedMinSec.get(name).map(_ * 2.0)
+      def rawMin = windows.flatMap(_._1).minOption
+      def sawQuietAboveBar =
+        bar.exists(b => windows.exists(w => quiet(w) && w._1.exists(_ > b)))
+      var retries = 0
+      while (bar.isDefined && rawMin.exists(m => m > bar.get) &&
+             !sawQuietAboveBar && retries < MaxRetryWindows) {
+        // above the 2x bar with only noisy windows so far: re-measure
+        windows ::= window(1)
+        retries += 1
+      }
+      // free any localCheckpoint blocks the query pinned so 110 queries
+      // don't accumulate storage memory across the session
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      // a query with ZERO successful runs gets NO timing entry (it is listed
-      // in "failed") — reporting the crash duration would let a fast-failing
-      // query masquerade as a fast one
-      name -> (if (withExtra.nonEmpty) Some(withExtra.min) else None)
+      (name, windows)
     }
-    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + f"$v%.3f" }
+    // All verdicts recomputed against the FINAL run-wide canary min:
+    //  - raw min: best successful run, comparable to BASELINE.md merged mins
+    //  - norm: best over windows of raw/inflation, where inflation = the
+    //    QUIETER adjacent canary over the run-wide min, clamped >= 1
+    //    (conservative: never normalizes below what the canary evidences)
+    //  - above_bar_quiet: above the 2x bar in a window whose BOTH adjacent
+    //    canaries were quiet — evidence of a real regression, not noise
+    val finalBase = canaryBase
+    val summary = results.map { case (name, windows) =>
+      val rawMin = windows.flatMap(_._1).minOption
+      val norm = windows.collect { case (Some(t), cB, cA) =>
+        t / math.max(1.0, math.min(cB, cA) / finalBase)
+      }.minOption
+      val bar = BenchBaseline.round6MergedMinSec.get(name).map(_ * 2.0)
+      val quietAbove = bar.exists(b =>
+        windows.exists { case (t, cB, cA) =>
+          math.max(cB, cA) < QuietFactor * finalBase && t.exists(_ > b)
+        }) && rawMin.exists(m => m > bar.get)
+      if (quietAbove && !aboveBarQuiet.contains(name)) aboveBarQuiet ::= name
+      (name, rawMin, norm)
+    }
+    val qs = summary.collect { case (k, Some(v), _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val qsNorm = summary.collect { case (k, _, Some(v)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.flatMap(_._2).sum
+    val aboveJson = aboveBarQuiet.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = summary.flatMap(_._2).sum
+    val canaryJson = f"""{"base":$canaryBase%.3f,"samples":${canarySamples.size},"min":${canarySamples.min}%.3f,"max":${canarySamples.max}%.3f}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"canary":$canaryJson,"above_bar_quiet":$aboveJson,"failed":$failedJson,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json)
     spark.stop()

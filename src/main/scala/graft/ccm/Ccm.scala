@@ -77,7 +77,15 @@ object Ccm {
       .ranked(emb, keys, spec.numSamples, spec.seed, col("skey"))
       .localCheckpoint()
     val sk =
-      CcmPipeline.skill(rk, keys, libSizes, spec.numSamples, spec.embeddingDim, spec.knnBuckets)
+      CcmPipeline.skill(
+        rk,
+        keys,
+        libSizes,
+        spec.numSamples,
+        spec.embeddingDim,
+        spec.knnBuckets,
+        spec.knnAutoFactor
+      )
     // Convergence as a WINDOW aggregate over the skill rows (identical values
     // to the groupBy form in [[CcmPipeline.convergence]]) — a join against a
     // convergence subquery would make Spark execute the whole skill subtree

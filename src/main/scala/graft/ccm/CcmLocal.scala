@@ -139,7 +139,7 @@ object CcmLocal {
       sampleId: Long,
       seriesKey: Long,
       seed: Long,
-      buckets: Array[Long] = null
+      buckets: Buckets = null
   ): Double = {
     val n = embedding.length
     if (libSize >= n) return 0.0
@@ -151,18 +151,22 @@ object CcmLocal {
     val predIdx = order.drop(libSize).map(_._2)
     if (predIdx.length < 2) return 0.0
     // Approximate-kNN parity with CcmPipeline.predictions(knnBuckets > 0):
-    // candidates = library rows within ±1 e0 grid bucket of the query; a
-    // query with ZERO candidates contributes NO (actual, predicted) pair
-    // (the declarative join simply produces no rows for it), it does NOT
-    // contribute a 0.0 prediction.
+    // candidates = library rows within ±1 grid bucket of the query on
+    // BOTH axes (e0 and e{E-1}); a query with ZERO candidates contributes
+    // NO (actual, predicted) pair (the declarative join simply produces
+    // no rows for it), it does NOT contribute a 0.0 prediction.
     val preds = predIdx.iterator.flatMap { pi =>
       if (buckets == null)
         Iterator.single(
           (adjustedTarget(pi), predictPoint(embedding(pi), libIdx, embedding, adjustedTarget))
         )
       else {
-        val qb = buckets(pi)
-        val cand = libIdx.filter(i => buckets(i) >= qb - 1 && buckets(i) <= qb + 1)
+        val qb = buckets.b1(pi)
+        val qb2 = buckets.b2(pi)
+        val cand = libIdx.filter(i =>
+          buckets.b1(i) >= qb - 1 && buckets.b1(i) <= qb + 1 &&
+            buckets.b2(i) >= qb2 - 1 && buckets.b2(i) <= qb2 + 1
+        )
         if (cand.isEmpty) Iterator.empty
         else
           Iterator.single(
@@ -173,25 +177,50 @@ object CcmLocal {
     correlation(preds)
   }
 
-  /** e0 grid-bucket ids for every embedding row — BIT-IDENTICAL to the
-    * declarative path's bucketing (`CcmPipeline.predictions`): width
-    * (max(e0)-min(e0))/knnBuckets, bucket = floor((e0-mn)/width), all
-    * single IEEE ops on raw values; constant series -> all bucket 0.
+  /** Compound grid-bucket ids (axes e0 and e{E-1}) for every embedding row. */
+  final case class Buckets(b1: Array[Long], b2: Array[Long])
+
+  /** Per-axis grid-bucket ids — BIT-IDENTICAL to the declarative path's
+    * bucketing (`CcmPipeline.predictions`): width (max-min)/knnBuckets,
+    * bucket = floor((v-mn)/width), all single IEEE ops on raw values;
+    * constant axis -> all bucket 0.
     */
-  private def e0Buckets(embedding: Array[Array[Double]], knnBuckets: Int): Array[Long] = {
+  private def axisBuckets(
+      embedding: Array[Array[Double]],
+      dim: Int,
+      knnBuckets: Int
+  ): Array[Long] = {
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
     var i = 0
     while (i < embedding.length) {
-      val v = embedding(i)(0)
+      val v = embedding(i)(dim)
       if (v < mn) mn = v
       if (v > mx) mx = v
       i += 1
     }
     val width = (mx - mn) / knnBuckets.toDouble
-    if (width > 0.0) embedding.map(r => math.floor((r(0) - mn) / width).toLong)
+    if (width > 0.0) embedding.map(r => math.floor((r(dim) - mn) / width).toLong)
     else Array.fill(embedding.length)(0L)
   }
+
+  /** Compound (e0, e{E-1}) buckets, or null when disabled — either the
+    * flag is off or the series is shorter than knnAutoFactor * knnBuckets
+    * embedding rows (the safe-by-default gate, VERDICT r6 item 4; same
+    * deterministic row-count test as the declarative path and the oracle).
+    * E = 1 collapses the second axis to constant 0 (always-true match),
+    * mirroring the declarative lit(0L) column.
+    */
+  private def gridBuckets(embedding: Array[Array[Double]], spec: CcmSpec): Buckets =
+    if (spec.knnBuckets <= 0 ||
+        embedding.length < spec.knnAutoFactor.toLong * spec.knnBuckets) null
+    else {
+      val b1 = axisBuckets(embedding, 0, spec.knnBuckets)
+      val b2 =
+        if (spec.embeddingDim > 1) axisBuckets(embedding, spec.embeddingDim - 1, spec.knnBuckets)
+        else Array.fill(embedding.length)(0L)
+      Buckets(b1, b2)
+    }
 
   /** Cross-map one direction (`lib/ccm.ex:48-74`). NOTE the direction trap
     * (`ccm.ex:49-53`): testing "X causes Y" embeds **Y** (the effect) and
@@ -207,8 +236,7 @@ object CcmLocal {
     val tau = spec.tau
     val embedding = embed(source, e, tau)
     val adjusted = target.drop((e - 1) * tau) // alignment, `ccm.ex:119`
-    val buckets =
-      if (spec.knnBuckets > 0) e0Buckets(embedding, spec.knnBuckets) else null
+    val buckets = gridBuckets(embedding, spec)
     val results = spec.resolvedLibSizes(source.length).map { l =>
       var sum = 0.0
       var s = 1

@@ -88,7 +88,8 @@ object CcmPipeline {
       keys: Seq[String],
       libSizes: Seq[Int],
       e: Int,
-      knnBuckets: Int = 0
+      knnBuckets: Int = 0,
+      knnAutoFactor: Int = 64
   ): DataFrame = {
     val spark = rankedDf.sparkSession
     import spark.implicits._
@@ -99,42 +100,69 @@ object CcmPipeline {
     val minLib = libSizes.min
 
     // Approximate-kNN candidate pruning (CcmSpec.knnBuckets > 0): grid-
-    // bucket every embedding row along e0 with per-series bucket width
-    // (max(e0)-min(e0))/knnBuckets, and make the bucket id part of the
-    // JOIN KEY — the query side probes its own bucket ±1 via a 3-row
-    // explode, so the pair join enumerates only candidates within one
-    // bucket width along e0 (dist >= |Δe0|, so any true neighbor closer
-    // than the bucket width is guaranteed to be probed). Putting the
-    // bucket in the equi-key matters at scale: a `abs(q.b - l.b) <= 1`
-    // range predicate would still stream the full per-series group
-    // through the sort-merge join; the equi-key bounds the build side
-    // per (series, sample, bucket). All bucket arithmetic is single IEEE
-    // ops on raw inputs (min/max are selections, not sums), so the
-    // bucketing is bit-reproducible and oracle-expressible.
+    // bucket every embedding row along e0 AND e{E-1} (compound two-axis
+    // key; e0 alone when E = 1 — VERDICT r6 item 2: single-axis pruning
+    // power decays as E grows because |Δe0| is a weak distance bound when
+    // variance spreads across lags) with per-series per-axis bucket width
+    // (max-min)/knnBuckets, and make both bucket ids part of the JOIN
+    // KEY — the query side probes its own bucket ±1 per axis via nested
+    // 3-row explodes, so the pair join enumerates only candidates within
+    // one bucket width along BOTH axes (dist >= max(|Δe0|, |Δe{E-1}|), so
+    // any true neighbor closer than one bucket width is guaranteed to be
+    // probed). Putting the buckets in the equi-key matters at scale: a
+    // `abs(q.b - l.b) <= 1` range predicate would still stream the full
+    // per-series group through the sort-merge join; the equi-key bounds
+    // the build side per (series, sample, bucket, bucket2). All bucket
+    // arithmetic is single IEEE ops on raw inputs (min/max are
+    // selections, not sums), so the bucketing is bit-reproducible and
+    // oracle-expressible.
+    //
+    // Auto-disable gate (VERDICT r6 item 4): series with fewer than
+    // knnAutoFactor * knnBuckets embedding rows get ONE all-rows bucket
+    // and a single probe — exact semantics, near-zero overhead — so the
+    // flag is safe-by-default on short series. Deterministic in the
+    // per-series row count, replayed verbatim by the oracle SQL.
     val useBuckets = knnBuckets > 0
+    val lastDim = s"e${e - 1}"
     val bucketed =
       if (!useBuckets) rankedDf
       else {
         val stats = rankedDf
           .filter($"sample_id" === 1)
           .groupBy(k: _*)
-          .agg(min($"e0").as("__mn"), max($"e0").as("__mx"))
-        val width = ($"__mx" - $"__mn") / lit(knnBuckets.toDouble)
+          .agg(
+            min($"e0").as("__mn0"),
+            max($"e0").as("__mx0"),
+            min(col(lastDim)).as("__mnL"),
+            max(col(lastDim)).as("__mxL"),
+            count(lit(1)).as("__n")
+          )
+        val on = $"__n" >= lit(knnAutoFactor.toLong * knnBuckets)
+        def bucketCol(v: Column, mn: Column, mx: Column): Column = {
+          val width = (mx - mn) / lit(knnBuckets.toDouble)
+          when(on && width > 0.0, floor((v - mn) / width)).otherwise(0.0).cast("long")
+        }
         rankedDf
           .join(stats, keys) // series-count-proportional: AQE may broadcast
+          .withColumn("bucket", bucketCol($"e0", $"__mn0", $"__mx0"))
           .withColumn(
-            "bucket",
-            when(width > 0.0, floor(($"e0" - $"__mn") / width)).otherwise(0.0).cast("long")
+            "bucket2",
+            if (e > 1) bucketCol(col(lastDim), $"__mnL", $"__mxL") else lit(0L)
           )
-          .drop("__mn", "__mx")
+          .withColumn("__on", on)
+          .drop("__mn0", "__mx0", "__mnL", "__mxL", "__n")
       }
     val qSide =
       if (!useBuckets) bucketed
-      else
-        bucketed.withColumn(
-          "probe",
-          explode(array($"bucket" - 1, $"bucket", $"bucket" + 1))
-        )
+      else {
+        // gated probe fan-out: 3 probes per axis when bucketing, a single
+        // zero probe when the gate disabled it (all buckets are 0 then)
+        def probes(b: Column): Column =
+          explode(when($"__on", array(b - 1, b, b + 1)).otherwise(array(lit(0L))))
+        val p1 = bucketed.withColumn("probe", probes($"bucket"))
+        if (e > 1) p1.withColumn("probe2", probes($"bucket2"))
+        else p1.withColumn("probe2", lit(0L))
+      }
 
     // kNN pairs, joined ONCE per (series, sample) cell. A (query, library)
     // pair participates in lib size L iff l.rank <= L < q.rank, so every
@@ -148,7 +176,9 @@ object CcmPipeline {
       .reduce(_ && _) && $"q.sample_id" === $"l.sample_id" &&
       $"l.rank" < $"q.rank" && $"l.rank" <= lit(maxLib.toLong)
     val joinCond =
-      if (useBuckets) joinCondBase && $"l.bucket" === $"q.probe" else joinCondBase
+      if (useBuckets)
+        joinCondBase && $"l.bucket" === $"q.probe" && $"l.bucket2" === $"q.probe2"
+      else joinCondBase
     val dims = 0 until e
     val distExpr = sqrt(
       dims
@@ -215,14 +245,15 @@ object CcmPipeline {
       libSizes: Seq[Int],
       numSamples: Int,
       e: Int,
-      knnBuckets: Int = 0
+      knnBuckets: Int = 0,
+      knnAutoFactor: Int = 64
   ): DataFrame = {
     val spark = rankedDf.sparkSession
     import spark.implicits._
     val k = keys.map(col)
     val libs = broadcast(libSizes.toDF("lib_size"))
     val cellKeys = k ++ Seq(col("sample_id"), col("lib_size"))
-    val preds = predictions(rankedDf, keys, libSizes, e, knnBuckets)
+    val preds = predictions(rankedDf, keys, libSizes, e, knnBuckets, knnAutoFactor)
 
     // Pearson per cell; NULL/NaN (corr of <2 rows or zero variance) -> 0.0
     val corrCell = preds

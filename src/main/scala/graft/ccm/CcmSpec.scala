@@ -13,12 +13,25 @@ package graft.ccm
   * `knnBuckets` (engine extension, SURVEY §4.3): 0 = exact brute-force
   * kNN (the reference's semantics, `lib/ccm.ex:151-160`); > 0 enables the
   * approximate candidate path — each embedding row is grid-bucketed along
-  * `e0` into `knnBuckets` per-series buckets and the kNN join probes only
-  * the query's bucket ±1 (see [[CcmPipeline.predictions]]). Deterministic
-  * (bucket edges derive from per-series min/max, not RNG), so still
-  * oracle-checkable; candidate count per query point drops from the whole
-  * library to the ~3/knnBuckets fraction within one bucket width — the
-  * 100 TB escape hatch for very long series.
+  * `e0` AND `e{E-1}` (a compound two-axis key; one axis when E = 1) into
+  * `knnBuckets` per-series buckets per axis and the kNN join probes only
+  * the query's bucket ±1 on each axis (see [[CcmPipeline.predictions]]).
+  * Deterministic (bucket edges derive from per-series min/max, not RNG),
+  * so still oracle-checkable; candidate count per query point drops from
+  * the whole library to the ~(3/knnBuckets)² fraction within one bucket
+  * width on both axes — the 100 TB escape hatch for very long series.
+  *
+  * `knnAutoFactor` (VERDICT r6 item 4): bucketing only pays once the
+  * per-series candidate set dwarfs its fixed overhead (bucket-stats join
+  * + per-axis probe explode), so series with fewer than
+  * `knnAutoFactor * knnBuckets` embedding rows fall back to the EXACT
+  * path per series (all rows in one bucket, single probe) even when
+  * `knnBuckets > 0` — the flag is safe-by-default on short series. The
+  * gate is a deterministic function of the embedding row count, so the
+  * oracle replays it bit-exactly. 0 = always bucket (for tests and for
+  * pinning the bucket path at small gate scale factors). Default 64:
+  * measured crossover — 67-pt series lose (ccm_curve_approx was 2.2x its
+  * exact twin), ~1 260-pt series win ~2x (ccm_wide_approx).
   */
 final case class CcmSpec(
     embeddingDim: Int = 3,
@@ -26,12 +39,14 @@ final case class CcmSpec(
     libSizes: Option[Seq[Int]] = None,
     numSamples: Int = 100,
     seed: Long = 42L,
-    knnBuckets: Int = 0
+    knnBuckets: Int = 0,
+    knnAutoFactor: Int = 64
 ) {
   require(embeddingDim >= 1, "embeddingDim must be >= 1")
   require(tau >= 1, "tau must be >= 1")
   require(numSamples >= 1, "numSamples must be >= 1")
   require(knnBuckets >= 0, "knnBuckets must be >= 0 (0 = exact kNN)")
+  require(knnAutoFactor >= 0, "knnAutoFactor must be >= 0 (0 = always bucket)")
   libSizes.foreach(ls => require(ls.nonEmpty, "libSizes must be non-empty when given"))
 
   /** Number of embedding rows for a series of length n: n - (E-1)*tau. */

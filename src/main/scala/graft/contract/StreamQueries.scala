@@ -78,6 +78,47 @@ object StreamQueries {
        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin
 
   // -------------------------------------------------------------------
+  // stream_window_stats_sink — the SAME windowed aggregation written
+  // through a REAL parquet FileStreamSink and read back via its
+  // _spark_metadata commit log (VERDICT r6 item 3: the production sink
+  // path — commit protocol, exactly-once file listing — was the one
+  // untested streaming layer). FileStreamSink is append-only, so unlike
+  // the complete-mode memory gate above only WATERMARK-FINALIZED windows
+  // reach the files: with AvailableNow over one parquet file the single
+  // data batch processes every row (watermark still 0 — nothing dropped),
+  // then the final watermark advance to max(ts) - 30s emits exactly the
+  // hour windows whose end <= watermark. The oracle encodes that
+  // finalization cutoff; StreamSinkBoundarySpec asserts the gate data
+  // keeps the cutoff >1s away from any hour boundary at every SF, so the
+  // engine's exact <=/<  strictness cannot flip a window (the ADVICE r6
+  // sessionize lesson, applied here from the start).
+  // -------------------------------------------------------------------
+  private val SinkWatermarkUs: Long = 30L * 1000 * 1000
+
+  private def windowStatsSink(s: SparkSession, dir: String): DataFrame = {
+    val out = StreamHarness.runAvailableNowToParquet(
+      Streams.windowedEventStats(evStream(s, dir), windowLen = "1 hour")
+    )
+    out
+      .select(
+        unix_micros(col("win_start")).as("hour_us"),
+        col("eventType").as("event_type"),
+        col("n_events"),
+        Norm.rnd(col("avg_value"), 4).as("avg_value")
+      )
+      .transform(Norm.ordered(_, col("hour_us"), col("event_type")))
+  }
+
+  private val windowStatsSinkSql: String =
+    s"""WITH wm AS (SELECT max(epoch_us(ts)) - $SinkWatermarkUs AS w FROM events)
+       |SELECT epoch_us(ts) - epoch_us(ts) % $HourUs AS hour_us, event_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  round(avg(value), 4) + 0.0 AS avg_value
+       |FROM events GROUP BY 1, 2
+       |HAVING hour_us + $HourUs <= (SELECT w FROM wm)
+       |ORDER BY hour_us, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // stream_dedup — Streams.streamingDedup (flatMapGroupsWithState,
   // event-time TTL) over the documents table with an injected duplicate
   // of every doc (doc_id + DupOffset, later timestamp). The stream must
@@ -282,9 +323,28 @@ object StreamQueries {
   // minPoints gate IS part of the semantics under test; the oracle mirrors
   // it with a HAVING — 116/150 users emit at sf0.01)
 
+  private val StreamCcmWindow = 128
+
   private def streamCcm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Gate precondition (ADVICE r6): the full-series oracle is equivalent
+    // to the rolling-window operator ONLY while window >= every per-user
+    // series length — otherwise takeRight silently truncates and the hash
+    // gate breaks with no pointer to the cause. Fail fast, loudly, here.
+    val maxPerUser = Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")))
+      .head()
+      .getLong(0)
+    require(
+      maxPerUser <= StreamCcmWindow,
+      s"stream_ccm gate precondition violated: a user has $maxPerUser events > " +
+        s"window=$StreamCcmWindow — the rolling window would truncate and diverge " +
+        "from the full-series oracle; raise StreamCcmWindow or shrink the gate SF"
+    )
     val schema = Tables.events(s, dir).schema
     val in = s.readStream
       .schema(schema)
@@ -300,7 +360,7 @@ object StreamQueries {
       Streams
         .streamingCcm(
           in,
-          window = 128, // >= any per-user series length at gate SFs
+          window = StreamCcmWindow, // asserted >= any per-user series length above
           minPoints = StreamCcmMinPoints,
           spec = graft.ccm.CcmSpec(
             numSamples = StreamCcmSamples,
@@ -333,6 +393,7 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_stats" -> windowStats,
+    "stream_window_stats_sink" -> windowStatsSink,
     "stream_dedup" -> streamDedup,
     "stream_rolling_corr" -> rollingCorr,
     "stream_sessionize" -> streamSessionize,
@@ -342,6 +403,7 @@ object StreamQueries {
 
   val oracle: Map[String, String] = Map(
     "stream_window_stats" -> windowStatsSql,
+    "stream_window_stats_sink" -> windowStatsSinkSql,
     "stream_dedup" -> streamDedupSql,
     "stream_rolling_corr" -> rollingCorrSql,
     "stream_sessionize" -> streamSessionizeSql,

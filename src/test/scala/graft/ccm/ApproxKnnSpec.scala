@@ -7,7 +7,10 @@ import graft.SparkTestBase
 /** Approximate-kNN flag (CcmSpec.knnBuckets, SURVEY §4.3): the grid-
   * bucketed candidate join must (a) reproduce the exact skill curve
   * within tolerance on coupled-dynamics data, (b) be exactly the brute
-  * path when disabled, and (c) genuinely prune the candidate pair set.
+  * path when disabled — by the flag OR by the short-series auto-gate
+  * (CcmSpec.knnAutoFactor, VERDICT r6 item 4) — and (c) genuinely prune
+  * the candidate pair set, with the compound (e0, e{E-1}) key pruning
+  * strictly more than e0 alone (VERDICT r6 item 2).
   */
 class ApproxKnnSpec extends SparkTestBase {
 
@@ -25,7 +28,7 @@ class ApproxKnnSpec extends SparkTestBase {
     rows.toDF("skey", "ord", "x", "y")
   }
 
-  private def run(knnBuckets: Int) =
+  private def run(knnBuckets: Int, knnAutoFactor: Int = 0) =
     Ccm
       .bidirectional(
         inputDf,
@@ -33,7 +36,8 @@ class ApproxKnnSpec extends SparkTestBase {
         order = Seq("ord"),
         x = col("x"),
         y = col("y"),
-        spec = CcmSpec(numSamples = Samples, knnBuckets = knnBuckets),
+        spec = CcmSpec(numSamples = Samples, knnBuckets = knnBuckets,
+          knnAutoFactor = knnAutoFactor),
         libSizes = Libs
       )
       .select("skey", "direction", "lib_size", "rho", "convergent")
@@ -52,13 +56,25 @@ class ApproxKnnSpec extends SparkTestBase {
     assert(worst <= 0.20, s"max |Δrho| $worst > 0.20")
   }
 
+  test("short-series auto-gate: default knnAutoFactor yields EXACT values") {
+    // 148 embedding rows < 64 * 8, so the gate must route every series
+    // through the exact path — bit-identical values, not just tolerance
+    val exact = run(0)
+    val gated = run(8, knnAutoFactor = 64)
+    assert(exact.keySet == gated.keySet)
+    exact.foreach { case (k, (rho, conv)) =>
+      assert(gated(k)._1 == rho, s"$k: gated rho ${gated(k)._1} != exact $rho")
+      assert(gated(k)._2 == conv, s"$k: convergent flag differs")
+    }
+  }
+
   test("kernel approx path equals declarative approx path (to corr-impl ulps)") {
     import spark.implicits._
     val declarative = run(8)
     val viaKernel = Ccm
       .perSeries(
         inputDf.select(col("skey"), col("ord"), col("x"), col("y")),
-        CcmSpec(numSamples = Samples, knnBuckets = 8),
+        CcmSpec(numSamples = Samples, knnBuckets = 8, knnAutoFactor = 0),
         Some(Libs)
       )
       .toDF()
@@ -80,52 +96,78 @@ class ApproxKnnSpec extends SparkTestBase {
     }
   }
 
-  test("bucketed join prunes the candidate pair set") {
+  test("kernel auto-gate equals declarative auto-gate at the default factor") {
+    import spark.implicits._
+    val declarative = run(8, knnAutoFactor = 64)
+    val viaKernel = Ccm
+      .perSeries(
+        inputDf.select(col("skey"), col("ord"), col("x"), col("y")),
+        CcmSpec(numSamples = Samples, knnBuckets = 8),
+        Some(Libs)
+      )
+      .toDF()
+      .select("skey", "direction", "lib_size", "rho")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    declarative.foreach { case (k, (rho, _)) =>
+      assert(math.abs(viaKernel(k) - rho) <= 1e-9, s"$k: kernel ${viaKernel(k)} != $rho")
+    }
+  }
+
+  test("bucketed join prunes the candidate pair set; compound prunes more than e0 alone") {
     import spark.implicits._
     val base = inputDf
     // candidate relation: exact = every (l.rank < q.rank <= ...) pair in
-    // the cell; approx adds the bucket constraint. Count both directly.
+    // the cell; approx adds the bucket constraint. Count both directly,
+    // replicating the engine's per-axis bucket arithmetic.
     val emb = CcmPipeline
       .embedded(base, Seq("skey"), Seq(col("ord")), $"y", $"x", 3, 1)
       .withColumn("direction", lit("x_causes_y"))
     val rk = CcmPipeline
       .ranked(emb, Seq("skey", "direction"), Samples, 42L, col("skey"))
       .localCheckpoint()
-    val exactPairs = rk
-      .as("q")
-      .filter($"q.rank" > Libs.min)
-      .join(
-        rk.as("l"),
-        $"q.skey" === $"l.skey" && $"q.direction" === $"l.direction" &&
-          $"q.sample_id" === $"l.sample_id" && $"l.rank" < $"q.rank" && $"l.rank" <= Libs.max
-      )
-      .count()
-    val stats = rk
-      .filter($"sample_id" === 1)
-      .groupBy("skey", "direction")
-      .agg(min($"e0").as("mn"), max($"e0").as("mx"))
-    val b = 8
-    val bucketed = rk
-      .join(stats, Seq("skey", "direction"))
-      .withColumn(
-        "bucket",
-        when(($"mx" - $"mn") / lit(b.toDouble) > 0.0,
-          floor(($"e0" - $"mn") / (($"mx" - $"mn") / lit(b.toDouble)))
-        ).otherwise(0.0).cast("long")
-      )
-    val approxPairs = bucketed
-      .as("q")
-      .filter($"q.rank" > Libs.min)
-      .join(
-        bucketed.as("l"),
-        $"q.skey" === $"l.skey" && $"q.direction" === $"l.direction" &&
-          $"q.sample_id" === $"l.sample_id" && $"l.rank" < $"q.rank" && $"l.rank" <= Libs.max &&
-          abs($"q.bucket" - $"l.bucket") <= 1
-      )
-      .count()
-    assert(approxPairs < exactPairs,
-      s"bucketing must prune candidates (exact=$exactPairs approx=$approxPairs)")
-    assert(approxPairs.toDouble / exactPairs <= 0.8,
-      s"expected >=20% candidate reduction, got $approxPairs/$exactPairs")
+    def pairCount(bucketAxes: Seq[String]): Long = {
+      val b = 8
+      val aggs = bucketAxes.flatMap(a =>
+        Seq(min(col(a)).as(s"mn_$a"), max(col(a)).as(s"mx_$a")))
+      val bucketed =
+        if (bucketAxes.isEmpty) rk
+        else {
+          val stats = rk
+            .filter($"sample_id" === 1)
+            .groupBy("skey", "direction")
+            .agg(aggs.head, aggs.tail: _*)
+          bucketAxes.foldLeft(rk.join(stats, Seq("skey", "direction"))) { (df, a) =>
+            val w = (col(s"mx_$a") - col(s"mn_$a")) / lit(b.toDouble)
+            df.withColumn(
+              s"bk_$a",
+              when(w > 0.0, floor((col(a) - col(s"mn_$a")) / w)).otherwise(0.0).cast("long")
+            )
+          }
+        }
+      val bucketCond = bucketAxes
+        .map(a => abs(col(s"q.bk_$a") - col(s"l.bk_$a")) <= 1)
+        .foldLeft(lit(true))(_ && _)
+      bucketed
+        .as("q")
+        .filter($"q.rank" > Libs.min)
+        .join(
+          bucketed.as("l"),
+          $"q.skey" === $"l.skey" && $"q.direction" === $"l.direction" &&
+            $"q.sample_id" === $"l.sample_id" && $"l.rank" < $"q.rank" &&
+            $"l.rank" <= Libs.max && bucketCond
+        )
+        .count()
+    }
+    val exactPairs = pairCount(Seq.empty)
+    val e0Pairs = pairCount(Seq("e0"))
+    val compoundPairs = pairCount(Seq("e0", "e2"))
+    assert(e0Pairs < exactPairs,
+      s"bucketing must prune candidates (exact=$exactPairs e0=$e0Pairs)")
+    assert(e0Pairs.toDouble / exactPairs <= 0.8,
+      s"expected >=20% candidate reduction, got $e0Pairs/$exactPairs")
+    assert(compoundPairs < e0Pairs,
+      s"compound (e0, e2) must prune beyond e0 alone (e0=$e0Pairs compound=$compoundPairs)")
   }
 }
