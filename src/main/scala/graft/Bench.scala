@@ -82,7 +82,12 @@ object Bench {
 
     var failed = List.empty[String]
     var aboveBarQuiet = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated filter for local iteration (full run when unset)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter(kv => only.forall(_.contains(kv._1)))
+      .sortBy(_._1)
+      .map { case (name, fn) =>
       // only SUCCESSFUL runs may contribute a timing: a run that dies fast
       // must not win the min and masquerade as a fast query (it is still
       // recorded by name in "failed")
