@@ -28,8 +28,8 @@ object SinkQueries {
   private val ctr = new AtomicInteger(0)
 
   private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val (lt, ot) = writeBucketed(s, dir, s"q${ctr.incrementAndGet()}")
-    joinPlanUnderTest(s, lt, ot)
+    val (lt, ot, tmp) = writeBucketed(s, dir, s"q${ctr.incrementAndGet()}")
+    val agg = joinPlanUnderTest(s, lt, ot)
       .groupBy("o_orderpriority")
       .agg(
         count(lit(1)).as("n_items"),
@@ -39,6 +39,13 @@ object SinkQueries {
         ).as("revenue")
       )
       .transform(Norm.ordered(_, col("o_orderpriority")))
+    // ingest-per-run is the query's cost model; the tables are not —
+    // drop them and the temp dir once the (5-row) aggregate is in hand
+    graft.GateResult.materialize(agg) {
+      s.sql(s"DROP TABLE IF EXISTS $lt")
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      graft.GateResult.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }
   }
 
   /** The bucket-joined DataFrame over already-written tables — exposed so
@@ -47,7 +54,11 @@ object SinkQueries {
   private[graft] def joinPlanUnderTest(s: SparkSession, lt: String, ot: String): DataFrame =
     s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
 
-  private[graft] def writeBucketed(s: SparkSession, dir: String, run: String): (String, String) = {
+  private[graft] def writeBucketed(
+      s: SparkSession,
+      dir: String,
+      run: String
+  ): (String, String, String) = {
     val tmp = Files.createTempDirectory(s"graft-bucketed-$run").toString
     val ot = s"graft_spec_orders_$run"
     val lt = s"graft_spec_lineitem_$run"
@@ -57,7 +68,7 @@ object SinkQueries {
     Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
       .write.bucketBy(Buckets, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$tmp/l").saveAsTable(lt)
-    (lt, ot)
+    (lt, ot, tmp)
   }
 
   private val bucketedJoinSql: String =

@@ -28,14 +28,26 @@ object ConnectedComponents {
     *
     * @param edges DataFrame with two LongType columns (src, dst), one row
     *              per undirected edge (either orientation)
+    * @param reliableEvery 0 = local checkpoints only (single-JVM / short
+    *              jobs); N > 0 = every Nth round checkpoints RELIABLY to
+    *              the SparkContext checkpoint dir (Checkpoints.tracked
+    *              reliable mode — the cluster setting, where a 25-round
+    *              loop must survive executor loss), with cheap local
+    *              checkpoints in between so recomputation after a failure
+    *              is bounded by N rounds from the last reliable one.
     * @return (vertex: Long, component: Long)
     */
-  def minLabelPropagation(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def minLabelPropagation(
+      edges: DataFrame,
+      maxIter: Int = 25,
+      reliableEvery: Int = 0
+  ): DataFrame = {
     // superseded rounds' checkpoint blocks are freed explicitly (ADVICE r3)
     import Checkpoints.{tracked => checkpointTracked}
     val e0 = edges.toDF("src", "dst")
     val (sym, symRdds) = checkpointTracked(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+      reliable = reliableEvery > 0
     )
     var (labels, labelRdds) = checkpointTracked(
       sym
@@ -59,7 +71,8 @@ object ConnectedComponents {
             labels("vertex"),
             least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
             (coalesce(col("nbr_min"), col("component")) < col("component")).as("changed")
-          )
+          ),
+        reliable = reliableEvery > 0 && (iter + 1) % reliableEvery == 0
       )
       converged = nextFlagged.filter(col("changed")).isEmpty
       Checkpoints.free(labelRdds)

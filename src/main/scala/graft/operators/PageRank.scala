@@ -35,12 +35,22 @@ object PageRank {
     */
   private val CheckpointInterval = 3
 
-  def run(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+  /** @param reliableCheckpoints true = the periodic checkpoints go to the
+    *        SparkContext checkpoint dir (survive executor loss — the
+    *        cluster setting for long iteration counts; requires
+    *        `setCheckpointDir`); false = executor-local blocks.
+    */
+  def run(
+      edges: DataFrame,
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      reliableCheckpoints: Boolean = false
+  ): DataFrame = {
     val e0 = edges.toDF("src", "dst")
     // (src, dst, deg): out-degrees joined in ONCE, checkpointed — every
     // iteration reuses this relation on both sides of its join
     val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
-    val (e, eRdds) = Checkpoints.tracked(e0.join(deg, "src"))
+    val (e, eRdds) = Checkpoints.tracked(e0.join(deg, "src"), reliableCheckpoints)
     // the vertex set is src ∪ dst, checkpointed ONCE: every iteration
     // left-joins it back so zero-in-degree vertices (no contrib row from
     // the groupBy(dst)) keep their teleport rank instead of vanishing
@@ -64,7 +74,7 @@ object PageRank {
           (lit(1.0 - damping) / lit(nD) + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")
         )
       if (i % CheckpointInterval == 0 || i == iterations) {
-        val (cp, cpRdds) = Checkpoints.tracked(next)
+        val (cp, cpRdds) = Checkpoints.tracked(next, reliableCheckpoints)
         Checkpoints.free(rankRdds)
         ranks = cp
         rankRdds = cpRdds

@@ -62,7 +62,7 @@ object FormatRoundTrip {
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
   private def csvRoundTrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory(s"graft-csv-${ctr.incrementAndGet()}").toString
+    val tmp = Files.createTempDirectory(s"graft-csv-${ctr.incrementAndGet()}")
     val src = ev(s, dir)
     src.write.option("header", "true").option("delimiter", "\t").csv(s"$tmp/events_csv")
     val back = s.read
@@ -70,14 +70,18 @@ object FormatRoundTrip {
       .option("header", "true")
       .option("delimiter", "\t")
       .csv(s"$tmp/events_csv")
-    agg(back)
+    // per-event-type aggregate is bounded; the written files are not —
+    // hand the rows back materialized and remove the temp dir (ADVICE r6)
+    graft.GateResult.materialize(agg(back))(graft.GateResult.deleteRecursively(tmp))
   }
 
   private def orcRoundTrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory(s"graft-orc-${ctr.incrementAndGet()}").toString
+    val tmp = Files.createTempDirectory(s"graft-orc-${ctr.incrementAndGet()}")
     val src = ev(s, dir)
     src.write.orc(s"$tmp/events_orc")
-    agg(s.read.orc(s"$tmp/events_orc"))
+    graft.GateResult.materialize(agg(s.read.orc(s"$tmp/events_orc")))(
+      graft.GateResult.deleteRecursively(tmp)
+    )
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

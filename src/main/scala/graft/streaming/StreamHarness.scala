@@ -31,11 +31,15 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamHarness {
   private val ctr = new AtomicInteger(0)
 
-  /** Run `sdf` to exhaustion (AvailableNow) and return the sink table.
-    * `outputMode` must match the stream's semantics: "complete" for
-    * aggregations, "append"/"update" as declared by the stateful operator.
+  /** Run `sdf` to exhaustion (AvailableNow) and return the sink's rows
+    * MATERIALIZED (the temp view is dropped before returning — the bench
+    * re-runs each query several times per invocation and the views would
+    * otherwise accumulate in the catalog, ADVICE r6). `outputMode` must
+    * match the stream's semantics: "complete" for aggregations,
+    * "append"/"update" as declared by the stateful operator.
     */
   def runAvailableNow(sdf: DataFrame, outputMode: String): DataFrame = {
+    val spark = sdf.sparkSession
     val name = s"graft_stream_gate_${ctr.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft-stream-ckpt")
     val q = sdf.writeStream
@@ -47,7 +51,9 @@ object StreamHarness {
       .start()
     q.awaitTermination()
     deleteRecursively(ckpt)
-    sdf.sparkSession.table(name)
+    graft.GateResult.materialize(spark.table(name)) {
+      spark.catalog.dropTempView(name)
+    }
   }
 
   /** Run `sdf` to exhaustion (AvailableNow) into a parquet FileStreamSink
@@ -80,9 +86,5 @@ object StreamHarness {
   }
 
   /** Best-effort temp-dir cleanup: the state is single-use by design. */
-  private def deleteRecursively(dir: Path): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
-    } catch { case NonFatal(_) => () }
+  private def deleteRecursively(dir: Path): Unit = graft.GateResult.deleteRecursively(dir)
 }
