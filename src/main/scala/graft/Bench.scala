@@ -24,8 +24,9 @@ import java.nio.file.{Files, Paths}
   *     normalization), clamped at >= 1;
   *   - "queries" reports the raw min (comparable to BASELINE.md merged
   *     mins); "queries_norm" reports min over windows of raw/inflation;
-  *   - any query whose raw min exceeds 2x its embedded round-6 baseline
-  *     (BenchBaseline) is AUTO-RERUN with a fresh bracketed window, up to
+  *   - any query whose raw min exceeds 2x its embedded baseline
+  *     (BenchBaseline, regenerated each round from BASELINE.md's latest
+  *     merged-min table) is AUTO-RERUN with a fresh bracketed window, up to
   *     MaxRetryWindows times — stopping early if a QUIET window (both
   *     adjacent canaries < QuietFactor x base) still lands above the bar,
   *     which is evidence of a real regression rather than noise; such
@@ -117,7 +118,7 @@ object Bench {
       def quiet(w: (Option[Double], Double, Double)) =
         math.max(w._2, w._3) < QuietFactor * canaryBase
       var windows = List(window(Runs))
-      val bar = BenchBaseline.round6MergedMinSec.get(name).map(_ * 2.0)
+      val bar = BenchBaseline.mergedMinSec.get(name).map(_ * 2.0)
       def rawMin = windows.flatMap(_._1).minOption
       def sawQuietAboveBar =
         bar.exists(b => windows.exists(w => quiet(w) && w._1.exists(_ > b)))
@@ -146,7 +147,7 @@ object Bench {
       val norm = windows.collect { case (Some(t), cB, cA) =>
         t / math.max(1.0, math.min(cB, cA) / finalBase)
       }.minOption
-      val bar = BenchBaseline.round6MergedMinSec.get(name).map(_ * 2.0)
+      val bar = BenchBaseline.mergedMinSec.get(name).map(_ * 2.0)
       val quietAbove = bar.exists(b =>
         windows.exists { case (t, cB, cA) =>
           math.max(cB, cA) < QuietFactor * finalBase && t.exists(_ > b)
