@@ -383,11 +383,12 @@ object DedupQueries {
   // -------------------------------------------------------------------
   private val ClusterMaxIter = 25
 
-  private def dedupCluster(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.ConnectedComponents
-    val edges = lshPairsRaw(s, dir).select(col("doc_a"), col("doc_b"))
-    val labels = ConnectedComponents
-      .minLabelPropagation(edges, ClusterMaxIter)
+  private def clusterWith(
+      s: SparkSession,
+      dir: String,
+      cc: DataFrame => DataFrame
+  ): DataFrame = {
+    val labels = cc(lshPairsRaw(s, dir).select(col("doc_a"), col("doc_b")))
       .select(col("vertex").as("doc_id"), col("component").as("cluster_id"))
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels
@@ -395,6 +396,20 @@ object DedupQueries {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .transform(Norm.ordered(_, col("doc_id")))
   }
+
+  private def dedupCluster(s: SparkSession, dir: String): DataFrame =
+    clusterWith(s, dir,
+      graft.operators.ConnectedComponents.minLabelPropagation(_, ClusterMaxIter))
+
+  // dedup_cluster_star — the SAME clustering through the large-star/
+  // small-star contraction operator (O(log n) rounds on ANY diameter —
+  // the adversarial-diameter scale path that label propagation lacks),
+  // sharing dedup_cluster's recursive-CTE oracle VERBATIM: two different
+  // distributed CC algorithms and an independent transitive-closure
+  // formulation must all agree bit-for-bit.
+  private def dedupClusterStar(s: SparkSession, dir: String): DataFrame =
+    clusterWith(s, dir,
+      graft.operators.StarContraction.connectedComponents(_, ClusterMaxIter))
 
   private val dedupClusterSql: String = {
     s"""WITH RECURSIVE $bandsCteSql,
@@ -482,6 +497,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental" -> dedupIncremental,
     "dedup_cluster" -> dedupCluster,
+    "dedup_cluster_star" -> dedupClusterStar,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> minhashSig,
     "dedup_lsh_pairs" -> lshPairs,
@@ -494,6 +510,7 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_cluster" -> dedupClusterSql,
+    "dedup_cluster_star" -> dedupClusterSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSigSql,
     "dedup_lsh_pairs" -> lshPairsSql,

@@ -1,0 +1,53 @@
+package graft.contract
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Product-quantization ANN semantics (ann_pq_topk): the DuckDB hash gate
+  * pins the exact values; these pin the properties that make those values
+  * MEANINGFUL — the compressed search must actually find near neighbors
+  * (recall floor vs the exact brute-force top-k) and the result shape
+  * must be a full top-k per query.
+  */
+class PqSpec extends SparkTestBase {
+  private val SfDir = "/root/testdata/sf0.001"
+
+  test("PQ ADC top-k achieves nontrivial recall against exact top-k") {
+    val exact = SparkEntry
+      .queries("ann_topk")(spark, SfDir)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    val pq = SparkEntry
+      .queries("ann_pq_topk")(spark, SfDir)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    assert(pq.keySet == exact.keySet, "PQ must answer every query the exact path answers")
+    val recalls = exact.map { case (q, ex) => (pq(q) & ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    // 16 subspaces x 32 centroids x 2 Lloyd steps measures ~0.44 mean
+    // recall@5 on this 10-cluster data (parameter sweep in SimQueries'
+    // scaladoc); 0.2 is far above the ~1.2% random-guess floor (5 of
+    // ~430 candidates) while loose enough to be seed-stable
+    assert(mean >= 0.2, s"mean recall@5 $mean < 0.2 — ADC ranking is not tracking true distance")
+  }
+
+  test("every query gets a full dense top-k with positive distances") {
+    val rows = SparkEntry
+      .queries("ann_pq_topk")(spark, SfDir)
+      .collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length), s"query $q: ranks not dense")
+      assert(rs.forall(_.getDouble(3) >= 0.0), s"query $q: negative ADC distance")
+    }
+  }
+}
