@@ -371,7 +371,8 @@ object SimQueries {
   //  2. encode: per (vector, subspace) argmin centroid — min over a
   //     (d2, cid) struct = lexicographic argmin with cid tie-break.
   //  3. ADC top-k: per query, a (m, cid) -> partial-d2 lookup table
-  //     (PqM·PqK rows per query — bounded, broadcast); database codes
+  //     (PqM·PqK rows per query; unhinted — the query set here is
+  //     corpus-derived, so AQE decides the join side); database codes
   //     join the LUT and the PqM partials add in a FIXED left-fold order,
   //     so the approximate distance is bit-identical in both engines;
   //     ties break on neighbor_id.
@@ -449,8 +450,13 @@ object SimQueries {
       .join(broadcast(cb), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m").as("lm"), col("cid"), d2.as("d2p"))
     val parts = (0 until PqM).map(m => sum(when(col("m") === m, col("d2p"))).as(s"p$m"))
+    // NO broadcast hint on the LUT: it is PqM*PqK rows PER QUERY and the
+    // query set here derives from the corpus (vec_id % stride), so the
+    // relation is data-proportional — the hint policy (SCALE.md) forbids
+    // forcing it. AQE broadcasts it at gate scale where it is tiny; a
+    // serving deployment with a bounded request batch could hint safely.
     val adc = codes
-      .join(broadcast(lut), col("m") === col("lm") && col("code") === col("cid"))
+      .join(lut, col("m") === col("lm") && col("code") === col("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(parts.head, parts.tail: _*)
