@@ -393,12 +393,18 @@ object SimQueries {
       s"list_transform(generate_series(1, $PqSubDim), i -> ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * " +
       s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]))), (acc, d) -> acc + d)"
 
-  private def annPqTopk(s: SparkSession, dir: String): DataFrame = {
-    // PQ over L2-NORMALIZED vectors: ||a/|a| - b/|b|||² = 2 - 2·cos(a,b),
-    // so the ADC ranking approximates the same cosine ordering the rest
-    // of the ANN family (ann_topk/lsh/ivf) uses — without normalization
-    // the L2 and cosine top-k disagree and recall vs the exact baseline
-    // is meaningless
+  /** Shared PQ artifacts over L2-NORMALIZED vectors (||a/|a| - b/|b|||² =
+    * 2 - 2·cos(a,b), so ADC approximates the same cosine ordering the
+    * rest of the ANN family uses — without normalization the L2 and
+    * cosine top-k disagree and recall vs the exact baseline is
+    * meaningless): (normalized vectors, codebook, per-vector codes,
+    * per-query lookup table). Used by ann_pq_topk (exhaustive code scan)
+    * and ann_ivfpq_topk (IVF-restricted candidates).
+    */
+  private def pqArtifacts(
+      s: SparkSession,
+      dir: String
+  ): (DataFrame, DataFrame, DataFrame) = {
     val e = vecs(s, dir).select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("v"))
     val ms = broadcast(s.range(0, PqM).select(col("id").cast("int").as("m")))
     // (vec_id, m, sv): the m-th PqSubDim-dim slice of every vector; feeds
@@ -449,15 +455,15 @@ object SimQueries {
       .filter(col("vec_id") % QueryStride === 0)
       .join(broadcast(cb), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m").as("lm"), col("cid"), d2.as("d2p"))
+    (e, codes, lut)
+  }
+
+  /** ADC scoring + top-k over (query_id, vec_id=candidate, m, code) rows
+    * joined to the LUT; the PqM partials add in a FIXED left-fold order.
+    */
+  private def adcTopK(withLut: DataFrame): DataFrame = {
     val parts = (0 until PqM).map(m => sum(when(col("m") === m, col("d2p"))).as(s"p$m"))
-    // NO broadcast hint on the LUT: it is PqM*PqK rows PER QUERY and the
-    // query set here derives from the corpus (vec_id % stride), so the
-    // relation is data-proportional — the hint policy (SCALE.md) forbids
-    // forcing it. AQE broadcasts it at gate scale where it is tiny; a
-    // serving deployment with a bounded request batch could hint safely.
-    val adc = codes
-      .join(lut, col("m") === col("lm") && col("code") === col("cid"))
-      .filter(col("vec_id") =!= col("query_id"))
+    val adc = withLut
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(parts.head, parts.tail: _*)
       .withColumn("adc_d2", (0 until PqM).map(m => col(s"p$m")).reduceLeft(_ + _))
@@ -474,10 +480,78 @@ object SimQueries {
       .transform(Norm.ordered(_, col("query_id"), col("rank")))
   }
 
-  private val annPqTopkSql: String = {
-    // one Lloyd refinement as chained CTEs (generated, mirroring the
-    // engine loop): assignment vs cb{i-1}, rounded per-pos means, and the
-    // empty-cluster coalesce against cb{i-1}
+  private def annPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val (_, codes, lut) = pqArtifacts(s, dir)
+    // NO broadcast hint on the LUT: it is PqM*PqK rows PER QUERY and the
+    // query set here derives from the corpus (vec_id % stride), so the
+    // relation is data-proportional — the hint policy (SCALE.md) forbids
+    // forcing it. AQE broadcasts it at gate scale where it is tiny; a
+    // serving deployment with a bounded request batch could hint safely.
+    adcTopK(
+      codes
+        .join(lut, col("m") === col("lm") && col("code") === col("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+    )
+  }
+
+  // -------------------------------------------------------------------
+  // ann_ivfpq_topk — the production pairing: IVF restricts the candidate
+  // set to the query's NProbe nearest inverted lists (list size, not
+  // corpus size, bounds the scan), PQ scores those candidates from
+  // 16-byte codes (code size, not vector size, bounds the memory).
+  // Coarse quantizer = every CentroidStride-th normalized vector;
+  // assignment and probing order by (squared-L2, cid) — on normalized
+  // vectors the same ordering as ann_ivf_topk's (cosine desc, cid).
+  // Shares the PQ codebook/codes/LUT with ann_pq_topk verbatim, so the
+  // two queries differ ONLY in the candidate relation — exactly the
+  // recall/cost dial a production index exposes. NProbe is higher than
+  // ann_ivf_topk's: the coarse quantizer is unrefined every-Nth-vector
+  // seeds, so a true cluster spreads over several lists and 2 probes
+  // capture only ~16% of the global PQ top-k (measured at sf0.001);
+  // 4 probes recover the useful-overlap regime while still scanning a
+  // corpus-size-independent candidate set.
+  // -------------------------------------------------------------------
+  private val IvfPqNProbe = 4
+
+  private def annIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val (e, codes, lut) = pqArtifacts(s, dir)
+    val cents = e
+      .filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cid_c"), col("v").as("cv"))
+    val d2Full = expr("graft_l2sq(v, cv)")
+    val assignW = Window.partitionBy("vec_id").orderBy(d2Full.asc, col("cid_c").asc)
+    val assigned = e
+      .crossJoin(broadcast(cents))
+      .withColumn("crank", row_number().over(assignW))
+      .filter(col("crank") <= IvfPqNProbe)
+      .select(col("vec_id"), col("cid_c"), col("crank"))
+      .localCheckpoint() // feeds lists AND probes
+    val lists = assigned.filter(col("crank") === 1).select(col("vec_id"), col("cid_c"))
+    val probes = assigned
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("cid_c"))
+    val cand = probes
+      .join(lists, Seq("cid_c"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    adcTopK(
+      cand
+        .join(codes, Seq("vec_id"))
+        .join(
+          lut,
+          col("m") === col("lm") && col("code") === col("cid") &&
+            cand("query_id") === lut("query_id")
+        )
+        .drop(lut("query_id"))
+    )
+  }
+
+  /** Shared WITH-prefix: normalized vectors, PQ codebook training (one
+    * generated CTE block per Lloyd iteration), codes, and the per-query
+    * LUT — mirrors [[pqArtifacts]] step for step.
+    */
+  private val pqCommonCtes: String = {
     val iterCtes = (1 to PqIters).map { i =>
       val prev = if (i == 1) "seeds" else s"cb${i - 1}"
       s"""a$i AS (
@@ -499,9 +573,6 @@ object SimQueries {
          |), """.stripMargin
     }.mkString
     val cbFinal = s"cb$PqIters"
-    val adcSum = (0 until PqM)
-      .map(m => s"sum(CASE WHEN c.m = $m THEN l.d2p END)")
-      .reduceLeft((acc, t) => s"($acc + $t)")
     s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
        |e AS (
        |  SELECT vec_id,
@@ -525,19 +596,60 @@ object SimQueries {
        |), lut AS (
        |  SELECT s.vec_id AS query_id, s.m, c.cid, ${d2SubDuck("s.sv", "c.cv")} AS d2p
        |  FROM sub s JOIN $cbFinal c ON s.m = c.m WHERE s.vec_id % $QueryStride = 0
-       |), adc AS (
-       |  SELECT l.query_id, c.vec_id AS neighbor_id,
-       |    $adcSum AS adc_d2
-       |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
-       |  WHERE c.vec_id <> l.query_id GROUP BY 1, 2
-       |), ranked AS (
+       |)""".stripMargin
+  }
+
+  private val pqAdcSum: String = (0 until PqM)
+    .map(m => s"sum(CASE WHEN c.m = $m THEN l.d2p END)")
+    .reduceLeft((acc, t) => s"($acc + $t)")
+
+  private val pqRankedTail: String =
+    s"""ranked AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc_d2, neighbor_id) AS BIGINT) AS rank
        |  FROM adc
        |)
        |SELECT query_id, rank, neighbor_id, round(adc_d2, 6) + 0.0 AS adc_d2
        |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
-  }
+
+  private val annPqTopkSql: String =
+    s"""$pqCommonCtes, adc AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    $pqAdcSum AS adc_d2
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+       |  WHERE c.vec_id <> l.query_id GROUP BY 1, 2
+       |), $pqRankedTail""".stripMargin
+
+  /** Full-width (Dim-dim) squared-L2 fold for the IVF coarse quantizer. */
+  private def d2FullDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, $Dim), i -> ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * " +
+      s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]))), (acc, d) -> acc + d)"
+
+  private val annIvfPqTopkSql: String =
+    s"""$pqCommonCtes, cents AS (
+       |  SELECT vec_id AS cid_c, v AS cv FROM e WHERE vec_id % $CentroidStride = 0
+       |), asg AS (
+       |  SELECT vec_id, cid_c, crank FROM (
+       |    SELECT s.vec_id, c.cid_c,
+       |           row_number() OVER (PARTITION BY s.vec_id
+       |             ORDER BY ${d2FullDuck("s.v", "c.cv")}, c.cid_c) AS crank
+       |    FROM e s CROSS JOIN cents c)
+       |  WHERE crank <= $IvfPqNProbe
+       |), lists AS (SELECT vec_id, cid_c FROM asg WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid_c FROM asg WHERE vec_id % $QueryStride = 0
+       |), cand AS (
+       |  SELECT DISTINCT p.query_id, l.vec_id
+       |  FROM probes p JOIN lists l ON p.cid_c = l.cid_c AND p.query_id <> l.vec_id
+       |), adc AS (
+       |  SELECT cd.query_id, c.vec_id AS neighbor_id,
+       |    $pqAdcSum AS adc_d2
+       |  FROM cand cd
+       |  JOIN codes c ON cd.vec_id = c.vec_id
+       |  JOIN lut l ON c.m = l.m AND c.code = l.cid AND l.query_id = cd.query_id
+       |  GROUP BY 1, 2
+       |), $pqRankedTail""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_quantize" -> vecQuantize,
@@ -546,6 +658,7 @@ object SimQueries {
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_pq_topk" -> annPqTopk,
+    "ann_ivfpq_topk" -> annIvfPqTopk,
     "vec_centroid" -> vecCentroid,
     "vec_covariance" -> vecCovariance
   )
@@ -557,6 +670,7 @@ object SimQueries {
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_pq_topk" -> annPqTopkSql,
+    "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "vec_centroid" -> vecCentroidSql,
     "vec_covariance" -> vecCovarianceSql
   )

@@ -40,6 +40,31 @@ class PqSpec extends SparkTestBase {
     assert(mean >= 0.2, s"mean recall@5 $mean < 0.2 — ADC ranking is not tracking true distance")
   }
 
+  test("IVF+PQ: shared ADC scoring, restricted candidates, useful overlap") {
+    val pq = SparkEntry
+      .queries("ann_pq_topk")(spark, SfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val ivfpq = SparkEntry
+      .queries("ann_ivfpq_topk")(spark, SfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(ivfpq.keys.map(_._1).toSet == pq.keys.map(_._1).toSet,
+      "IVF+PQ must answer every query")
+    // same codebook, same codes, same LUT: wherever the two top-ks share a
+    // (query, neighbor) pair the ADC distance must be IDENTICAL
+    val shared = ivfpq.keySet & pq.keySet
+    shared.foreach { k =>
+      assert(ivfpq(k) == pq(k), s"$k: ADC differs between PQ (${pq(k)}) and IVF+PQ (${ivfpq(k)})")
+    }
+    // and the probed lists must actually contain near neighbors: a useless
+    // coarse quantizer would make the overlap vanish
+    assert(shared.size.toDouble / pq.size >= 0.3,
+      s"only ${shared.size}/${pq.size} of PQ's top-k survive IVF probing — lists are not capturing neighbors")
+  }
+
   test("every query gets a full dense top-k with positive distances") {
     val rows = SparkEntry
       .queries("ann_pq_topk")(spark, SfDir)
