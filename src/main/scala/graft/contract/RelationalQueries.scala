@@ -504,7 +504,247 @@ object RelationalQueries {
       |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q7_volume — TPC-H Q7 shape: shipping volume between a nation PAIR,
+  // by year. Both nation dimensions are pre-filtered to the two names
+  // BEFORE their (broadcast — 2 rows by construction) joins, so the
+  // disjunctive pair predicate never touches the fact join: after the
+  // dims attach, the only residual is supp_nation <> cust_nation. The
+  // fact side is one lineitem |><| orders shuffle plus two
+  // data-proportional key joins (supplier, customer — unhinted, AQE
+  // decides). Revenue in integer cents (q10 pattern).
+  // -------------------------------------------------------------------
+  private val Q7NationA = "NATION_3"
+  private val Q7NationB = "NATION_7"
+
+  private def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq(Q7NationA, Q7NationB)
+    val n1 = Tables.nation(s, dir)
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(
+        Norm.rnd(
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0).cast("long")) / 100.0,
+          2
+        ).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .transform(Norm.ordered(_, col("supp_nation"), col("cust_nation"), col("l_year")))
+  }
+
+  private val q7VolumeSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       |  round(CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS revenue,
+       |  CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN supplier su ON l.l_suppkey = su.s_suppkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n1 ON su.s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+       |WHERE ((n1.n_name = '$Q7NationA' AND n2.n_name = '$Q7NationB')
+       |    OR (n1.n_name = '$Q7NationB' AND n2.n_name = '$Q7NationA'))
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q13_custdist — TPC-H Q13 shape: customer order-count DISTRIBUTION.
+  // The LEFT OUTER join keeps order-less customers (count = 0 bucket);
+  // the priority predicate rides the join's streamed side, NOT a WHERE
+  // (a WHERE would silently drop the zero bucket). Aggregate-of-
+  // aggregate: per-customer count, then a count histogram over counts —
+  // both partial+final hash aggs, the second over at most |distinct
+  // counts| rows.
+  // -------------------------------------------------------------------
+  private def q13Custdist(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    Tables.customer(s, dir)
+      .select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .transform(Norm.ordered(_, col("custdist").desc, col("c_count").desc))
+  }
+
+  private val q13CustdistSql: String =
+    """WITH per_cust AS (
+      |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c
+      |  LEFT OUTER JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1
+      |)
+      |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM per_cust GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q15_topsupp — TPC-H Q15 shape: top supplier(s) by quarterly revenue,
+  // selected by a MAX scalar subquery over a derived relation. The
+  // revenue relation is computed ONCE per run into cents (exact longs,
+  // so the max-equality join can never be flipped by a sum-order ulp);
+  // its 1-row max attaches by broadcast — no second scan of lineitem,
+  // no window over a single partition.
+  // -------------------------------------------------------------------
+  private def q15Topsupp(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= expr(s"TIMESTAMP '$Q10Lo'") &&
+          col("l_shipdate") < expr(s"TIMESTAMP '$Q10Hi'")
+      )
+      .groupBy("l_suppkey")
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0).cast("long"))
+          .as("rev_cents")
+      )
+      .localCheckpoint() // feeds the max AND the equality join
+    val mx = rev.agg(max(col("rev_cents")).as("mx_cents"))
+    rev
+      .join(broadcast(mx), col("rev_cents") === col("mx_cents"))
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"), col("l_suppkey") === col("s_suppkey"))
+      .select(
+        col("s_suppkey"), col("s_name"),
+        Norm.rnd(col("rev_cents") / 100.0, 2).as("total_revenue")
+      )
+      .transform(Norm.ordered(_, col("s_suppkey")))
+  }
+
+  private val q15TopsuppSql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey,
+       |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS rev_cents
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$Q10Lo' AND l_shipdate < TIMESTAMP '$Q10Hi'
+       |  GROUP BY 1
+       |)
+       |SELECT s.s_suppkey, s.s_name, round(r.rev_cents / 100.0, 2) + 0.0 AS total_revenue
+       |FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+       |WHERE r.rev_cents = (SELECT max(rev_cents) FROM revenue)
+       |ORDER BY s.s_suppkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q17_smallqty — TPC-H Q17 shape: revenue from small-quantity orders
+  // of one brand's parts, where "small" is a CORRELATED scalar subquery
+  // (20% of that part's average quantity). Decorrelated by hand: one
+  // brand-filtered join, then a per-part avg over the SAME relation
+  // joins back by part key — lineitem is scanned once, and the oracle
+  // runs the literal correlated form to prove the rewrite. The
+  // threshold compare is exact: quantities are integral doubles, so
+  // avg = exact_sum/count and 0.2*avg are single deterministic IEEE
+  // ops in both engines.
+  // -------------------------------------------------------------------
+  private val Q17Brand = "Brand#4"
+
+  private def q17Smallqty(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") === Q17Brand)
+      .select("p_partkey")
+    val joined = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .localCheckpoint() // feeds the per-part avg AND the threshold filter
+    val avgq = joined
+      .groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    joined
+      .join(avgq, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        Norm.rnd(
+          sum(round(col("l_extendedprice") * 100.0).cast("long")) / 100.0 / 7.0,
+          2
+        ).as("avg_yearly"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  private val q17SmallqtySql: String =
+    s"""SELECT
+       |  round(CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) / 100.0 / 7.0, 2) + 0.0 AS avg_yearly,
+       |  CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |WHERE p.p_brand = '$Q17Brand'
+       |  AND l.l_quantity < (
+       |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+       |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q22_lapsed — TPC-H Q22 shape: positive-balance customers ABOVE the
+  // positive-balance average with NO recent order, grouped by a country
+  // code (nationkey % 5 — this schema has no phone column). The NOT
+  // EXISTS is a LEFT ANTI join against the date-pruned orders scan; the
+  // global scalar threshold is a 1-row broadcast. The above-average
+  // compare is INTEGER-ONLY (bal_cents * n_pos > sum_pos_cents): no
+  // division, no float epsilon, so a customer can never flip sides
+  // between engines.
+  // -------------------------------------------------------------------
+  private val Q22Cutoff = "1999-01-01 00:00:00"
+
+  private def q22Lapsed(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(
+        col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100.0).cast("long").as("bal_cents")
+      )
+    val pos = c
+      .filter(col("bal_cents") > 0L)
+      .agg(sum(col("bal_cents")).as("sum_pos"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= expr(s"TIMESTAMP '$Q22Cutoff'"))
+      .select("o_custkey")
+    c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(pos)) // 1 row by construction
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .groupBy((col("c_nationkey") % 5).cast("int").as("cgroup"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        Norm.rnd(sum(col("bal_cents")) / 100.0, 2).as("totacctbal")
+      )
+      .transform(Norm.ordered(_, col("cgroup")))
+  }
+
+  private val q22LapsedSql: String =
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_nationkey,
+       |         CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+       |  FROM customer
+       |), pos AS (
+       |  SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_pos,
+       |         CAST(count(*) AS BIGINT) AS n_pos
+       |  FROM c WHERE bal_cents > 0
+       |)
+       |SELECT CAST(c.c_nationkey % 5 AS INTEGER) AS cgroup,
+       |  CAST(count(*) AS BIGINT) AS numcust,
+       |  round(CAST(sum(c.bal_cents) AS BIGINT) / 100.0, 2) + 0.0 AS totacctbal
+       |FROM c, pos
+       |WHERE c.bal_cents * pos.n_pos > pos.sum_pos
+       |  AND NOT EXISTS (SELECT 1 FROM orders o
+       |                  WHERE o.o_custkey = c.c_custkey
+       |                    AND o.o_orderdate >= TIMESTAMP '$Q22Cutoff')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume" -> q7Volume,
+    "q13_custdist" -> q13Custdist,
+    "q15_topsupp" -> q15Topsupp,
+    "q17_smallqty" -> q17Smallqty,
+    "q22_lapsed" -> q22Lapsed,
     "q21_waiting" -> q21Waiting,
     "q6_forecast" -> q6Forecast,
     "q10_returns" -> q10Returns,
@@ -522,6 +762,11 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q7_volume" -> q7VolumeSql,
+    "q13_custdist" -> q13CustdistSql,
+    "q15_topsupp" -> q15TopsuppSql,
+    "q17_smallqty" -> q17SmallqtySql,
+    "q22_lapsed" -> q22LapsedSql,
     "q21_waiting" -> q21WaitingSql,
     "q6_forecast" -> q6ForecastSql,
     "q10_returns" -> q10ReturnsSql,
