@@ -391,7 +391,52 @@ object StreamQueries {
       StreamCcmMinPoints
     )
 
+  // -------------------------------------------------------------------
+  // stream_stream_join — Streams.attributedClicks: a genuine stream-
+  // STREAM inner join (purchases x clicks per user within a 30-minute
+  // attribution window), the one join class the streaming layer had not
+  // gated (stream_enrich is stream-static). Both sides are the SAME
+  // file-source stream filtered two ways — a self-join through the
+  // micro-batch engine's symmetric hash join with watermarked state on
+  // both inputs. With AvailableNow over one parquet file every row
+  // arrives in a single data batch (watermark 0 — nothing dropped,
+  // nothing evicted early) and inner-join matches emit immediately, so
+  // the append-mode result equals the batch join the oracle runs.
+  // (user_id, ts) is unique in events, so the match set is
+  // duplicate-free and the hash is stable.
+  // -------------------------------------------------------------------
+  private val ClickLagUs: Long = 1800L * 1000 * 1000
+
+  private def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = evStream(s, dir)
+    val joined = Streams.attributedClicks(
+      ev.filter(col("eventType") === "purchase"),
+      ev.filter(col("eventType") === "click"),
+      maxLag = "30 minutes"
+    )
+    val out = StreamHarness.runAvailableNow(joined, "append")
+    out
+      .select(
+        col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        unix_micros(col("c_ts")).as("click_us"),
+        Norm.rnd(col("p_value"), 4).as("purchase_value")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("purchase_us"), col("click_us")))
+  }
+
+  private val streamStreamJoinSql: String =
+    s"""SELECT p.user_id, epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us,
+       |  round(p.value, 4) + 0.0 AS purchase_value
+       |FROM events p JOIN events c
+       |  ON p.user_id = c.user_id
+       | AND p.event_type = 'purchase' AND c.event_type = 'click'
+       | AND epoch_us(c.ts) <= epoch_us(p.ts)
+       | AND epoch_us(p.ts) - epoch_us(c.ts) <= $ClickLagUs
+       |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_join" -> streamStreamJoin,
     "stream_window_stats" -> windowStats,
     "stream_window_stats_sink" -> windowStatsSink,
     "stream_dedup" -> streamDedup,
@@ -402,6 +447,7 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_stream_join" -> streamStreamJoinSql,
     "stream_window_stats" -> windowStatsSql,
     "stream_window_stats_sink" -> windowStatsSinkSql,
     "stream_dedup" -> streamDedupSql,

@@ -62,6 +62,39 @@ object Streams {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** Stream-STREAM inner join: each purchase matched to the same user's
+    * clicks in the `maxLag` window before it (click attribution — the
+    * canonical two-firehose join). Both sides carry watermarks and the
+    * join condition bounds event time in BOTH directions
+    * (p_ts - maxLag <= c_ts <= p_ts), which is what lets the engine
+    * evict buffered rows once the watermark passes their match horizon —
+    * without the two-sided range the state store grows with the stream.
+    * At 100 TB/day the state held per key is O(events in maxLag), not
+    * O(stream), and the join shuffles both sides on the user key only.
+    * Inner joins emit matches as they are found, so append mode's result
+    * over a replay equals the batch join — the oracle states exactly
+    * that.
+    */
+  def attributedClicks(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      maxLag: String = "30 minutes",
+      watermarkDelay: String = "1 minute"
+  ): DataFrame = {
+    val p = purchases
+      .select(col("userId").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermarkDelay)
+    val c = clicks
+      .select(col("userId").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    p.join(
+      c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $maxLag")
+    )
+  }
+
   /** First-seen document id per content hash. */
   final case class DedupEmit(textHash: Long, docId: Long, ts: Timestamp)
 

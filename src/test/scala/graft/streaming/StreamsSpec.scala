@@ -30,6 +30,38 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("attributedClicks matches across micro-batches and respects the lag window") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = attributedClicks(purchases.toDF(), clicks.toDF(), maxLag = "30 seconds", watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("attrib").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: clicks only — buffered in join state, nothing emitted
+      clicks.addData(Event(ts(10), 1L, "click", 0.0), Event(ts(100), 1L, "click", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("attrib").count() == 0L)
+      // batch 2: a purchase 20s after the first click — the CROSS-BATCH
+      // match must surface from the buffered state; the t=100 click is
+      // in the purchase's future and must not match
+      purchases.addData(Event(ts(30), 1L, "purchase", 9.99))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(r.fieldIndex("p_user")), r.getTimestamp(r.fieldIndex("c_ts")).getTime / 1000))
+      assert(rows.toSeq == Seq((1L, 10L)))
+      // batch 3: a purchase more than maxLag after the t=10 click matches
+      // only the t=100 click
+      purchases.addData(Event(ts(110), 1L, "purchase", 5.0))
+      q.processAllAvailable()
+      val all = spark.table("attrib").collect()
+        .map(r => (r.getTimestamp(r.fieldIndex("p_ts")).getTime / 1000, r.getTimestamp(r.fieldIndex("c_ts")).getTime / 1000))
+        .toSet
+      assert(all == Set((30L, 10L), (110L, 100L)))
+    } finally q.stop()
+  }
+
   test("windowedEventStats aggregates per window and drops late data past the watermark") {
     val spark2 = spark
     import spark2.implicits._
