@@ -71,6 +71,82 @@ object SinkQueries {
     (lt, ot, tmp)
   }
 
+  // -------------------------------------------------------------------
+  // sink_partition_prune — the OTHER ingest layout: a table PARTITIONED
+  // on a low-cardinality filter/join key (directory-per-value), read
+  // back through a join whose dimension-side filter selects a subset of
+  // types — the shape DYNAMIC PARTITION PRUNING exists for. The dim's
+  // weight filter is not a literal on the fact table, so static pruning
+  // cannot fire; DPP turns the broadcast dim into a runtime partition
+  // filter and the fact scan reads ONLY the surviving directories
+  // (asserted by PartitionPruneSpec on this exact plan). At 100 TB a
+  // date/type-partitioned fact table is the default layout, and DPP is
+  // what keeps dim-filtered scans from reading the whole table.
+  // Weighted sum in integer cents (q10 pattern).
+  // -------------------------------------------------------------------
+  private[graft] val TypeWeights: Seq[(String, Double)] =
+    Seq(("click", 1.5), ("purchase", 3.0), ("view", 0.5), ("signup", 2.0), ("error", 0.0))
+
+  private[graft] def typeDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    TypeWeights.toDF("d_type", "weight")
+  }
+
+  private def partitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, dimTbl, tmp) = writePartitioned(s, dir, s"p${ctr.incrementAndGet()}")
+    val agg = prunedJoinPlanUnderTest(s, tbl, dimTbl)
+    graft.GateResult.materialize(agg) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"DROP TABLE IF EXISTS $dimTbl")
+      graft.GateResult.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }
+  }
+
+  /** The DPP-joined aggregate over an already-written partitioned fact
+    * table and a FILE-BACKED dim — exposed so the spec can assert the
+    * dynamic-pruning plan directly. The dim must come from storage: a
+    * LocalRelation dim gets its filter constant-folded away at optimize
+    * time, leaving the DPP rule no selective predicate to key on.
+    */
+  private[graft] def prunedJoinPlanUnderTest(s: SparkSession, tbl: String, dimTbl: String): DataFrame =
+    s.table(tbl)
+      .join(s.table(dimTbl).filter(col("weight") >= 1.0), col("event_type") === col("d_type"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        Norm.rnd(
+          sum(round(col("value") * col("weight") * 100.0).cast("long")) / 100.0,
+          2
+        ).as("weighted_sum")
+      )
+      .transform(Norm.ordered(_, col("event_type")))
+
+  private[graft] def writePartitioned(
+      s: SparkSession,
+      dir: String,
+      run: String
+  ): (String, String, String) = {
+    val tmp = Files.createTempDirectory(s"graft-partitioned-$run").toString
+    val tbl = s"graft_spec_events_$run"
+    val dimTbl = s"graft_spec_typedim_$run"
+    Tables.events(s, dir)
+      .select("event_id", "user_id", "value", "event_type")
+      .write.partitionBy("event_type")
+      .option("path", s"$tmp/e").saveAsTable(tbl)
+    typeDim(s).write.option("path", s"$tmp/d").saveAsTable(dimTbl)
+    (tbl, dimTbl, tmp)
+  }
+
+  private val partitionPruneSql: String = {
+    val dimValues = TypeWeights.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""WITH dim(d_type, weight) AS (VALUES $dimValues)
+       |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |  round(CAST(sum(CAST(round(e.value * d.weight * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS weighted_sum
+       |FROM events e JOIN dim d ON e.event_type = d.d_type
+       |WHERE d.weight >= 1.0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val bucketedJoinSql: String =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
       |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS revenue
@@ -78,10 +154,12 @@ object SinkQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sink_bucketed_join" -> bucketedJoin
+    "sink_bucketed_join" -> bucketedJoin,
+    "sink_partition_prune" -> partitionPrune
   )
 
   val oracle: Map[String, String] = Map(
-    "sink_bucketed_join" -> bucketedJoinSql
+    "sink_bucketed_join" -> bucketedJoinSql,
+    "sink_partition_prune" -> partitionPruneSql
   )
 }
