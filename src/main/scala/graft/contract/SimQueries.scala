@@ -386,6 +386,12 @@ object SimQueries {
   private val PqSubDim = Dim / PqM
   private val PqK = 32
   private val PqIters = 2
+  // Codebook TRAINING reads every PqTrainStride-th vector; encoding still
+  // covers all of them. At 100 TB a full-corpus Lloyd pass per iteration
+  // is the dominant (and unnecessary) cost — production PQ trains the
+  // codebook on a corpus sample and only the one-pass encode touches
+  // everything. Recall is re-pinned by PqSpec under the sampled codebook.
+  private val PqTrainStride = 4
 
   /** Sub-vector squared-L2 fold (16 dims, left-to-right) for DuckDB. */
   private def d2SubDuck(a: String, b: String): String =
@@ -421,12 +427,14 @@ object SimQueries {
       .filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
     val d2 = expr("graft_l2sq(sv, cv)")
-    // PqIters Lloyd refinements: argmin assignment, then 6-dp-rounded
-    // per-pos means; a cluster that lost every member keeps its
-    // previous-iteration centroid (coalesce against the incoming cb)
+    val train = sub.filter(col("vec_id") % PqTrainStride === 0)
+    // PqIters Lloyd refinements over the TRAINING SAMPLE: argmin
+    // assignment, then 6-dp-rounded per-pos means; a cluster that lost
+    // every member keeps its previous-iteration centroid (coalesce
+    // against the incoming cb)
     var cb = seeds.localCheckpoint()
     for (_ <- 1 to PqIters) {
-      val assign = sub
+      val assign = train
         .join(broadcast(cb), Seq("m"))
         .withColumn("d2", d2)
         .groupBy("vec_id", "m")
@@ -559,11 +567,11 @@ object SimQueries {
          |    SELECT s.vec_id, s.m, c.cid,
          |           row_number() OVER (PARTITION BY s.vec_id, s.m
          |             ORDER BY ${d2SubDuck("s.sv", "c.cv")}, c.cid) AS rn
-         |    FROM sub s JOIN $prev c ON s.m = c.m)
+         |    FROM trn s JOIN $prev c ON s.m = c.m)
          |  WHERE rn = 1
          |), mlong$i AS (
          |  SELECT a.m, a.cid, p.pos, round(avg(s.sv[p.pos]), 6) + 0.0 AS cx
-         |  FROM a$i a JOIN sub s ON a.vec_id = s.vec_id AND a.m = s.m
+         |  FROM a$i a JOIN trn s ON a.vec_id = s.vec_id AND a.m = s.m
          |  CROSS JOIN poss p GROUP BY 1, 2, 3
          |), means$i AS (
          |  SELECT m, cid, list(cx ORDER BY pos) AS cv1 FROM mlong$i GROUP BY 1, 2
@@ -583,6 +591,8 @@ object SimQueries {
        |sub AS (
        |  SELECT vec_id, m, list_slice(v, m * $PqSubDim + 1, m * $PqSubDim + $PqSubDim) AS sv
        |  FROM e CROSS JOIN ms
+       |), trn AS (
+       |  SELECT * FROM sub WHERE vec_id % $PqTrainStride = 0
        |), seeds AS (
        |  SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < $PqK
        |), poss AS (SELECT CAST(unnest(generate_series(1, $PqSubDim)) AS INTEGER) AS pos),
