@@ -147,6 +147,107 @@ object SinkQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // sink_upsert_overwrite — incremental ingestion by DYNAMIC partition
+  // overwrite: a restatement batch (deterministic subset of recent
+  // orders with a replacement priority) is merged into a year-partitioned
+  // orders table by rewriting ONLY the years the batch touches — base
+  // rows of touched years anti-join the updates on the key, union the
+  // updates, and `partitionOverwriteMode=dynamic` makes the overwrite
+  // replace exactly those directories (UpsertSpec asserts the untouched
+  // years' FILES are byte-identical after the upsert). This is the
+  // pre-table-format upsert every 100 TB pipeline runs nightly: work
+  // scales with the restated partitions, never with table history. The
+  // merged relation is localCheckpoint()ed before the write because the
+  // overwrite reads the same table it replaces.
+  // -------------------------------------------------------------------
+  private val UpsertYearFrom = 1999
+  private val UpsertKeyMod = 7
+  private val UpsertPriority = "9-RESTATED"
+
+  private def upsertOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val (tbl, tmp) = writeYearPartitioned(s, dir, s"u${ctr.incrementAndGet()}")
+    applyUpsert(s, dir, tbl)
+    val agg = s.table(tbl)
+      .groupBy("o_year")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderpriority") === UpsertPriority, 1L).otherwise(0L)).as("n_restated"),
+        Norm.rnd(
+          sum(round(col("o_totalprice") * 100.0).cast("long")) / 100.0,
+          2
+        ).as("total_price")
+      )
+      .transform(Norm.ordered(_, col("o_year")))
+    graft.GateResult.materialize(agg) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.GateResult.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }
+  }
+
+  private[graft] def writeYearPartitioned(
+      s: SparkSession,
+      dir: String,
+      run: String
+  ): (String, String) = {
+    val tmp = Files.createTempDirectory(s"graft-upsert-$run").toString
+    val tbl = s"graft_spec_orders_part_$run"
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+        year(col("o_orderdate")).as("o_year")
+      )
+      .write.partitionBy("o_year")
+      .option("path", s"$tmp/o").saveAsTable(tbl)
+    (tbl, tmp)
+  }
+
+  /** The restatement batch: every UpsertKeyMod-th recent order with its
+    * priority replaced. Deterministic, so the oracle can restate it too.
+    */
+  private def updatesBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+        year(col("o_orderdate")).as("o_year")
+      )
+      .filter(col("o_year") >= UpsertYearFrom && col("o_orderkey") % UpsertKeyMod === 0)
+      .withColumn("o_orderpriority", lit(UpsertPriority))
+
+  private[graft] def applyUpsert(s: SparkSession, dir: String, tbl: String): Unit = {
+    val updates = updatesBatch(s, dir)
+    val touched = updates.select("o_year").distinct()
+    val kept = s.table(tbl)
+      .join(broadcast(touched), Seq("o_year"), "left_semi")
+      .join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+    // a using-column semi-join hoists o_year to the front; insertInto is
+    // POSITIONAL, so re-select in the table's declared order (partition
+    // column last) before writing
+    val tableOrder = s.table(tbl).columns.map(col).toIndexedSeq
+    val merged = kept.unionByName(updates).select(tableOrder: _*).localCheckpoint()
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").insertInto(tbl)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  private val upsertOverwriteSql: String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_totalprice, o_orderpriority,
+       |         CAST(year(o_orderdate) AS INTEGER) AS o_year
+       |  FROM orders
+       |), merged AS (
+       |  SELECT o_orderkey, o_totalprice,
+       |         CASE WHEN o_year >= $UpsertYearFrom AND o_orderkey % $UpsertKeyMod = 0
+       |              THEN '$UpsertPriority' ELSE o_orderpriority END AS o_orderpriority,
+       |         o_year
+       |  FROM o
+       |)
+       |SELECT o_year, CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(sum(CASE WHEN o_orderpriority = '$UpsertPriority' THEN 1 ELSE 0 END) AS BIGINT) AS n_restated,
+       |  round(CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS total_price
+       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val bucketedJoinSql: String =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
       |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS revenue
@@ -155,11 +256,13 @@ object SinkQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_bucketed_join" -> bucketedJoin,
-    "sink_partition_prune" -> partitionPrune
+    "sink_partition_prune" -> partitionPrune,
+    "sink_upsert_overwrite" -> upsertOverwrite
   )
 
   val oracle: Map[String, String] = Map(
     "sink_bucketed_join" -> bucketedJoinSql,
-    "sink_partition_prune" -> partitionPruneSql
+    "sink_partition_prune" -> partitionPruneSql,
+    "sink_upsert_overwrite" -> upsertOverwriteSql
   )
 }
