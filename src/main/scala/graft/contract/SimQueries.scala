@@ -380,7 +380,9 @@ object SimQueries {
   // Parameters chosen against the exact cosine top-k on the gate data
   // (10-cluster 64-dim embeddings): M=16 x K=32 x 2 Lloyd iterations
   // measures 0.44 mean recall@5 (M=4 x K=8 x 1 measured 0.06) at 32x
-  // memory compression (512 B float64 -> 16 one-byte codes).
+  // memory compression (512 B float64 -> 16 one-byte codes); the 1-in-4
+  // sample-trained codebook (PqTrainStride) measures 0.32, re-pinned by
+  // PqSpec's >= 0.2 floor.
   // -------------------------------------------------------------------
   private val PqM = 16
   private val PqSubDim = Dim / PqM

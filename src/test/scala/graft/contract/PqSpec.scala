@@ -33,10 +33,13 @@ class PqSpec extends SparkTestBase {
     assert(pq.keySet == exact.keySet, "PQ must answer every query the exact path answers")
     val recalls = exact.map { case (q, ex) => (pq(q) & ex).size.toDouble / ex.size }
     val mean = recalls.sum / recalls.size
+    info(f"mean recall@5 = $mean%.3f")
     // 16 subspaces x 32 centroids x 2 Lloyd steps measures ~0.44 mean
-    // recall@5 on this 10-cluster data (parameter sweep in SimQueries'
-    // scaladoc); 0.2 is far above the ~1.2% random-guess floor (5 of
-    // ~430 candidates) while loose enough to be seed-stable
+    // recall@5 on this 10-cluster data under full-corpus training and
+    // ~0.32 under the 1-in-4 sample-trained codebook (the production
+    // shape; parameter sweep in SimQueries' scaladoc); 0.2 is far above
+    // the ~1.2% random-guess floor (5 of ~430 candidates) while loose
+    // enough to be seed-stable
     assert(mean >= 0.2, s"mean recall@5 $mean < 0.2 — ADC ranking is not tracking true distance")
   }
 
