@@ -820,7 +820,106 @@ object EventQueries {
       |       round(sum(value), 4) + 0.0 AS sum_value
       |FROM d GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_interpolate — resampling with LINEAR interpolation: per sampled
+  // user, the hourly mean-value series densified to every hour in the
+  // user's span (sequence + explode, the gapfill pattern — fan-out stays
+  // inside the user's task), with interior gaps filled by linear
+  // interpolation between the nearest observed hours on each side. The
+  // standard feature-prep resampler (CCM and any window model want an
+  // evenly-spaced series). Determinism: hourly means are exact integer
+  // cent sums / 100.0 / n (two IEEE divisions), the carried prev/next
+  // use last/first IGNORE NULLS over per-user ordered windows, and the
+  // interpolation expression is written with the identical operation
+  // order in both engines. h_min/h_max are observed by construction, so
+  // every gap row has both neighbors.
+  // -------------------------------------------------------------------
+  private val InterpStride = 20
+
+  private def interpolate(s: SparkSession, dir: String): DataFrame = {
+    val obs = ev(s, dir)
+      .filter(col("user_id") % InterpStride === 0)
+      .select(
+        col("user_id"),
+        (expr(s"tus div $HourUs") - when(expr(s"tus % $HourUs") < 0, 1L).otherwise(0L)).as("h"),
+        round(col("value") * 100.0).cast("long").as("cents")
+      )
+      .groupBy("user_id", "h")
+      .agg((sum(col("cents")) / 100.0 / count(lit(1))).as("v_obs"))
+      .localCheckpoint() // feeds span and the grid join
+    val span = obs.groupBy("user_id").agg(min("h").as("h_min"), max("h").as("h_max"))
+    val grid = span.select(col("user_id"), explode(sequence(col("h_min"), col("h_max"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+    grid
+      .join(obs, Seq("user_id", "h"), "left")
+      .withColumn("prev_h", last(when(col("v_obs").isNotNull, col("h")), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_v", last(col("v_obs"), ignoreNulls = true).over(wPrev))
+      .withColumn("next_h", first(when(col("v_obs").isNotNull, col("h")), ignoreNulls = true).over(wNext))
+      .withColumn("next_v", first(col("v_obs"), ignoreNulls = true).over(wNext))
+      .select(
+        col("user_id"),
+        col("h"),
+        when(col("v_obs").isNotNull, 1L).otherwise(0L).as("is_observed"),
+        // NOT round(x, 4): power-of-two hour spans make the interpolated
+        // double's SHORTEST decimal repr land exactly on a 4-dp half
+        // (e.g. "49.50375" for the double whose exact value is
+        // 49.5037499...), and Spark's scaled round goes through
+        // BigDecimal.valueOf (shortest repr -> HALF_UP -> .5038) while
+        // DuckDB rounds the exact binary value (-> .5037) — 12 flipped
+        // rows at sf0.01. Scale-0 rounding cannot disagree (an exact
+        // half is binary-representable, so both engines see it), so
+        // round(x*1e4) -> long -> /1e4 is the cross-engine-stable form.
+        (round(
+          when(col("v_obs").isNotNull, col("v_obs")).otherwise(
+            col("prev_v") + (col("next_v") - col("prev_v")) *
+              ((col("h") - col("prev_h")).cast("double") /
+                (col("next_h") - col("prev_h")).cast("double"))
+          ) * 10000.0
+        ).cast("long") / 10000.0 + lit(0.0)).as("v_fill")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("h")))
+  }
+
+  private val interpolateSql: String =
+    s"""WITH obs AS (
+       |  SELECT user_id, epoch_us(ts) // $HourUs AS h,
+       |         sum(CAST(round(value * 100.0) AS BIGINT)) / 100.0 / count(*) AS v_obs
+       |  FROM events WHERE user_id % $InterpStride = 0 GROUP BY 1, 2
+       |), span AS (
+       |  SELECT user_id, min(h) AS h_min, max(h) AS h_max FROM obs GROUP BY 1
+       |), grid AS (
+       |  SELECT user_id, unnest(generate_series(h_min, h_max)) AS h FROM span
+       |), j AS (
+       |  SELECT g.user_id, g.h, o.v_obs FROM grid g
+       |  LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h
+       |), pn AS (
+       |  SELECT user_id, h, v_obs,
+       |    last_value(CASE WHEN v_obs IS NOT NULL THEN h END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY h
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+       |    last_value(v_obs IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY h
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+       |    first_value(CASE WHEN v_obs IS NOT NULL THEN h END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY h
+       |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h,
+       |    first_value(v_obs IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY h
+       |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+       |  FROM j
+       |)
+       |SELECT user_id, h,
+       |  CAST(CASE WHEN v_obs IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_observed,
+       |  CAST(round((CASE WHEN v_obs IS NOT NULL THEN v_obs
+       |             ELSE prev_v + (next_v - prev_v) *
+       |                  (CAST(h - prev_h AS DOUBLE) / CAST(next_h - prev_h AS DOUBLE))
+       |        END) * 10000.0) AS BIGINT) / 10000.0 + 0.0 AS v_fill
+       |FROM pn ORDER BY user_id, h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
     "evt_ntile" -> ntileStats,
     "evt_transitions" -> transitions,
@@ -845,6 +944,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_interpolate" -> interpolateSql,
     "evt_gapfill" -> gapfillSql,
     "evt_ntile" -> ntileStatsSql,
     "evt_transitions" -> transitionsSql,
