@@ -435,7 +435,69 @@ object StreamQueries {
        | AND epoch_us(p.ts) - epoch_us(c.ts) <= $ClickLagUs
        |ORDER BY 1, 2, 3""".stripMargin
 
+  // -------------------------------------------------------------------
+  // stream_stream_left_join — the WATERMARK-DRIVEN half of stream-stream
+  // join semantics: LEFT OUTER emits a null-padded row for a purchase
+  // only once the watermark proves no matching click can still arrive
+  // (c_ts <= p_ts, so eviction fires when the final watermark passes
+  // p_ts). Matches emit immediately (as in the inner gate); the
+  // null-padded rows emit in the AvailableNow run's final watermark
+  // batch — but ONLY for purchases below the final watermark
+  // min(max_p, max_c) - delay, and the oracle states exactly that
+  // cutoff. The 700 s delay is chosen so the cutoff sits >= ~58 s from
+  // every unmatched purchase at all three gate SFs
+  // (StreamJoinBoundarySpec pins the margin), making the engine's
+  // exact </<= eviction strictness unobservable — the sessionize-gate
+  // lesson (ADVICE r6) applied from the start.
+  // -------------------------------------------------------------------
+  private[graft] val LeftJoinDelaySec = 700L
+
+  private def streamStreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = evStream(s, dir)
+    val joined = Streams.attributedClicks(
+      ev.filter(col("eventType") === "purchase"),
+      ev.filter(col("eventType") === "click"),
+      maxLag = "30 minutes",
+      watermarkDelay = s"$LeftJoinDelaySec seconds",
+      joinType = "left_outer"
+    )
+    val out = StreamHarness.runAvailableNow(joined, "append")
+    out
+      .select(
+        col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        unix_micros(col("c_ts")).as("click_us"),
+        Norm.rnd(col("p_value"), 4).as("purchase_value")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("purchase_us"), col("click_us")))
+  }
+
+  private val streamStreamLeftJoinSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_us(ts) AS pt, value FROM events WHERE event_type = 'purchase'
+       |), c AS (
+       |  SELECT user_id, epoch_us(ts) AS ct FROM events WHERE event_type = 'click'
+       |), wm AS (
+       |  SELECT least((SELECT max(pt) FROM p), (SELECT max(ct) FROM c))
+       |         - ${LeftJoinDelaySec}000000 AS w
+       |), matched AS (
+       |  SELECT p.user_id, p.pt, c.ct, p.value
+       |  FROM p JOIN c ON p.user_id = c.user_id
+       |   AND c.ct <= p.pt AND c.ct >= p.pt - $ClickLagUs
+       |), unmatched AS (
+       |  SELECT p.user_id, p.pt, CAST(NULL AS BIGINT) AS ct, p.value
+       |  FROM p CROSS JOIN wm
+       |  WHERE p.pt < wm.w
+       |    AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+       |                    AND c.ct <= p.pt AND c.ct >= p.pt - $ClickLagUs)
+       |)
+       |SELECT user_id, pt AS purchase_us, ct AS click_us,
+       |       round(value, 4) + 0.0 AS purchase_value
+       |FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+       |ORDER BY user_id, purchase_us, click_us NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_left_join" -> streamStreamLeftJoin,
     "stream_stream_join" -> streamStreamJoin,
     "stream_window_stats" -> windowStats,
     "stream_window_stats_sink" -> windowStatsSink,
@@ -447,6 +509,7 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_stream_left_join" -> streamStreamLeftJoinSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_window_stats" -> windowStatsSql,
     "stream_window_stats_sink" -> windowStatsSinkSql,

@@ -84,13 +84,65 @@ object FormatRoundTrip {
     )
   }
 
+  private def jsonRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory(s"graft-json-${ctr.incrementAndGet()}")
+    val src = ev(s, dir)
+    // JSON Lines: the interchange format half of real ingest feeds arrive
+    // in. Explicit schema on read (inference would sample); doubles
+    // survive because Spark writes shortest round-trippable reprs and
+    // parses them back to the identical binary.
+    src.write.json(s"$tmp/events_json")
+    val back = s.read.schema(src.schema).json(s"$tmp/events_json")
+    graft.GateResult.materialize(agg(back))(graft.GateResult.deleteRecursively(tmp))
+  }
+
+  // -------------------------------------------------------------------
+  // src_schema_evolution — the ingest reality that half a pipeline's
+  // batches predate a column: batch A (even users) is written WITHOUT
+  // `score`, batch B (odd users) WITH it; the read unifies the two file
+  // schemas via parquet mergeSchema and the old rows surface NULL score.
+  // The aggregate pins both the union semantics and the null backfill
+  // (n_scored counts only batch-B rows). At scale mergeSchema is a
+  // footer-only operation per file — no data rewrite, which is the point.
+  // -------------------------------------------------------------------
+  private def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory(s"graft-evo-${ctr.incrementAndGet()}")
+    val src = ev(s, dir)
+    src.filter(col("user_id") % 2 === 0).write.parquet(s"$tmp/t/batch=a")
+    src
+      .filter(col("user_id") % 2 === 1)
+      .withColumn("score", round(col("value") * 100.0).cast("long"))
+      .write.parquet(s"$tmp/t/batch=b")
+    val back = s.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+    val out = back
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("score")).as("n_scored"),
+        sum(coalesce(col("score"), lit(0L))).as("score_sum")
+      )
+      .transform(Norm.ordered(_, col("event_type")))
+    graft.GateResult.materialize(out)(graft.GateResult.deleteRecursively(tmp))
+  }
+
+  private val schemaEvolutionSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+      |  CAST(sum(CASE WHEN user_id % 2 = 1
+      |               THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS score_sum
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> csvRoundTrip,
-    "src_orc_roundtrip" -> orcRoundTrip
+    "src_orc_roundtrip" -> orcRoundTrip,
+    "src_json_roundtrip" -> jsonRoundTrip,
+    "src_schema_evolution" -> schemaEvolution
   )
 
   val oracle: Map[String, String] = Map(
     "src_csv_roundtrip" -> aggSql,
-    "src_orc_roundtrip" -> aggSql
+    "src_orc_roundtrip" -> aggSql,
+    "src_json_roundtrip" -> aggSql,
+    "src_schema_evolution" -> schemaEvolutionSql
   )
 }

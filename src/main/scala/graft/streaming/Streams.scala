@@ -79,7 +79,8 @@ object Streams {
       purchases: DataFrame,
       clicks: DataFrame,
       maxLag: String = "30 minutes",
-      watermarkDelay: String = "1 minute"
+      watermarkDelay: String = "1 minute",
+      joinType: String = "inner"
   ): DataFrame = {
     val p = purchases
       .select(col("userId").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
@@ -91,7 +92,8 @@ object Streams {
       c,
       col("p_user") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $maxLag")
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $maxLag"),
+      joinType
     )
   }
 
