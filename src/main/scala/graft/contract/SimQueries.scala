@@ -357,6 +357,136 @@ object SimQueries {
        |FROM s ORDER BY i, j""".stripMargin
 
   // -------------------------------------------------------------------
+  // vec_pca_power — top principal component by POWER ITERATION over the
+  // covariance matrix, then a distributed projection of every embedding
+  // onto it (the first step of PCA whitening / spectral filtering). The
+  // d x d covariance matrix (d=64 -> 2080 upper-triangle cells, the
+  // vec_covariance arithmetic verbatim) is a CONSTANT-SIZE object, so
+  // the iteration runs driver-side on collected values — the same
+  // decomposition MLlib performs on the driver after a distributed
+  // Gramian; only the O(n) projection is distributed. Cross-engine
+  // determinism: the collected covs/means are the 6-dp-rounded values
+  // both engines already hash-agree on (vec_covariance), the start
+  // vector is 1/sqrt(64) = 0.125 (binary-exact), every per-iteration
+  // component is re-rounded via exact-binary-value HALF_UP (java
+  // BigDecimal(double), matching DuckDB's round-on-exact-value — NOT
+  // BigDecimal.valueOf's shortest-repr), and both the driver loop and
+  // the oracle's list folds run ascending-index summation. The
+  // projection output uses the scale-0 integer rounding form.
+  // -------------------------------------------------------------------
+  private val PcaIters = 8
+
+  /** Round a double's EXACT binary value half-up at 6 dp — DuckDB's
+    * round(x, 6) semantics. (Spark's round() differs: it goes through
+    * BigDecimal.valueOf = shortest repr; see evt_interpolate.)
+    */
+  private def r6(x: Double): Double =
+    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def vecPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val d = CovDim
+    val e = Tables
+      .embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val covRows = e
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"), sum(col("xj")).as("sy"), sum(col("xi") * col("xj")).as("sxy"))
+      .select(
+        col("i"),
+        col("j"),
+        Norm.rnd((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6).as("cov")
+      )
+      .collect() // 2080 rows — constant in n, like PrefixSum's partition totals
+    val m = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    val mu = e
+      .select(posexplode(col("v")).as(Seq("k", "x")))
+      .groupBy("k")
+      .agg(Norm.rnd(avg(col("x")), 6).as("mu"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+      .toMap
+    val muArr = Array.tabulate(d)(mu)
+    var vv = Array.fill(d)(0.125) // 1/sqrt(64), binary-exact
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += m(i)(j) * vv(j); j += 1 }
+        acc
+      }
+      var n2 = 0.0; var i = 0
+      while (i < d) { n2 += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      vv = w.map(x => r6(x / nrm))
+    }
+    val vLit = array(vv.map(lit).toIndexedSeq: _*)
+    val muLit = array(muArr.map(lit).toIndexedSeq: _*)
+    e.withColumn("muv", muLit)
+      .withColumn("pv", vLit)
+      .select(
+        col("vec_id"),
+        (round(
+          expr("aggregate(zip_with(zip_with(v, muv, (x, m) -> x - m), pv, (xc, c) -> xc * c), " +
+            "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)") * 1000000.0
+        ).cast("long") / 1000000.0 + lit(0.0)).as("proj")
+      )
+      .transform(Norm.ordered(_, col("vec_id")))
+  }
+
+  /** Ascending-index left fold `Σ f(i)` over 1..n, starting at 0.0 — the
+    * DuckDB mirror of the driver loop's summation order.
+    */
+  private def foldDuck(n: Int, term: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, $n), $term)), (acc, t) -> acc + t)"
+
+  private val vecPcaPowerSql: String = {
+    val d = CovDim
+    val iterCtes = (1 to PcaIters).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""w$i AS (
+         |  SELECT list_transform(generate_series(1, $d), i ->
+         |    ${foldDuck(d, "j -> mat.m[CAST(i AS INTEGER)][CAST(j AS INTEGER)] * pv.v[CAST(j AS INTEGER)]")}) AS w
+         |  FROM mat, $prev pv
+         |), v$i AS (
+         |  SELECT list_transform(w, x -> round(x / sqrt(${foldDuck(d, "k -> w[CAST(k AS INTEGER)] * w[CAST(k AS INTEGER)]")}), 6)) AS v
+         |  FROM w$i
+         |), """.stripMargin
+    }.mkString
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (SELECT CAST(unnest(generate_series(0, ${d - 1})) AS INTEGER) AS i),
+       |p AS (SELECT a.i AS i, b.i AS j FROM d a, d b WHERE b.i >= a.i),
+       |s AS (
+       |  SELECT p.i, p.j, CAST(count(*) AS BIGINT) AS n,
+       |         sum(v[p.i + 1]) AS sx, sum(v[p.j + 1]) AS sy,
+       |         sum(v[p.i + 1] * v[p.j + 1]) AS sxy
+       |  FROM e CROSS JOIN p GROUP BY 1, 2
+       |), cv AS (
+       |  SELECT i, j, round((sxy - sx * sy / n) / (n - 1), 6) + 0.0 AS cov FROM s
+       |), fullm AS (
+       |  SELECT i, j, cov FROM cv
+       |  UNION ALL SELECT j AS i, i AS j, cov FROM cv WHERE i <> j
+       |), mrow AS (
+       |  SELECT i, list(cov ORDER BY j) AS r FROM fullm GROUP BY i
+       |), mat AS (SELECT list(r ORDER BY i) AS m FROM mrow),
+       |muk AS (
+       |  SELECT d.i AS k, round(avg(e.v[d.i + 1]), 6) + 0.0 AS mu
+       |  FROM e CROSS JOIN d GROUP BY d.i
+       |), mus AS (SELECT list(mu ORDER BY k) AS mu FROM muk),
+       |v0 AS (SELECT list_transform(generate_series(1, $d), i -> CAST(0.125 AS DOUBLE)) AS v),
+       |${iterCtes}vf AS (SELECT v FROM v$PcaIters)
+       |SELECT e.vec_id,
+       |  CAST(round(${foldDuck(d, "k -> (e.v[CAST(k AS INTEGER)] - mus.mu[CAST(k AS INTEGER)]) * vf.v[CAST(k AS INTEGER)]")} * 1000000.0) AS BIGINT) / 1000000.0 + 0.0 AS proj
+       |FROM e, mus, vf ORDER BY e.vec_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ann_pq_topk — product quantization, the memory-compression scale
   // path the brute/LSH/IVF trio lacks: at 100 TB the uncompressed
   // vectors cannot live in executor memory (64 dims × 8 B = 512 B/vec),
@@ -672,7 +802,8 @@ object SimQueries {
     "ann_pq_topk" -> annPqTopk,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "vec_centroid" -> vecCentroid,
-    "vec_covariance" -> vecCovariance
+    "vec_covariance" -> vecCovariance,
+    "vec_pca_power" -> vecPcaPower
   )
 
   val oracle: Map[String, String] = Map(
@@ -684,6 +815,7 @@ object SimQueries {
     "ann_pq_topk" -> annPqTopkSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "vec_centroid" -> vecCentroidSql,
-    "vec_covariance" -> vecCovarianceSql
+    "vec_covariance" -> vecCovarianceSql,
+    "vec_pca_power" -> vecPcaPowerSql
   )
 }
