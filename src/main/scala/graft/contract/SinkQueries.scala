@@ -1,6 +1,8 @@
 package graft.contract
 
 import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -248,6 +250,66 @@ object SinkQueries {
        |  round(CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS total_price
        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sink_compaction — the SMALL-FILE problem and its nightly fix: a
+  // landing zone written at full task parallelism (32 shuffle
+  // partitions -> 32 small files — what every streaming/micro-batch
+  // ingest produces) is compacted by read -> repartition(ceil(bytes /
+  // target)) -> rewrite. File count comes from MEASURED landing bytes,
+  // not a constant, the way a real compactor sizes output; the value
+  // oracle proves the rewrite is lossless and CompactionSpec pins the
+  // file-count drop. At 100 TB compaction is what keeps scan task
+  // counts (and the NameNode/listing cost) proportional to data size
+  // instead of ingest cadence.
+  // -------------------------------------------------------------------
+  private val CompactTargetBytes = 8L * 1024 * 1024
+
+  private[graft] def writeLandingAndCompact(
+      s: SparkSession,
+      dir: String,
+      run: String
+  ): (String, String, String) = {
+    val tmp = Files.createTempDirectory(s"graft-compact-$run").toString
+    Tables.events(s, dir)
+      .select("event_id", "user_id", "value", "event_type")
+      .repartition(32)
+      .write.parquet(s"$tmp/landing")
+    val bytes = Files
+      .list(java.nio.file.Paths.get(s"$tmp/landing"))
+      .iterator()
+      .asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size)
+      .sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / CompactTargetBytes).toInt)
+    s.read.parquet(s"$tmp/landing").repartition(nOut).write.parquet(s"$tmp/compacted")
+    (s"$tmp/landing", s"$tmp/compacted", tmp)
+  }
+
+  private def compaction(s: SparkSession, dir: String): DataFrame = {
+    val (_, compacted, tmp) = writeLandingAndCompact(s, dir, s"c${ctr.incrementAndGet()}")
+    val agg = s.read.parquet(compacted)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("id_checksum"),
+        Norm.rnd(
+          sum(round(col("value") * 100.0).cast("long")) / 100.0,
+          2
+        ).as("sum_value")
+      )
+      .transform(Norm.ordered(_, col("event_type")))
+    graft.GateResult.materialize(agg)(
+      graft.GateResult.deleteRecursively(java.nio.file.Paths.get(tmp))
+    )
+  }
+
+  private val compactionSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+      |  round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   private val bucketedJoinSql: String =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
       |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS revenue
@@ -257,12 +319,14 @@ object SinkQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_bucketed_join" -> bucketedJoin,
     "sink_partition_prune" -> partitionPrune,
-    "sink_upsert_overwrite" -> upsertOverwrite
+    "sink_upsert_overwrite" -> upsertOverwrite,
+    "sink_compaction" -> compaction
   )
 
   val oracle: Map[String, String] = Map(
     "sink_bucketed_join" -> bucketedJoinSql,
     "sink_partition_prune" -> partitionPruneSql,
-    "sink_upsert_overwrite" -> upsertOverwriteSql
+    "sink_upsert_overwrite" -> upsertOverwriteSql,
+    "sink_compaction" -> compactionSql
   )
 }
