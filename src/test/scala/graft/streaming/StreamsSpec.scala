@@ -62,6 +62,40 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("attributedClicks left-outer emits null rows only after the watermark passes") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = attributedClicks(
+      purchases.toDF(), clicks.toDF(),
+      maxLag = "30 seconds", watermarkDelay = "5 seconds", joinType = "left_outer"
+    ).writeStream.format("memory").queryName("attrib_lo").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: an unmatched purchase — watermark (10-5=5) has not passed
+      // its event time, so NOTHING may emit yet (the engine cannot yet
+      // prove no click will arrive)
+      purchases.addData(Event(ts(10), 1L, "purchase", 9.99))
+      q.processAllAvailable()
+      assert(spark.table("attrib_lo").count() == 0L)
+      // batch 2: later events on BOTH inputs — the global watermark is
+      // min over the inputs (min(120, 100) - 5 = 95), which is exactly
+      // why the oracle's cutoff is min(max_p, max_c) - delay; a click on
+      // one side alone would leave the purchase-side watermark at 5 and
+      // nothing would evict. The u2 purchase matches the u2 click and
+      // emits immediately; the watermark passing t=10 then emits u1's
+      // null-padded row in the finalization batch.
+      clicks.addData(Event(ts(100), 2L, "click", 0.0))
+      purchases.addData(Event(ts(120), 2L, "purchase", 5.0))
+      q.processAllAvailable()
+      val all = spark.table("attrib_lo").collect()
+        .map(r => (r.getLong(r.fieldIndex("p_user")), Option(r.get(r.fieldIndex("c_ts"))).isDefined))
+        .toSet
+      assert(all == Set((1L, false), (2L, true)), s"got $all")
+    } finally q.stop()
+  }
+
   test("windowedEventStats aggregates per window and drops late data past the watermark") {
     val spark2 = spark
     import spark2.implicits._
