@@ -255,17 +255,68 @@ object PipelineQueries {
        |       contam_ratio >= $ContamThreshold AS contaminated
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // split_leakage — the cross-split contamination audit: near-duplicate
+  // pairs (the LSH band machinery, verbatim) whose two documents landed
+  // in DIFFERENT train/val/test splits (the doc_split hash, verbatim).
+  // A random-by-id split leaks near-dups across the boundary by
+  // construction — this query is the measurement a pipeline runs before
+  // trusting its eval numbers, and the reason production splits key on
+  // CLUSTER id (dedup_cluster), not doc id. Candidates come per LSH
+  // band bucket — never all-pairs — and the split labels attach by two
+  // key joins; nothing in the composition adds a shuffle class the
+  // primitives didn't already have.
+  // -------------------------------------------------------------------
+  private def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.lshPairsRaw(s, dir)
+    val bucket = DetHash.rankHashCol(col("doc_id"), lit(1), lit(0), TextQueries.SplitSeed) % 100
+    val splits = docs(s, dir)
+      .select(
+        col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split")
+      )
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("n_shared_bands"))
+      .transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
+  }
+
+  private val splitLeakageSql: String = {
+    val bucket = s"(${DetHash.rankHashSql("doc_id", "1", "0", TextQueries.SplitSeed)} % 100)"
+    s"""WITH ${DedupQueries.bandsCteSql},
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents
+       |)
+       |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b, p.n_shared_bands
+       |FROM pairs p
+       |JOIN sp sa ON p.doc_a = sa.doc_id
+       |JOIN sp sb ON p.doc_b = sb.doc_id
+       |WHERE sa.split <> sb.split
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "contam_check" -> contamCheck,
     "corpus_prep" -> corpusPrep,
     "quantile_bucket" -> quantileBucket,
-    "pack_windows" -> packWindows
+    "pack_windows" -> packWindows,
+    "split_leakage" -> splitLeakage
   )
 
   val oracle: Map[String, String] = Map(
     "contam_check" -> contamCheckSql,
     "corpus_prep" -> corpusPrepSql,
     "quantile_bucket" -> quantileBucketSql,
-    "pack_windows" -> packWindowsSql
+    "pack_windows" -> packWindowsSql,
+    "split_leakage" -> splitLeakageSql
   )
 }

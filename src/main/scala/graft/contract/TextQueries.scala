@@ -300,7 +300,7 @@ object TextQueries {
   // across runs, engines, and repartitioning (df.randomSplit is none of
   // those), and a later incremental batch lands in the same buckets.
   // -------------------------------------------------------------------
-  private val SplitSeed = 42L
+  private[contract] val SplitSeed = 42L
 
   private def docSplit(s: SparkSession, dir: String): DataFrame = {
     import graft.ccm.DetHash
