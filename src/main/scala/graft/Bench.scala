@@ -163,8 +163,15 @@ object Bench {
     val aboveJson = aboveBarQuiet.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = summary.flatMap(_._2).sum
     val canaryJson = f"""{"base":$canaryBase%.3f,"samples":${canarySamples.size},"min":${canarySamples.min}%.3f,"max":${canarySamples.max}%.3f}"""
+    // a filtered run must be distinguishable from a full suite run (ADVICE
+    // r7): record the filter and rename the metric so a partial bench_out
+    // can never masquerade as the round artifact
+    val onlyJson = only
+      .map(s => s.toSeq.sorted.map("\"" + _ + "\"").mkString(",\"only\":[", ",", "]"))
+      .getOrElse("")
+    val metricName = if (only.isDefined) "partial_total" else "total"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"canary":$canaryJson,"above_bar_quiet":$aboveJson,"failed":$failedJson,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir"}"""
+      s"""{"metric":"$metricName","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"canary":$canaryJson,"above_bar_quiet":$aboveJson,"failed":$failedJson,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir"$onlyJson}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json)
     spark.stop()

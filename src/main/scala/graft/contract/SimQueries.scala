@@ -525,7 +525,7 @@ object SimQueries {
   // everything. Recall is re-pinned by PqSpec under the sampled codebook.
   private val PqTrainStride = 4
 
-  /** Sub-vector squared-L2 fold (16 dims, left-to-right) for DuckDB. */
+  /** Sub-vector squared-L2 fold (PqSubDim dims, left-to-right) for DuckDB. */
   private def d2SubDuck(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(generate_series(1, $PqSubDim), i -> ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * " +

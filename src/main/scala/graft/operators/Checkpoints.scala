@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Tracked checkpointing for iterative operators (connected components,
   * PageRank): Dataset.localCheckpoint has no public "unpersist", so we
@@ -10,28 +11,55 @@ import org.apache.spark.sql.execution.LogicalRDD
   * caller free a superseded iteration's blocks explicitly — otherwise
   * checkpoint storage grows linearly with rounds.
   *
-  * Two modes (VERDICT r6 item 6):
-  *  - `reliable = false`: `localCheckpoint` — executor-local blocks. Fast,
-  *    but the blocks (and, because lineage is TRUNCATED, the ability to
+  * Three modes (VERDICT r6 item 6, ADVICE r7 item 1):
+  *  - `tracked(df)` — `localCheckpoint`: executor-local blocks. Fast, but
+  *    the blocks (and, because lineage is TRUNCATED, the ability to
   *    recompute them) die with an executor; acceptable for short jobs and
   *    for local[n].
-  *  - `reliable = true`: `Dataset.checkpoint` to the SparkContext
-  *    checkpoint directory (HDFS/object store on a cluster) — survives
-  *    executor loss, which a 50-round CC/PageRank on 1000 executors MUST
-  *    assume will happen. Requires `sparkContext.setCheckpointDir` (fails
-  *    fast otherwise). Checkpoint FILES outlive the RDD — they live until
-  *    the checkpoint dir is removed, or are GC'd by the ContextCleaner
-  *    when `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
+  *  - `tracked(df, reliable = true)` — `Dataset.checkpoint` to the
+  *    SparkContext checkpoint directory (HDFS/object store on a cluster) —
+  *    survives executor loss, which a 50-round CC/PageRank on 1000
+  *    executors MUST assume will happen. Requires
+  *    `sparkContext.setCheckpointDir` (fails fast otherwise). Checkpoint
+  *    FILES outlive the RDD — they live until the checkpoint dir is
+  *    removed, or are GC'd by the ContextCleaner when
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
+  *  - `cached(df)` — `persist(MEMORY_AND_DISK)`: materialized blocks with
+  *    lineage PRESERVED. This is the correct in-between mode for hybrid
+  *    `reliableEvery = N > 1` loops: a `localCheckpoint` between reliable
+  *    rounds truncates lineage to executor-local blocks, so losing an
+  *    executor makes those rounds unrecoverable (no path back to the
+  *    reliable checkpoint — the job FAILS, it does not recompute). A
+  *    persisted round keeps its plan rooted at the last reliable
+  *    checkpoint, so a lost block is recomputed from there — at most N
+  *    rounds of recomputation, which is the guarantee hybrid mode
+  *    advertises. The plan (and per-round Catalyst analysis cost) grows
+  *    only until the next reliable round truncates it, so keep N small
+  *    (3–5).
   */
 object Checkpoints {
-  /** Checkpoint `df` and return it with the exact RDD the checkpoint pinned.
-    * An (eager) checkpoint materializes the plan into an internal-row
-    * RDD and wraps it in a `LogicalRDD` leaf — that leaf's RDD is precisely
-    * the persisted one, so we read it off the returned plan instead of
-    * diffing `sc.getPersistentRDDs` (which would race with concurrent
-    * caller-side persists and need a lock).
+
+  /** Handle to the storage pinned for one iteration; `free()` releases the
+    * superseded round's blocks (non-blocking).
     */
-  def tracked(df: DataFrame, reliable: Boolean = false): (DataFrame, Seq[RDD[_]]) = {
+  sealed trait Pin { def free(): Unit }
+
+  private final class RddPin(rdds: Seq[RDD[_]]) extends Pin {
+    def free(): Unit = rdds.foreach(_.unpersist(blocking = false))
+  }
+
+  private final class CachePin(df: DataFrame) extends Pin {
+    def free(): Unit = { df.unpersist(blocking = false); () }
+  }
+
+  /** Checkpoint `df` and return it with a pin on the exact RDD the
+    * checkpoint persisted. An (eager) checkpoint materializes the plan into
+    * an internal-row RDD and wraps it in a `LogicalRDD` leaf — that leaf's
+    * RDD is precisely the persisted one, so we read it off the returned
+    * plan instead of diffing `sc.getPersistentRDDs` (which would race with
+    * concurrent caller-side persists and need a lock).
+    */
+  def tracked(df: DataFrame, reliable: Boolean = false): (DataFrame, Pin) = {
     val out =
       if (reliable) {
         require(
@@ -47,11 +75,20 @@ object Checkpoints {
       "Checkpoints.tracked: checkpointed plan has no LogicalRDD leaf — " +
         "Spark changed checkpoint's plan shape; update the extractor"
     )
-    (out, pinned)
+    (out, new RddPin(pinned))
   }
 
-  /** Unpersist superseded iterations' blocks (no-op for the file-backed
+  /** Persist `df` (lineage preserved) — the fault-tolerant in-between step
+    * for hybrid reliable loops; see the class doc. Lazy: the caller's next
+    * action (convergence check) materializes it.
+    */
+  def cached(df: DataFrame): (DataFrame, Pin) = {
+    val out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    (out, new CachePin(out))
+  }
+
+  /** Release a superseded iteration's blocks (no-op for the file-backed
     * part of reliable checkpoints — see the class doc for file lifetime).
     */
-  def free(rdds: Seq[RDD[_]]): Unit = rdds.foreach(_.unpersist(blocking = false))
+  def free(pin: Pin): Unit = pin.free()
 }

@@ -32,9 +32,11 @@ object ConnectedComponents {
     *              jobs); N > 0 = every Nth round checkpoints RELIABLY to
     *              the SparkContext checkpoint dir (Checkpoints.tracked
     *              reliable mode — the cluster setting, where a 25-round
-    *              loop must survive executor loss), with cheap local
-    *              checkpoints in between so recomputation after a failure
-    *              is bounded by N rounds from the last reliable one.
+    *              loop must survive executor loss), with lineage-preserving
+    *              persists in between (NOT localCheckpoint, whose truncated
+    *              lineage would make a lost executor's blocks unrecoverable
+    *              — ADVICE r7) so recomputation after a failure is bounded
+    *              by N rounds from the last reliable one.
     * @return (vertex: Long, component: Long)
     */
   def minLabelPropagation(
@@ -44,16 +46,26 @@ object ConnectedComponents {
   ): DataFrame = {
     // superseded rounds' checkpoint blocks are freed explicitly (ADVICE r3)
     import Checkpoints.{tracked => checkpointTracked}
+    // in hybrid mode (reliableEvery > 1), in-between rounds persist with
+    // lineage intact so executor loss recomputes from the last reliable
+    // checkpoint instead of failing (ADVICE r7)
+    def roundPin(df: DataFrame, reliableRound: Boolean): (DataFrame, Checkpoints.Pin) =
+      if (reliableEvery > 0) {
+        if (reliableRound) checkpointTracked(df, reliable = true)
+        else Checkpoints.cached(df)
+      } else checkpointTracked(df)
     val e0 = edges.toDF("src", "dst")
-    val (sym, symRdds) = checkpointTracked(
+    val (sym, symRdds) = roundPin(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
-      reliable = reliableEvery > 0
+      reliableRound = true
     )
-    var (labels, labelRdds) = checkpointTracked(
+    var (labels, labelRdds) = roundPin(
       sym
         .select(col("src").as("vertex"))
         .distinct()
-        .select(col("vertex"), col("vertex").as("component"))
+        .select(col("vertex"), col("vertex").as("component")),
+      // derives from the reliably-checkpointed `sym`, so a persist suffices
+      reliableRound = false
     )
     var converged = false
     var iter = 0
@@ -64,7 +76,7 @@ object ConnectedComponents {
         .agg(min(col("component")).as("nbr_min"))
       // the changed flag rides the checkpointed relation, so convergence is
       // a filter over cached blocks — not a second join re-executing labels
-      val (nextFlagged, nextRdds) = checkpointTracked(
+      val (nextFlagged, nextRdds) = roundPin(
         labels
           .join(nbrMin, labels("vertex") === nbrMin("nid"), "left")
           .select(
@@ -72,7 +84,7 @@ object ConnectedComponents {
             least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
             (coalesce(col("nbr_min"), col("component")) < col("component")).as("changed")
           ),
-        reliable = reliableEvery > 0 && (iter + 1) % reliableEvery == 0
+        reliableRound = (iter + 1) % reliableEvery.max(1) == 0
       )
       converged = nextFlagged.filter(col("changed")).isEmpty
       Checkpoints.free(labelRdds)

@@ -65,7 +65,7 @@ object PrefixSum {
       value: Column,
       out: String,
       numPartitions: Int = 0
-  ): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+  ): (DataFrame, Checkpoints.Pin) = {
     val spark = df.sparkSession
     val n =
       if (numPartitions > 0) numPartitions

@@ -42,11 +42,23 @@ object StarContraction {
       reliableEvery: Int = 0
   ): DataFrame = {
     import Checkpoints.{tracked => checkpointTracked}
-    val e0 = edges.toDF("src", "dst").filter(col("src") =!= col("dst"))
-    val (sym, symRdds) = checkpointTracked(
+    // hybrid in-between rounds persist with lineage intact (ADVICE r7) —
+    // same rationale as ConnectedComponents.roundPin
+    def roundPin(df: DataFrame, reliableRound: Boolean): (DataFrame, Checkpoints.Pin) =
+      if (reliableEvery > 0) {
+        if (reliableRound) checkpointTracked(df, reliable = true)
+        else Checkpoints.cached(df)
+      } else checkpointTracked(df)
+    val eAll = edges.toDF("src", "dst")
+    // self-loops carry no connectivity but DO introduce their vertex: keep
+    // the vertex set from the unfiltered list so a self-loop-only vertex
+    // labels itself, exactly as minLabelPropagation emits (v, v) for it
+    // (ADVICE r7) — the interchangeability claim below holds for any input.
+    val e0 = eAll.filter(col("src") =!= col("dst"))
+    val (sym, symRdds) = roundPin(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
         .toDF("u", "v"),
-      reliable = reliableEvery > 0
+      reliableRound = true
     )
 
     // large-star over both orientations: every strictly-larger neighbor of
@@ -73,14 +85,14 @@ object StarContraction {
       reattached.union(mn.select(col("u"), col("mnv").as("v"))).distinct()
     }
 
-    var (cur, curRdds) = checkpointTracked(smallStar(largeStar(sym)))
+    var (cur, curRdds) = roundPin(smallStar(largeStar(sym)), reliableRound = false)
     var converged = false
     var iter = 1 // the priming round above
     while (!converged && iter < maxIter) {
       val bothOrients = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
-      val (next, nextRdds) = checkpointTracked(
+      val (next, nextRdds) = roundPin(
         smallStar(largeStar(bothOrients)),
-        reliable = reliableEvery > 0 && (iter + 1) % reliableEvery == 0
+        reliableRound = (iter + 1) % reliableEvery.max(1) == 0
       )
       // fixpoint test over the checkpointed relations: two anti-joins on
       // cached blocks, the driver sees only emptiness flags
@@ -102,7 +114,12 @@ object StarContraction {
     // same contract as minLabelPropagation's returned labels); only
     // superseded rounds were freed in the loop.
     val _ = symRdds
-    val vertices = sym.select(col("u").as("vertex")).distinct()
+    // vertex set from the UNFILTERED edge list (self-loop-only vertices
+    // must appear in the output, labeling themselves)
+    val vertices = eAll
+      .select(col("src").as("vertex"))
+      .union(eAll.select(col("dst").as("vertex")))
+      .distinct()
     vertices
       .join(cur.select(col("u").as("vertex"), col("v").as("component")), Seq("vertex"), "left")
       .select(col("vertex"), coalesce(col("component"), col("vertex")).as("component"))

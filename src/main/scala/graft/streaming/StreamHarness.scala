@@ -3,8 +3,6 @@ package graft.streaming
 import java.nio.file.{Files, Path}
 import java.util.concurrent.atomic.AtomicInteger
 
-import scala.util.control.NonFatal
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.Trigger
 

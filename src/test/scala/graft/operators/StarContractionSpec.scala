@@ -44,8 +44,11 @@ class StarContractionSpec extends SparkTestBase {
     import spark.implicits._
     val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (7L, 7L)).toDF("src", "dst")
     val labels = labelsOf(StarContraction.connectedComponents(edges))
-    // 7 only appears in a self-loop, which is dropped with its vertex —
-    // isolated vertices are the caller's concern, as in minLabelPropagation
-    assert(labels == Map(1L -> 1L, 2L -> 1L))
+    // 7 appears only in a self-loop: no connectivity, but the vertex is
+    // still in the input, so it labels itself — exactly what
+    // minLabelPropagation emits, keeping the operators interchangeable on
+    // ANY edge list (ADVICE r7)
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    assert(labels == labelsOf(ConnectedComponents.minLabelPropagation(edges)))
   }
 }
