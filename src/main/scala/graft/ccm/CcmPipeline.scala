@@ -99,6 +99,21 @@ object CcmPipeline {
     val maxLib = libSizes.max
     val minLib = libSizes.min
 
+    // AQE sizes post-shuffle parallelism from the PRE-join byte count, but
+    // the pair join inflates the relation ~maxLib-fold (96k ranked rows ->
+    // 11M pairs for the sf0.1 wide workload); the coalesced handful of
+    // partitions then serializes the top-k sort downstream of the join
+    // (measured 7.4 s -> 1.4 s at local[32] from this line alone). An
+    // EXPLICIT-width repartition on the cell keys pins the join+window
+    // stage at the configured shuffle width — REPARTITION_BY_NUM shuffles
+    // are exempt from AQE coalescing — and `spark.sql.shuffle.partitions`
+    // remains the operator's sizing knob for exactly this stage at cluster
+    // scale. Values are unchanged: partitioning only affects parallelism.
+    val rdf = rankedDf.repartition(
+      spark.sessionState.conf.numShufflePartitions,
+      (k :+ col("sample_id")): _*
+    )
+
     // Approximate-kNN candidate pruning (CcmSpec.knnBuckets > 0): grid-
     // bucket every embedding row along e0 AND e{E-1} (compound two-axis
     // key; e0 alone when E = 1 — VERDICT r6 item 2: single-axis pruning
@@ -166,9 +181,9 @@ object CcmPipeline {
       )
 
     val pairsOnce =
-      if (!useBuckets) exactPairs(rankedDf)
+      if (!useBuckets) exactPairs(rdf)
       else {
-        val stats = rankedDf
+        val stats = rdf
           .filter($"sample_id" === 1)
           .groupBy(k: _*)
           .agg(
@@ -180,7 +195,7 @@ object CcmPipeline {
           )
           .withColumn("__on", $"__n" >= lit(knnAutoFactor.toLong * knnBuckets))
         // series-count-proportional: AQE may broadcast
-        val withStats = rankedDf.join(stats, keys)
+        val withStats = rdf.join(stats, keys)
         def bucketCol(v: Column, mn: Column, mx: Column): Column = {
           val width = (mx - mn) / lit(knnBuckets.toDouble)
           when(width > 0.0, floor((v - mn) / width)).otherwise(0.0).cast("long")

@@ -56,14 +56,22 @@ class ApproxKnnSpec extends SparkTestBase {
     assert(worst <= 0.20, s"max |Δrho| $worst > 0.20")
   }
 
-  test("short-series auto-gate: default knnAutoFactor yields EXACT values") {
+  test("short-series auto-gate: default knnAutoFactor yields exact-path values") {
     // 148 embedding rows < 64 * 8, so the gate must route every series
-    // through the exact path — bit-identical values, not just tolerance
+    // through the exact path. The gated PLAN is still the two-branch
+    // union (with an empty bucket branch), whose aggregation combine
+    // layout differs from the single-join exact plan, so Spark's corr
+    // co-moments agree to last ulps rather than bitwise — same 1e-9
+    // rationale as the kernel-parity tests below; the shared DuckDB
+    // oracle rounds to 6 decimals for exactly this reason.
     val exact = run(0)
     val gated = run(8, knnAutoFactor = 64)
     assert(exact.keySet == gated.keySet)
     exact.foreach { case (k, (rho, conv)) =>
-      assert(gated(k)._1 == rho, s"$k: gated rho ${gated(k)._1} != exact $rho")
+      assert(
+        math.abs(gated(k)._1 - rho) <= 1e-9,
+        s"$k: gated rho ${gated(k)._1} != exact $rho"
+      )
       assert(gated(k)._2 == conv, s"$k: convergent flag differs")
     }
   }
