@@ -84,7 +84,8 @@ object Ccm {
         spec.numSamples,
         spec.embeddingDim,
         spec.knnBuckets,
-        spec.knnAutoFactor
+        spec.knnAutoFactor,
+        spec.reuseDistances
       )
     // Convergence as a WINDOW aggregate over the skill rows (identical values
     // to the groupBy form in [[CcmPipeline.convergence]]) — a join against a

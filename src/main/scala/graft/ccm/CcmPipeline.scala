@@ -89,7 +89,8 @@ object CcmPipeline {
       libSizes: Seq[Int],
       e: Int,
       knnBuckets: Int = 0,
-      knnAutoFactor: Int = 64
+      knnAutoFactor: Int = 64,
+      reuseDistances: Boolean = false
   ): DataFrame = {
     val spark = rankedDf.sparkSession
     import spark.implicits._
@@ -180,8 +181,91 @@ object CcmPipeline {
         rel.as("q").filter($"q.rank" > lit(minLib.toLong)).join(rel.as("l"), joinCondBase)
       )
 
+    // Distance-reuse across bootstrap samples (SURVEY §4 item 2;
+    // CcmSpec.reuseDistances). The exact join above evaluates each
+    // (q_idx, l_idx) distance once per SAMPLE though it depends only on
+    // the point pair. Here the join is keyed on (series, q_idx, l_idx)
+    // alone — distance computed ONCE — and every point carries its
+    // per-sample rank ARRAY (one groupBy over the ranked relation; the
+    // embedding coordinates are sample-invariant so `first` is
+    // value-deterministic). Per-sample membership is then expanded
+    // IN-STAGE after the join — explode(sequence(1, S)) + element_at +
+    // the same rank predicates — so reuse adds zero shuffles; a first
+    // cut that joined two narrow per-sample rank relations back onto the
+    // pair relation was 3x SLOWER than recomputing (two extra shuffles
+    // of the inflated pair relation dwarf the saved arithmetic — in
+    // Spark, row movement dominates a per-row sqrt). Across-sample rank
+    // extremes pre-prune the sides (a point can be a library point in
+    // SOME sample only if min_s rank <= maxLib; a query point only if
+    // max_s rank > minLib). Output rows are identical to exactPairs —
+    // same distance expression over the same doubles, same membership
+    // predicates — so both paths share one oracle. Measured OUTCOME
+    // (graft.tools.BootProbe, S=8/32, libs far from and near n): 1.1-1.5x
+    // slower than recomputing — candidate-row enumeration (S·n per cell
+    // through join or generator, identical in both paths) dominates, the
+    // E-dim distance is ~free inside whole-stage codegen, and this path
+    // additionally carries two S-element rank arrays through every
+    // generated row. Kept opt-in as the honest record of SURVEY §4 item
+    // 2: in this engine candidate-count reduction (knnBuckets) pays;
+    // arithmetic reuse does not (see CcmSpec.reuseDistances scaladoc).
+    def reusePairs(rel: DataFrame): DataFrame = {
+      val kCols = keys.map(col)
+      val rankArr = transform(
+        array_sort(collect_list(struct($"sample_id", $"rank"))),
+        x => x.getField("rank")
+      )
+      // explicit-width repartition on the series keys: same AQE hazard as
+      // the exact path above — the self-join + explode inflates this
+      // relation n·S-fold, so post-shuffle coalescing by pre-join bytes
+      // would serialize the distance/top-k stage
+      val aggCols = dims.map(j => first(col(s"e$j")).as(s"e$j")) ++ Seq(
+        first($"tgt").as("tgt"),
+        rankArr.as("rank_arr")
+      )
+      val embR = rel
+        .groupBy((kCols :+ col("idx")): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .repartition(spark.sessionState.conf.numShufflePartitions, kCols: _*)
+      val qSide = embR.filter(array_max($"rank_arr") > lit(minLib.toLong))
+      val lSide = embR.filter(array_min($"rank_arr") <= lit(maxLib.toLong))
+      val pairCond = keys
+        .map(kn => col(s"q.$kn") === col(s"l.$kn"))
+        .reduce(_ && _) && $"q.idx" =!= $"l.idx"
+      qSide
+        .as("q")
+        .join(lSide.as("l"), pairCond)
+        .select(
+          (keys.map(kn => col(s"q.$kn").as(kn)) ++ Seq(
+            $"q.idx".as("pred_idx"),
+            $"q.tgt".as("actual"),
+            $"l.idx".as("lib_idx"),
+            $"l.tgt".as("lib_tgt"),
+            distExpr.as("dist"),
+            $"q.rank_arr".as("__q_arr"),
+            $"l.rank_arr".as("__l_arr")
+          )): _*
+        )
+        // expand to (pair, sample) rows and filter membership right after
+        // the generator. A higher-order filter() over the sequence BEFORE
+        // exploding generated strictly fewer rows but measured ~30% slower
+        // end-to-end: ArrayFilter's lambda is interpreted-only, which
+        // ejects the whole join+generate stage from whole-stage codegen.
+        // Explode + top-level element_at + Filter all stay codegen'd. The
+        // per-point rank array has one entry per sample, so its size IS
+        // numSamples — no driver action needed.
+        .withColumn("sample_id", explode(sequence(lit(1L), size($"__q_arr").cast("long"))))
+        .withColumn("q_rank", element_at($"__q_arr", $"sample_id".cast("int")))
+        .withColumn("l_rank", element_at($"__l_arr", $"sample_id".cast("int")))
+        .filter(
+          $"l_rank" < $"q_rank" && $"l_rank" <= lit(maxLib.toLong) &&
+            $"q_rank" > lit(minLib.toLong)
+        )
+        .drop("__q_arr", "__l_arr")
+    }
+
     val pairsOnce =
-      if (!useBuckets) exactPairs(rdf)
+      if (!useBuckets && reuseDistances) reusePairs(rankedDf)
+      else if (!useBuckets) exactPairs(rdf)
       else {
         val stats = rdf
           .filter($"sample_id" === 1)
@@ -271,14 +355,16 @@ object CcmPipeline {
       numSamples: Int,
       e: Int,
       knnBuckets: Int = 0,
-      knnAutoFactor: Int = 64
+      knnAutoFactor: Int = 64,
+      reuseDistances: Boolean = false
   ): DataFrame = {
     val spark = rankedDf.sparkSession
     import spark.implicits._
     val k = keys.map(col)
     val libs = broadcast(libSizes.toDF("lib_size"))
     val cellKeys = k ++ Seq(col("sample_id"), col("lib_size"))
-    val preds = predictions(rankedDf, keys, libSizes, e, knnBuckets, knnAutoFactor)
+    val preds =
+      predictions(rankedDf, keys, libSizes, e, knnBuckets, knnAutoFactor, reuseDistances)
 
     // Pearson per cell; NULL/NaN (corr of <2 rows or zero variance) -> 0.0
     val corrCell = preds

@@ -32,6 +32,24 @@ package graft.ccm
   * pinning the bucket path at small gate scale factors). Default 64:
   * measured crossover — 67-pt series lose (ccm_curve_approx was 2.2x its
   * exact twin), ~1 260-pt series win ~2x (ccm_wide_approx).
+  *
+  * `reuseDistances` (SURVEY §4 item 2): factor the exact kNN join's
+  * pair-distance computation out of the per-sample loop — each
+  * (q_idx, l_idx) distance is evaluated once per series, with
+  * per-sample library membership expanded afterwards from per-point
+  * rank arrays (zero extra shuffles). Value-identical to the default
+  * path (same expression, same membership predicates; ccm_boot /
+  * ccm_boot_reuse share one oracle). MEASURED NEGATIVE on this engine
+  * and kept opt-in as documentation: the reference's flop-count
+  * argument (Θ(S·B·n²) distance evaluations, SURVEY §4) does not
+  * transfer to a columnar codegen engine — both paths enumerate
+  * S·n-per-cell candidate rows through the join/generator, a 3-dim
+  * distance is ~free inside whole-stage codegen, and the reuse path
+  * additionally carries two S-element rank arrays through every
+  * generated row (probed 1.1-1.5x SLOWER at S=8/32, libs both far
+  * from and near n — graft.tools.BootProbe). What actually pays at
+  * scale is candidate-count reduction (`knnBuckets`), not arithmetic
+  * reuse. Exact path only (ignored when knnBuckets > 0).
   */
 final case class CcmSpec(
     embeddingDim: Int = 3,
@@ -40,7 +58,8 @@ final case class CcmSpec(
     numSamples: Int = 100,
     seed: Long = 42L,
     knnBuckets: Int = 0,
-    knnAutoFactor: Int = 64
+    knnAutoFactor: Int = 64,
+    reuseDistances: Boolean = false
 ) {
   require(embeddingDim >= 1, "embeddingDim must be >= 1")
   require(tau >= 1, "tau must be >= 1")

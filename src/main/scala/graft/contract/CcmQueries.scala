@@ -636,6 +636,81 @@ object CcmQueries {
   private val wide4Sql: String = wideSqlWith(None, Wide4E, Wide4SeriesMod)
   private val wide4ApproxSql: String = wideSqlWith(Some(WideBuckets), Wide4E, Wide4SeriesMod)
 
+  // -------------------------------------------------------------------
+  // ccm_boot / ccm_boot_reuse — the bootstrap-heavy regime (the
+  // reference's own default shape, `lib/ccm.ex:7`: num_samples 100 with
+  // the auto-ladder reaching the full series length) that motivated
+  // distance-reuse across samples (SURVEY §4 item 2,
+  // CcmSpec.reuseDistances). Series are capped at BootCap points so the
+  // workload sits in the heavy-library-overlap regime at every SF. Both
+  // entries produce identical values — ccm_boot runs the per-sample
+  // exact join, ccm_boot_reuse the factored pair-distance relation —
+  // and share one oracle, so the hash compare is the equality proof
+  // and the bench delta the honest measurement: reuse is the SLOWER
+  // path on this engine (see CcmSpec.reuseDistances scaladoc for why),
+  // and the pair documents that finding per-round.
+  // -------------------------------------------------------------------
+  private val BootSamples = 8
+  private val BootLibs = Seq(16, 32, 48)
+  private val BootCap = 66
+  private val BootUserMod = 10
+
+  private def bootInput(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    // cap FIRST, then lag within the capped rows (the oracle's baseFrom
+    // subquery applies the same order of operations)
+    val capped = ev(s, dir)
+      .filter(col("user_id") % BootUserMod === 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= BootCap)
+      .drop("rn")
+    capped
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("value").as("x"),
+        lag(col("value"), 1).over(w).as("y")
+      )
+      .filter(col("y").isNotNull)
+  }
+
+  private def bootWith(s: SparkSession, dir: String, reuse: Boolean): DataFrame =
+    Ccm
+      .bidirectional(
+        bootInput(s, dir),
+        skey = col("user_id"),
+        order = Seq("ts"),
+        x = col("x"),
+        y = col("y"),
+        spec = CcmSpec(numSamples = BootSamples, seed = Seed, reuseDistances = reuse),
+        libSizes = BootLibs
+      )
+      .select(
+        col("skey").as("user_id"),
+        col("direction"),
+        col("lib_size"),
+        Norm.rnd(col("rho"), 6).as("rho"),
+        Norm.rnd(col("slope"), 6).as("slope"),
+        col("convergent")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("direction"), col("lib_size")))
+
+  private def boot(s: SparkSession, dir: String): DataFrame = bootWith(s, dir, reuse = false)
+  private def bootReuse(s: SparkSession, dir: String): DataFrame = bootWith(s, dir, reuse = true)
+
+  private val bootSql: String = {
+    val capFrom =
+      s"""(SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value,
+         |           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+         |    FROM events WHERE user_id % $BootUserMod = 0) WHERE rn <= $BootCap)""".stripMargin
+    s"""${curveSqlCommon(None, BootSamples, BootLibs, "user_id", Seq("ts"), capFrom)}
+       |SELECT sk.skey AS user_id, sk.direction, sk.lib_size,
+       |       round(sk.rho, 6) + 0.0 AS rho, round(cv.slope, 6) + 0.0 AS slope, cv.convergent
+       |FROM sk JOIN cv ON sk.direction = cv.direction AND sk.skey = cv.skey
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // ccm_convergence — convergent?/1 (C10) as its own surface: OLS slope of
   // the skill curve, strict > 0.001, <3 sizes -> false (`lib/ccm.ex:215-244`).
   // Routed through the perSeries scale path (the strategy a convergence-only
@@ -959,6 +1034,8 @@ object CcmQueries {
     "ccm_wide_approx_perseries" -> wideApproxPerSeries,
     "ccm_wide4" -> wide4,
     "ccm_wide4_approx" -> wide4Approx,
+    "ccm_boot" -> boot,
+    "ccm_boot_reuse" -> bootReuse,
     "ccm_convergence" -> convergenceQ,
     "ccm_gen_logistic" -> genLogistic,
     "ccm_gen_coupled" -> genCoupled,
@@ -983,6 +1060,8 @@ object CcmQueries {
     "ccm_wide_approx_perseries" -> wideApproxSql,
     "ccm_wide4" -> wide4Sql,
     "ccm_wide4_approx" -> wide4ApproxSql,
+    "ccm_boot" -> bootSql,
+    "ccm_boot_reuse" -> bootSql,
     "ccm_convergence" -> convergenceSql,
     "ccm_gen_logistic" -> genLogisticSql,
     "ccm_gen_coupled" -> genCoupledSql,
