@@ -494,7 +494,90 @@ object DedupQueries {
        |WHERE d.doc_id % 10 = 0
        |ORDER BY batch_doc""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dedup_substring — exact-substring duplication (Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better": verbatim
+  // cross-document substrings are the highest-precision dup signal, and
+  // MinHash misses them when the surrounding documents differ). The
+  // suffix-array formulation doesn't distribute; the equivalent
+  // shuffle-native decomposition:
+  //   1. shingle: every SubK-char window hash with its position — ONE
+  //      compiled pass per doc (graft_winhashes), posexplode to rows;
+  //   2. guard: drop window hashes occurring > SubMaxBucket times
+  //      corpus-wide (boilerplate guard — at 100 TB a ubiquitous header
+  //      would otherwise square one bucket; a no-op at contract SFs,
+  //      hottest window count is 5 at sf0.01);
+  //   3. candidate pairs from the bucket equi-join on the window HASH
+  //      (group size, not corpus size, bounds the quadratic term — same
+  //      law as every other pair generator in this file);
+  //   4. maximal runs by gaps-and-islands on each (doc_a, doc_b,
+  //      pa - pb) diagonal: consecutive matching windows are one run of
+  //      length (#windows + SubK - 1) chars;
+  //   5. report pairs with a run >= SubMinRun chars: (max_run, n_runs).
+  // All arithmetic is integer DetHash window hashes — both engines join
+  // on the same 61-bit hashes, so collision behavior is identical and
+  // the result hash-matches exactly.
+  // -------------------------------------------------------------------
+  private val SubK = 24 // window width (chars)
+  private val SubMinRun = 50 // report runs at least this long
+  private val SubMaxBucket = 64 // corpus-wide window-frequency guard
+
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    // localCheckpoint: the shingle relation feeds both sides of the pair
+    // self-join (same rationale as the MinHash signature relation above)
+    val sh = docs(s, dir)
+      .select(col("doc_id"), posexplode(expr(s"graft_winhashes(text, $SubK, 1)")).as(Seq("pos", "h")))
+      .localCheckpoint()
+    val ok = sh.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") <= SubMaxBucket).select("h")
+    val shf = sh.join(ok, "h")
+    val pr = shf
+      .as("a")
+      .join(shf.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"),
+        col("b.pos").as("pb")
+      )
+    val wr = Window.partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb")).orderBy("pa")
+    val runs = pr
+      .withColumn("grp", col("pa") - row_number().over(wr))
+      .groupBy(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("diag"), col("grp"))
+      .agg((count(lit(1)) + SubK - 1).as("run_len"))
+    runs
+      .filter(col("run_len") >= SubMinRun)
+      .groupBy("doc_a", "doc_b")
+      .agg(max("run_len").as("max_run"), count(lit(1)).as("n_runs"))
+      .transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
+  }
+
+  private val dedupSubstringSql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, unnest(generate_series(1, length(text) - ${SubK - 1})) AS p
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+       |         ${DetHash.polyHashSql(s"substr(text, CAST(p AS INTEGER), $SubK)")} AS h
+       |  FROM pos
+       |), ok AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= $SubMaxBucket),
+       |shf AS (SELECT sh.* FROM sh JOIN ok ON sh.h = ok.h),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+       |  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
+       |), d AS (
+       |  SELECT *, pa - pb AS diag,
+       |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+       |  FROM pr
+       |), runs AS (
+       |  SELECT doc_a, doc_b, diag, grp, CAST(count(*) + ${SubK - 1} AS BIGINT) AS run_len
+       |  FROM d GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT doc_a, doc_b, max(run_len) AS max_run, CAST(count(*) AS BIGINT) AS n_runs
+       |FROM runs WHERE run_len >= $SubMinRun GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> dedupSubstring,
     "dedup_incremental" -> dedupIncremental,
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_star" -> dedupClusterStar,
@@ -508,6 +591,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_cluster" -> dedupClusterSql,
     "dedup_cluster_star" -> dedupClusterSql,

@@ -108,6 +108,15 @@ object GraftFunctions {
       "graft_wordhashes(text) - array of per-word polynomial hashes, single-space split (codegen)"
     ),
     (
+      "graft_winhashes",
+      classOf[WindowHashes].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_winhashes expects (text, width, stride)")
+        WindowHashes(children.head, children(1), children(2))
+      },
+      "graft_winhashes(text, w, s) - array of all w-char window polynomial hashes at stride s (codegen)"
+    ),
+    (
       "graft_minhashsig",
       classOf[MinHashSig].getName,
       (children: Seq[Expression]) => {

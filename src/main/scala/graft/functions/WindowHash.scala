@@ -124,6 +124,99 @@ case class WindowHashMinMax(text: Expression, width: Expression, stride: Express
   ): Expression = copy(text = newFirst, width = newSecond, stride = newThird)
 }
 
+/** All sliding-window polynomial hashes with positions:
+  * `graft_winhashes(text, width, stride)` = array of the [[WindowHashMinMax]]
+  * window hashes in offset order (element i = window at code-point offset
+  * i*stride), so `posexplode` yields (position, hash) pairs — the shingle
+  * relation of the exact-substring dedup family (`dedup_substring`).
+  * EMPTY array (not NULL) for texts shorter than `width`, mirroring the
+  * oracle's `generate_series(1, len-width+1)` being empty there (unnest
+  * then drops the doc); NULL only for NULL input.
+  */
+case class WindowHashes(text: Expression, width: Expression, stride: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = text
+  override def second: Expression = width
+  override def third: Expression = stride
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"graft_winhashes expects a string, got ${text.dataType.sql}")
+    else if (width.dataType != IntegerType || !width.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_winhashes width must be an int literal")
+    else if (stride.dataType != IntegerType || !stride.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_winhashes stride must be an int literal")
+    else if (width.eval() == null || width.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure("graft_winhashes width must be >= 1 and non-null")
+    else if (stride.eval() == null || stride.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure("graft_winhashes stride must be >= 1 and non-null")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = text.nullable
+  override def prettyName: String = "graft_winhashes"
+
+  private lazy val w: Int = width.eval().asInstanceOf[Int]
+  private lazy val st: Int = stride.eval().asInstanceOf[Int]
+
+  override def eval(input: InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) null
+    else WindowHashes.hashWindows(t.asInstanceOf[UTF8String].toString, w, st)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tEv = text.genCode(ctx)
+    ev.copy(code = code"""
+      ${tEv.code}
+      boolean ${ev.isNull} = ${tEv.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.WindowHashes.hashWindowsUtf8(${tEv.value}, $w, $st);
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression,
+      newSecond: Expression,
+      newThird: Expression
+  ): Expression = copy(text = newFirst, width = newSecond, stride = newThird)
+}
+
+object WindowHashes {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  /** One compiled pass: code points once, then the Horner hash per window
+    * (same arithmetic as [[WindowHashMinMax.minMax]], all values kept).
+    */
+  def hashWindows(s: String, width: Int, stride: Int): ArrayData = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < width) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long]((n - width) / stride + 1)
+    var i = 0
+    var k = 0
+    while (i + width <= n) {
+      var h = 0L
+      var j = 0
+      while (j < width) {
+        h = (h * 31L + cps(i + j).toLong) % graft.ccm.DetHash.P
+        j += 1
+      }
+      out(k) = h
+      k += 1
+      i += stride
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def hashWindowsUtf8(u: UTF8String, width: Int, stride: Int): ArrayData =
+    hashWindows(u.toString, width, stride)
+}
+
 object WindowHashMinMax {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
