@@ -739,7 +739,205 @@ object RelationalQueries {
        |                    AND o.o_orderdate >= TIMESTAMP '$Q22Cutoff')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q2_mincost — TPC-H Q2 shape: per part, the REGION's minimum-cost
+  // supplier, where the minimum is a CORRELATED scalar subquery in the
+  // reference formulation. This schema has no partsupp table, so the
+  // part-supplier cost relation is DERIVED from lineitem (min observed
+  // unit price per (part, supplier), integer cents — both engines do
+  // the same IEEE divide-round, so the relation is bit-identical).
+  // Decorrelated by hand: the cost relation is scanned ONCE
+  // (localCheckpoint), the per-part regional minimum is a groupBy-min
+  // joined back by equality, and the oracle runs the LITERAL correlated
+  // form to prove the rewrite. Plan at scale: nation⋈region prune the
+  // supplier side before it touches the cost relation (broadcast dims),
+  // lineitem is the only fact scan.
+  // -------------------------------------------------------------------
+  private val Q2Region = "ASIA"
+  private val Q2Size = 5
+
+  private def q2Mincost(s: SparkSession, dir: String): DataFrame = {
+    val supRegion = Tables.supplier(s, dir)
+      .join(
+        broadcast(
+          Tables.nation(s, dir).join(
+            broadcast(Tables.region(s, dir).filter(col("r_name") === Q2Region)),
+            col("n_regionkey") === col("r_regionkey")
+          )
+        ),
+        col("s_nationkey") === col("n_nationkey")
+      )
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val cost = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        min(round(col("l_extendedprice") / col("l_quantity") * 100.0).cast("long"))
+          .as("unit_cents")
+      )
+      .join(supRegion, col("l_suppkey") === col("s_suppkey"))
+      .localCheckpoint() // feeds the per-part min AND the equality join
+    val minc = cost
+      .groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("unit_cents")).as("min_cents"))
+    cost
+      .join(
+        minc,
+        col("l_partkey") === col("m_partkey") && col("unit_cents") === col("min_cents")
+      )
+      .join(
+        broadcast(Tables.part(s, dir).filter(col("p_size") === Q2Size).select("p_partkey")),
+        col("l_partkey") === col("p_partkey")
+      )
+      .select(
+        col("p_partkey"),
+        col("s_suppkey"),
+        col("s_name"),
+        col("n_name"),
+        Norm.rnd(col("unit_cents") / 100.0, 2).as("min_cost")
+      )
+      .transform(Norm.ordered(_, col("p_partkey"), col("s_suppkey")))
+  }
+
+  private val q2MincostSql: String =
+    s"""WITH cost AS (
+       |  SELECT l.l_partkey, l.l_suppkey, s.s_name, n.n_name,
+       |         CAST(min(CAST(round(l.l_extendedprice / l.l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS unit_cents
+       |  FROM lineitem l
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  WHERE r.r_name = '$Q2Region'
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT p.p_partkey, c.l_suppkey AS s_suppkey, c.s_name, c.n_name,
+       |       round(c.unit_cents / 100.0, 2) + 0.0 AS min_cost
+       |FROM part p JOIN cost c ON c.l_partkey = p.p_partkey
+       |WHERE p.p_size = $Q2Size
+       |  AND c.unit_cents = (SELECT min(c2.unit_cents) FROM cost c2
+       |                      WHERE c2.l_partkey = p.p_partkey)
+       |ORDER BY p.p_partkey, s_suppkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q9_profit — TPC-H Q9 shape: profit by (supplier nation, order year)
+  // over a part-name predicate — the widest multi-way fact join in the
+  // suite (lineitem ⋈ orders ⋈ supplier ⋈ nation ⋈ part). No partsupp
+  // here, so cost is proxied as 10% of the part's retail price per unit
+  // (keeps the part join load-bearing, not just a filter). All amounts
+  // integer cents before summation. Plan at scale: the p_name filter
+  // prunes part BEFORE broadcast; lineitem scanned once; dims
+  // broadcast; the aggregate is partial+final on (nation, year).
+  // -------------------------------------------------------------------
+  private val Q9NameToken = "widget"
+
+  private def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_name").contains(Q9NameToken))
+      .select("p_partkey", "p_retailprice")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("n_name").as("nation"),
+        col("o_year"),
+        (round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0).cast("long") -
+          round(col("p_retailprice") * col("l_quantity") * 10.0).cast("long")).as("amount_cents")
+      )
+      .groupBy("nation", "o_year")
+      .agg(Norm.rnd(sum(col("amount_cents")) / 100.0, 2).as("sum_profit"))
+      .transform(Norm.ordered(_, col("nation"), col("o_year")))
+  }
+
+  private val q9ProfitSql: String =
+    s"""SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       |  round(CAST(sum(
+       |    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)
+       |    - CAST(round(p.p_retailprice * l.l_quantity * 10.0) AS BIGINT)
+       |  ) AS BIGINT) / 100.0, 2) + 0.0 AS sum_profit
+       |FROM lineitem l
+       |JOIN part p ON l.l_partkey = p.p_partkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE p.p_name LIKE '%$Q9NameToken%'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q20_excess — TPC-H Q20 shape: suppliers who DOMINATE supply of some
+  // part (shipped more than half of that part's 1997 volume) in a
+  // region — a nested semi-join whose inner predicate compares a
+  // per-(part, supplier) aggregate against a PER-GROUP (per-part)
+  // threshold. The threshold compare is integer-only (2*supp_qty >
+  // total_qty: quantities are integral doubles, sums exact below 2^53)
+  // so no engine can flip a supplier across the boundary. Decorrelated:
+  // one date-pruned lineitem scan feeds both aggregation levels
+  // (localCheckpoint); the qualifying supplier set semi-joins the
+  // region-pruned supplier dim. Oracle: the literal nested IN +
+  // correlated per-part total.
+  // -------------------------------------------------------------------
+  private val Q20Lo = "1997-01-01 00:00:00"
+  private val Q20Hi = "1998-01-01 00:00:00"
+  private val Q20Region = "EUROPE"
+
+  private def q20Excess(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= expr(s"TIMESTAMP '$Q20Lo'") &&
+          col("l_shipdate") < expr(s"TIMESTAMP '$Q20Hi'")
+      )
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("supp_qty"))
+      .localCheckpoint() // feeds the per-part total AND the threshold compare
+    val tot = ps
+      .groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("supp_qty")).as("total_qty"))
+    val dominating = ps
+      .join(tot, col("l_partkey") === col("t_partkey"))
+      .filter(lit(2L) * col("supp_qty") > col("total_qty"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(
+        broadcast(
+          Tables.nation(s, dir).join(
+            broadcast(Tables.region(s, dir).filter(col("r_name") === Q20Region)),
+            col("n_regionkey") === col("r_regionkey")
+          )
+        ),
+        col("s_nationkey") === col("n_nationkey")
+      )
+      .join(dominating, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .transform(Norm.ordered(_, col("s_suppkey")))
+  }
+
+  private val q20ExcessSql: String =
+    s"""WITH ps AS (
+       |  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$Q20Lo' AND l_shipdate < TIMESTAMP '$Q20Hi'
+       |  GROUP BY 1, 2
+       |)
+       |SELECT s.s_suppkey, s.s_name, n.n_name
+       |FROM supplier s
+       |JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = '$Q20Region'
+       |  AND s.s_suppkey IN (
+       |    SELECT p1.l_suppkey FROM ps p1
+       |    WHERE 2 * p1.supp_qty > (SELECT sum(p2.supp_qty) FROM ps p2
+       |                             WHERE p2.l_partkey = p1.l_partkey))
+       |ORDER BY s.s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_mincost" -> q2Mincost,
+    "q9_profit" -> q9Profit,
+    "q20_excess" -> q20Excess,
     "q7_volume" -> q7Volume,
     "q13_custdist" -> q13Custdist,
     "q15_topsupp" -> q15Topsupp,
@@ -762,6 +960,9 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q2_mincost" -> q2MincostSql,
+    "q9_profit" -> q9ProfitSql,
+    "q20_excess" -> q20ExcessSql,
     "q7_volume" -> q7VolumeSql,
     "q13_custdist" -> q13CustdistSql,
     "q15_topsupp" -> q15TopsuppSql,
