@@ -170,7 +170,18 @@ object SinkQueries {
   private def upsertOverwrite(s: SparkSession, dir: String): DataFrame = {
     val (tbl, tmp) = writeYearPartitioned(s, dir, s"u${ctr.incrementAndGet()}")
     applyUpsert(s, dir, tbl)
-    val agg = s.table(tbl)
+    val agg = yearAgg(s, tbl)
+    graft.GateResult.materialize(agg) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.GateResult.deleteRecursively(java.nio.file.Paths.get(tmp))
+    }
+  }
+
+  /** Final-state summary of the year-partitioned table (shared by the
+    * batch and streaming upsert gates — same oracle, same shape).
+    */
+  private[graft] def yearAgg(s: SparkSession, tbl: String): DataFrame =
+    s.table(tbl)
       .groupBy("o_year")
       .agg(
         count(lit(1)).as("n_orders"),
@@ -181,11 +192,6 @@ object SinkQueries {
         ).as("total_price")
       )
       .transform(Norm.ordered(_, col("o_year")))
-    graft.GateResult.materialize(agg) {
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      graft.GateResult.deleteRecursively(java.nio.file.Paths.get(tmp))
-    }
-  }
 
   private[graft] def writeYearPartitioned(
       s: SparkSession,
@@ -207,7 +213,7 @@ object SinkQueries {
   /** The restatement batch: every UpsertKeyMod-th recent order with its
     * priority replaced. Deterministic, so the oracle can restate it too.
     */
-  private def updatesBatch(s: SparkSession, dir: String): DataFrame =
+  private[graft] def updatesBatch(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .select(
         col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
@@ -216,8 +222,18 @@ object SinkQueries {
       .filter(col("o_year") >= UpsertYearFrom && col("o_orderkey") % UpsertKeyMod === 0)
       .withColumn("o_orderpriority", lit(UpsertPriority))
 
-  private[graft] def applyUpsert(s: SparkSession, dir: String, tbl: String): Unit = {
-    val updates = updatesBatch(s, dir)
+  private[graft] def applyUpsert(s: SparkSession, dir: String, tbl: String): Unit =
+    mergeBatch(s, tbl, updatesBatch(s, dir))
+
+  /** Keyed merge of one update batch into the year-partitioned table —
+    * the unit both the batch upsert gate and the streaming foreachBatch
+    * gate (`stream_upsert`) apply. IDEMPOTENT by construction: the same
+    * batch re-applied anti-joins away exactly the rows it previously
+    * wrote and rewrites them with identical values, so redelivered
+    * micro-batches (the at-least-once failure mode) leave the table
+    * byte-stable — checkpoint + idempotent merge = effectively-once.
+    */
+  private[graft] def mergeBatch(s: SparkSession, tbl: String, updates: DataFrame): Unit = {
     val touched = updates.select("o_year").distinct()
     val kept = s.table(tbl)
       .join(broadcast(touched), Seq("o_year"), "left_semi")
@@ -233,7 +249,7 @@ object SinkQueries {
     finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
-  private val upsertOverwriteSql: String =
+  private[graft] val upsertOverwriteSql: String =
     s"""WITH o AS (
        |  SELECT o_orderkey, o_totalprice, o_orderpriority,
        |         CAST(year(o_orderdate) AS INTEGER) AS o_year

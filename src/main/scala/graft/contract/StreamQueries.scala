@@ -26,6 +26,7 @@ import graft.streaming.{StreamHarness, Streams}
   */
 object StreamQueries {
   private val HourUs: Long = 3600L * 1000 * 1000
+  private val runCtr = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Stream the events table: parquet NANOS surfaces as BIGINT nanos
     * (same `nanosAsLong` flag as the batch loader); truncate to micros so
@@ -496,7 +497,90 @@ object StreamQueries {
        |FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
        |ORDER BY user_id, purchase_us, click_us NULLS FIRST""".stripMargin
 
+  // -------------------------------------------------------------------
+  // stream_upsert — streaming ingestion INTO the year-partitioned table
+  // (VERDICT r7 item 5): the restatement updates arrive as a FILE STREAM
+  // of micro-batches (maxFilesPerTrigger=1 -> one batch per staged file)
+  // and foreachBatch applies SinkQueries.mergeBatch — the same keyed
+  // anti-join + dynamic-partition-overwrite unit as the batch gate, so
+  // work per batch scales with the touched partitions, never the table.
+  // After the stream drains, batch 0 is re-applied OUTSIDE the engine,
+  // simulating at-least-once redelivery after a checkpoint loss: the
+  // merge is idempotent, so the oracle (shared verbatim with
+  // sink_upsert_overwrite) hash-matches ONLY if the replay was a no-op.
+  // StreamUpsertSpec additionally pins byte-identical untouched
+  // partitions and key uniqueness under a full stream replay.
+  // -------------------------------------------------------------------
+  private[contract] def stageUpdateBatches(
+      s: SparkSession,
+      dir: String,
+      root: java.nio.file.Path
+  ): java.nio.file.Path = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val in = Files.createDirectory(root.resolve("in"))
+    val updates = SinkQueries.updatesBatch(s, dir)
+    // two deterministic micro-batches, staged as one parquet file each
+    Seq(0, 1).foreach { b =>
+      val staging = root.resolve(s"stage$b")
+      updates
+        .filter(col("o_orderkey") % 2 === b)
+        .coalesce(1)
+        .write
+        .parquet(staging.toString)
+      val part = Files
+        .list(staging)
+        .iterator()
+        .asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no parquet part in $staging"))
+      Files.move(part, in.resolve(s"batch$b.parquet"): Path)
+    }
+    in
+  }
+
+  private[contract] def runUpsertStream(
+      s: SparkSession,
+      tbl: String,
+      in: java.nio.file.Path,
+      ckpt: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType
+  ): Unit = {
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        SinkQueries.mergeBatch(s, tbl, batch)
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def streamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val run = s"su${runCtr.incrementAndGet()}"
+    val (tbl, tmp) = SinkQueries.writeYearPartitioned(s, dir, run)
+    val root = Files.createTempDirectory(s"graft-stream-upsert-$run")
+    val in = stageUpdateBatches(s, dir, root)
+    val schema = SinkQueries.updatesBatch(s, dir).schema
+    runUpsertStream(s, tbl, in, Files.createDirectory(root.resolve("ckpt")), schema)
+    // at-least-once redelivery: re-apply batch 0 outside the engine; the
+    // keyed merge must leave the table unchanged for the oracle to match
+    SinkQueries.mergeBatch(s, tbl, s.read.parquet(in.resolve("batch0.parquet").toString))
+    val agg = SinkQueries.yearAgg(s, tbl)
+    graft.GateResult.materialize(agg) {
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.GateResult.deleteRecursively(java.nio.file.Paths.get(tmp))
+      graft.GateResult.deleteRecursively(root)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_upsert" -> streamUpsert,
     "stream_stream_left_join" -> streamStreamLeftJoin,
     "stream_stream_join" -> streamStreamJoin,
     "stream_window_stats" -> windowStats,
@@ -509,6 +593,7 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_upsert" -> SinkQueries.upsertOverwriteSql,
     "stream_stream_left_join" -> streamStreamLeftJoinSql,
     "stream_stream_join" -> streamStreamJoinSql,
     "stream_window_stats" -> windowStatsSql,
