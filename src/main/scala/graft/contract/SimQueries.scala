@@ -1,6 +1,6 @@
 package graft.contract
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ccm.DetHash
@@ -383,7 +383,14 @@ object SimQueries {
   private def r6(x: Double): Double =
     new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  private def vecPcaPower(s: SparkSession, dir: String): DataFrame = {
+  /** Collect the 6-dp-rounded covariance matrix and per-dim means — the
+    * constant-size driver objects (2080 + 64 values, independent of n)
+    * the PCA family iterates on. Shared by vec_pca_power / vec_pca_topk.
+    */
+  private def covMu(
+      s: SparkSession,
+      dir: String
+  ): (DataFrame, Array[Array[Double]], Array[Double]) = {
     val d = CovDim
     val e = Tables
       .embeddings(s, dir)
@@ -412,7 +419,14 @@ object SimQueries {
       .collect()
       .map(r => r.getInt(0) -> r.getDouble(1))
       .toMap
-    val muArr = Array.tabulate(d)(mu)
+    (e, m, Array.tabulate(d)(mu))
+  }
+
+  /** Power iteration on `m` (PcaIters rounds, r6-rounded unit vector per
+    * round — the cross-engine determinism anchor), ascending-index sums.
+    */
+  private def powerIterate(m: Array[Array[Double]]): Array[Double] = {
+    val d = m.length
     var vv = Array.fill(d)(0.125) // 1/sqrt(64), binary-exact
     for (_ <- 1 to PcaIters) {
       val w = Array.tabulate(d) { i =>
@@ -425,18 +439,104 @@ object SimQueries {
       val nrm = math.sqrt(n2)
       vv = w.map(x => r6(x / nrm))
     }
+    vv
+  }
+
+  /** Top-k components by HOTELLING DEFLATION: extract the dominant
+    * eigenvector, subtract its rank-1 projection λ·vvᵀ (λ = Rayleigh
+    * quotient, r6-rounded like every cross-engine scalar), iterate on
+    * the deflated matrix. The driver matrix stays the same constant-size
+    * object throughout — deflation never touches distributed data.
+    */
+  private[contract] def pcaDeflate(
+      m0: Array[Array[Double]],
+      topC: Int
+  ): Seq[(Array[Double], Double)] = {
+    val d = m0.length
+    var m = m0.map(_.clone())
+    (1 to topC).map { _ =>
+      val vv = powerIterate(m)
+      val w = Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += m(i)(j) * vv(j); j += 1 }
+        acc
+      }
+      var lacc = 0.0
+      var i = 0
+      while (i < d) { lacc += vv(i) * w(i); i += 1 }
+      val lam = r6(lacc)
+      m = Array.tabulate(d, d)((i, j) => r6(m(i)(j) - lam * vv(i) * vv(j)))
+      (vv, lam)
+    }
+  }
+
+  /** Distributed centered projection of `v` onto the `pv` column (with
+    * `muv` means), scale-0 integer rounding — binds the columns the PCA
+    * queries attach as literals.
+    */
+  private val projExpr: Column =
+    round(
+      expr("aggregate(zip_with(zip_with(v, muv, (x, m) -> x - m), pv, (xc, c) -> xc * c), " +
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)") * 1000000.0
+    ).cast("long") / 1000000.0 + lit(0.0)
+
+  private def vecPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val (e, m, muArr) = covMu(s, dir)
+    val vv = powerIterate(m)
     val vLit = array(vv.map(lit).toIndexedSeq: _*)
     val muLit = array(muArr.map(lit).toIndexedSeq: _*)
     e.withColumn("muv", muLit)
       .withColumn("pv", vLit)
-      .select(
-        col("vec_id"),
-        (round(
-          expr("aggregate(zip_with(zip_with(v, muv, (x, m) -> x - m), pv, (xc, c) -> xc * c), " +
-            "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)") * 1000000.0
-        ).cast("long") / 1000000.0 + lit(0.0)).as("proj")
-      )
+      .select(col("vec_id"), projExpr.as("proj"))
       .transform(Norm.ordered(_, col("vec_id")))
+  }
+
+  // -------------------------------------------------------------------
+  // vec_pca_topk — the top-PcaTopC principal components by deflation
+  // (VERDICT r7 item 7): each extraction is one power iteration on the
+  // running driver-side matrix, then the rank-1 projection λ·vvᵀ is
+  // subtracted (r6-rounded, so the oracle replays the exact doubles)
+  // and the next extraction iterates on the residual. The output
+  // `component` is the rank BY MEASURED VARIANCE, not extraction order:
+  // the synthetic embeddings' spectrum is near-flat (adjacent eigenvalue
+  // ratios 1.01-1.07 at every SF), so no feasible iteration count makes
+  // extraction order monotone — ranking by the r6-rounded Rayleigh λ is
+  // deterministic and engine-identical (ties break to extraction
+  // order). PcaSpec pins strictly-descending variances, unit norms and
+  // cross-component near-orthogonality (measured max |dot| 0.10 across
+  // SFs). Distributed work is one centered projection pass per
+  // component; the deflation is O(d²) driver-side, constant in n.
+  // -------------------------------------------------------------------
+  private val PcaTopC = 3
+
+  /** Variance-ranked deflation components: ((vv, lam), rank) with rank
+    * 1-based by descending lam, extraction order breaking ties.
+    */
+  private[contract] def pcaRanked(
+      m: Array[Array[Double]]
+  ): Seq[((Array[Double], Double), Int)] =
+    pcaDeflate(m, PcaTopC).zipWithIndex
+      .sortBy { case ((_, lam), ci) => (-lam, ci) }
+      .zipWithIndex
+      .map { case ((comp, _), rank) => (comp, rank + 1) }
+
+  private def vecPcaTopk(s: SparkSession, dir: String): DataFrame = {
+    val (e, m, muArr) = covMu(s, dir)
+    val muLit = array(muArr.map(lit).toIndexedSeq: _*)
+    pcaRanked(m)
+      .map { case ((vv, lam), rank) =>
+        val vLit = array(vv.map(lit).toIndexedSeq: _*)
+        e.withColumn("muv", muLit)
+          .withColumn("pv", vLit)
+          .select(
+            lit(rank).as("component"),
+            lit(lam).as("variance"),
+            col("vec_id"),
+            projExpr.as("proj")
+          )
+      }
+      .reduce(_ unionByName _)
+      .transform(Norm.ordered(_, col("component"), col("vec_id")))
   }
 
   /** Ascending-index left fold `Σ f(i)` over 1..n, starting at 0.0 — the
@@ -484,6 +584,93 @@ object SimQueries {
        |SELECT e.vec_id,
        |  CAST(round(${foldDuck(d, "k -> (e.v[CAST(k AS INTEGER)] - mus.mu[CAST(k AS INTEGER)]) * vf.v[CAST(k AS INTEGER)]")} * 1000000.0) AS BIGINT) / 1000000.0 + 0.0 AS proj
        |FROM e, mus, vf ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** Oracle for vec_pca_topk: the vec_pca_power prefix (covariance matrix
+    * + means as list-of-list CTEs), then per component c a power-iteration
+    * chain over the running matrix, the Rayleigh-quotient variance, and
+    * the r6-rounded rank-1 deflation producing the next matrix.
+    *
+    * Every chain CTE is AS MATERIALIZED: DuckDB inlines CTEs by default,
+    * and the deflation chains reference their predecessors several times
+    * each (matN in all 8 of component N+1's iterations, lamN, the final
+    * select), so inlining duplicates the whole upstream chain per
+    * reference — exponential plan growth that never finishes at depth 3.
+    * Materialization makes each single-row matrix/vector CTE compute
+    * exactly once, like the driver loop it mirrors.
+    */
+  private val vecPcaTopkSql: String = {
+    val d = CovDim
+    def matOf(c: Int): String = if (c == 1) "mat" else s"mat${c - 1}"
+    val chains = (1 to PcaTopC).map { c =>
+      val mn = matOf(c)
+      val start =
+        s"""vc${c}_0 AS MATERIALIZED (SELECT list_transform(generate_series(1, $d), i -> CAST(0.125 AS DOUBLE)) AS v),
+           |""".stripMargin
+      val iters = (1 to PcaIters).map { i =>
+        s"""wc${c}_$i AS MATERIALIZED (
+           |  SELECT list_transform(generate_series(1, $d), i ->
+           |    ${foldDuck(d, "j -> mat.m[CAST(i AS INTEGER)][CAST(j AS INTEGER)] * pv.v[CAST(j AS INTEGER)]")}) AS w
+           |  FROM $mn mat, vc${c}_${i - 1} pv
+           |), vc${c}_$i AS MATERIALIZED (
+           |  SELECT list_transform(w, x -> round(x / sqrt(${foldDuck(d, "k -> w[CAST(k AS INTEGER)] * w[CAST(k AS INTEGER)]")}), 6)) AS v
+           |  FROM wc${c}_$i
+           |), """.stripMargin
+      }.mkString
+      val innerW = foldDuck(d, "j -> mat.m[CAST(i AS INTEGER)][CAST(j AS INTEGER)] * vf.v[CAST(j AS INTEGER)]")
+      val lamAndDeflate =
+        s"""lam$c AS MATERIALIZED (
+           |  SELECT round(${foldDuck(d, s"i -> vf.v[CAST(i AS INTEGER)] * ($innerW)")}, 6) + 0.0 AS lam
+           |  FROM $mn mat, vc${c}_$PcaIters vf
+           |), mat$c AS MATERIALIZED (
+           |  SELECT list_transform(generate_series(1, $d), i -> list_transform(generate_series(1, $d), j ->
+           |    round(mat.m[CAST(i AS INTEGER)][CAST(j AS INTEGER)] - lam.lam * vf.v[CAST(i AS INTEGER)] * vf.v[CAST(j AS INTEGER)], 6))) AS m
+           |  FROM $mn mat, lam$c lam, vc${c}_$PcaIters vf
+           |), """.stripMargin
+      start + iters + lamAndDeflate
+    }.mkString
+    // component = rank by descending variance (extraction order breaks
+    // ties) — mirrors pcaRanked exactly
+    val rankUnion = (1 to PcaTopC)
+      .map(c => s"SELECT $c AS ec, lam FROM lam$c")
+      .mkString(" UNION ALL ")
+    val ranked =
+      s"""ranked AS MATERIALIZED (
+         |  SELECT ec, lam, CAST(row_number() OVER (ORDER BY lam DESC, ec) AS INTEGER) AS component
+         |  FROM ($rankUnion)
+         |), """.stripMargin
+    val branches = (1 to PcaTopC)
+      .map { c =>
+        s"""SELECT r.component, r.lam AS variance, e.vec_id,
+           |  CAST(round(${foldDuck(d, "k -> (e.v[CAST(k AS INTEGER)] - mus.mu[CAST(k AS INTEGER)]) * vf.v[CAST(k AS INTEGER)]")} * 1000000.0) AS BIGINT) / 1000000.0 + 0.0 AS proj
+           |FROM e, mus, vc${c}_$PcaIters vf, ranked r
+           |WHERE r.ec = $c""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (SELECT CAST(unnest(generate_series(0, ${d - 1})) AS INTEGER) AS i),
+       |p AS (SELECT a.i AS i, b.i AS j FROM d a, d b WHERE b.i >= a.i),
+       |s AS MATERIALIZED (
+       |  SELECT p.i, p.j, CAST(count(*) AS BIGINT) AS n,
+       |         sum(v[p.i + 1]) AS sx, sum(v[p.j + 1]) AS sy,
+       |         sum(v[p.i + 1] * v[p.j + 1]) AS sxy
+       |  FROM e CROSS JOIN p GROUP BY 1, 2
+       |), cv AS (
+       |  SELECT i, j, round((sxy - sx * sy / n) / (n - 1), 6) + 0.0 AS cov FROM s
+       |), fullm AS (
+       |  SELECT i, j, cov FROM cv
+       |  UNION ALL SELECT j AS i, i AS j, cov FROM cv WHERE i <> j
+       |), mrow AS (
+       |  SELECT i, list(cov ORDER BY j) AS r FROM fullm GROUP BY i
+       |), mat AS MATERIALIZED (SELECT list(r ORDER BY i) AS m FROM mrow),
+       |muk AS (
+       |  SELECT d.i AS k, round(avg(e.v[d.i + 1]), 6) + 0.0 AS mu
+       |  FROM e CROSS JOIN d GROUP BY d.i
+       |), mus AS MATERIALIZED (SELECT list(mu ORDER BY k) AS mu FROM muk),
+       |$chains$ranked
+       |fin AS (SELECT 1 AS one)
+       |$branches
+       |ORDER BY component, vec_id""".stripMargin
   }
 
   // -------------------------------------------------------------------
@@ -803,7 +990,8 @@ object SimQueries {
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "vec_centroid" -> vecCentroid,
     "vec_covariance" -> vecCovariance,
-    "vec_pca_power" -> vecPcaPower
+    "vec_pca_power" -> vecPcaPower,
+    "vec_pca_topk" -> vecPcaTopk
   )
 
   val oracle: Map[String, String] = Map(
@@ -816,6 +1004,7 @@ object SimQueries {
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "vec_centroid" -> vecCentroidSql,
     "vec_covariance" -> vecCovarianceSql,
-    "vec_pca_power" -> vecPcaPowerSql
+    "vec_pca_power" -> vecPcaPowerSql,
+    "vec_pca_topk" -> vecPcaTopkSql
   )
 }
