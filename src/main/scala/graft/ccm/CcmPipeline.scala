@@ -263,6 +263,40 @@ object CcmPipeline {
         .drop("__q_arr", "__l_arr")
     }
 
+    def buildBucketed(stats: DataFrame): DataFrame = {
+      // series-count-proportional: AQE may broadcast
+      val withStats = rdf.join(stats, keys)
+      def bucketCol(v: Column, mn: Column, mx: Column): Column = {
+        val width = (mx - mn) / lit(knnBuckets.toDouble)
+        when(width > 0.0, floor((v - mn) / width)).otherwise(0.0).cast("long")
+      }
+      val en = withStats
+        .filter($"__on")
+        .withColumn("bucket", bucketCol($"e0", $"__mn0", $"__mx0"))
+        .withColumn(
+          "bucket2",
+          if (e > 1) bucketCol(col(lastDim), $"__mnL", $"__mxL") else lit(0L)
+        )
+        .drop("__mn0", "__mx0", "__mnL", "__mxL", "__n", "__on")
+      val enQ = {
+        val p1 = en.withColumn("probe", explode(array($"bucket" - 1, $"bucket", $"bucket" + 1)))
+        if (e > 1)
+          p1.withColumn("probe2", explode(array($"bucket2" - 1, $"bucket2", $"bucket2" + 1)))
+        else p1.withColumn("probe2", lit(0L))
+      }
+      val bucketJoin = joinCondBase &&
+        $"l.bucket" === $"q.probe" && $"l.bucket2" === $"q.probe2"
+      val enPairs = pairSelect(
+        enQ.as("q").filter($"q.rank" > lit(minLib.toLong)).join(en.as("l"), bucketJoin)
+      )
+      val disPairs = exactPairs(
+        withStats
+          .filter(!$"__on")
+          .drop("__mn0", "__mx0", "__mnL", "__mxL", "__n", "__on")
+      )
+      enPairs.unionByName(disPairs)
+    }
+
     val pairsOnce =
       if (!useBuckets && reuseDistances) reusePairs(rankedDf)
       else if (!useBuckets) exactPairs(rdf)
@@ -278,38 +312,19 @@ object CcmPipeline {
             count(lit(1)).as("__n")
           )
           .withColumn("__on", $"__n" >= lit(knnAutoFactor.toLong * knnBuckets))
-        // series-count-proportional: AQE may broadcast
-        val withStats = rdf.join(stats, keys)
-        def bucketCol(v: Column, mn: Column, mx: Column): Column = {
-          val width = (mx - mn) / lit(knnBuckets.toDouble)
-          when(width > 0.0, floor((v - mn) / width)).otherwise(0.0).cast("long")
-        }
-        val en = withStats
-          .filter($"__on")
-          .withColumn("bucket", bucketCol($"e0", $"__mn0", $"__mx0"))
-          .withColumn(
-            "bucket2",
-            if (e > 1) bucketCol(col(lastDim), $"__mnL", $"__mxL") else lit(0L)
-          )
-          .drop("__mn0", "__mx0", "__mnL", "__mxL", "__n", "__on")
-        val enQ = {
-          val p1 = en.withColumn("probe", explode(array($"bucket" - 1, $"bucket", $"bucket" + 1)))
-          if (e > 1)
-            p1.withColumn("probe2", explode(array($"bucket2" - 1, $"bucket2", $"bucket2" + 1)))
-          else p1.withColumn("probe2", lit(0L))
-        }
-        val bucketJoin = joinCondBase &&
-          $"l.bucket" === $"q.probe" && $"l.bucket2" === $"q.probe2"
-        val enPairs = pairSelect(
-          enQ.as("q").filter($"q.rank" > lit(minLib.toLong)).join(en.as("l"), bucketJoin)
-        )
-        val disPairs = exactPairs(
-          withStats
-            .filter(!$"__on")
-            .drop("__mn0", "__mx0", "__mnL", "__mxL", "__n", "__on")
-        )
-        enPairs.unionByName(disPairs)
+        // ALL-short pruning: when no series clears the auto-gate, the
+        // two-branch union would be the exact join plus an EMPTY bucket
+        // branch — still ~1.6x the exact twin in pure plan overhead
+        // (bucket-stats join, probe generators, union). One tiny
+        // series-count-proportional aggregate over the (checkpointed)
+        // ranked relation decides the plan instead; values are identical
+        // either way (gated series' buckets are all-zero, every pair
+        // matches), so the shared oracle is untouched — this is a plan
+        // decision, not a semantics change. Deterministic in the data.
+        if (knnAutoFactor > 0 && stats.filter($"__on").isEmpty) exactPairs(rdf)
+        else buildBucketed(stats)
       }
+
     val pairs = pairsOnce
       .crossJoin(libs)
       .filter($"l_rank" <= $"lib_size" && $"q_rank" > $"lib_size")

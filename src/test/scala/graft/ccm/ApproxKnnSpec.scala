@@ -56,6 +56,22 @@ class ApproxKnnSpec extends SparkTestBase {
     assert(worst <= 0.20, s"max |Δrho| $worst > 0.20")
   }
 
+  test("all-short auto-gate prunes the bucket branch from the plan entirely") {
+    // 148 embedding rows < 64 * 8: no series clears the gate, so
+    // predictions() must pick the PLAIN exact join — no probe generators,
+    // no bucket keys, no union — instead of unioning an empty bucket
+    // branch (measured ~1.6x the exact twin in pure plan overhead).
+    val emb = CcmPipeline.embedded(
+      inputDf, Seq("skey"), Seq(col("ord")), col("x"), col("y"), e = 3, tau = 1)
+    val rk = CcmPipeline.ranked(emb, Seq("skey"), Samples, seed = 42L, col("skey"))
+      .localCheckpoint()
+    val gated = CcmPipeline
+      .predictions(rk, Seq("skey"), Libs, e = 3, knnBuckets = 8, knnAutoFactor = 64)
+    val plan = gated.queryExecution.logical.toString
+    assert(!plan.contains("probe"), "bucket probe generators must be pruned on all-short input")
+    assert(!plan.contains("Union"), "the two-branch union must collapse to the exact join")
+  }
+
   test("short-series auto-gate: default knnAutoFactor yields exact-path values") {
     // 148 embedding rows < 64 * 8, so the gate must route every series
     // through the exact path. The gated PLAN is still the two-branch
