@@ -334,6 +334,56 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // dedup_containment — asymmetric set CONTAINMENT |A∩B| / min(|A|,|B|)
+  // over the same word-3-gram shingles and blocking keys as
+  // dedup_ngram_jaccard. Jaccard misses the quote/boilerplate case a
+  // training pipeline cares about — a small document wholly embedded in
+  // a much larger one scores near-zero Jaccard but containment ~1. Same
+  // textbook plan: explode distinct shingles, equi-join on (block,
+  // hash) so only docs sharing a shingle pair up, hash-aggregate the
+  // overlap; no size-ratio prune (a tiny doc inside a huge one is
+  // exactly the target — block size, not corpus size, bounds the pairs).
+  // -------------------------------------------------------------------
+  private val MinContainment = 0.6
+
+  private def containment(s: SparkSession, dir: String): DataFrame = {
+    val withSets = shingled(s, dir)
+      .select(col("doc_id"), col("source"), expr("array_distinct(shh)").as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .localCheckpoint()
+    val tokens = withSets.select(col("doc_id"), col("source"), col("sz"), explode(col("sh")).as("h"))
+    tokens
+      .as("a")
+      .join(
+        tokens.as("b"),
+        col("a.source") === col("b.source") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"), first(col("a.sz")).as("size_a"), first(col("b.sz")).as("size_b"))
+      .withColumn(
+        "containment",
+        Norm.rnd(col("n_common") / least(col("size_a"), col("size_b")).cast("double"), 6)
+      )
+      .filter(col("containment") >= MinContainment)
+      .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "containment")
+      .transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
+  }
+
+  private val containmentSql: String =
+    s"""WITH $whDuckCte,
+       |ds AS (SELECT doc_id, source, list_distinct($shingleFromWhDuck) AS sh FROM dw)
+       |SELECT * FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+       |    CAST(len(a.sh) AS BIGINT) AS size_a, CAST(len(b.sh) AS BIGINT) AS size_b,
+       |    round(len(list_intersect(a.sh, b.sh)) / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE), 6) + 0.0 AS containment
+       |  FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id
+       |    AND len(list_intersect(a.sh, b.sh)) > 0
+       |) WHERE containment >= $MinContainment
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------
   // dedup_embed_cos — embedding-cosine near-dup within a label block.
   // Dot/norm are left-fold double arithmetic in identical order in both
   // engines, so the cosine is bit-identical before rounding.
@@ -576,7 +626,103 @@ object DedupQueries {
        |SELECT doc_a, doc_b, max(run_len) AS max_run, CAST(count(*) AS BIGINT) AS n_runs
        |FROM runs WHERE run_len >= $SubMinRun GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dedup_substring_incremental — the production shape of exact-substring
+  // dedup: the corpus shingle index (window-hash -> (doc, pos), the
+  // bucket-guard applied on the CORPUS side where the boilerplate lives)
+  // is built once and persisted; each incoming batch (doc_id % 10 == 0)
+  // shingles ITS documents only and probes the index with a bucket
+  // equi-join. Cost per batch ∝ batch size + matched buckets — the
+  // corpus is never rescanned and never self-joined (same law as
+  // dedup_incremental). Output: per batch doc, how many corpus docs
+  // share a >= SubIncMinRun-char verbatim run, and the strongest match
+  // (longest run, ties to the smallest corpus doc id).
+  // -------------------------------------------------------------------
+  private val SubIncMinRun = 40
+
+  private def dedupSubstringIncremental(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sh = docs(s, dir)
+      .select(col("doc_id"), posexplode(expr(s"graft_winhashes(text, $SubK, 1)")).as(Seq("pos", "h")))
+      .localCheckpoint() // the persisted-index stand-in (corpus + batch split below)
+    val corpus = sh.filter(col("doc_id") % 10 =!= 0)
+    val batch = sh.filter(col("doc_id") % 10 === 0)
+    val ok = corpus.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") <= SubMaxBucket).select("h")
+    val pr = batch
+      .as("a")
+      .join(corpus.join(ok, "h").as("b"), col("a.h") === col("b.h"))
+      .select(
+        col("a.doc_id").as("batch_doc"),
+        col("b.doc_id").as("corpus_doc"),
+        col("a.pos").as("pa"),
+        col("b.pos").as("pb")
+      )
+    val wr = Window.partitionBy(col("batch_doc"), col("corpus_doc"), col("pa") - col("pb")).orderBy("pa")
+    val runs = pr
+      .withColumn("grp", col("pa") - row_number().over(wr))
+      .groupBy(col("batch_doc"), col("corpus_doc"), (col("pa") - col("pb")).as("diag"), col("grp"))
+      .agg((count(lit(1)) + SubK - 1).as("run_len"))
+      .filter(col("run_len") >= SubIncMinRun)
+    val perPair = runs
+      .groupBy("batch_doc", "corpus_doc")
+      .agg(max("run_len").as("pair_run"))
+    val w = Window.partitionBy("batch_doc").orderBy(col("pair_run").desc, col("corpus_doc").asc)
+    val best = perPair
+      .withColumn("n_matches", count(lit(1)).over(Window.partitionBy("batch_doc")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    docs(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("batch_doc"))
+      .join(best, Seq("batch_doc"), "left")
+      .select(
+        col("batch_doc"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("corpus_doc").as("best_match"),
+        col("pair_run").as("best_run")
+      )
+      .transform(Norm.ordered(_, col("batch_doc")))
+  }
+
+  private val dedupSubstringIncrementalSql: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, unnest(generate_series(1, length(text) - ${SubK - 1})) AS p
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+       |         ${DetHash.polyHashSql(s"substr(text, CAST(p AS INTEGER), $SubK)")} AS h
+       |  FROM pos
+       |), corpus AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+       |batch AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+       |ok AS (SELECT h FROM corpus GROUP BY h HAVING count(*) <= $SubMaxBucket),
+       |pr AS (
+       |  SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc, a.p AS pa, b.p AS pb
+       |  FROM batch a JOIN corpus b ON a.h = b.h JOIN ok ON b.h = ok.h
+       |), d AS (
+       |  SELECT *, pa - pb AS diag,
+       |         pa - row_number() OVER (PARTITION BY batch_doc, corpus_doc, pa - pb ORDER BY pa) AS grp
+       |  FROM pr
+       |), runs AS (
+       |  SELECT batch_doc, corpus_doc, diag, grp, CAST(count(*) + ${SubK - 1} AS BIGINT) AS run_len
+       |  FROM d GROUP BY 1, 2, 3, 4
+       |), pair AS (
+       |  SELECT batch_doc, corpus_doc, max(run_len) AS pair_run
+       |  FROM runs WHERE run_len >= $SubIncMinRun GROUP BY 1, 2
+       |), best AS (
+       |  SELECT batch_doc, corpus_doc, pair_run,
+       |         row_number() OVER (PARTITION BY batch_doc ORDER BY pair_run DESC, corpus_doc) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY batch_doc) AS BIGINT) AS n_matches
+       |  FROM pair
+       |)
+       |SELECT d.doc_id AS batch_doc,
+       |  coalesce(b.n_matches, 0) AS n_matches,
+       |  b.corpus_doc AS best_match, b.pair_run AS best_run
+       |FROM documents d LEFT JOIN best b ON b.batch_doc = d.doc_id AND b.rn = 1
+       |WHERE d.doc_id % 10 = 0
+       |ORDER BY batch_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring_incremental" -> dedupSubstringIncremental,
     "dedup_substring" -> dedupSubstring,
     "dedup_incremental" -> dedupIncremental,
     "dedup_cluster" -> dedupCluster,
@@ -587,10 +733,12 @@ object DedupQueries {
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_containment" -> containment,
     "dedup_embed_cos" -> embedCos
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_substring_incremental" -> dedupSubstringIncrementalSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_cluster" -> dedupClusterSql,
@@ -601,6 +749,7 @@ object DedupQueries {
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_containment" -> containmentSql,
     "dedup_embed_cos" -> embedCosSql
   )
 }
