@@ -470,15 +470,18 @@ object SimQueries {
     }
   }
 
-  /** Distributed centered projection of `v` onto the `pv` column (with
-    * `muv` means), scale-0 integer rounding — binds the columns the PCA
-    * queries attach as literals.
+  /** Raw centered dot of `v` onto the `pv` column (with `muv` means) —
+    * binds the columns the PCA queries attach as literals.
     */
-  private val projExpr: Column =
-    round(
-      expr("aggregate(zip_with(zip_with(v, muv, (x, m) -> x - m), pv, (xc, c) -> xc * c), " +
-        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)") * 1000000.0
-    ).cast("long") / 1000000.0 + lit(0.0)
+  private val rawDotExpr: Column =
+    expr("aggregate(zip_with(zip_with(v, muv, (x, m) -> x - m), pv, (xc, c) -> xc * c), " +
+      "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)")
+
+  /** Scale-0 integer rounding to 6 dp (the cross-engine projection form). */
+  private def rnd6i(c: Column): Column =
+    round(c * 1000000.0).cast("long") / 1000000.0 + lit(0.0)
+
+  private val projExpr: Column = rnd6i(rawDotExpr)
 
   private def vecPcaPower(s: SparkSession, dir: String): DataFrame = {
     val (e, m, muArr) = covMu(s, dir)
@@ -586,6 +589,34 @@ object SimQueries {
        |FROM e, mus, vf ORDER BY e.vec_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // vec_whiten — PCA WHITENING onto the top-PcaTopC components: the
+  // standard embedding-preprocessing step (decorrelate + unit-variance
+  // the dominant directions before similarity search / clustering).
+  // wproj_c = (v - μ)·vv_c / sqrt(λ_c) over the SAME variance-ranked
+  // deflation components as vec_pca_topk — λ is the r6-rounded Rayleigh
+  // scalar, so sqrt and the division are single IEEE ops both engines
+  // replay identically. One distributed projection pass per component;
+  // whitened coordinates have ~unit variance (pinned in PcaSpec).
+  // -------------------------------------------------------------------
+  private def vecWhiten(s: SparkSession, dir: String): DataFrame = {
+    val (e, m, muArr) = covMu(s, dir)
+    val muLit = array(muArr.map(lit).toIndexedSeq: _*)
+    pcaRanked(m)
+      .map { case ((vv, lam), rank) =>
+        val vLit = array(vv.map(lit).toIndexedSeq: _*)
+        e.withColumn("muv", muLit)
+          .withColumn("pv", vLit)
+          .select(
+            lit(rank).as("component"),
+            col("vec_id"),
+            rnd6i(rawDotExpr / math.sqrt(lam)).as("wproj")
+          )
+      }
+      .reduce(_ unionByName _)
+      .transform(Norm.ordered(_, col("component"), col("vec_id")))
+  }
+
   /** Oracle for vec_pca_topk: the vec_pca_power prefix (covariance matrix
     * + means as list-of-list CTEs), then per component c a power-iteration
     * chain over the running matrix, the Rayleigh-quotient variance, and
@@ -599,7 +630,29 @@ object SimQueries {
     * Materialization makes each single-row matrix/vector CTE compute
     * exactly once, like the driver loop it mirrors.
     */
-  private val vecPcaTopkSql: String = {
+  private val vecPcaTopkSql: String = pcaDeflationSql { c =>
+    s"""SELECT r.component, r.lam AS variance, e.vec_id,
+       |  CAST(round(${foldDuck(CovDim, "k -> (e.v[CAST(k AS INTEGER)] - mus.mu[CAST(k AS INTEGER)]) * vf.v[CAST(k AS INTEGER)]")} * 1000000.0) AS BIGINT) / 1000000.0 + 0.0 AS proj
+       |FROM e, mus, vc${c}_$PcaIters vf, ranked r
+       |WHERE r.ec = $c""".stripMargin
+  }
+
+  /** Oracle for vec_whiten: same deflation chains, projection divided by
+    * sqrt of the ranked component's Rayleigh variance before rounding.
+    */
+  private val vecWhitenSql: String = pcaDeflationSql { c =>
+    s"""SELECT r.component, e.vec_id,
+       |  CAST(round(${foldDuck(CovDim, "k -> (e.v[CAST(k AS INTEGER)] - mus.mu[CAST(k AS INTEGER)]) * vf.v[CAST(k AS INTEGER)]")} / sqrt(r.lam) * 1000000.0) AS BIGINT) / 1000000.0 + 0.0 AS wproj
+       |FROM e, mus, vc${c}_$PcaIters vf, ranked r
+       |WHERE r.ec = $c""".stripMargin
+  }
+
+  /** Shared deflation-chain SQL scaffold: covariance prefix + per-
+    * component power-iteration/deflation chains + the variance ranking;
+    * `branchFor(c)` supplies each extraction's final SELECT (must emit a
+    * `component` column for the final ORDER BY).
+    */
+  private def pcaDeflationSql(branchFor: Int => String): String = {
     val d = CovDim
     def matOf(c: Int): String = if (c == 1) "mat" else s"mat${c - 1}"
     val chains = (1 to PcaTopC).map { c =>
@@ -639,14 +692,7 @@ object SimQueries {
          |  SELECT ec, lam, CAST(row_number() OVER (ORDER BY lam DESC, ec) AS INTEGER) AS component
          |  FROM ($rankUnion)
          |), """.stripMargin
-    val branches = (1 to PcaTopC)
-      .map { c =>
-        s"""SELECT r.component, r.lam AS variance, e.vec_id,
-           |  CAST(round(${foldDuck(d, "k -> (e.v[CAST(k AS INTEGER)] - mus.mu[CAST(k AS INTEGER)]) * vf.v[CAST(k AS INTEGER)]")} * 1000000.0) AS BIGINT) / 1000000.0 + 0.0 AS proj
-           |FROM e, mus, vc${c}_$PcaIters vf, ranked r
-           |WHERE r.ec = $c""".stripMargin
-      }
-      .mkString("\nUNION ALL\n")
+    val branches = (1 to PcaTopC).map(branchFor).mkString("\nUNION ALL\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |d AS (SELECT CAST(unnest(generate_series(0, ${d - 1})) AS INTEGER) AS i),
        |p AS (SELECT a.i AS i, b.i AS j FROM d a, d b WHERE b.i >= a.i),
@@ -991,7 +1037,8 @@ object SimQueries {
     "vec_centroid" -> vecCentroid,
     "vec_covariance" -> vecCovariance,
     "vec_pca_power" -> vecPcaPower,
-    "vec_pca_topk" -> vecPcaTopk
+    "vec_pca_topk" -> vecPcaTopk,
+    "vec_whiten" -> vecWhiten
   )
 
   val oracle: Map[String, String] = Map(
@@ -1005,6 +1052,7 @@ object SimQueries {
     "vec_centroid" -> vecCentroidSql,
     "vec_covariance" -> vecCovarianceSql,
     "vec_pca_power" -> vecPcaPowerSql,
-    "vec_pca_topk" -> vecPcaTopkSql
+    "vec_pca_topk" -> vecPcaTopkSql,
+    "vec_whiten" -> vecWhitenSql
   )
 }

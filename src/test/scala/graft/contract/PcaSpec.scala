@@ -67,6 +67,17 @@ class PcaSpec extends SparkTestBase {
         s"component $c: projection variance $pv far from reported $lam"
       )
     }
+    // whitened coordinates must have ~unit variance per component (the
+    // point of whitening; same deflation-vs-raw-data slack as above)
+    val wvar = SparkEntry
+      .queries("vec_whiten")(spark, SfDir)
+      .groupBy("component")
+      .agg(var_samp(col("wproj")).as("wv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    wvar.foreach { case (c, wv) =>
+      assert(math.abs(wv - 1.0) <= 0.05, s"component $c: whitened variance $wv not ~1")
+    }
     // near-orthogonality of the deflated directions: recompute the ranked
     // components driver-side from the same covariance arithmetic the
     // query used (measured max |dot| across SFs is ~0.10 at 8 iterations
