@@ -51,6 +51,55 @@ object SimQueries {
       .transform(Norm.ordered(_, col("query_id"), col("rank")))
   }
 
+  // -------------------------------------------------------------------
+  // ann_range — RADIUS search: all neighbors with cosine >= RangeMin,
+  // the other half of the similarity-search API (top-k answers "best
+  // k", range answers "everything this close" — retrieval filtering,
+  // near-dup candidate generation at a fixed similarity bar). Brute
+  // scan baseline over the query stride; at scale the same IVF probe
+  // pruning as ann_ivf_topk applies (a radius bound prunes lists by
+  // centroid distance + triangle inequality), which ann_ivf_topk
+  // already demonstrates — this entry pins the range SEMANTICS.
+  // -------------------------------------------------------------------
+  private val RangeMin = 0.2
+
+  private def annRange(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val dotQN = expr(dotSpark.format("q.v", "n.v"))
+    val pairs = q
+      .as("q")
+      .join(e.as("n"), col("q.vec_id") =!= col("n.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("n.vec_id").as("neighbor_id"),
+        (dotQN / (col("q.nrm") * col("n.nrm"))).as("cos_sim")
+      )
+      .filter(col("cos_sim") >= RangeMin)
+    pairs
+      .withColumn("n_in_range", count(lit(1)).over(Window.partitionBy("query_id")))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        Norm.rnd(col("cos_sim"), 6).as("cos_sim"),
+        col("n_in_range")
+      )
+      .transform(Norm.ordered(_, col("query_id"), col("neighbor_id")))
+  }
+
+  private val annRangeSql: String = {
+    val cos = s"${dotDuck("q.v", "n.v")} / (sqrt(${dotDuck("q.v", "q.v")}) * sqrt(${dotDuck("n.v", "n.v")}))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id % $QueryStride = 0),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cos_sim
+       |  FROM q JOIN e n ON q.vec_id <> n.vec_id
+       |), inr AS (SELECT * FROM pairs WHERE cos_sim >= $RangeMin)
+       |SELECT query_id, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim,
+       |       CAST(count(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_in_range
+       |FROM inr ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
   private val annTopkSql: String = {
     val cos = s"${dotDuck("q.v", "n.v")} / (sqrt(${dotDuck("q.v", "q.v")}) * sqrt(${dotDuck("n.v", "n.v")}))"
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1030,6 +1079,7 @@ object SimQueries {
     "vec_quantize" -> vecQuantize,
     "vec_normalize" -> vecNormalize,
     "ann_topk" -> annTopk,
+    "ann_range" -> annRange,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_pq_topk" -> annPqTopk,
@@ -1045,6 +1095,7 @@ object SimQueries {
     "vec_quantize" -> vecQuantizeSql,
     "vec_normalize" -> vecNormalizeSql,
     "ann_topk" -> annTopkSql,
+    "ann_range" -> annRangeSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_pq_topk" -> annPqTopkSql,
