@@ -934,7 +934,240 @@ object RelationalQueries {
        |                             WHERE p2.l_partkey = p1.l_partkey))
        |ORDER BY s.s_suppkey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q8_marketshare — TPC-H Q8 shape: one supplier nation's share of the
+  // revenue volume sold to customers of a region, per order year — the
+  // deepest dimension chain in the suite (lineitem ⋈ part ⋈ supplier ⋈
+  // nation ⋈ orders ⋈ customer ⋈ nation ⋈ region). The share is a
+  // conditional-sum / total-sum ratio inside ONE aggregate pass — no
+  // second scan for the denominator. Volumes are integer cents before
+  // summation, so numerator and denominator are exact and the final
+  // double division is the only rounding site (cross-engine stable).
+  // Plan at scale: p_type filter prunes part BEFORE broadcast, the
+  // region filter prunes the customer-nation map to a broadcast list,
+  // customer joins without a hard hint (data-proportional — AQE
+  // broadcasts at small SF, shuffles at scale), lineitem scanned once.
+  // -------------------------------------------------------------------
+  private val Q8Region = "AMERICA"
+  private val Q8Nation = "NATION_7"
+  private val Q8Type = "PROMO"
+  private val Q8Lo = "1996-01-01 00:00:00"
+  private val Q8Hi = "1998-01-01 00:00:00"
+
+  private def q8Marketshare(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_type") === Q8Type).select("p_partkey")
+    val custNat = Tables.nation(s, dir)
+      .join(
+        broadcast(Tables.region(s, dir).filter(col("r_name") === Q8Region)),
+        col("n_regionkey") === col("r_regionkey")
+      )
+      .select(col("n_nationkey").as("cn_key"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val supNat = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(supNat), col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val o = Tables.orders(s, dir)
+      .filter(
+        col("o_orderdate") >= expr(s"TIMESTAMP '$Q8Lo'") &&
+          col("o_orderdate") < expr(s"TIMESTAMP '$Q8Hi'")
+      )
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .withColumn(
+        "vol_cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0).cast("long")
+      )
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === Q8Nation, col("vol_cents")).otherwise(0L)).as("nat_cents"),
+        sum(col("vol_cents")).as("tot_cents")
+      )
+      .select(
+        col("o_year"),
+        Norm.rnd(col("nat_cents").cast("double") / col("tot_cents"), 6).as("mkt_share")
+      )
+      .transform(Norm.ordered(_, col("o_year")))
+  }
+
+  private val q8MarketshareSql: String =
+    s"""SELECT year(o.o_orderdate) AS o_year,
+       |  round(
+       |    CAST(sum(CASE WHEN n2.n_name = '$Q8Nation'
+       |         THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)
+       |         ELSE 0 END) AS BIGINT) * 1.0
+       |    / CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT),
+       |  6) + 0.0 AS mkt_share
+       |FROM lineitem l
+       |JOIN part p ON l.l_partkey = p.p_partkey
+       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+       |JOIN region r ON n1.n_regionkey = r.r_regionkey
+       |WHERE p.p_type = '$Q8Type' AND r.r_name = '$Q8Region'
+       |  AND o.o_orderdate >= TIMESTAMP '$Q8Lo' AND o.o_orderdate < TIMESTAMP '$Q8Hi'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q12_shipmode — TPC-H Q12 shape: late-shipment counts split by order
+  // priority, per line class. The schema has no l_shipmode /
+  // l_commitdate / l_receiptdate, so the shape keeps Q12's semantics
+  // with what exists: "late" = shipped more than 60 days after the
+  // order date, classes are l_returnflag, and the high/low split is
+  // the same CASE-on-o_orderpriority conditional count. Fact-fact
+  // equi-join (lineitem ⋈ orders) with the date-range filter pushed
+  // into the lineitem scan; the late predicate is a post-join filter
+  // (it needs both sides), evaluated inside the same codegen stage.
+  // -------------------------------------------------------------------
+  private val Q12Lo = "1997-01-01 00:00:00"
+  private val Q12Hi = "1998-01-01 00:00:00"
+  private val Q12LateDays = 60
+
+  private def q12Shipmode(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= expr(s"TIMESTAMP '$Q12Lo'") &&
+          col("l_shipdate") < expr(s"TIMESTAMP '$Q12Hi'")
+      )
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val high = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $Q12LateDays DAYS"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count")
+      )
+      .transform(Norm.ordered(_, col("l_returnflag")))
+  }
+
+  private val q12ShipmodeSql: String =
+    s"""SELECT l.l_returnflag,
+       |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE l.l_shipdate >= TIMESTAMP '$Q12Lo' AND l.l_shipdate < TIMESTAMP '$Q12Hi'
+       |  AND l.l_shipdate > o.o_orderdate + INTERVAL $Q12LateDays DAY
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q11_stock — TPC-H Q11 shape: parts holding an outsized share of one
+  // nation's supplied value, against a GLOBAL-aggregate threshold. No
+  // partsupp table, so per-part value is the summed extended price of
+  // that nation's lineitem rows (integer cents). The correlated form
+  // (HAVING sum > (SELECT total / k)) decorrelates to a broadcast
+  // cross-join of the ONE-ROW global total; the threshold compare is
+  // integer-only (k * part_cents > total_cents) so no engine can flip
+  // a part across the boundary. The per-part relation feeds both the
+  // total and the filter from one localCheckpoint — single fact scan.
+  // Oracle: the literal global-subquery form.
+  // -------------------------------------------------------------------
+  private val Q11Nation = "NATION_3"
+  private val Q11Frac = 1000L // keep parts with value > total / 1000
+
+  private def q11Stock(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .join(
+        broadcast(Tables.nation(s, dir).filter(col("n_name") === Q11Nation)),
+        col("s_nationkey") === col("n_nationkey")
+      )
+      .select("s_suppkey")
+    val vals = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * 100.0).cast("long")).as("value_cents"))
+      .localCheckpoint() // feeds the global total AND the threshold filter
+    val tot = vals.agg(sum(col("value_cents")).as("total_cents"))
+    vals
+      .crossJoin(broadcast(tot))
+      .filter(col("value_cents") * Q11Frac > col("total_cents"))
+      .select(
+        col("l_partkey").as("p_partkey"),
+        Norm.rnd(col("value_cents") / 100.0, 2).as("part_value")
+      )
+      .transform(Norm.ordered(_, col("part_value").desc, col("p_partkey")))
+  }
+
+  private val q11StockSql: String =
+    s"""WITH vals AS (
+       |  SELECT l.l_partkey,
+       |         CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS value_cents
+       |  FROM lineitem l
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  WHERE n.n_name = '$Q11Nation'
+       |  GROUP BY 1
+       |)
+       |SELECT l_partkey AS p_partkey, round(value_cents / 100.0, 2) + 0.0 AS part_value
+       |FROM vals
+       |WHERE value_cents * $Q11Frac > (SELECT CAST(sum(value_cents) AS BIGINT) FROM vals)
+       |ORDER BY part_value DESC, p_partkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q16_partsupp — TPC-H Q16 shape: distinct supplier counts per part
+  // group, excluding a supplier denylist via anti-join. The partsupp
+  // relation is proxied by the DISTINCT (l_partkey, l_suppkey) pairs
+  // actually shipped (same grain as partsupp); the "complaints"
+  // exclusion is the negative-balance suppliers (a NOT IN subquery in
+  // the oracle, a broadcast left-anti join here). Plan at scale: the
+  // brand/type/size filters push into the part scan, the pair distinct
+  // is a partial+final hash aggregate on the fact, the denylist
+  // broadcast is O(bad suppliers).
+  // -------------------------------------------------------------------
+  private val Q16Brand = "Brand#1"
+  private val Q16Type = "PROMO"
+  private val Q16Sizes = Seq(1, 4, 7, 10, 14, 23, 28, 36, 42, 50)
+
+  private def q16Partsupp(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(
+        col("p_brand") =!= Q16Brand && col("p_type") =!= Q16Type &&
+          col("p_size").isin(Q16Sizes: _*)
+      )
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val excl = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey").as("excl_key"))
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey")
+      .distinct()
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("excl_key"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .transform(
+        Norm.ordered(_, col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      )
+  }
+
+  private val q16PartsuppSql: String =
+    s"""SELECT p.p_brand, p.p_type, p.p_size,
+       |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+       |JOIN part p ON l.l_partkey = p.p_partkey
+       |WHERE p.p_brand <> '$Q16Brand' AND p.p_type <> '$Q16Type'
+       |  AND p.p_size IN (${Q16Sizes.mkString(", ")})
+       |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_marketshare" -> q8Marketshare,
+    "q11_stock" -> q11Stock,
+    "q12_shipmode" -> q12Shipmode,
+    "q16_partsupp" -> q16Partsupp,
     "q2_mincost" -> q2Mincost,
     "q9_profit" -> q9Profit,
     "q20_excess" -> q20Excess,
@@ -960,6 +1193,10 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q8_marketshare" -> q8MarketshareSql,
+    "q11_stock" -> q11StockSql,
+    "q12_shipmode" -> q12ShipmodeSql,
+    "q16_partsupp" -> q16PartsuppSql,
     "q2_mincost" -> q2MincostSql,
     "q9_profit" -> q9ProfitSql,
     "q20_excess" -> q20ExcessSql,

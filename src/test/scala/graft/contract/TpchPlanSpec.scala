@@ -142,6 +142,74 @@ class TpchPlanSpec extends SparkTestBase {
     assert(bhj >= 3, s"part/supplier/nation must broadcast, found $bhj broadcast joins")
   }
 
+  test("q8_marketshare: type+region predicates pushed, single lineitem scan, broadcast dims") {
+    val p = executedPlanOf("q8_marketshare")
+    val partScans = scansOf(p, "part")
+    assert(partScans.size == 1, "part must be scanned exactly once")
+    assert(
+      pushed(partScans.head).contains("EqualTo(p_type"),
+      s"p_type filter not pushed: ${pushed(partScans.head)}"
+    )
+    val regionScans = scansOf(p, "region")
+    assert(regionScans.size == 1, "region must be scanned exactly once")
+    assert(
+      pushed(regionScans.head).contains("EqualTo(r_name"),
+      s"r_name filter not pushed: ${pushed(regionScans.head)}"
+    )
+    assert(scansOf(p, "lineitem").size == 1, "lineitem must be scanned exactly once")
+    val bhj = allNodes(p).count(_.getClass.getSimpleName == "BroadcastHashJoinExec")
+    assert(bhj >= 3, s"part/supplier-nation/customer-nation must broadcast, found $bhj")
+  }
+
+  test("q11_stock: nation predicate pushed, no fact rescan, 1-row total broadcast") {
+    val p = executedPlanOf("q11_stock")
+    assert(
+      scansOf(p, "lineitem").isEmpty,
+      "total and threshold consumers must reuse the checkpointed per-part relation"
+    )
+    val s = p.toString
+    assert(
+      s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      "the 1-row global total must attach by broadcast"
+    )
+  }
+
+  test("q12_shipmode: shipdate range pushed, both facts scanned exactly once") {
+    val p = executedPlanOf("q12_shipmode")
+    val lineScans = scansOf(p, "lineitem")
+    assert(lineScans.size == 1, "lineitem must be scanned exactly once")
+    assert(
+      pushed(lineScans.head).contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate range not pushed: ${pushed(lineScans.head)}"
+    )
+    assert(scansOf(p, "orders").size == 1, "orders must be scanned exactly once")
+  }
+
+  test("q16_partsupp: part predicates pushed, anti join planned, single lineitem scan") {
+    val p = executedPlanOf("q16_partsupp")
+    val partScans = scansOf(p, "part")
+    assert(partScans.size == 1, "part must be scanned exactly once")
+    assert(
+      pushed(partScans.head).contains("In(p_size"),
+      s"p_size IN filter not pushed: ${pushed(partScans.head)}"
+    )
+    assert(
+      pushed(partScans.head).contains("Not(EqualTo(p_brand"),
+      s"brand exclusion not pushed: ${pushed(partScans.head)}"
+    )
+    assert(scansOf(p, "lineitem").size == 1, "lineitem must be scanned exactly once")
+    // At sf0.001 the negative-balance denylist is EMPTY and AQE replaces
+    // the left-anti with a pass-through (empty-build-side elimination) —
+    // the plan improvement we'd want at scale too. Accept either shape,
+    // but only license the elimination when the denylist really is empty.
+    val denyEmpty = spark.read.parquet(s"$dir/supplier.parquet")
+      .filter(org.apache.spark.sql.functions.col("s_acctbal") < 0.0).isEmpty
+    assert(
+      p.toString.contains("LeftAnti") || denyEmpty,
+      "the denylist must plan as an anti join (or be AQE-eliminated when empty)"
+    )
+  }
+
   test("q20_excess: region predicate pushed, semi join planned, no fact rescan") {
     val p = executedPlanOf("q20_excess")
     val regionScans = scansOf(p, "region")
