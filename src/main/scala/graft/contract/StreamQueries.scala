@@ -28,13 +28,13 @@ object StreamQueries {
   private val HourUs: Long = 3600L * 1000 * 1000
   private val runCtr = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Stream the events table: parquet NANOS surfaces as BIGINT nanos
-    * (same `nanosAsLong` flag as the batch loader); truncate to micros so
-    * both engines meet at the same integers (see EventQueries.ev).
+  /** Stream the events table: whatever the on-disk encoding, Tables
+    * .tsToNanos restores the epoch-nanos BIGINT `ts` contract (same
+    * normalization as the batch loader); truncate to micros so both
+    * engines meet at the same integers (see EventQueries.ev).
     */
   private def evStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(s, dir).schema
+    val schema = Tables.rawEvents(s, dir).schema
     s.readStream
       .schema(schema)
       // the table is a single parquet FILE: FileStreamSource force-injects
@@ -42,6 +42,7 @@ object StreamQueries {
       // directory"), so hand it a single-char-class glob matching only this
       // file — glob paths skip the basePath injection entirely
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.tsToNanos)
       .select(
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id").as("userId"),
@@ -328,7 +329,6 @@ object StreamQueries {
 
   private def streamCcm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Gate precondition (ADVICE r6): the full-series oracle is equivalent
     // to the rolling-window operator ONLY while window >= every per-user
     // series length — otherwise takeRight silently truncates and the hash
@@ -346,10 +346,11 @@ object StreamQueries {
         s"window=$StreamCcmWindow — the rolling window would truncate and diverge " +
         "from the full-series oracle; raise StreamCcmWindow or shrink the gate SF"
     )
-    val schema = Tables.events(s, dir).schema
+    val schema = Tables.rawEvents(s, dir).schema
     val in = s.readStream
       .schema(schema)
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.tsToNanos)
       .select(
         col("user_id").as("skey"),
         col("ts").as("ord"), // epoch nanos: unique per user -> total order
