@@ -85,7 +85,8 @@ object Ccm {
         spec.embeddingDim,
         spec.knnBuckets,
         spec.knnAutoFactor,
-        spec.reuseDistances
+        spec.reuseDistances,
+        spec.fusedTopK
       )
     // Convergence as a WINDOW aggregate over the skill rows (identical values
     // to the groupBy form in [[CcmPipeline.convergence]]) — a join against a

@@ -90,7 +90,8 @@ object CcmPipeline {
       e: Int,
       knnBuckets: Int = 0,
       knnAutoFactor: Int = 64,
-      reuseDistances: Boolean = false
+      reuseDistances: Boolean = false,
+      fusedTopK: Boolean = false
   ): DataFrame = {
     val spark = rankedDf.sparkSession
     import spark.implicits._
@@ -330,6 +331,18 @@ object CcmPipeline {
       .filter($"l_rank" <= $"lib_size" && $"q_rank" > $"lib_size")
       .drop("q_rank", "l_rank")
 
+    // Fused tail (SURVEY §4 item 1, see [[FusedKnn]]): one aggregate
+    // replaces window-topk + window-min + groupBy — one exchange instead
+    // of two, no sort. Values are bit-identical to the window tail below
+    // (ccm_boot_fused shares ccm_boot's oracle as the standing proof).
+    if (fusedTopK) {
+      val kCol =
+        if (minLib >= e + 1) lit(e + 1) else least(lit(e + 1), $"lib_size").cast("int")
+      return pairs
+        .groupBy((cellKeys ++ Seq(col("pred_idx"), col("actual"))): _*)
+        .agg(FusedKnn.predict($"dist", $"lib_idx", $"lib_tgt", kCol).as("predicted"))
+    }
+
     // top-k neighbors, k = min(E+1, L)  (`lib/ccm.ex:147-149`). When every
     // lib size is >= E+1 (the usual case) the limit is the LITERAL e+1,
     // which lets InferWindowGroupLimit rewrite the rank filter into a
@@ -371,7 +384,8 @@ object CcmPipeline {
       e: Int,
       knnBuckets: Int = 0,
       knnAutoFactor: Int = 64,
-      reuseDistances: Boolean = false
+      reuseDistances: Boolean = false,
+      fusedTopK: Boolean = false
   ): DataFrame = {
     val spark = rankedDf.sparkSession
     import spark.implicits._
@@ -379,7 +393,7 @@ object CcmPipeline {
     val libs = broadcast(libSizes.toDF("lib_size"))
     val cellKeys = k ++ Seq(col("sample_id"), col("lib_size"))
     val preds =
-      predictions(rankedDf, keys, libSizes, e, knnBuckets, knnAutoFactor, reuseDistances)
+      predictions(rankedDf, keys, libSizes, e, knnBuckets, knnAutoFactor, reuseDistances, fusedTopK)
 
     // Pearson per cell; NULL/NaN (corr of <2 rows or zero variance) -> 0.0
     val corrCell = preds

@@ -50,6 +50,19 @@ package graft.ccm
   * from and near n — graft.tools.BootProbe). What actually pays at
   * scale is candidate-count reduction (`knnBuckets`), not arithmetic
   * reuse. Exact path only (ignored when knnBuckets > 0).
+  *
+  * `fusedTopK` (SURVEY §4 item 1): replace the kNN tail's
+  * window-topk → window-min → groupBy chain with the single
+  * [[FusedKnn]] `Aggregator` (one exchange, no sort, k-capped partial
+  * buffers). Value-identical to the window tail (ccm_boot /
+  * ccm_boot_fused share one oracle). MEASURED MIXED
+  * (graft.tools.FusedProbe): LOSES 1.4-1.7x in the bootstrap-heavy
+  * regime (S=8, 66-pt series — many tiny groups, where the
+  * per-row encoder boundary of a TypedImperativeAggregate costs more
+  * than the codegen'd sort it removes) and WINS ~10-25% on long
+  * series with few samples (1 260-pt series — the pair relation per
+  * group is large, so the saved sort + second exchange dominate).
+  * Off by default; turn on for the long-series regime.
   */
 final case class CcmSpec(
     embeddingDim: Int = 3,
@@ -59,7 +72,8 @@ final case class CcmSpec(
     seed: Long = 42L,
     knnBuckets: Int = 0,
     knnAutoFactor: Int = 64,
-    reuseDistances: Boolean = false
+    reuseDistances: Boolean = false,
+    fusedTopK: Boolean = false
 ) {
   require(embeddingDim >= 1, "embeddingDim must be >= 1")
   require(tau >= 1, "tau must be >= 1")

@@ -674,7 +674,7 @@ object CcmQueries {
       .filter(col("y").isNotNull)
   }
 
-  private def bootWith(s: SparkSession, dir: String, reuse: Boolean): DataFrame =
+  private def bootWith(s: SparkSession, dir: String, spec: CcmSpec): DataFrame =
     Ccm
       .bidirectional(
         bootInput(s, dir),
@@ -682,7 +682,7 @@ object CcmQueries {
         order = Seq("ts"),
         x = col("x"),
         y = col("y"),
-        spec = CcmSpec(numSamples = BootSamples, seed = Seed, reuseDistances = reuse),
+        spec = spec,
         libSizes = BootLibs
       )
       .select(
@@ -695,8 +695,17 @@ object CcmQueries {
       )
       .transform(Norm.ordered(_, col("user_id"), col("direction"), col("lib_size")))
 
-  private def boot(s: SparkSession, dir: String): DataFrame = bootWith(s, dir, reuse = false)
-  private def bootReuse(s: SparkSession, dir: String): DataFrame = bootWith(s, dir, reuse = true)
+  private val bootSpec = CcmSpec(numSamples = BootSamples, seed = Seed)
+  private def boot(s: SparkSession, dir: String): DataFrame = bootWith(s, dir, bootSpec)
+  private def bootReuse(s: SparkSession, dir: String): DataFrame =
+    bootWith(s, dir, bootSpec.copy(reuseDistances = true))
+
+  // ccm_boot_fused — same workload through the FusedKnn aggregate tail
+  // (SURVEY §4 item 1, CcmSpec.fusedTopK): third member of the shared-
+  // oracle family; the hash compare proves value equality with the
+  // window tail, the bench delta is the per-round measurement.
+  private def bootFused(s: SparkSession, dir: String): DataFrame =
+    bootWith(s, dir, bootSpec.copy(fusedTopK = true))
 
   private val bootSql: String = {
     val capFrom =
@@ -1036,6 +1045,7 @@ object CcmQueries {
     "ccm_wide4_approx" -> wide4Approx,
     "ccm_boot" -> boot,
     "ccm_boot_reuse" -> bootReuse,
+    "ccm_boot_fused" -> bootFused,
     "ccm_convergence" -> convergenceQ,
     "ccm_gen_logistic" -> genLogistic,
     "ccm_gen_coupled" -> genCoupled,
@@ -1062,6 +1072,7 @@ object CcmQueries {
     "ccm_wide4_approx" -> wide4ApproxSql,
     "ccm_boot" -> bootSql,
     "ccm_boot_reuse" -> bootSql,
+    "ccm_boot_fused" -> bootSql,
     "ccm_convergence" -> convergenceSql,
     "ccm_gen_logistic" -> genLogisticSql,
     "ccm_gen_coupled" -> genCoupledSql,
