@@ -880,15 +880,20 @@ object SimQueries {
     (e, codes, lut)
   }
 
-  /** ADC scoring + top-k over (query_id, vec_id=candidate, m, code) rows
-    * joined to the LUT; the PqM partials add in a FIXED left-fold order.
+  /** ADC scoring over (query_id, vec_id=candidate, m, code) rows joined
+    * to the LUT; the PqM partials add in a FIXED left-fold order. Returns
+    * (query_id, neighbor_id, adc_d2) — the rank tails differ per query.
     */
-  private def adcTopK(withLut: DataFrame): DataFrame = {
+  private def adcScored(withLut: DataFrame): DataFrame = {
     val parts = (0 until PqM).map(m => sum(when(col("m") === m, col("d2p"))).as(s"p$m"))
-    val adc = withLut
+    withLut
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(parts.head, parts.tail: _*)
       .withColumn("adc_d2", (0 until PqM).map(m => col(s"p$m")).reduceLeft(_ + _))
+  }
+
+  private def adcTopK(withLut: DataFrame): DataFrame = {
+    val adc = adcScored(withLut)
     val w = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("neighbor_id").asc)
     adc
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -935,7 +940,11 @@ object SimQueries {
   // -------------------------------------------------------------------
   private val IvfPqNProbe = 4
 
-  private def annIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+  /** The IVF-restricted code/LUT relation shared by ann_ivfpq_topk and
+    * ann_ivfpq_rerank, plus the normalized vectors (the rerank stage
+    * needs them for exact distances).
+    */
+  private def ivfPqWithLut(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (e, codes, lut) = pqArtifacts(s, dir)
     val cents = e
       .filter(col("vec_id") % CentroidStride === 0)
@@ -957,16 +966,58 @@ object SimQueries {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
-    adcTopK(
-      cand
-        .join(codes, Seq("vec_id"))
-        .join(
-          lut,
-          col("m") === col("lm") && col("code") === col("cid") &&
-            cand("query_id") === lut("query_id")
-        )
-        .drop(lut("query_id"))
-    )
+    val withLut = cand
+      .join(codes, Seq("vec_id"))
+      .join(
+        lut,
+        col("m") === col("lm") && col("code") === col("cid") &&
+          cand("query_id") === lut("query_id")
+      )
+      .drop(lut("query_id"))
+    (withLut, e)
+  }
+
+  private def annIvfPqTopk(s: SparkSession, dir: String): DataFrame =
+    adcTopK(ivfPqWithLut(s, dir)._1)
+
+  // -------------------------------------------------------------------
+  // ann_ivfpq_rerank — the serving-complete production shape: the IVF+PQ
+  // ADC scan produces a RerankR-deep SHORTLIST from 16-byte codes, then
+  // only those RerankR candidates per query are re-scored with EXACT
+  // distances from the full vectors and re-ranked to the final top-k.
+  // This is the standard two-stage retrieval answer to PQ's lossy
+  // ranking: the cheap code scan bounds how many full vectors are ever
+  // touched (|queries|·RerankR fetches — an equi-join on neighbor_id,
+  // NOT a corpus scan), and the exact stage removes the quantization
+  // error from the final ordering. Exact distances are squared-L2 on
+  // the normalized vectors (= 2 - 2·cos, the family's cosine ordering).
+  // -------------------------------------------------------------------
+  private val RerankR = 20
+
+  private def annIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val (withLut, e) = ivfPqWithLut(s, dir)
+    val wS = Window.partitionBy("query_id").orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    val shortlist = adcScored(withLut)
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= RerankR)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+    val exact = shortlist
+      .join(n, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("d2", expr("graft_l2sq(qv, nv)"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("neighbor_id").asc)
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(
+        col("query_id"),
+        col("rank"),
+        col("neighbor_id"),
+        Norm.rnd(col("d2"), 6).as("exact_d2")
+      )
+      .transform(Norm.ordered(_, col("query_id"), col("rank")))
   }
 
   /** Shared WITH-prefix: normalized vectors, PQ codebook training (one
@@ -1050,8 +1101,11 @@ object SimQueries {
       s"list_transform(generate_series(1, $Dim), i -> ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * " +
       s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]))), (acc, d) -> acc + d)"
 
-  private val annIvfPqTopkSql: String =
-    s"""$pqCommonCtes, cents AS (
+  /** cents → adc CTE chain shared by ann_ivfpq_topk / ann_ivfpq_rerank —
+    * mirrors [[ivfPqWithLut]] + [[adcScored]] step for step.
+    */
+  private val ivfPqAdcCtes: String =
+    s"""cents AS (
        |  SELECT vec_id AS cid_c, v AS cv FROM e WHERE vec_id % $CentroidStride = 0
        |), asg AS (
        |  SELECT vec_id, cid_c, crank FROM (
@@ -1073,17 +1127,99 @@ object SimQueries {
        |  JOIN codes c ON cd.vec_id = c.vec_id
        |  JOIN lut l ON c.m = l.m AND c.code = l.cid AND l.query_id = cd.query_id
        |  GROUP BY 1, 2
-       |), $pqRankedTail""".stripMargin
+       |)""".stripMargin
+
+  private val annIvfPqTopkSql: String =
+    s"""$pqCommonCtes, $ivfPqAdcCtes, $pqRankedTail""".stripMargin
+
+  private val annIvfPqRerankSql: String =
+    s"""$pqCommonCtes, $ivfPqAdcCtes, short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_d2, neighbor_id) AS srank
+       |    FROM adc)
+       |  WHERE srank <= $RerankR
+       |), ex AS (
+       |  SELECT sh.query_id, sh.neighbor_id, ${d2FullDuck("q.v", "n.v")} AS d2
+       |  FROM short sh
+       |  JOIN e q ON q.vec_id = sh.query_id
+       |  JOIN e n ON n.vec_id = sh.neighbor_id
+       |), rr AS (
+       |  SELECT query_id, neighbor_id, d2,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY d2, neighbor_id) AS BIGINT) AS rank
+       |  FROM ex
+       |)
+       |SELECT query_id, rank, neighbor_id, round(d2, 6) + 0.0 AS exact_d2
+       |FROM rr WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // vec_random_proj — Johnson-Lindenstrauss random projection: Dim -> JlDim
+  // via an Achlioptas ±1 sign matrix, y_j = (Σ_i v_i · s(i,j)) / sqrt(k).
+  // The sign matrix is NOT data: s(i,j) derives from DetHash.rankHash
+  // (i = input dim, j = output dim), so both engines materialize the same
+  // 64×8 signs from arithmetic alone — no sampled state to ship. At
+  // 100 TB this is the cheap front half of every embedding pipeline here
+  // (LSH bucketing, IVF coarse search, dedup signatures run on the 8-dim
+  // projection at 1/8 the bytes): one narrow map pass, no shuffle, no
+  // driver state, and the JL lemma bounds the pairwise-distance
+  // distortion (JlSpec measures the original-vs-projected distance
+  // correlation as the usefulness pin). k=16 measured: the hash-derived
+  // signs track TRUE-random sign matrices (0.24 vs 0.26-mean distance
+  // correlation at k=8; 0.34/0.32 at k=16 across sf0.001/sf0.01 — the
+  // ceiling is the data's tight between-cluster distance spread, k=32
+  // random only reaches ~0.42), so k=16 takes the 4x byte reduction at
+  // no quality loss vs a sampled matrix.
+  // -------------------------------------------------------------------
+  private val JlDim = 16
+  private val JlSeed = 77L
+
+  private def jlSign(i: Int, j: Int): Double =
+    if (DetHash.rankHash(i.toLong, j.toLong, 0L, JlSeed) % 2 == 0) 1.0 else -1.0
+
+  private def vecRandomProj(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir).select(col("vec_id"), col("v"))
+    val sqrtK = lit(math.sqrt(JlDim.toDouble))
+    val ys = (0 until JlDim).map { j =>
+      val signs = array((0 until Dim).map(i => lit(jlSign(i, j))): _*)
+      val dot = aggregate(
+        zip_with(col("v"), signs, (x, sg) => x * sg),
+        lit(0.0),
+        (acc, t) => acc + t
+      )
+      Norm.rnd(dot / sqrtK, 6)
+    }
+    e.select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("j", "y")))
+      .transform(Norm.ordered(_, col("vec_id"), col("j")))
+  }
+
+  private val vecRandomProjSql: String = {
+    val signCase =
+      s"(CASE WHEN ${DetHash.rankHashSql("i - 1", "j", "0", JlSeed)} % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |js AS (SELECT CAST(unnest(generate_series(0, ${JlDim - 1})) AS INTEGER) AS j),
+       |proj AS (
+       |  SELECT vec_id, j,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, $Dim),
+       |        i -> v[CAST(i AS INTEGER)] * $signCase)),
+       |      (acc, t) -> acc + t) / sqrt(${JlDim}.0) AS y
+       |  FROM e0 CROSS JOIN js
+       |)
+       |SELECT vec_id, j, round(y, 6) + 0.0 AS y FROM proj ORDER BY vec_id, j""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_quantize" -> vecQuantize,
     "vec_normalize" -> vecNormalize,
+    "vec_random_proj" -> vecRandomProj,
     "ann_topk" -> annTopk,
     "ann_range" -> annRange,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_pq_topk" -> annPqTopk,
     "ann_ivfpq_topk" -> annIvfPqTopk,
+    "ann_ivfpq_rerank" -> annIvfPqRerank,
     "vec_centroid" -> vecCentroid,
     "vec_covariance" -> vecCovariance,
     "vec_pca_power" -> vecPcaPower,
@@ -1094,12 +1230,14 @@ object SimQueries {
   val oracle: Map[String, String] = Map(
     "vec_quantize" -> vecQuantizeSql,
     "vec_normalize" -> vecNormalizeSql,
+    "vec_random_proj" -> vecRandomProjSql,
     "ann_topk" -> annTopkSql,
     "ann_range" -> annRangeSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
     "ann_pq_topk" -> annPqTopkSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
+    "ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "vec_centroid" -> vecCentroidSql,
     "vec_covariance" -> vecCovarianceSql,
     "vec_pca_power" -> vecPcaPowerSql,
