@@ -3,7 +3,7 @@ package graft.contract
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ccm.{Ccm, CcmPipeline, CcmSpec, DetHash, Generators}
+import graft.ccm.{Ccm, CcmPipeline, CcmSpec, DetHash, Generators, Smap}
 
 /** Driver-contract queries for the CCM operator family (SURVEY.md §2a),
   * each paired with ANSI/DuckDB oracle SQL over the same parquet tables.
@@ -720,6 +720,97 @@ object CcmQueries {
        |ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ccm_smap — S-map θ-sweep (graft.ccm.Smap): locally weighted linear
+  // maps over the bootstrap-regime series (same capped input as
+  // ccm_boot), the EDM nonlinearity diagnostic the simplex/CCM family
+  // feeds on. E=1 closed-form weighted regression per (target, θ) — the
+  // oracle replays the five weighted sums, the Cramer slope, the d̄=0
+  // and singular-matrix guards, and derives `nonlinear` from the SAME
+  // 6-dp-rounded rhos both engines output (so the flag cannot be
+  // flipped by cross-engine ulp noise).
+  // -------------------------------------------------------------------
+  private val SmapThetas = Seq(0.0, 0.5, 1.0, 2.0, 4.0, 8.0)
+  private val SmapEps = 0.01
+
+  private def smap(s: SparkSession, dir: String): DataFrame =
+    Smap
+      .bidirectional(
+        bootInput(s, dir),
+        skey = col("user_id"),
+        order = Seq("ts"),
+        x = col("x"),
+        y = col("y"),
+        thetas = SmapThetas,
+        nonlinearEps = SmapEps
+      )
+      .select(
+        col("skey").as("user_id"),
+        col("direction"),
+        col("theta"),
+        col("rho"),
+        col("nonlinear")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("direction"), col("theta")))
+
+  private val smapSql: String = {
+    def dirSql(srcCol: String, tgtCol: String, dirName: String, n: Int): String =
+      s"""pairs$n AS (
+         |  SELECT t.skey, t.idx AS t_idx, t.$srcCol AS ts_, t.$tgtCol AS tg,
+         |         i.$srcCol AS is_, i.$tgtCol AS ig, abs(i.$srcCol - t.$srcCol) AS d
+         |  FROM sb t JOIN sb i ON t.skey = i.skey AND t.idx <> i.idx
+         |), db$n AS (
+         |  SELECT *, avg(d) OVER (PARTITION BY skey, t_idx) AS dbar FROM pairs$n
+         |), wt$n AS (
+         |  SELECT p.*, th.theta,
+         |         CASE WHEN p.dbar > 0 THEN exp(-th.theta * p.d / p.dbar) ELSE 1.0 END AS w
+         |  FROM db$n p CROSS JOIN thetas th
+         |), ag$n AS (
+         |  SELECT skey, theta, t_idx, ts_, tg,
+         |         sum(w) AS sw, sum(w * is_) AS swx, sum(w * ig) AS swy,
+         |         sum(w * is_ * is_) AS swxx, sum(w * is_ * ig) AS swxy
+         |  FROM wt$n GROUP BY 1, 2, 3, 4, 5
+         |), co$n AS (
+         |  SELECT skey, theta, ts_, tg, sw, swx, swy,
+         |         CASE WHEN abs(sw * swxx - swx * swx) > 1e-12
+         |              THEN (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+         |              ELSE 0.0 END AS bc
+         |  FROM ag$n
+         |), pr$n AS (
+         |  SELECT skey, theta, tg, (swy - bc * swx) / sw + bc * ts_ AS pred FROM co$n
+         |), rh$n AS (
+         |  SELECT skey, '$dirName' AS direction, theta,
+         |         round(coalesce(corr(tg, pred), 0.0), 6) + 0.0 AS rho
+         |  FROM pr$n GROUP BY 1, 2, 3
+         |)""".stripMargin
+    s"""WITH cap AS (
+       |  SELECT user_id, ts, value FROM (
+       |    SELECT user_id, ts, value,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+       |    FROM events WHERE user_id % $BootUserMod = 0) WHERE rn <= $BootCap
+       |), b0 AS (
+       |  SELECT user_id AS skey, ts, value AS x,
+       |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS y
+       |  FROM cap
+       |), sb AS (
+       |  SELECT skey, row_number() OVER (PARTITION BY skey ORDER BY ts) AS idx, x, y
+       |  FROM b0 WHERE y IS NOT NULL
+       |), thetas AS (SELECT CAST(unnest([${SmapThetas.mkString(", ")}]) AS DOUBLE) AS theta),
+       |${dirSql("y", "x", "x_causes_y", 1)},
+       |${dirSql("x", "y", "y_causes_x", 2)},
+       |u AS (SELECT * FROM rh1 UNION ALL SELECT * FROM rh2),
+       |fl AS (
+       |  SELECT *,
+       |         max(CASE WHEN theta = ${SmapThetas.min} THEN rho END)
+       |           OVER (PARTITION BY skey, direction) AS rho0,
+       |         max(rho) OVER (PARTITION BY skey, direction) AS rho_max
+       |  FROM u
+       |)
+       |SELECT skey AS user_id, direction, theta, rho,
+       |       (rho_max - rho0 > CAST($SmapEps AS DOUBLE)) AS nonlinear
+       |FROM fl ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // ccm_convergence — convergent?/1 (C10) as its own surface: OLS slope of
   // the skill curve, strict > 0.001, <3 sizes -> false (`lib/ccm.ex:215-244`).
   // Routed through the perSeries scale path (the strategy a convergence-only
@@ -1050,6 +1141,7 @@ object CcmQueries {
     "ccm_gen_logistic" -> genLogistic,
     "ccm_gen_coupled" -> genCoupled,
     "ccm_mi_tau" -> miTau,
+    "ccm_smap" -> smap,
     "ccm_fnn_dim" -> fnnDim
   )
 
@@ -1077,6 +1169,7 @@ object CcmQueries {
     "ccm_gen_logistic" -> genLogisticSql,
     "ccm_gen_coupled" -> genCoupledSql,
     "ccm_mi_tau" -> miTauSql,
+    "ccm_smap" -> smapSql,
     "ccm_fnn_dim" -> fnnDimSql
   )
 }
