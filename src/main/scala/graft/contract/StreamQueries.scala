@@ -164,6 +164,82 @@ object StreamQueries {
        |) ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // stream_dedup_builtin — the same duplicated-documents stream through
+  // Spark's BUILT-IN `dropDuplicatesWithinWatermark` instead of the
+  // custom flatMapGroupsWithState dedup: state is keyed on the content
+  // hash and expired by the watermark, exactly the bounded-state story
+  // streamingDedup implements by hand. CONTRACT DIFFERENCE, and why this
+  // gate projects no doc_id: within a micro-batch the operator keeps an
+  // ARBITRARY row among same-key duplicates (the custom operator
+  // guarantees the event-time-first one), so only columns EQUAL across
+  // duplicates (the hash, the text length) are deterministic output.
+  // The rows_match on the distinct-hash count is the dedup guarantee.
+  // -------------------------------------------------------------------
+  private def streamDedupBuiltin(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.documents(s, dir).schema
+    val in = s.readStream
+      .schema(schema)
+      .parquet(s"$dir/documents.parque[t]") // glob: see evStream
+      .select(
+        explode(array(col("doc_id"), col("doc_id") + lit(DupOffset))).as("docId"),
+        col("text")
+      )
+      .withColumn("ts", timestamp_micros((col("docId") + 1) * lit(1000L)))
+      .withColumn("text_hash", DetHash.polyHashCol(col("text")))
+      .withColumn("text_len", length(col("text")).cast("long"))
+      .select(col("ts"), col("text_hash"), col("text_len"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("text_hash")
+    StreamHarness
+      .runAvailableNow(in, "append")
+      .select(col("text_hash"), col("text_len"))
+      .transform(Norm.ordered(_, col("text_hash")))
+  }
+
+  // -------------------------------------------------------------------
+  // stream_transform_state — Streams.runningTypeTotals through the Spark 4
+  // `transformWithState` API (named typed state cells on a MANDATORY
+  // RocksDB store): running count/sum per event type in a ValueState,
+  // update-mode emission. One AvailableNow replay over the whole table →
+  // the sink's last row per key is the full-stream aggregate, which is
+  // exactly the batch GROUP BY the oracle runs. The RocksDB provider is
+  // set for this query only and restored after — the other gates keep the
+  // default HDFS-backed store they were pinned against.
+  // -------------------------------------------------------------------
+  private def streamTransformState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = evStream(s, dir).as[Streams.Event]
+      val out = StreamHarness.runAvailableNow(Streams.runningTypeTotals(in).toDF(), "update")
+      out
+        .select(
+          col("eventType").as("event_type"),
+          col("n"),
+          Norm.rnd(col("sumValue"), 6).as("sum_value")
+        )
+        .transform(Norm.ordered(_, col("event_type")))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+  }
+
+  private val streamTransformStateSql: String =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |       round(sum(value), 6) + 0.0 AS sum_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val streamDedupBuiltinSql: String =
+    s"""SELECT ${DetHash.polyHashSql("text")} AS text_hash,
+       |       CAST(max(length(text)) AS BIGINT) AS text_len
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // stream_rolling_corr — Streams.rollingLagCorrelation (update-mode
   // state with ring buffer + event-time TTL): each user's Pearson r of
   // (x_t, x_{t-1}) over their LAST `window` points. In one micro-batch
@@ -587,6 +663,8 @@ object StreamQueries {
     "stream_window_stats" -> windowStats,
     "stream_window_stats_sink" -> windowStatsSink,
     "stream_dedup" -> streamDedup,
+    "stream_dedup_builtin" -> streamDedupBuiltin,
+    "stream_transform_state" -> streamTransformState,
     "stream_rolling_corr" -> rollingCorr,
     "stream_sessionize" -> streamSessionize,
     "stream_enrich" -> streamEnrich,
@@ -600,6 +678,8 @@ object StreamQueries {
     "stream_window_stats" -> windowStatsSql,
     "stream_window_stats_sink" -> windowStatsSinkSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_dedup_builtin" -> streamDedupBuiltinSql,
+    "stream_transform_state" -> streamTransformStateSql,
     "stream_rolling_corr" -> rollingCorrSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_enrich" -> streamEnrichSql,

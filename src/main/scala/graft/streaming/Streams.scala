@@ -340,6 +340,60 @@ object Streams {
       }
   }
 
+  /** Running totals per key. */
+  final case class TypeTotals(eventType: String, n: Long, sumValue: Double)
+  private final case class Tot(n: Long, s: Double)
+
+  /** `transformWithState` processor (the Spark 4 arbitrary-state API that
+    * supersedes `flatMapGroupsWithState`: named typed state cells, per-cell
+    * TTL, timers — and a RocksDB-backed store REQUIRED by the operator):
+    * running per-event-type count/sum in a single `ValueState`. Each
+    * micro-batch emits the updated running totals for the keys it touched
+    * (update semantics), so after an `AvailableNow` replay the sink holds
+    * the full-stream aggregate per key.
+    *
+    * State is one (count, sum) pair per event type — O(key cardinality),
+    * the smallest possible footprint; at firehose scale the same shape
+    * holds any keyed online aggregate (sketches, model state) with TTL
+    * where the key space is unbounded.
+    */
+  private class TypeTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, TypeTotals] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[Tot] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[Tot]("totals", E.product[Tot], TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues
+    ): Iterator[TypeTotals] = {
+      val prev = if (totals.exists()) totals.get() else Tot(0L, 0.0)
+      var n = prev.n
+      var s = prev.s
+      rows.foreach { e => n += 1; s += e.value }
+      totals.update(Tot(n, s))
+      Iterator.single(TypeTotals(key, n, s))
+    }
+  }
+
+  /** Running per-type totals via [[TypeTotalsProcessor]]. Caller must have
+    * the RocksDB state-store provider configured — transformWithState
+    * refuses the default HDFS-backed store.
+    */
+  def runningTypeTotals(events: Dataset[Event]): Dataset[TypeTotals] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.eventType)
+      .transformWithState(
+        new TypeTotalsProcessor,
+        TimeMode.None(),
+        OutputMode.Update()
+      )
+  }
+
   /** Pearson r of (x_t, x_{t-1}) with the reference's degenerate-path
     * contract: < 2 pairs or zero variance -> 0.0 (`lib/ccm.ex:187-213`).
     */
