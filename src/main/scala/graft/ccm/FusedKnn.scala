@@ -92,7 +92,10 @@ object FusedKnn {
       else {
         val k = a.k
         val n = math.min(k, a.n + c.n)
-        val out = NNBuf(k, n, new Array[Double](n), new Array[Long](n), new Array[Double](n))
+        // arrays sized k (not n): a merged buffer must stay a valid reduce
+        // target — Spark's phasing never reduces after merge, but the
+        // buffer contract shouldn't depend on that
+        val out = NNBuf(k, n, new Array[Double](k), new Array[Long](k), new Array[Double](k))
         var i = 0; var j = 0; var o = 0
         while (o < n) {
           val takeA = j >= c.n || (i < a.n && lt(a.dists(i), a.idxs(i), c.dists(j), c.idxs(j)))

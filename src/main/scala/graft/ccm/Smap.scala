@@ -35,6 +35,7 @@ import org.apache.spark.sql.functions._
   */
 object Smap {
   val DefaultThetas: Seq[Double] = Seq(0.0, 0.5, 1.0, 2.0, 4.0, 8.0)
+  val DefaultNonlinearEps: Double = 0.01
 
   /** Output: (skey, direction, theta, rho, nonlinear) — rho rounded to
     * 6 dp BEFORE the nonlinear flag is derived, so the flag compares
@@ -49,7 +50,7 @@ object Smap {
       x: Column,
       y: Column,
       thetas: Seq[Double] = DefaultThetas,
-      nonlinearEps: Double = 0.01
+      nonlinearEps: Double = DefaultNonlinearEps
   ): DataFrame = {
     require(thetas.nonEmpty, "thetas must be non-empty")
     val spark = df.sparkSession

@@ -730,8 +730,10 @@ object CcmQueries {
   // 6-dp-rounded rhos both engines output (so the flag cannot be
   // flipped by cross-engine ulp noise).
   // -------------------------------------------------------------------
-  private val SmapThetas = Seq(0.0, 0.5, 1.0, 2.0, 4.0, 8.0)
-  private val SmapEps = 0.01
+  // single source of truth: the gate sweeps exactly the ladder the specs
+  // exercise (re-listing the literals here let the two drift apart)
+  private val SmapThetas = Smap.DefaultThetas
+  private val SmapEps = Smap.DefaultNonlinearEps
 
   private def smap(s: SparkSession, dir: String): DataFrame =
     Smap

@@ -1158,10 +1158,10 @@ object SimQueries {
   // via an Achlioptas ±1 sign matrix, y_j = (Σ_i v_i · s(i,j)) / sqrt(k).
   // The sign matrix is NOT data: s(i,j) derives from DetHash.rankHash
   // (i = input dim, j = output dim), so both engines materialize the same
-  // 64×8 signs from arithmetic alone — no sampled state to ship. At
+  // 64×JlDim signs from arithmetic alone — no sampled state to ship. At
   // 100 TB this is the cheap front half of every embedding pipeline here
-  // (LSH bucketing, IVF coarse search, dedup signatures run on the 8-dim
-  // projection at 1/8 the bytes): one narrow map pass, no shuffle, no
+  // (LSH bucketing, IVF coarse search, dedup signatures run on the 16-dim
+  // projection at 1/4 the bytes): one narrow map pass, no shuffle, no
   // driver state, and the JL lemma bounds the pairwise-distance
   // distortion (JlSpec measures the original-vs-projected distance
   // correlation as the usefulness pin). k=16 measured: the hash-derived

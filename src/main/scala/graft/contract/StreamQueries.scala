@@ -1,6 +1,7 @@
 package graft.contract
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ccm.DetHash
@@ -199,10 +200,12 @@ object StreamQueries {
   // -------------------------------------------------------------------
   // stream_transform_state — Streams.runningTypeTotals through the Spark 4
   // `transformWithState` API (named typed state cells on a MANDATORY
-  // RocksDB store): running count/sum per event type in a ValueState,
-  // update-mode emission. One AvailableNow replay over the whole table →
-  // the sink's last row per key is the full-stream aggregate, which is
-  // exactly the batch GROUP BY the oracle runs. The RocksDB provider is
+  // RocksDB store): running count/sum per event type in a ValueState
+  // (integer-cents, combine-order independent), update-mode emission.
+  // One AvailableNow replay over the whole table, then the gate SELECTS
+  // the last update per key (max n — strictly increasing), so even a
+  // multi-batch replay reduces to the batch GROUP BY the oracle runs;
+  // stale partial totals can never leak. The RocksDB provider is
   // set for this query only and restored after — the other gates keep the
   // default HDFS-backed store they were pinned against.
   // -------------------------------------------------------------------
@@ -214,11 +217,18 @@ object StreamQueries {
     try {
       val in = evStream(s, dir).as[Streams.Event]
       val out = StreamHarness.runAvailableNow(Streams.runningTypeTotals(in).toDF(), "update")
+      // keep the LAST update per key: the update-mode sink appends one row
+      // per touched key per micro-batch, so a multi-batch replay would
+      // otherwise leak stale partial totals beside the final ones. n is
+      // strictly increasing across a key's emissions -> max(n) is final.
+      val wLast = Window.partitionBy("eventType").orderBy(col("n").desc)
       out
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
         .select(
           col("eventType").as("event_type"),
           col("n"),
-          Norm.rnd(col("sumValue"), 6).as("sum_value")
+          (round(col("cents") / 100.0, 2) + lit(0.0)).as("sum_value")
         )
         .transform(Norm.ordered(_, col("event_type")))
     } finally {
@@ -231,7 +241,7 @@ object StreamQueries {
 
   private val streamTransformStateSql: String =
     s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       |       round(sum(value), 6) + 0.0 AS sum_value
+       |       round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS sum_value
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val streamDedupBuiltinSql: String =

@@ -340,9 +340,23 @@ object Streams {
       }
   }
 
-  /** Running totals per key. */
-  final case class TypeTotals(eventType: String, n: Long, sumValue: Double)
-  private final case class Tot(n: Long, s: Double)
+  /** Running totals per key. `cents` is the value sum in integer cents
+    * (the q10/stream_enrich pattern): exact integer accumulation is
+    * combine-order independent, so the emitted total is immune to the
+    * shuffle-fetch order the state iterator sees — a raw double sum here
+    * would be run-to-run nondeterministic in its last ulps.
+    */
+  final case class TypeTotals(eventType: String, n: Long, cents: Long)
+  private final case class Tot(n: Long, cents: Long)
+
+  /** Exact-binary-value HALF_UP at scale 0 — DuckDB `round(x)` semantics,
+    * same construction as the PCA family's r6 (BigDecimal(double), NOT
+    * valueOf's shortest-repr).
+    */
+  private def roundCents(v: Double): Long =
+    new java.math.BigDecimal(v * 100.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP)
+      .longValue()
 
   /** `transformWithState` processor (the Spark 4 arbitrary-state API that
     * supersedes `flatMapGroupsWithState`: named typed state cells, per-cell
@@ -369,12 +383,12 @@ object Streams {
         rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues
     ): Iterator[TypeTotals] = {
-      val prev = if (totals.exists()) totals.get() else Tot(0L, 0.0)
+      val prev = if (totals.exists()) totals.get() else Tot(0L, 0L)
       var n = prev.n
-      var s = prev.s
-      rows.foreach { e => n += 1; s += e.value }
-      totals.update(Tot(n, s))
-      Iterator.single(TypeTotals(key, n, s))
+      var c = prev.cents
+      rows.foreach { e => n += 1; c += roundCents(e.value) }
+      totals.update(Tot(n, c))
+      Iterator.single(TypeTotals(key, n, c))
     }
   }
 

@@ -113,6 +113,15 @@ class FusedKnnSpec extends SparkTestBase {
     assert(mz2.idxs.take(mz2.n).toSeq == l.idxs.take(l.n).toSeq)
   }
 
+  test("a merged buffer stays a valid reduce target") {
+    val a = FusedKnn.agg
+    def buf(ins: Seq[NNIn]) = ins.foldLeft(a.zero)(a.reduce)
+    // merge yields n=2 < k=3; a further reduce must grow it to n=3 in place
+    val m = a.merge(buf(Seq(NNIn(1.0, 1L, 1.0, 3))), buf(Seq(NNIn(2.0, 2L, 2.0, 3))))
+    val r = a.reduce(m, NNIn(3.0, 3L, 3.0, 3))
+    assert(r.n == 3 && r.idxs.take(3).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("finish replicates exact-hit and stabilizer weighting") {
     val a = FusedKnn.agg
     // exact hit (dist < 1e-12) gets weight 1.0; others exp(-d/(min+1e-8))

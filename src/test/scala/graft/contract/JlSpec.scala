@@ -4,7 +4,7 @@ import graft.{SparkEntry, SparkTestBase}
 
 /** Johnson-Lindenstrauss projection (vec_random_proj): the DuckDB hash
   * gate pins the exact values; these pin the properties that make the
-  * projection USEFUL — the 8-dim image must approximately preserve
+  * projection USEFUL — the 16-dim image must approximately preserve
   * pairwise geometry (the whole point of JL), and the sign matrix must be
   * balanced (a degenerate all-ones "random" matrix would collapse every
   * vector onto one diagonal line).
