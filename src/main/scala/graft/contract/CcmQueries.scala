@@ -3,7 +3,7 @@ package graft.contract
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ccm.{Ccm, CcmPipeline, CcmSpec, DetHash, Generators, Smap}
+import graft.ccm.{Ccm, CcmPipeline, CcmSpec, DetHash, Generators, LagCcm, Smap}
 
 /** Driver-contract queries for the CCM operator family (SURVEY.md §2a),
   * each paired with ANSI/DuckDB oracle SQL over the same parquet tables.
@@ -813,6 +813,94 @@ object CcmQueries {
        |FROM fl ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ccm_lag_sweep — time-delayed CCM (graft.ccm.LagCcm, Ye et al. 2015):
+  // cross-map skill over a lag ladder, kNN computed ONCE per direction
+  // and reused by every lag; best_lag derived from the SAME 6-dp-rounded
+  // rhos both engines output. E=2, leave-one-out library, k=3.
+  // -------------------------------------------------------------------
+  private val LagE = 2
+
+  private def lagSweep(s: SparkSession, dir: String): DataFrame =
+    LagCcm
+      .bidirectional(
+        bootInput(s, dir),
+        skey = col("user_id"),
+        order = Seq("ts"),
+        x = col("x"),
+        y = col("y"),
+        e = LagE
+      )
+      .select(
+        col("skey").as("user_id"),
+        col("direction"),
+        col("lag"),
+        col("rho"),
+        col("best_lag")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("direction"), col("lag")))
+
+  private val lagSweepSql: String = {
+    val k = LagE + 1
+    def dirSql(srcCol: String, tgtCol: String, dirName: String, n: Int): String =
+      s"""em$n AS (
+         |  SELECT skey, CAST(row_number() OVER w - 1 AS BIGINT) AS idx,
+         |         $srcCol AS e0, lead($srcCol, 1) OVER w AS e1,
+         |         lead($tgtCol, 1) OVER w AS tgt
+         |  FROM sb WINDOW w AS (PARTITION BY skey ORDER BY ts)
+         |  QUALIFY e1 IS NOT NULL
+         |), nn$n AS (
+         |  SELECT skey, t_idx, l_idx,
+         |         CASE WHEN dist < 1e-12 THEN 1.0
+         |              ELSE exp(-dist / (min(dist) OVER (PARTITION BY skey, t_idx) + 1e-8))
+         |         END AS w
+         |  FROM (
+         |    SELECT t.skey, t.idx AS t_idx, l.idx AS l_idx,
+         |           sqrt((t.e0 - l.e0) * (t.e0 - l.e0) + (t.e1 - l.e1) * (t.e1 - l.e1)) AS dist,
+         |           row_number() OVER (PARTITION BY t.skey, t.idx
+         |             ORDER BY sqrt((t.e0 - l.e0) * (t.e0 - l.e0) + (t.e1 - l.e1) * (t.e1 - l.e1)), l.idx) AS rn
+         |    FROM em$n t JOIN em$n l ON t.skey = l.skey AND t.idx <> l.idx)
+         |  WHERE rn <= $k
+         |), pd$n AS (
+         |  SELECT g.skey, g.lag, g.t_idx,
+         |         CASE WHEN g.sw = 0.0 THEN 0.0 ELSE g.swt / g.sw END AS pred, a.tgt AS act
+         |  FROM (
+         |    SELECT nn.skey, lg.lag, nn.t_idx, sum(nn.w) AS sw, sum(nn.w * lt.tgt) AS swt
+         |    FROM nn$n nn CROSS JOIN lags lg
+         |    JOIN em$n lt ON nn.skey = lt.skey AND nn.l_idx + lg.lag = lt.idx
+         |    GROUP BY 1, 2, 3) g
+         |  JOIN em$n a ON g.skey = a.skey AND g.t_idx + g.lag = a.idx
+         |), rh$n AS (
+         |  SELECT skey, '$dirName' AS direction, lag,
+         |         round(coalesce(corr(act, pred), 0.0), 6) + 0.0 AS rho
+         |  FROM pd$n GROUP BY 1, 2, 3
+         |)""".stripMargin
+    s"""WITH cap AS (
+       |  SELECT user_id, ts, value FROM (
+       |    SELECT user_id, ts, value,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+       |    FROM events WHERE user_id % $BootUserMod = 0) WHERE rn <= $BootCap
+       |), b0 AS (
+       |  SELECT user_id AS skey, ts, value AS x,
+       |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS y
+       |  FROM cap
+       |), sb AS (SELECT skey, ts, x, y FROM b0 WHERE y IS NOT NULL),
+       |lags AS (SELECT CAST(unnest(generate_series(-3, 3)) AS BIGINT) AS lag),
+       |${dirSql("y", "x", "x_causes_y", 1)},
+       |${dirSql("x", "y", "y_causes_x", 2)},
+       |u AS (SELECT * FROM rh1 UNION ALL SELECT * FROM rh2),
+       |fl AS (
+       |  SELECT *, max(rho) OVER (PARTITION BY skey, direction) AS rho_max
+       |  FROM u
+       |), fb AS (
+       |  SELECT *, min(CASE WHEN rho = rho_max THEN lag END)
+       |              OVER (PARTITION BY skey, direction) AS best_lag
+       |  FROM fl
+       |)
+       |SELECT skey AS user_id, direction, lag, rho, best_lag
+       |FROM fb ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // ccm_convergence — convergent?/1 (C10) as its own surface: OLS slope of
   // the skill curve, strict > 0.001, <3 sizes -> false (`lib/ccm.ex:215-244`).
   // Routed through the perSeries scale path (the strategy a convergence-only
@@ -1144,6 +1232,7 @@ object CcmQueries {
     "ccm_gen_coupled" -> genCoupled,
     "ccm_mi_tau" -> miTau,
     "ccm_smap" -> smap,
+    "ccm_lag_sweep" -> lagSweep,
     "ccm_fnn_dim" -> fnnDim
   )
 
@@ -1172,6 +1261,7 @@ object CcmQueries {
     "ccm_gen_coupled" -> genCoupledSql,
     "ccm_mi_tau" -> miTauSql,
     "ccm_smap" -> smapSql,
+    "ccm_lag_sweep" -> lagSweepSql,
     "ccm_fnn_dim" -> fnnDimSql
   )
 }
