@@ -150,14 +150,17 @@ object GraftFunctions {
     * names that already resolve — re-registering is harmless but logs a
     * "replaced a previously registered function" WARN per call site.
     */
+  /** 11-arg ExpressionInfo (the only non-deprecated ctor with a usage
+    * string): (class, db, name, usage, arguments, examples, note, group,
+    * since, deprecated, source).
+    */
+  private[functions] def info(cls: String, name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(cls, null, name, usage, "", "", "", "", "", "", "built-in")
+
   def register(spark: SparkSession): Unit = fns.foreach { case (name, cls, builder, usage) =>
     val id = FunctionIdentifier(name)
     if (!spark.sessionState.functionRegistry.functionExists(id)) {
-      spark.sessionState.functionRegistry.registerFunction(
-        id,
-        new ExpressionInfo(cls, null, name, usage, ""),
-        builder
-      )
+      spark.sessionState.functionRegistry.registerFunction(id, info(cls, name, usage), builder)
     }
   }
 }
@@ -172,7 +175,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.fns.foreach { case (name, cls, builder, usage) =>
       e.injectFunction(
-        (FunctionIdentifier(name), new ExpressionInfo(cls, null, name, usage, ""), builder)
+        (FunctionIdentifier(name), GraftFunctions.info(cls, name, usage), builder)
       )
     }
 }

@@ -37,7 +37,7 @@ object PropertySpec extends Properties("graft.ccm primitives") {
     Gen.alphaNumStr.suchThat(_.nonEmpty)
   ) { s =>
     val h = DetHash.polyHash(s)
-    val mutated = (s.head + 1).toChar + s.tail
+    val mutated = s"${(s.head + 1).toChar}${s.tail}"
     h >= 0 && h < P && DetHash.polyHash(mutated) != h
   }
 

@@ -17,7 +17,7 @@ object BootProbe {
     val samples = args.lift(1).map(_.toInt).getOrElse(8)
     val userMod = args.lift(2).map(_.toInt).getOrElse(5)
     val libs = args.lift(3).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(16, 32, 48))
-    val spark = SparkSession.builder
+    val spark = SparkSession.builder()
       .master("local[32]")
       .appName("boot-probe")
       .config("spark.sql.shuffle.partitions", 32)

@@ -18,7 +18,7 @@ object FusedProbe {
     val userMod = args.lift(2).map(_.toInt).getOrElse(5)
     val cap = args.lift(3).map(_.toInt).getOrElse(66)
     val libs = args.lift(4).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(16, 32, 48))
-    val spark = SparkSession.builder
+    val spark = SparkSession.builder()
       .master("local[32]")
       .appName("fused-probe")
       .config("spark.sql.shuffle.partitions", 32)

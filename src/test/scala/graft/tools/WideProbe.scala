@@ -13,7 +13,7 @@ import graft.ccm.{Ccm, CcmPipeline, CcmSpec}
 object WideProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder
+    val spark = SparkSession.builder()
       .master("local[32]")
       .appName("wide-probe")
       .config("spark.sql.shuffle.partitions", 32)
