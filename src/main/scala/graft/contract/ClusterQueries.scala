@@ -1,6 +1,7 @@
 package graft.contract
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding clustering operators: Lloyd's k-means (the training step
@@ -167,13 +168,86 @@ object ClusterQueries {
        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ann_ivf_kmeans — IVF search over TRAINED centroids: the production
+  // coarse quantizer the stride-seeded ann_ivf_topk stands in for
+  // (SCALE.md: "a k-means table in production"). The Lloyd-refined
+  // centroids become the inverted-file keys; assignment, probing and
+  // candidate scoring all use the quantizer's own metric (squared L2 by
+  // (d2, cid) — the training metric, so lists are Voronoi cells of the
+  // actual codebook). Probing NProbe lists bounds the scan by list size;
+  // the refined lists are tighter than stride-seeded ones, which is the
+  // whole point of training the quantizer.
+  // -------------------------------------------------------------------
+  private val IvfKmNProbe = 2
+  private val IvfKmQueryStride = 50 // the ANN family's query set
+  private val IvfKmTopK = 5
+
+  private def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val (longForm, _) = kmeans(s, dir)
+    val e = VecOps.vecs(s, dir).select(col("vec_id"), col("v"))
+    val cents = toVectors(longForm)
+    val d2 = expr(d2Spark.format("v", "cv"))
+    val assignW = Window.partitionBy("vec_id").orderBy(d2.asc, col("cid").asc)
+    val assigned = e
+      .crossJoin(broadcast(cents))
+      .withColumn("crank", row_number().over(assignW))
+      .filter(col("crank") <= IvfKmNProbe)
+      .select(col("vec_id"), col("v"), col("cid"), col("crank"))
+      .localCheckpoint() // feeds lists AND probes
+    val lists = assigned.filter(col("crank") === 1).select(col("vec_id"), col("v"), col("cid"))
+    val probes = assigned
+      .filter(col("vec_id") % IvfKmQueryStride === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid").as("probe_cid"))
+    val d2QN = expr(d2Spark.format("q.qv", "n.v"))
+    val pairs = probes
+      .as("q")
+      .join(lists.as("n"), col("q.probe_cid") === col("n.cid") && col("q.qid") =!= col("n.vec_id"))
+      .select(col("q.qid").as("query_id"), col("n.vec_id").as("neighbor_id"), d2QN.as("d2"))
+      .distinct() // defensive: one row per (query, neighbor) even if lists overlap
+    val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= IvfKmTopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), Norm.rnd(col("d2"), 6).as("d2"))
+      .transform(Norm.ordered(_, col("query_id"), col("rank")))
+  }
+
+  private val annIvfKmeansSql: String =
+    s"""WITH $kmeansCteSql,
+       |cfin AS (SELECT cid, cv FROM c$Iters),
+       |asg AS (
+       |  SELECT vec_id, v, cid, crank FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${d2Duck("e.v", "c.cv")}, c.cid) AS crank
+       |    FROM e CROSS JOIN cfin c)
+       |  WHERE crank <= $IvfKmNProbe
+       |), lists AS (SELECT vec_id, v, cid FROM asg WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, v AS qv, cid AS probe_cid
+       |  FROM asg WHERE vec_id % $IvfKmQueryStride = 0
+       |), pairs AS (
+       |  SELECT DISTINCT q.qid AS query_id, n.vec_id AS neighbor_id,
+       |         ${d2Duck("q.qv", "n.v")} AS d2
+       |  FROM probes q JOIN lists n ON q.probe_cid = n.cid AND q.qid <> n.vec_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2, neighbor_id) AS BIGINT) AS rank
+       |  FROM pairs
+       |)
+       |SELECT query_id, rank, neighbor_id, round(d2, 6) + 0.0 AS d2
+       |FROM ranked WHERE rank <= $IvfKmTopK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_kmeans" -> vecKmeans,
-    "dedup_semantic" -> dedupSemantic
+    "dedup_semantic" -> dedupSemantic,
+    "ann_ivf_kmeans" -> annIvfKmeans
   )
 
   val oracle: Map[String, String] = Map(
     "vec_kmeans" -> vecKmeansSql,
-    "dedup_semantic" -> dedupSemanticSql
+    "dedup_semantic" -> dedupSemanticSql,
+    "ann_ivf_kmeans" -> annIvfKmeansSql
   )
 }
