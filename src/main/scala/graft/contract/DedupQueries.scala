@@ -461,6 +461,49 @@ object DedupQueries {
     clusterWith(s, dir,
       graft.operators.StarContraction.connectedComponents(_, ClusterMaxIter))
 
+  // -------------------------------------------------------------------
+  // dedup_keep_best — canonical-document selection, the step after
+  // clustering: within each near-dup cluster keep the LONGEST member
+  // (n_chars desc, doc_id asc tie-break — the "keep the most complete
+  // copy" rule production dedup uses; keep-first-id is corpus_prep's
+  // greedy). The per-cluster window is scale-safe: clusters are LSH
+  // candidate components, whose size is bounded by near-dup group size,
+  // not corpus size — millions of small partitions, never one big one.
+  // -------------------------------------------------------------------
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val labels = graft.operators.ConnectedComponents
+      .minLabelPropagation(lshPairsRaw(s, dir).select(col("doc_a"), col("doc_b")), ClusterMaxIter)
+      .select(col("vertex").as("doc_id"), col("component").as("cluster_id"))
+    val sized = labels
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+    val w = Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id").asc)
+    sized
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+      .transform(Norm.ordered(_, col("doc_id")))
+  }
+
+  private val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $bandsCteSql,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+       |  UNION
+       |  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+       |),
+       |lbl AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, dd.n_chars,
+       |       (row_number() OVER (PARTITION BY l.cluster_id
+       |                           ORDER BY dd.n_chars DESC, l.doc_id) = 1) AS keep
+       |FROM lbl l JOIN documents dd ON dd.doc_id = l.doc_id
+       |ORDER BY l.doc_id""".stripMargin
+
   private val dedupClusterSql: String = {
     s"""WITH RECURSIVE $bandsCteSql,
        |pairs AS (
@@ -727,6 +770,7 @@ object DedupQueries {
     "dedup_incremental" -> dedupIncremental,
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_star" -> dedupClusterStar,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> minhashSig,
     "dedup_lsh_pairs" -> lshPairs,
@@ -743,6 +787,7 @@ object DedupQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_cluster" -> dedupClusterSql,
     "dedup_cluster_star" -> dedupClusterSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSigSql,
     "dedup_lsh_pairs" -> lshPairsSql,

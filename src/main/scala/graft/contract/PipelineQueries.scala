@@ -304,11 +304,96 @@ object PipelineQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // sample_mixture — language-mixture rebalancing: given target mixture
+  // weights (per-mille), find the LARGEST corpus achievable without
+  // upsampling any language (cap = min over langs of n_l/w_l) and keep
+  // each doc with probability w_l*cap/n_l via a deterministic hash
+  // threshold. The scale shape is deliberate: unlike sample_stratified's
+  // exact-count per-stratum rank (a per-stratum total order), the
+  // threshold test is MAP-ONLY after a |langs|-row broadcast — the form
+  // that survives 100 TB strata, trading exact per-stratum counts for
+  // binomial-concentrated ones. Output is the per-language audit a
+  // mixture job emits: corpus count, kept count, kept-id checksum.
+  // -------------------------------------------------------------------
+  private val MixTargetsMilli: Seq[(String, Int)] =
+    Seq("en" -> 500, "de" -> 150, "zh" -> 150, "es" -> 100, "fr" -> 100)
+  private val MixSeed = 271L
+
+  private def sampleMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select(col("doc_id"), col("lang"))
+    val w = MixTargetsMilli.toDF("lang", "w_milli")
+    // |langs| rows: corpus count per language + its target weight.
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang")).join(w, "lang")
+    // The no-upsampling capacity: cap = min(n_l * 1000 / w_l), in docs.
+    val cap = counts.agg(min(col("n_lang") * lit(1000.0) / col("w_milli")).as("cap"))
+    // Integer keep-threshold per language on the DetHash range [0, P):
+    // keep iff h < floor(min(1, w*cap/1000/n) * P). Float arithmetic is
+    // confined to this |langs|-row relation, written in the same
+    // operation order as the oracle so IEEE 754 makes it bit-identical.
+    val thr = counts
+      .crossJoin(cap)
+      .select(
+        col("lang"), col("n_lang"), col("w_milli"),
+        floor(
+          least(lit(1.0), col("w_milli") * col("cap") / lit(1000.0) / col("n_lang")) *
+            lit(DetHash.P.toDouble)
+        ).cast("long").as("thr")
+      )
+    val h = DetHash.rankHashCol(col("doc_id"), lit(7), lit(3), MixSeed)
+    d.withColumn("h", h)
+      .join(broadcast(thr), "lang")
+      .filter(col("h") < col("thr"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("kept_id_sum")
+      )
+      .join(broadcast(thr.select(col("lang"), col("n_lang"), col("w_milli"))), "lang")
+      .select(
+        col("lang"),
+        col("n_lang"),
+        col("w_milli").cast("long").as("w_milli"),
+        col("n_kept"),
+        col("kept_id_sum")
+      )
+      .transform(Norm.ordered(_, col("lang")))
+  }
+
+  private val sampleMixtureSql: String = {
+    val h = DetHash.rankHashSql("doc_id", "7", "3", MixSeed)
+    val wRows = MixTargetsMilli.map { case (l, m) => s"('$l', $m)" }.mkString(", ")
+    s"""WITH w(lang, w_milli) AS (VALUES $wRows),
+       |counts AS (
+       |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_lang, w.w_milli
+       |  FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang, w.w_milli
+       |),
+       |cap AS (SELECT min(n_lang * 1000.0 / w_milli) AS cap FROM counts),
+       |thr AS (
+       |  SELECT lang, n_lang, w_milli,
+       |    CAST(floor(least(1.0, w_milli * cap / 1000.0 / n_lang) * ${DetHash.P}.0) AS BIGINT) AS thr
+       |  FROM counts, cap
+       |),
+       |kept AS (
+       |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+       |         CAST(sum(d.doc_id) AS BIGINT) AS kept_id_sum
+       |  FROM documents d JOIN thr t ON d.lang = t.lang
+       |  WHERE $h < t.thr
+       |  GROUP BY d.lang
+       |)
+       |SELECT t.lang, t.n_lang, CAST(t.w_milli AS BIGINT) AS w_milli,
+       |       k.n_kept, k.kept_id_sum
+       |FROM kept k JOIN thr t ON k.lang = t.lang
+       |ORDER BY t.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "contam_check" -> contamCheck,
     "corpus_prep" -> corpusPrep,
     "quantile_bucket" -> quantileBucket,
     "pack_windows" -> packWindows,
+    "sample_mixture" -> sampleMixture,
     "split_leakage" -> splitLeakage
   )
 
@@ -317,6 +402,7 @@ object PipelineQueries {
     "corpus_prep" -> corpusPrepSql,
     "quantile_bucket" -> quantileBucketSql,
     "pack_windows" -> packWindowsSql,
+    "sample_mixture" -> sampleMixtureSql,
     "split_leakage" -> splitLeakageSql
   )
 }
