@@ -148,15 +148,54 @@ object GraphQueries {
        |SELECT vertex, round(rank, 6) + 0.0 AS pagerank FROM pr$PrIters ORDER BY vertex""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // graph_bfs — multi-source BFS distance from a seed set (every 50th
+  // doc id that appears in the candidate graph) to depth 8: "how many
+  // near-dup hops from a curated document is everything else" — the
+  // quality/trust-propagation shape. Frontier-based (work per round ∝
+  // frontier, not graph; see [[graft.operators.Bfs]]); the oracle is a
+  // depth-capped recursive CTE taking min(dist) over all paths, which
+  // equals BFS distance by definition.
+  // -------------------------------------------------------------------
+  private val BfsDepth = 8
+  private val BfsSeedStride = 50
+
+  private def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val sym = symOf(pairsOf(s, dir))
+    val seeds = sym
+      .select(col("src").as("vertex"))
+      .distinct()
+      .filter(col("vertex") % BfsSeedStride === 0)
+    graft.operators.Bfs
+      .distances(sym, seeds, BfsDepth)
+      .select(col("vertex").as("doc_id"), col("dist"))
+      .transform(Norm.ordered(_, col("doc_id")))
+  }
+
+  private val graphBfsSql: String =
+    s"""WITH RECURSIVE ${DedupQueries.bandsCteSql},
+       |$pairsCteSql,
+       |seeds AS (SELECT DISTINCT s AS v FROM sym WHERE s % $BfsSeedStride = 0),
+       |walk(v, dist) AS (
+       |  SELECT v, 0 FROM seeds
+       |  UNION
+       |  SELECT y.d, w.dist + 1 FROM walk w JOIN sym y ON y.s = w.v
+       |  WHERE w.dist + 1 <= $BfsDepth
+       |)
+       |SELECT v AS doc_id, CAST(min(dist) AS INTEGER) AS dist
+       |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degree" -> graphDegree,
     "graph_triangles" -> graphTriangles,
-    "graph_pagerank" -> graphPagerank
+    "graph_pagerank" -> graphPagerank,
+    "graph_bfs" -> graphBfs
   )
 
   val oracle: Map[String, String] = Map(
     "graph_degree" -> graphDegreeSql,
     "graph_triangles" -> graphTrianglesSql,
-    "graph_pagerank" -> graphPagerankSql
+    "graph_pagerank" -> graphPagerankSql,
+    "graph_bfs" -> graphBfsSql
   )
 }

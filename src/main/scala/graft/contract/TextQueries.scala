@@ -700,7 +700,107 @@ object TextQueries {
       |FROM sw JOIN cw ON sw.w = cw.w JOIN ns ON sw.source = ns.source CROSS JOIN na
       |GROUP BY sw.source ORDER BY sw.source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // text_inverted_index — posting-list construction, the retrieval-side
+  // counterpart of text_tfidf/text_bm25's scoring: per term, document
+  // frequency, total occurrences, and the posting list head (first
+  // PostingsCap doc ids, ascending). The cap is explicit and in the
+  // column name: an UNCAPPED collect per term is the classic 100 TB
+  // failure (a stopword's posting list is the corpus); real indexes
+  // shard postings by (term, doc-range). df/n_occur stay exact — they
+  // are partial-aggregating counts, not collects.
+  // -------------------------------------------------------------------
+  private val PostingsCap = 64
+
+  private def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("n_occur"),
+        array_join(slice(sort_array(collect_set(col("doc_id"))), 1, PostingsCap), ",")
+          .as("postings_head")
+      )
+      .transform(Norm.ordered(_, col("term")))
+
+  private val invertedIndexSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |)
+       |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       |  CAST(count(*) AS BIGINT) AS n_occur,
+       |  array_to_string(list_sort(list(DISTINCT doc_id))[1:$PostingsCap], ',') AS postings_head
+       |FROM toks GROUP BY term ORDER BY term""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_phrase_search — positional-index phrase lookup: for each query
+  // phrase "w1 w2", intersect the two words' postings on (doc, adjacent
+  // position). Both sides of the intersection are the token stream
+  // PRE-FILTERED by a broadcast of the phrase words (map-side semi
+  // filter), so the join input is |postings of queried words|, not the
+  // corpus — the posting-intersection shape search engines run. Phrases
+  // with no hits stay in the output via the left join (count 0).
+  // -------------------------------------------------------------------
+  private val Phrases: Seq[(String, String, String)] = Seq(
+    ("customer join", "customer", "join"),
+    ("merge group", "merge", "group"),
+    ("part filter", "part", "filter"),
+    ("scan scan", "scan", "scan"),
+    ("table hash", "table", "hash")
+  )
+
+  private def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ph = Phrases.toDF("phrase", "w1", "w2")
+    val pos = docs(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val hits = pos.as("a")
+      .join(broadcast(ph), col("a.term") === col("w1"))
+      .join(
+        pos.as("b"),
+        col("b.doc_id") === col("a.doc_id") &&
+          col("b.pos") === col("a.pos") + 1 && col("b.term") === col("w2")
+      )
+      .groupBy("phrase")
+      .agg(
+        countDistinct(col("a.doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occur")
+      )
+    ph.select("phrase")
+      .join(hits, Seq("phrase"), "left")
+      .select(
+        col("phrase"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occur"), lit(0L)).as("n_occur")
+      )
+      .transform(Norm.ordered(_, col("phrase")))
+  }
+
+  private val phraseSearchSql: String = {
+    val rows = Phrases.map { case (p, a, b) => s"('$p', '$a', '$b')" }.mkString(", ")
+    s"""WITH ph(phrase, w1, w2) AS (VALUES $rows),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |pos AS (
+       |  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) AS pos FROM toks
+       |),
+       |hits AS (
+       |  SELECT ph.phrase, CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_docs,
+       |         CAST(count(*) AS BIGINT) AS n_occur
+       |  FROM ph
+       |  JOIN pos a ON a.term = ph.w1
+       |  JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.term = ph.w2
+       |  GROUP BY ph.phrase
+       |)
+       |SELECT ph.phrase, CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs,
+       |       CAST(coalesce(h.n_occur, 0) AS BIGINT) AS n_occur
+       |FROM ph LEFT JOIN hits h ON ph.phrase = h.phrase
+       |ORDER BY ph.phrase""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_inverted_index" -> invertedIndex,
+    "text_phrase_search" -> phraseSearch,
     "text_bigram_lm" -> bigramLm,
     "text_lm_score" -> lmScore,
     "text_repetition" -> textRepetition,
@@ -718,6 +818,8 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_inverted_index" -> invertedIndexSql,
+    "text_phrase_search" -> phraseSearchSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_lm_score" -> lmScoreSql,
     "text_repetition" -> textRepetitionSql,
