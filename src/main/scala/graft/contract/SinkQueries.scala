@@ -326,6 +326,96 @@ object SinkQueries {
       |  round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS sum_value
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sink_zorder — multi-dimensional data clustering (Delta/Iceberg
+  // OPTIMIZE ZORDER, done with plain Spark + parquet): interleave the
+  // bits of the two filter dimensions (user bucket, hour bucket) into a
+  // Morton key, range-partition + sort the write on it, and every
+  // output file/row-group ends up with a NARROW min/max range in BOTH
+  // dimensions at once — so a 2-D box predicate prunes most files via
+  // footer stats, which neither single-column sort order can do for
+  // both dims simultaneously. ZorderSpec measures the effect on the
+  // written footers (box intersects a small file fraction under z-order
+  // vs ~all under arrival order); this query proves the round-trip is
+  // value-lossless: box aggregate over the z-ordered table == the same
+  // box straight off the raw events (oracle). At 100 TB the layout is
+  // what turns "scan a month of everything" into "read the 1% of files
+  // whose (user, time) box overlaps the query".
+  // -------------------------------------------------------------------
+  private val ZBits = 8
+  private val ZFiles = 16
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+  // the 2-D box the contract query + spec both probe (u range chosen to
+  // be populated at every SF: sf0.001 only has user ids 0..14)
+  private val ZBoxU = (4, 7)
+  private val ZBoxT = (64, 95)
+
+  /** Morton (z-order) interleave of two ZBits-bit ints — pure codegen
+    * column arithmetic, bit i of each input lands at bits 2i / 2i+1.
+    */
+  private[graft] def zval(ux: org.apache.spark.sql.Column, tx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits)
+      .map { i =>
+        (shiftleft(shiftright(ux, i) % 2, 2 * i) +
+          shiftleft(shiftright(tx, i) % 2, 2 * i + 1)).cast("long")
+      }
+      .reduce(_ + _)
+
+  /** ux/tx clustering dimensions over the events table. `ts` is epoch
+    * nanos BIGINT — the hour bucket uses integer `div`, NOT `/` (double
+    * division would round a ~2^60 nano count at 53-bit precision).
+    */
+  private[graft] def zDims(df: DataFrame): DataFrame =
+    df.withColumn("ux", pmod(col("user_id"), lit(1 << ZBits)).cast("int"))
+      .withColumn("tx", pmod(expr(s"ts div ${HourNs}L"), lit(1 << ZBits)).cast("int"))
+
+  /** Write events z-ordered on (ux, tx); returns (zorderPath, tmpRoot). */
+  private[graft] def writeZordered(s: SparkSession, dir: String, run: String): (String, String) = {
+    val tmp = Files.createTempDirectory(s"graft-zorder-$run").toString
+    zDims(Tables.events(s, dir).select("event_id", "user_id", "ts", "value", "event_type"))
+      .withColumn("z", zval(col("ux"), col("tx")))
+      .repartitionByRange(ZFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.parquet(s"$tmp/zorder")
+    (s"$tmp/zorder", tmp)
+  }
+
+  private def zorder(s: SparkSession, dir: String): DataFrame = {
+    val (zpath, tmp) = writeZordered(s, dir, s"z${ctr.incrementAndGet()}")
+    val agg = s.read.parquet(zpath)
+      .filter(
+        col("ux").between(ZBoxU._1, ZBoxU._2) && col("tx").between(ZBoxT._1, ZBoxT._2)
+      )
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("id_checksum"),
+        Norm.rnd(sum(round(col("value") * 100.0).cast("long")) / 100.0, 2).as("sum_value")
+      )
+      .transform(Norm.ordered(_, col("event_type")))
+    graft.GateResult.materialize(agg)(
+      graft.GateResult.deleteRecursively(java.nio.file.Paths.get(tmp))
+    )
+  }
+
+  private val zorderSql: String =
+    s"""WITH d AS (
+       |  SELECT event_type, event_id, value,
+       |    CAST(user_id % ${1 << ZBits} AS INTEGER) AS ux,
+       |    CAST((ts // $HourNs) % ${1 << ZBits} AS INTEGER) AS tx
+       |  FROM (SELECT event_type, event_id, value, user_id, epoch_ns(ts) AS ts FROM events)
+       |)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       |  round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS sum_value
+       |FROM d
+       |WHERE ux BETWEEN ${ZBoxU._1} AND ${ZBoxU._2} AND tx BETWEEN ${ZBoxT._1} AND ${ZBoxT._2}
+       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // the box constants, exposed for ZorderSpec
+  private[graft] def zBox: ((Int, Int), (Int, Int)) = (ZBoxU, ZBoxT)
+
   private val bucketedJoinSql: String =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
       |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS revenue
@@ -336,13 +426,15 @@ object SinkQueries {
     "sink_bucketed_join" -> bucketedJoin,
     "sink_partition_prune" -> partitionPrune,
     "sink_upsert_overwrite" -> upsertOverwrite,
-    "sink_compaction" -> compaction
+    "sink_compaction" -> compaction,
+    "sink_zorder" -> zorder
   )
 
   val oracle: Map[String, String] = Map(
     "sink_bucketed_join" -> bucketedJoinSql,
     "sink_partition_prune" -> partitionPruneSql,
     "sink_upsert_overwrite" -> upsertOverwriteSql,
-    "sink_compaction" -> compactionSql
+    "sink_compaction" -> compactionSql,
+    "sink_zorder" -> zorderSql
   )
 }
