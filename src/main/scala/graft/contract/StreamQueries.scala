@@ -346,6 +346,61 @@ object StreamQueries {
        |ORDER BY s.user_id, s.start_ms""".stripMargin
 
   // -------------------------------------------------------------------
+  // stream_session_builtin — the SAME sessionization through Spark's
+  // built-in `session_window` aggregation (merging session windows in
+  // the state store) beside stream_sessionize's hand-rolled
+  // flatMapGroupsWithState — the stream_dedup/stream_dedup_builtin
+  // pattern applied to sessions. Semantics differ deliberately and the
+  // oracle encodes it: the built-in finalizes PER SESSION (append mode
+  // emits a window once the watermark passes ITS end = last event +
+  // gap), while the custom operator's EventTimeTimeout flushes PER USER
+  // (all of a quiet user's sessions at once); and the built-in's
+  // end_ms is last_event + gap, not last_event. Same replay: data
+  // batch at watermark 0 buffers everything, the watermark-advance
+  // batch emits every session with end + gap <= max_ts - delay.
+  // -------------------------------------------------------------------
+  private def streamSessionBuiltin(s: SparkSession, dir: String): DataFrame = {
+    val in = evStream(s, dir)
+    val out = StreamHarness.runAvailableNow(
+      in.withWatermark("ts", s"${SessionDelayMs / 1000} seconds")
+        .groupBy(col("userId"), session_window(col("ts"), s"${GapMs / 1000} seconds"))
+        .agg(count(lit(1)).as("n_events")),
+      "append"
+    )
+    out
+      .select(
+        col("userId").as("user_id"),
+        col("n_events"),
+        expr("unix_micros(session_window.start) div 1000").as("start_ms"),
+        expr("unix_micros(session_window.end) div 1000").as("end_ms")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("start_ms")))
+  }
+
+  private val streamSessionBuiltinSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ms(ts) AS tms FROM events
+       |), mx AS (SELECT max(tms) AS max_ms FROM e),
+       |b AS (
+       |  SELECT user_id, tms,
+       |         CASE WHEN lag(tms) OVER w IS NULL
+       |              OR tms - lag(tms) OVER w > $GapMs THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)
+       |), sid AS (
+       |  SELECT user_id, tms,
+       |         sum(brk) OVER (PARTITION BY user_id ORDER BY tms ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM b
+       |), sess AS (
+       |  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+       |         min(tms) AS start_ms, max(tms) + $GapMs AS end_ms
+       |  FROM sid GROUP BY 1, 2
+       |)
+       |SELECT s.user_id, s.n_events, s.start_ms, s.end_ms
+       |FROM sess s CROSS JOIN mx
+       |WHERE s.end_ms <= mx.max_ms - $SessionDelayMs
+       |ORDER BY s.user_id, s.start_ms""".stripMargin
+
+  // -------------------------------------------------------------------
   // stream_enrich — Streams.enrichWithDim: stream-static join (the
   // canonical "enrich a firehose with reference data" shape) followed by
   // a streaming aggregation. The static side is a BATCH aggregate over
@@ -677,6 +732,7 @@ object StreamQueries {
     "stream_transform_state" -> streamTransformState,
     "stream_rolling_corr" -> rollingCorr,
     "stream_sessionize" -> streamSessionize,
+    "stream_session_builtin" -> streamSessionBuiltin,
     "stream_enrich" -> streamEnrich,
     "stream_ccm" -> streamCcm
   )
@@ -692,6 +748,7 @@ object StreamQueries {
     "stream_transform_state" -> streamTransformStateSql,
     "stream_rolling_corr" -> rollingCorrSql,
     "stream_sessionize" -> streamSessionizeSql,
+    "stream_session_builtin" -> streamSessionBuiltinSql,
     "stream_enrich" -> streamEnrichSql,
     "stream_ccm" -> streamCcmSql
   )
