@@ -469,10 +469,15 @@ object DedupQueries {
   // greedy). The per-cluster window is scale-safe: clusters are LSH
   // candidate components, whose size is bounded by near-dup group size,
   // not corpus size — millions of small partitions, never one big one.
+  // Clustering runs through STAR CONTRACTION, not label propagation:
+  // the 10× replica (SCALE.md) produces a candidate component of
+  // diameter > 25, where propagation hits its round cap and fails
+  // loudly while contraction's O(log n) rounds finish — the pipeline
+  // step gets the algorithm that survives adversarial diameters.
   // -------------------------------------------------------------------
   private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val labels = graft.operators.ConnectedComponents
-      .minLabelPropagation(lshPairsRaw(s, dir).select(col("doc_a"), col("doc_b")), ClusterMaxIter)
+    val labels = graft.operators.StarContraction
+      .connectedComponents(lshPairsRaw(s, dir).select(col("doc_a"), col("doc_b")), ClusterMaxIter)
       .select(col("vertex").as("doc_id"), col("component").as("cluster_id"))
     val sized = labels
       .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")), "doc_id")

@@ -125,6 +125,94 @@ object EventQueries {
       |ORDER BY g_type, g_bucket, event_type, val_bucket""".stripMargin
 
   // -------------------------------------------------------------------
+  // evt_grouping_sets — EXPLICIT grouping sets, the non-hierarchical
+  // case neither ROLLUP nor CUBE expresses: (type × weekday), (type),
+  // (weekday) — two independent marginals plus the cross, NO grand
+  // total. Spark 4's Dataset.groupingSets expands them into one
+  // Expand + hash aggregation pass (same single-scan shape as
+  // rollup/cube). Weekday is pure integer epoch-day arithmetic — never
+  // an engine calendar function (Spark's dayofweek is 1-7 Sunday-first,
+  // DuckDB's is 0-6; integer math can't disagree).
+  // -------------------------------------------------------------------
+  private val GsDayUs = 86400L * 1000 * 1000
+
+  private def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      // epoch day 0 = Thursday; +4 makes 0 = Sunday, like ISO-ish buckets.
+      // integer `div`, not `/`: double division of a ~2^50 micros count
+      // rounds at the boundary where floor-by-cast then disagrees with
+      // the oracle's exact `//`
+      .withColumn("dow", (expr(s"tus div ${GsDayUs}L") + 4) % 7)
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("dow")), Seq(col("event_type")), Seq(col("dow"))),
+        col("event_type"),
+        col("dow")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100.0).cast("long")).as("sum_cents"),
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("dow")).cast("long").as("g_dow")
+      )
+      .transform(Norm.ordered(_, col("g_type"), col("g_dow"), col("event_type"), col("dow")))
+
+  private val groupingSetsSql: String =
+    s"""SELECT event_type,
+       |  (epoch_us(ts) // $GsDayUs + 4) % 7 AS dow,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       |  CAST(GROUPING((epoch_us(ts) // $GsDayUs + 4) % 7) AS BIGINT) AS g_dow
+       |FROM events
+       |GROUP BY GROUPING SETS ((event_type, (epoch_us(ts) // $GsDayUs + 4) % 7),
+       |                        (event_type),
+       |                        ((epoch_us(ts) // $GsDayUs + 4) % 7))
+       |ORDER BY g_type, g_dow, event_type, dow""".stripMargin
+
+  // -------------------------------------------------------------------
+  // evt_range_frame — a time-RANGE window frame (trailing 1 hour per
+  // user), the frame kind ROWS cannot express when event spacing is
+  // irregular: the frame holds however many events fall in the hour,
+  // peers included. One shuffle on the series key like every other
+  // window query; the frame sum is exact integer cents so cross-engine
+  // float summation order cannot flip a digit.
+  // -------------------------------------------------------------------
+  private val RfHourUs = 3600L * 1000 * 1000
+
+  private def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("tus")
+      .rangeBetween(-RfHourUs, Window.currentRow)
+    ev(s, dir)
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("cents_1h", sum(round(col("value") * 100.0).cast("long")).over(w))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("tus"),
+        col("n_1h"),
+        Norm.rnd(col("cents_1h") / 100.0 / col("n_1h"), 4).as("avg_1h")
+      )
+      .transform(Norm.ordered(_, col("event_id")))
+  }
+
+  private val rangeFrameSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS tus,
+       |         CAST(round(value * 100.0) AS BIGINT) AS cents
+       |  FROM events
+       |)
+       |SELECT event_id, user_id, tus,
+       |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       |  round(CAST(sum(cents) OVER w AS BIGINT) / 100.0
+       |        / CAST(count(*) OVER w AS BIGINT), 4) + 0.0 AS avg_1h
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+       |             RANGE BETWEEN $RfHourUs PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // evt_asof_purchase — as-of join: for every event, the most recent
   // STRICTLY PRIOR 'purchase' event of the same user. Spark side: a single
   // ordered window with `last(..., ignoreNulls)` over an unbounded-to-(-1)
@@ -928,6 +1016,8 @@ object EventQueries {
     "evt_retention" -> retention,
     "evt_funnel" -> funnel,
     "evt_cube" -> cubeAgg,
+    "evt_grouping_sets" -> groupingSetsAgg,
+    "evt_range_frame" -> rangeFrame,
     "evt_range_join" -> rangeJoin,
     "evt_pivot" -> pivotTypes,
     "evt_running_metrics" -> runningMetrics,
@@ -953,6 +1043,8 @@ object EventQueries {
     "evt_retention" -> retentionSql,
     "evt_funnel" -> funnelSql,
     "evt_cube" -> cubeAggSql,
+    "evt_grouping_sets" -> groupingSetsSql,
+    "evt_range_frame" -> rangeFrameSql,
     "evt_range_join" -> rangeJoinSql,
     "evt_pivot" -> pivotTypesSql,
     "evt_running_metrics" -> runningMetricsSql,
