@@ -185,8 +185,18 @@ object EventQueries {
       .orderBy("tus")
       .rangeBetween(-RfHourUs, Window.currentRow)
     ev(s, dir)
-      .withColumn("n_1h", count(lit(1)).over(w))
-      .withColumn("cents_1h", sum(round(col("value") * 100.0).cast("long")).over(w))
+      // pre-project cents, then both frame aggregates in ONE select:
+      // an interposed projection between chained withColumns would block
+      // CollapseWindow and plan two Window passes over the same frame
+      // (NewQueryPlanSpec pins the single pass)
+      .withColumn("cents", round(col("value") * 100.0).cast("long"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("tus"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).as("cents_1h")
+      )
       .select(
         col("event_id"),
         col("user_id"),

@@ -1,0 +1,46 @@
+package graft.contract
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Plan pins for the late-round-8 queries (the TpchPlanSpec pattern):
+  * each assertion states the scale property the query's prose claims, so
+  * a regression is a test failure instead of prose drift.
+  */
+class NewQueryPlanSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("sample_mixture is map-only on the document side: broadcast threshold join, no window, no sort-merge") {
+    val p = plan("sample_mixture")
+    assert(p.contains("BroadcastHashJoin"), "threshold table should attach by broadcast")
+    assert(!p.contains("SortMergeJoin"), "no data-proportional relation may shuffle for a join")
+    assert(!p.contains("Window"), "mixture sampling must not rank inside strata (that's sample_stratified)")
+  }
+
+  test("text_inverted_index is one aggregation pass: no join, no window") {
+    val p = plan("text_inverted_index")
+    assert(!p.contains("Join"), "posting-list build needs no join")
+    assert(!p.contains("Window"), "posting-list build needs no window")
+  }
+
+  test("text_phrase_search pre-filters the token stream by broadcast before the adjacency join") {
+    val p = plan("text_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), "phrase words must attach by broadcast (map-side pre-filter)")
+    assert(!p.contains("Window"), "posting intersection needs no window")
+  }
+
+  test("evt_range_frame runs both frame aggregates in a single window pass") {
+    val p = plan("evt_range_frame")
+    val windows = "(?m)^\\s*[*+:\\-() 0-9]*Window ".r.findAllIn(p).size
+    assert(windows == 1, s"expected ONE Window operator (shared frame), got $windows in:\n$p")
+  }
+
+  test("evt_grouping_sets expands all three sets in one pass") {
+    val p = plan("evt_grouping_sets")
+    val expands = "Expand".r.findAllIn(p).size
+    assert(expands == 1, s"expected ONE Expand operator (single-scan grouping sets), got $expands")
+    assert(!p.contains("Union"), "grouping sets must not plan as a union of re-scans")
+  }
+}
