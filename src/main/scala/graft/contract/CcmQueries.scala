@@ -721,6 +721,134 @@ object CcmQueries {
   }
 
   // -------------------------------------------------------------------
+  // ccm_surrogate — permutation-surrogate significance test, the
+  // decision rule EDM practice puts ON TOP of a skill number: re-pair
+  // each series' x with K DetHash-permuted copies of itself (y and its
+  // manifold untouched; x's marginal distribution exactly preserved),
+  // run the identical bidirectional CCM over true + surrogate
+  // pairings as ONE job (composite series key = user*stride + k), and
+  // report the empirical p-value (1 + #{surrogate rho >= true rho}) /
+  // (1 + K) per (series, direction). Everything reuses the ccm_boot
+  // machinery — same capped input, same pipeline, and the oracle is
+  // curveSqlCommon over a surrogate-augmented FROM subquery, so the
+  // surrogate rhos themselves are hash-checked, not just the p-values.
+  // The comparison uses the 6-dp-rounded rhos on both engines (raw
+  // float compare at a tie boundary could split them).
+  // Scale: surrogates multiply the SERIES dimension (K+1 variants),
+  // which the pair join already partitions on — same shuffle keys,
+  // (K+1)× rows, no new plan shape.
+  // -------------------------------------------------------------------
+  private val SurrK = 7
+  private val SurrStride = 100L
+  private val SurrSamples = 4
+  private val SurrLib = 48
+  private val SurrSeed = 977L
+
+  private def surrogate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val bi = bootInput(s, dir)
+      .withColumn("i", row_number().over(w).cast("long"))
+    val ks = (0 to SurrK).map(_.toLong).toDF("k")
+    // row i carries its x to position pos: identity for k=0 (the true
+    // pairing), a DetHash permutation of 1..n for each surrogate k
+    val wp = Window
+      .partitionBy("user_id", "k")
+      .orderBy(DetHash.rankHashCol(col("i"), col("k"), col("user_id"), SurrSeed), col("i"))
+    val pr = bi
+      .crossJoin(broadcast(ks))
+      .withColumn("pos", when(col("k") === 0, col("i")).otherwise(row_number().over(wp).cast("long")))
+    val xs = pr.select(col("user_id"), col("k"), col("pos").as("i"), col("x"))
+    val surr = xs
+      .join(bi.select(col("user_id"), col("i"), col("y")), Seq("user_id", "i"))
+      .select(
+        (col("user_id") * SurrStride + col("k")).as("skey2"),
+        col("i").as("ts"),
+        col("x"),
+        col("y")
+      )
+    val rhos = Ccm
+      .bidirectional(
+        surr,
+        skey = col("skey2"),
+        order = Seq("ts"),
+        x = col("x"),
+        y = col("y"),
+        spec = CcmSpec(numSamples = SurrSamples, seed = Seed),
+        libSizes = Seq(SurrLib)
+      )
+      .select(
+        expr(s"skey div $SurrStride").as("user_id"),
+        pmod(col("skey"), lit(SurrStride)).as("k"),
+        col("direction"),
+        Norm.rnd(col("rho"), 6).as("rho6")
+      )
+      .localCheckpoint() // feeds both sides of the true-vs-surrogate join
+    val truth = rhos
+      .filter(col("k") === 0)
+      .select(col("user_id"), col("direction"), col("rho6").as("true_rho"))
+    rhos
+      .filter(col("k") =!= 0)
+      .join(truth, Seq("user_id", "direction"))
+      .groupBy(col("user_id"), col("direction"), col("true_rho"))
+      .agg(
+        count(lit(1)).as("n_surr"),
+        sum(when(col("rho6") >= col("true_rho"), 1L).otherwise(0L)).as("n_ge")
+      )
+      .withColumn("p_val", Norm.rnd((col("n_ge") + 1) / (col("n_surr") + lit(1.0)), 6))
+      .transform(Norm.ordered(_, col("user_id"), col("direction")))
+  }
+
+  private val surrogateSql: String = {
+    val capFrom =
+      s"""(SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value,
+         |           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+         |    FROM events WHERE user_id % $BootUserMod = 0) WHERE rn <= $BootCap)""".stripMargin
+    val h = DetHash.rankHashSql("b.i", "kk.k", "b.user_id", SurrSeed)
+    val surrFrom =
+      s"""(WITH cap AS (SELECT * FROM $capFrom),
+         |  sb0 AS (
+         |    SELECT user_id, ts, value AS x,
+         |           lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS y
+         |    FROM cap
+         |  ), sb AS (SELECT * FROM sb0 WHERE y IS NOT NULL),
+         |  sbi AS (
+         |    SELECT user_id, x, y,
+         |           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS i
+         |    FROM sb
+         |  ),
+         |  ks(k) AS (SELECT CAST(unnest(generate_series(0, $SurrK)) AS BIGINT)),
+         |  spr AS (
+         |    SELECT b.user_id, kk.k, b.i, b.x,
+         |           CASE WHEN kk.k = 0 THEN b.i
+         |                ELSE CAST(row_number() OVER (PARTITION BY b.user_id, kk.k
+         |                     ORDER BY $h, b.i) AS BIGINT) END AS pos
+         |    FROM sbi b CROSS JOIN ks kk
+         |  )
+         |  SELECT p.user_id * $SurrStride + p.k AS skey2, p.pos AS ts,
+         |         p.x AS value, yy.y AS y0
+         |  FROM spr p JOIN sbi yy ON yy.user_id = p.user_id AND yy.i = p.pos)""".stripMargin
+    s"""${curveSqlCommon(None, SurrSamples, Seq(SurrLib), "skey2", Seq("ts"), surrFrom, Some("y0"))},
+       |rh AS (
+       |  SELECT skey // $SurrStride AS user_id, skey % $SurrStride AS k,
+       |         direction, round(rho, 6) + 0.0 AS rho6
+       |  FROM sk
+       |), tr AS (
+       |  SELECT user_id, direction, rho6 AS true_rho FROM rh WHERE k = 0
+       |)
+       |SELECT r.user_id, r.direction, t.true_rho,
+       |       CAST(count(*) AS BIGINT) AS n_surr,
+       |       CAST(sum(CASE WHEN r.rho6 >= t.true_rho THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+       |       round((CAST(sum(CASE WHEN r.rho6 >= t.true_rho THEN 1 ELSE 0 END) AS BIGINT) + 1)
+       |             / (CAST(count(*) AS BIGINT) + 1.0), 6) + 0.0 AS p_val
+       |FROM rh r JOIN tr t ON r.user_id = t.user_id AND r.direction = t.direction
+       |WHERE r.k <> 0
+       |GROUP BY r.user_id, r.direction, t.true_rho
+       |ORDER BY r.user_id, r.direction""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ccm_smap — S-map θ-sweep (graft.ccm.Smap): locally weighted linear
   // maps over the bootstrap-regime series (same capped input as
   // ccm_boot), the EDM nonlinearity diagnostic the simplex/CCM family
@@ -1232,6 +1360,7 @@ object CcmQueries {
     "ccm_gen_coupled" -> genCoupled,
     "ccm_mi_tau" -> miTau,
     "ccm_smap" -> smap,
+    "ccm_surrogate" -> surrogate,
     "ccm_lag_sweep" -> lagSweep,
     "ccm_fnn_dim" -> fnnDim
   )
@@ -1261,6 +1390,7 @@ object CcmQueries {
     "ccm_gen_coupled" -> genCoupledSql,
     "ccm_mi_tau" -> miTauSql,
     "ccm_smap" -> smapSql,
+    "ccm_surrogate" -> surrogateSql,
     "ccm_lag_sweep" -> lagSweepSql,
     "ccm_fnn_dim" -> fnnDimSql
   )
