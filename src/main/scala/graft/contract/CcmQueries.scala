@@ -721,6 +721,115 @@ object CcmQueries {
   }
 
   // -------------------------------------------------------------------
+  // ccm_multiview — multiview embedding cross-mapping (Ye & Sugihara
+  // 2016, graft.ccm.Multiview): six candidate lag-pair embeddings of y
+  // per series, ranked by in-sample leave-one-out cross-map skill on
+  // 6-dp-rounded rhos, top-3 views' predictions averaged into the
+  // multiview estimate of x. Same capped series as ccm_boot; one row
+  // per series with the winning view, its skill, the rank-ordered top
+  // view list, and the multiview rho. The oracle mirrors every stage
+  // (lag columns, view CASE expansion, leave-one-out kNN with
+  // (dist, idx) tie-break, C8 weights, rounded-rho view ranking).
+  // -------------------------------------------------------------------
+  private def multiview(s: SparkSession, dir: String): DataFrame =
+    graft.ccm.Multiview
+      .crossMap(
+        bootInput(s, dir),
+        skey = col("user_id"),
+        order = Seq("ts"),
+        x = col("x"),
+        y = col("y")
+      )
+      .select(
+        col("skey").as("user_id"),
+        col("n_pts"),
+        col("best_view"),
+        (col("best_rho") + lit(0.0)).as("best_rho"),
+        col("top_views"),
+        (col("mv_rho") + lit(0.0)).as("mv_rho")
+      )
+      .transform(Norm.ordered(_, col("user_id")))
+
+  private val multiviewSql: String = {
+    val capFrom =
+      s"""(SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value,
+         |           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+         |    FROM events WHERE user_id % $BootUserMod = 0) WHERE rn <= $BootCap)""".stripMargin
+    val views = graft.ccm.Multiview
+      .viewPairs(Seq(0, 1, 2, 3))
+      .map { case (vid, l1, l2) => s"($vid, $l1, $l2)" }
+      .mkString(", ")
+    s"""WITH cap AS (SELECT * FROM $capFrom),
+       |mb0 AS (
+       |  SELECT user_id AS skey, ts, value AS x,
+       |         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS y
+       |  FROM cap
+       |), mb AS (SELECT * FROM mb0 WHERE y IS NOT NULL),
+       |mlag AS (
+       |  SELECT skey, x,
+       |         CAST(row_number() OVER w AS BIGINT) AS idx,
+       |         y AS ly0, lag(y, 1) OVER w AS ly1,
+       |         lag(y, 2) OVER w AS ly2, lag(y, 3) OVER w AS ly3
+       |  FROM mb WINDOW w AS (PARTITION BY skey ORDER BY ts)
+       |), mval AS (SELECT * FROM mlag WHERE idx > 3),
+       |mviews(view_id, l1, l2) AS (VALUES $views),
+       |memb AS (
+       |  SELECT skey, v.view_id AS view, idx,
+       |         CASE v.l1 WHEN 0 THEN ly0 WHEN 1 THEN ly1 WHEN 2 THEN ly2 ELSE ly3 END AS c0,
+       |         CASE v.l2 WHEN 0 THEN ly0 WHEN 1 THEN ly1 WHEN 2 THEN ly2 ELSE ly3 END AS c1,
+       |         x
+       |  FROM mval CROSS JOIN mviews v
+       |), mpairs AS (
+       |  SELECT q.skey, q.view, q.idx AS q_idx, q.x AS actual,
+       |         l.idx AS l_idx, l.x AS lib_x,
+       |         sqrt((q.c0-l.c0)*(q.c0-l.c0) + (q.c1-l.c1)*(q.c1-l.c1)) AS dist
+       |  FROM memb q JOIN memb l
+       |    ON q.skey = l.skey AND q.view = l.view AND q.idx <> l.idx
+       |), mknn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY skey, view, q_idx
+       |                               ORDER BY dist, l_idx) AS rk
+       |  FROM mpairs
+       |), mk AS (SELECT * FROM mknn WHERE rk <= 3),
+       |mw AS (
+       |  SELECT *, min(dist) OVER (PARTITION BY skey, view, q_idx) AS dmin FROM mk
+       |), mwt AS (
+       |  SELECT skey, view, q_idx, actual, lib_x,
+       |         CASE WHEN dist < 1e-12 THEN 1.0
+       |              ELSE exp(-dist / (dmin + 1e-8)) END AS wt
+       |  FROM mw
+       |), mpred AS (
+       |  SELECT skey, view, q_idx, any_value(actual) AS actual,
+       |         CASE WHEN sum(wt) = 0.0 THEN 0.0 ELSE sum(wt*lib_x)/sum(wt) END AS pred
+       |  FROM mwt GROUP BY 1, 2, 3
+       |), msk AS (
+       |  SELECT skey, view, round(coalesce(corr(actual, pred), 0.0), 6) AS rho6
+       |  FROM mpred GROUP BY 1, 2
+       |), mrk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY skey ORDER BY rho6 DESC, view) AS vrk
+       |  FROM msk
+       |), mtop AS (SELECT * FROM mrk WHERE vrk <= 3),
+       |mmv AS (
+       |  SELECT p.skey, p.q_idx, any_value(p.actual) AS actual, avg(p.pred) AS mv_pred
+       |  FROM mpred p JOIN mtop t ON p.skey = t.skey AND p.view = t.view
+       |  GROUP BY 1, 2
+       |), mfin AS (
+       |  SELECT skey, CAST(count(*) AS BIGINT) AS n_pts,
+       |         round(coalesce(corr(actual, mv_pred), 0.0), 6) + 0.0 AS mv_rho
+       |  FROM mmv GROUP BY 1
+       |), msum AS (
+       |  SELECT skey,
+       |         max(CASE WHEN vrk = 1 THEN view END) AS best_view,
+       |         max(CASE WHEN vrk = 1 THEN rho6 END) + 0.0 AS best_rho,
+       |         string_agg(CAST(view AS VARCHAR), ',' ORDER BY vrk) AS top_views
+       |  FROM mtop GROUP BY 1
+       |)
+       |SELECT f.skey AS user_id, f.n_pts, s.best_view, s.best_rho, s.top_views, f.mv_rho
+       |FROM mfin f JOIN msum s ON f.skey = s.skey
+       |ORDER BY 1""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ccm_surrogate — permutation-surrogate significance test, the
   // decision rule EDM practice puts ON TOP of a skill number: re-pair
   // each series' x with K DetHash-permuted copies of itself (y and its
@@ -1361,6 +1470,7 @@ object CcmQueries {
     "ccm_mi_tau" -> miTau,
     "ccm_smap" -> smap,
     "ccm_surrogate" -> surrogate,
+    "ccm_multiview" -> multiview,
     "ccm_lag_sweep" -> lagSweep,
     "ccm_fnn_dim" -> fnnDim
   )
@@ -1391,6 +1501,7 @@ object CcmQueries {
     "ccm_mi_tau" -> miTauSql,
     "ccm_smap" -> smapSql,
     "ccm_surrogate" -> surrogateSql,
+    "ccm_multiview" -> multiviewSql,
     "ccm_lag_sweep" -> lagSweepSql,
     "ccm_fnn_dim" -> fnnDimSql
   )
