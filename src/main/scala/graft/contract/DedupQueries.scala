@@ -462,6 +462,163 @@ object DedupQueries {
       graft.operators.StarContraction.connectedComponents(_, ClusterMaxIter))
 
   // -------------------------------------------------------------------
+  // dedup_lsh_quality — the EVALUATION a pipeline runs before trusting
+  // its LSH parameters: exact corpus-wide shingle-Jaccard ground truth
+  // vs the band-bucket candidate set, as a precision/recall row per
+  // threshold. Truth pairs come from the shingle-postings equi-join
+  // (pairs sharing >= 1 shingle — the standard exact set-similarity
+  // plan; cost = sum over shingles of df², which this corpus bounds
+  // because no shingle is stopword-frequent; at web scale the standard
+  // prefix/df filter caps the hot postings) plus the size-ratio prune
+  // keyed to the lowest evaluated threshold (provably lossless there,
+  // and the oracle runs WITHOUT the prune as the soundness check).
+  // Candidate pairs below a threshold count against precision whether
+  // or not they share a shingle (missing truth rows coalesce to 0).
+  // -------------------------------------------------------------------
+  // Thresholds sit in the high-similarity regime the band parameters
+  // target. They also set the prefix length (below): at t = 0.3 the
+  // prefix keeps 70% of every doc's shingles and — on a tiny-vocab
+  // corpus where almost every doc pair shares SOME shingle — candidate
+  // generation degenerates to all-pairs no matter the filter (measured:
+  // 60x for 10x data). At t >= 0.8 the prefix is the ~15 RAREST
+  // shingles per doc and candidates are bounded by rare-shingle df².
+  private val EvalThresholds = Seq(0.8, 0.9)
+
+  private def dedupLshQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tMin = EvalThresholds.min
+    val withSets = shingled(s, dir)
+      .select(col("doc_id"), expr("array_distinct(shh)").as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .localCheckpoint()
+    val tokens = withSets.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
+    // PREFIX FILTER (ppjoin): a naive postings equi-join costs
+    // sum over shingles of df² — measured 60x for 10x data on the sf1
+    // replica, whose cipher folds every copy back into one 31-word
+    // vocabulary (the stopword-shingle blowup in miniature). With a
+    // consistent global order (df asc, hash asc), any pair with
+    // J >= tMin shares its order-minimal common shingle inside BOTH
+    // docs' prefixes of length |d| - ceil(tMin*|d|) + 1 (if all shared
+    // shingles sat in a suffix of size ceil(tMin*|d|) - 1, the overlap
+    // bound |A∩B| >= ceil(tMin*|A|) is violated) — so joining prefix
+    // postings only is LOSSLESS for every evaluated threshold, and the
+    // df-hot shingles live in the suffixes, exactly the postings the
+    // join must not expand. The oracle computes truth WITHOUT the
+    // prefix filter: the hash match is the completeness proof.
+    val dfTbl = tokens.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = tokens
+      .join(dfTbl, "h")
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
+        )
+      )
+      .filter(col("rk") <= col("sz") - ceil(lit(tMin) * col("sz")).cast("long") + 1)
+      .select("doc_id", "sz", "h")
+    val candPairs = prefix
+      .as("a")
+      .join(
+        prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.sz"), col("b.sz")).cast("double") >=
+            greatest(col("a.sz"), col("b.sz")) * (tMin - 1e-6)
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification only on the prefix-surviving candidates
+    val jp = candPairs
+      .join(withSets.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("sz").as("sza")), "doc_a")
+      .join(withSets.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("sz").as("szb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        Norm.rnd(col("n_common") / (col("sza") + col("szb") - col("n_common")).cast("double"), 6)
+          .as("j")
+      )
+      .localCheckpoint() // consumed per threshold AND by the candidate join
+    val th = EvalThresholds.toDF("threshold")
+    val truth = jp
+      .crossJoin(broadcast(th))
+      .filter(col("j") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_truth"))
+    val candj = lshPairsRaw(s, dir)
+      .select("doc_a", "doc_b")
+      .join(jp, Seq("doc_a", "doc_b"), "left")
+      .select(coalesce(col("j"), lit(0.0)).as("j0"))
+    val cand = candj
+      .crossJoin(broadcast(th))
+      .groupBy("threshold")
+      .agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("j0") >= col("threshold"), 1L).otherwise(0L)).as("tp")
+      )
+    th.join(cand, Seq("threshold"), "left")
+      .join(truth, Seq("threshold"), "left")
+      .select(
+        col("threshold"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_cand"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("n_truth"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"),
+        when(coalesce(col("n_cand"), lit(0L)) === 0, 0.0)
+          .otherwise(Norm.rnd(col("tp") / col("n_cand").cast("double"), 6))
+          .as("prec"),
+        when(coalesce(col("n_truth"), lit(0L)) === 0, 0.0)
+          .otherwise(Norm.rnd(col("tp") / col("n_truth").cast("double"), 6))
+          .as("rec")
+      )
+      .transform(Norm.ordered(_, col("threshold")))
+  }
+
+  private val dedupLshQualitySql: String = {
+    val thValues = EvalThresholds.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""WITH $bandsCteSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |dsq AS (SELECT doc_id, list_distinct($shingleFromWhDuck) AS sh FROM dw),
+       |jp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(len(list_intersect(a.sh, b.sh))
+       |          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) + 0.0 AS j
+       |  FROM dsq a JOIN dsq b ON a.doc_id < b.doc_id
+       |),
+       |th(threshold) AS (VALUES $thValues),
+       |tr AS (
+       |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_truth
+       |  FROM jp CROSS JOIN th WHERE j >= threshold GROUP BY threshold
+       |),
+       |cj AS (
+       |  SELECT c.doc_a, c.doc_b, coalesce(jp.j, 0.0) AS j0
+       |  FROM cand c LEFT JOIN jp ON c.doc_a = jp.doc_a AND c.doc_b = jp.doc_b
+       |),
+       |cd AS (
+       |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_cand,
+       |         CAST(sum(CASE WHEN j0 >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+       |  FROM cj CROSS JOIN th GROUP BY threshold
+       |)
+       |SELECT th.threshold,
+       |  CAST(coalesce(tr.n_truth, 0) AS BIGINT) AS n_truth,
+       |  CAST(coalesce(cd.n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(coalesce(cd.tp, 0) AS BIGINT) AS tp,
+       |  CAST(coalesce(cd.n_cand, 0) - coalesce(cd.tp, 0) AS BIGINT) AS fp,
+       |  CAST(coalesce(tr.n_truth, 0) - coalesce(cd.tp, 0) AS BIGINT) AS fn,
+       |  CASE WHEN coalesce(cd.n_cand, 0) = 0 THEN 0.0
+       |       ELSE round(cd.tp / CAST(cd.n_cand AS DOUBLE), 6) + 0.0 END AS prec,
+       |  CASE WHEN coalesce(tr.n_truth, 0) = 0 THEN 0.0
+       |       ELSE round(cd.tp / CAST(tr.n_truth AS DOUBLE), 6) + 0.0 END AS rec
+       |FROM th LEFT JOIN cd ON th.threshold = cd.threshold
+       |        LEFT JOIN tr ON th.threshold = tr.threshold
+       |ORDER BY th.threshold""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // dedup_keep_best — canonical-document selection, the step after
   // clustering: within each near-dup cluster keep the LONGEST member
   // (n_chars desc, doc_id asc tie-break — the "keep the most complete
@@ -776,6 +933,7 @@ object DedupQueries {
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_star" -> dedupClusterStar,
     "dedup_keep_best" -> dedupKeepBest,
+    "dedup_lsh_quality" -> dedupLshQuality,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> minhashSig,
     "dedup_lsh_pairs" -> lshPairs,
@@ -793,6 +951,7 @@ object DedupQueries {
     "dedup_cluster" -> dedupClusterSql,
     "dedup_cluster_star" -> dedupClusterSql,
     "dedup_keep_best" -> dedupKeepBestSql,
+    "dedup_lsh_quality" -> dedupLshQualitySql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSigSql,
     "dedup_lsh_pairs" -> lshPairsSql,
