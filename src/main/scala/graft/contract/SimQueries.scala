@@ -1209,7 +1209,100 @@ object SimQueries {
        |SELECT vec_id, j, round(y, 6) + 0.0 AS y FROM proj ORDER BY vec_id, j""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ann_recall_eval — the evaluation layer for the ANN stack (the
+  // similarity-search counterpart of dedup_lsh_quality): per query,
+  // recall@k of the LSH-bucketed and IVF-probed searches against the
+  // brute-force exact top-k. Composes the three searches VERBATIM
+  // (same constants, same tie-breaks) and intersects neighbor sets —
+  // so the recall numbers the specs quote (PqSpec-style floors) become
+  // a first-class, oracle-checked query instead of test-only evidence.
+  // Cost is the three searches it measures; nothing new shuffles.
+  // -------------------------------------------------------------------
+  private def annRecallEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = annTopk(s, dir).select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val qs = exact.select("query_id").distinct()
+    def recallOf(name: String, approx: DataFrame): DataFrame = {
+      val hits = exact
+        .join(approx.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_hits"))
+      qs.join(hits, Seq("query_id"), "left")
+        .select(
+          lit(name).as("method"),
+          col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          Norm.rnd(coalesce(col("n_hits"), lit(0L)) / lit(TopK.toDouble), 6).as("recall")
+        )
+    }
+    recallOf("lsh", annLshTopk(s, dir))
+      .unionByName(recallOf("ivf", annIvfTopk(s, dir)))
+      .transform(Norm.ordered(_, col("method"), col("query_id")))
+  }
+
+  private val annRecallEvalSql: String = {
+    val cos = s"${dotDuck("q.v", "n.v")} / (q.nrm * n.nrm)"
+    val cosVC = s"${dotDuck("e.v", "c.cv")} / (e.nrm * c.cnrm)"
+    val cosQN = s"${dotDuck("q.qv", "n.v")} / (q.qnrm * n.nrm)"
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, sqrt(${dotDuck("e0.v", "e0.v")}) AS nrm FROM e0),
+       |q AS (SELECT * FROM e WHERE vec_id % $QueryStride = 0),
+       |xp AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cos_sim
+       |  FROM q JOIN e n ON q.vec_id <> n.vec_id
+       |), xt AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM xp) WHERE rank <= $TopK
+       |),
+       |eb AS (SELECT vec_id, v, nrm, $bucketDuck AS bucket FROM e),
+       |lq AS (SELECT * FROM eb WHERE vec_id % $QueryStride = 0),
+       |lp AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cos_sim
+       |  FROM lq q JOIN eb n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+       |), lt AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM lp) WHERE rank <= $TopK
+       |),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id % $CentroidStride = 0),
+       |assigned AS (
+       |  SELECT e.vec_id, e.v, e.nrm, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosVC DESC, c.cid) AS crank
+       |  FROM e CROSS JOIN c
+       |), lists AS (SELECT vec_id, v, nrm, cid FROM assigned WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS probe_cid
+       |  FROM assigned WHERE crank <= $NProbe AND vec_id % $QueryStride = 0
+       |), ip AS (
+       |  SELECT DISTINCT q.qid AS query_id, n.vec_id AS neighbor_id, $cosQN AS cos_sim
+       |  FROM probes q JOIN lists n ON q.probe_cid = n.cid AND q.qid <> n.vec_id
+       |), it AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM ip) WHERE rank <= $TopK
+       |),
+       |qs AS (SELECT DISTINCT query_id FROM xt),
+       |hl AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |       FROM xt x JOIN lt l ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
+       |       GROUP BY 1),
+       |hi AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |       FROM xt x JOIN it i ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+       |       GROUP BY 1)
+       |SELECT method, query_id, n_hits, round(n_hits / CAST($TopK AS DOUBLE), 6) + 0.0 AS recall
+       |FROM (
+       |  SELECT 'lsh' AS method, qs.query_id, CAST(coalesce(hl.n_hits, 0) AS BIGINT) AS n_hits
+       |  FROM qs LEFT JOIN hl ON qs.query_id = hl.query_id
+       |  UNION ALL
+       |  SELECT 'ivf' AS method, qs.query_id, CAST(coalesce(hi.n_hits, 0) AS BIGINT) AS n_hits
+       |  FROM qs LEFT JOIN hi ON qs.query_id = hi.query_id
+       |)
+       |ORDER BY method, query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_eval" -> annRecallEval,
     "vec_quantize" -> vecQuantize,
     "vec_normalize" -> vecNormalize,
     "vec_random_proj" -> vecRandomProj,
@@ -1228,6 +1321,7 @@ object SimQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ann_recall_eval" -> annRecallEvalSql,
     "vec_quantize" -> vecQuantizeSql,
     "vec_normalize" -> vecNormalizeSql,
     "vec_random_proj" -> vecRandomProjSql,
