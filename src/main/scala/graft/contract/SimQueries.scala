@@ -183,6 +183,86 @@ object SimQueries {
   }
 
   // -------------------------------------------------------------------
+  // ann_lsh_multiprobe — multi-probe LSH (Lv et al., VLDB 2007): probe
+  // the query's own bucket PLUS every bucket at Hamming distance 1
+  // (one sign bit flipped — the neighboring half-spaces a near-miss
+  // hyperplane cut sends true neighbors to). ann_recall_eval measured
+  // single-table LSH at recall 0.00 on this corpus (8 planes shatter
+  // 500-2k vectors into near-singleton buckets); multi-probe is the
+  // standard fix that multiplies PROBES (9 per query — a constant),
+  // not tables or index size. The probe fan-out rides the same
+  // (bucket) equi-join — bucket occupancy, not corpus size, still
+  // bounds the scanned candidates.
+  // -------------------------------------------------------------------
+  private def annLshMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir).withColumn("bucket", expr(bucketSpark)).localCheckpoint()
+    val probes = e
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(
+        col("vec_id"),
+        col("v"),
+        col("nrm"),
+        explode(
+          array((lit(-1L) +: (0 until NumPlanes).map(k => lit(k.toLong))): _*)
+        ).as("flip"),
+        col("bucket")
+      )
+      .select(
+        col("vec_id"),
+        col("v"),
+        col("nrm"),
+        when(col("flip") === -1L, col("bucket"))
+          .otherwise(expr("bucket ^ CAST(pow(2, flip) AS BIGINT)"))
+          .as("pbucket")
+      )
+    val dotQN = expr(dotSpark.format("q.v", "n.v"))
+    val pairs = probes
+      .as("q")
+      .join(e.as("n"), col("q.pbucket") === col("n.bucket") && col("q.vec_id") =!= col("n.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("n.vec_id").as("neighbor_id"),
+        (dotQN / (col("q.nrm") * col("n.nrm"))).as("cos_sim")
+      )
+      .distinct() // a neighbor reachable via several probed buckets counts once
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), Norm.rnd(col("cos_sim"), 6).as("cos_sim"))
+      .transform(Norm.ordered(_, col("query_id"), col("rank")))
+  }
+
+  /** Multi-probe CTE chain (names prefixed mp) over an `eb` relation
+    * with (vec_id, v, nrm, bucket) — shared by the standalone query and
+    * the recall evaluation.
+    */
+  private def lshMultiprobeCtes(cos: String): String =
+    s"""mpq AS (
+       |  SELECT b.vec_id, b.v, b.nrm,
+       |         CASE WHEN f.flip = -1 THEN b.bucket
+       |              ELSE xor(b.bucket, CAST(pow(2, f.flip) AS BIGINT)) END AS pbucket
+       |  FROM (SELECT * FROM eb WHERE vec_id % $QueryStride = 0) b
+       |  CROSS JOIN (SELECT CAST(unnest(generate_series(-1, ${NumPlanes - 1})) AS BIGINT) AS flip) f
+       |), mpp AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cos_sim
+       |  FROM mpq q JOIN eb n ON q.pbucket = n.bucket AND q.vec_id <> n.vec_id
+       |), mpr AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM mpp
+       |)""".stripMargin
+
+  private val annLshMultiprobeSql: String = {
+    val cos = s"${dotDuck("q.v", "n.v")} / (q.nrm * n.nrm)"
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, sqrt(${dotDuck("e0.v", "e0.v")}) AS nrm FROM e0),
+       |eb AS (SELECT vec_id, v, nrm, $bucketDuck AS bucket FROM e),
+       |${lshMultiprobeCtes(cos)}
+       |SELECT query_id, rank, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim
+       |FROM mpr WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ann_ivf_topk — IVF (inverted-file) ANN: a deterministic subset of the
   // vectors acts as the coarse quantizer (every 31st vec_id); each vector
   // is assigned to its nearest centroid (broadcast join + per-vector
@@ -1237,6 +1317,7 @@ object SimQueries {
         )
     }
     recallOf("lsh", annLshTopk(s, dir))
+      .unionByName(recallOf("lsh_mp", annLshMultiprobe(s, dir)))
       .unionByName(recallOf("ivf", annIvfTopk(s, dir)))
       .transform(Norm.ordered(_, col("method"), col("query_id")))
   }
@@ -1283,9 +1364,14 @@ object SimQueries {
        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
        |    FROM ip) WHERE rank <= $TopK
        |),
+       |${lshMultiprobeCtes(s"${dotDuck("q.v", "n.v")} / (q.nrm * n.nrm)")},
+       |mt AS (SELECT query_id, neighbor_id FROM mpr WHERE rank <= $TopK),
        |qs AS (SELECT DISTINCT query_id FROM xt),
        |hl AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
        |       FROM xt x JOIN lt l ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
+       |       GROUP BY 1),
+       |hm AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |       FROM xt x JOIN mt m ON x.query_id = m.query_id AND x.neighbor_id = m.neighbor_id
        |       GROUP BY 1),
        |hi AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
        |       FROM xt x JOIN it i ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
@@ -1295,6 +1381,9 @@ object SimQueries {
        |  SELECT 'lsh' AS method, qs.query_id, CAST(coalesce(hl.n_hits, 0) AS BIGINT) AS n_hits
        |  FROM qs LEFT JOIN hl ON qs.query_id = hl.query_id
        |  UNION ALL
+       |  SELECT 'lsh_mp' AS method, qs.query_id, CAST(coalesce(hm.n_hits, 0) AS BIGINT) AS n_hits
+       |  FROM qs LEFT JOIN hm ON qs.query_id = hm.query_id
+       |  UNION ALL
        |  SELECT 'ivf' AS method, qs.query_id, CAST(coalesce(hi.n_hits, 0) AS BIGINT) AS n_hits
        |  FROM qs LEFT JOIN hi ON qs.query_id = hi.query_id
        |)
@@ -1303,6 +1392,7 @@ object SimQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_eval" -> annRecallEval,
+    "ann_lsh_multiprobe" -> annLshMultiprobe,
     "vec_quantize" -> vecQuantize,
     "vec_normalize" -> vecNormalize,
     "vec_random_proj" -> vecRandomProj,
@@ -1322,6 +1412,7 @@ object SimQueries {
 
   val oracle: Map[String, String] = Map(
     "ann_recall_eval" -> annRecallEvalSql,
+    "ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "vec_quantize" -> vecQuantizeSql,
     "vec_normalize" -> vecNormalizeSql,
     "vec_random_proj" -> vecRandomProjSql,
