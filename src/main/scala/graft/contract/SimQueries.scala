@@ -127,25 +127,30 @@ object SimQueries {
   private def planeVal(k: String, d: String): String =
     s"(((2 * ($k) + 3) * ${DetHash.A_IDX} * (($d) + 1) + 97 * ($k)) % $P - ${P / 2})"
 
-  private val bucketSpark: String =
-    s"""aggregate(transform(sequence(0, ${NumPlanes - 1}), k ->
+  private def bucketSparkN(planes: Int): String =
+    s"""aggregate(transform(sequence(0, ${planes - 1}), k ->
        |  CASE WHEN aggregate(transform(sequence(0, ${Dim - 1}), d ->
        |         element_at(v, CAST(d + 1 AS INT)) * CAST(${planeVal("k", "d")} AS DOUBLE)),
        |         CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0.0
        |       THEN CAST(pow(2, k) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
        |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin
 
-  private val bucketDuck: String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${NumPlanes - 1}), k ->
+  private val bucketSpark: String = bucketSparkN(NumPlanes)
+
+  private def bucketDuckN(planes: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${planes - 1}), k ->
        |  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(0, ${Dim - 1}), d ->
        |         v[CAST(d + 1 AS INTEGER)] * CAST(${planeVal("k", "d")} AS DOUBLE))),
        |         (acc, x) -> acc + x) >= 0.0
        |       THEN CAST(pow(2, k) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
        |  (a, b) -> a + b)""".stripMargin
 
-  private def annLshTopk(s: SparkSession, dir: String): DataFrame = {
-    // bucket assignment computed once, then reused by both join sides
-    val e = vecs(s, dir).withColumn("bucket", expr(bucketSpark)).localCheckpoint()
+  private val bucketDuck: String = bucketDuckN(NumPlanes)
+
+  /** In-bucket top-k over a bucketed vector relation — shared by the
+    * default-plane query and the recall evaluation's tuned variant.
+    */
+  private def lshTopkOver(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") % QueryStride === 0)
     val dotQN = expr(dotSpark.format("q.v", "n.v"))
     val pairs = q
@@ -163,6 +168,10 @@ object SimQueries {
       .select(col("query_id"), col("rank"), col("neighbor_id"), Norm.rnd(col("cos_sim"), 6).as("cos_sim"))
       .transform(Norm.ordered(_, col("query_id"), col("rank")))
   }
+
+  private def annLshTopk(s: SparkSession, dir: String): DataFrame =
+    // bucket assignment computed once, then reused by both join sides
+    lshTopkOver(vecs(s, dir).withColumn("bucket", expr(bucketSpark)).localCheckpoint())
 
   private val annLshTopkSql: String = {
     val cos = s"${dotDuck("q.v", "n.v")} / (sqrt(${dotDuck("q.v", "q.v")}) * sqrt(${dotDuck("n.v", "n.v")}))"
@@ -1299,6 +1308,8 @@ object SimQueries {
   // a first-class, oracle-checked query instead of test-only evidence.
   // Cost is the three searches it measures; nothing new shuffles.
   // -------------------------------------------------------------------
+  private val TunedPlanes = 4
+
   private def annRecallEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val exact = annTopk(s, dir).select(col("query_id"), col("neighbor_id")).localCheckpoint()
@@ -1316,7 +1327,14 @@ object SimQueries {
           Norm.rnd(coalesce(col("n_hits"), lit(0L)) / lit(TopK.toDouble), 6).as("recall")
         )
     }
+    // lsh4: plane count TUNED to the corpus (16 buckets over a few
+    // hundred to a few thousand vectors) — the eval's own diagnosis of
+    // the 8-plane recall collapse, measured rather than asserted
+    val tuned = lshTopkOver(
+      vecs(s, dir).withColumn("bucket", expr(bucketSparkN(TunedPlanes))).localCheckpoint()
+    )
     recallOf("lsh", annLshTopk(s, dir))
+      .unionByName(recallOf("lsh4", tuned))
       .unionByName(recallOf("lsh_mp", annLshMultiprobe(s, dir)))
       .unionByName(recallOf("ivf", annIvfTopk(s, dir)))
       .transform(Norm.ordered(_, col("method"), col("query_id")))
@@ -1366,12 +1384,25 @@ object SimQueries {
        |),
        |${lshMultiprobeCtes(s"${dotDuck("q.v", "n.v")} / (q.nrm * n.nrm)")},
        |mt AS (SELECT query_id, neighbor_id FROM mpr WHERE rank <= $TopK),
+       |eb4 AS (SELECT vec_id, v, nrm, ${bucketDuckN(TunedPlanes)} AS bucket FROM e),
+       |l4q AS (SELECT * FROM eb4 WHERE vec_id % $QueryStride = 0),
+       |l4p AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cos_sim
+       |  FROM l4q q JOIN eb4 n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+       |), l4t AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM l4p) WHERE rank <= $TopK
+       |),
        |qs AS (SELECT DISTINCT query_id FROM xt),
        |hl AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
        |       FROM xt x JOIN lt l ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
        |       GROUP BY 1),
        |hm AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
        |       FROM xt x JOIN mt m ON x.query_id = m.query_id AND x.neighbor_id = m.neighbor_id
+       |       GROUP BY 1),
+       |h4 AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |       FROM xt x JOIN l4t t ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
        |       GROUP BY 1),
        |hi AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
        |       FROM xt x JOIN it i ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
@@ -1380,6 +1411,9 @@ object SimQueries {
        |FROM (
        |  SELECT 'lsh' AS method, qs.query_id, CAST(coalesce(hl.n_hits, 0) AS BIGINT) AS n_hits
        |  FROM qs LEFT JOIN hl ON qs.query_id = hl.query_id
+       |  UNION ALL
+       |  SELECT 'lsh4' AS method, qs.query_id, CAST(coalesce(h4.n_hits, 0) AS BIGINT) AS n_hits
+       |  FROM qs LEFT JOIN h4 ON qs.query_id = h4.query_id
        |  UNION ALL
        |  SELECT 'lsh_mp' AS method, qs.query_id, CAST(coalesce(hm.n_hits, 0) AS BIGINT) AS n_hits
        |  FROM qs LEFT JOIN hm ON qs.query_id = hm.query_id
