@@ -269,6 +269,54 @@ object EventQueries {
       |ORDER BY e.event_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // evt_asof_next — the FORWARD as-of join: for every event, the
+  // earliest STRICTLY LATER 'purchase' of the same user ("time to next
+  // conversion" — the attribution counterpart of evt_asof_purchase's
+  // lookback). Same scalable shape: one ordered window per series, no
+  // join — min(struct(tus, event_id)) over a RANGE (1, +inf) frame is a
+  // deterministic argmin (earliest tus, then smallest event_id) even on
+  // same-instant ties. DuckDB's native ASOF is backward-only, so the
+  // oracle is an INDEPENDENT join-aggregate formulation (min later
+  // purchase time per event, then the purchase at that instant).
+  // -------------------------------------------------------------------
+  private def asofNext(s: SparkSession, dir: String): DataFrame = {
+    val frame = Window
+      .partitionBy("user_id")
+      .orderBy("tus")
+      .rangeBetween(1, Window.unboundedFollowing)
+    ev(s, dir)
+      .withColumn(
+        "next_purchase",
+        min(when(col("event_type") === "purchase", struct(col("tus"), col("event_id")))).over(frame)
+      )
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("next_purchase.event_id").as("next_purchase_id"),
+        (col("next_purchase.tus") - col("tus")).as("us_until_purchase")
+      )
+      .transform(Norm.ordered(_, col("event_id")))
+  }
+
+  private val asofNextSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsn FROM events),
+      |-- dedup same-instant purchases to MIN event_id (the window argmin's
+      |-- tie rule) before the aggregate
+      |p AS (SELECT user_id, epoch_us(ts) AS tsn, min(event_id) AS event_id
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |nxt AS (
+      |  SELECT e.event_id, min(p.tsn) AS ntsn
+      |  FROM e JOIN p ON e.user_id = p.user_id AND p.tsn > e.tsn
+      |  GROUP BY e.event_id
+      |)
+      |SELECT e.event_id, e.user_id, p.event_id AS next_purchase_id,
+      |       n.ntsn - e.tsn AS us_until_purchase
+      |FROM e
+      |LEFT JOIN nxt n ON e.event_id = n.event_id
+      |LEFT JOIN p ON p.user_id = e.user_id AND p.tsn = n.ntsn
+      |ORDER BY e.event_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // evt_percentiles — EXACT interpolated percentiles per event_type
   // (Spark `percentile` == DuckDB `quantile_cont`: both compute
   // lower + frac*(upper-lower) at position p*(n-1) of the sorted values).
@@ -1035,6 +1083,7 @@ object EventQueries {
     "evt_sessionize" -> sessionize,
     "evt_rollup" -> rollup,
     "evt_asof_purchase" -> asofPurchase,
+    "evt_asof_next" -> asofNext,
     "evt_percentiles" -> percentiles,
     "evt_window_agg" -> windowAgg,
     "evt_setops" -> setOps,
@@ -1062,6 +1111,7 @@ object EventQueries {
     "evt_sessionize" -> sessionizeSql,
     "evt_rollup" -> rollupSql,
     "evt_asof_purchase" -> asofPurchaseSql,
+    "evt_asof_next" -> asofNextSql,
     "evt_percentiles" -> percentilesSql,
     "evt_window_agg" -> windowAggSql,
     "evt_setops" -> setOpsSql,
