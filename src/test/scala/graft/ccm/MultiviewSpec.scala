@@ -58,4 +58,78 @@ class MultiviewSpec extends SparkTestBase {
     val r2 = run(ys, xs)(1L)
     assert(r1 == r2, s"repeated runs disagree: $r1 vs $r2")
   }
+
+  /** Sequential mirror of the whole multiview pipeline — independent of
+    * both the Spark plan and the DuckDB oracle formulation.
+    */
+  private def localMultiview(
+      x: Array[Double],
+      y: Array[Double]
+  ): (Long, Int, Double, String, Double) = {
+    val lags = Seq(0, 1, 2, 3)
+    val maxLag = lags.max
+    // 1-based idx i over the series; valid rows have idx > maxLag
+    val n = x.length
+    val valid = (maxLag + 1) to n
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val ma = a.sum / a.size; val mb = b.sum / b.size
+      val cov = a.zip(b).map { case (p, q) => (p - ma) * (q - mb) }.sum
+      val va = a.map(p => (p - ma) * (p - ma)).sum
+      val vb = b.map(q => (q - mb) * (q - mb)).sum
+      if (va == 0.0 || vb == 0.0) 0.0 else cov / math.sqrt(va * vb)
+    }
+    val views = Multiview.viewPairs(lags)
+    val perView = views.map { case (vid, l1, l2) =>
+      def coords(i: Int) = (y(i - 1 - l1), y(i - 1 - l2)) // idx is 1-based
+      val preds = valid.map { qi =>
+        val (qc0, qc1) = coords(qi)
+        val neigh = valid
+          .filter(_ != qi)
+          .map { li =>
+            val (c0, c1) = coords(li)
+            val d = math.sqrt((qc0 - c0) * (qc0 - c0) + (qc1 - c1) * (qc1 - c1))
+            (d, li)
+          }
+          .sortBy(identity)
+          .take(3)
+        val dmin = neigh.map(_._1).min
+        val ws = neigh.map { case (d, li) =>
+          val w = if (d < 1e-12) 1.0 else math.exp(-d / (dmin + 1e-8))
+          (w, x(li - 1))
+        }
+        val sw = ws.map(_._1).sum
+        val pred = if (sw == 0.0) 0.0 else ws.map { case (w, v) => w * v }.sum / sw
+        (qi, x(qi - 1), pred)
+      }
+      val rho6 = r6(pearson(preds.map(_._2), preds.map(_._3)))
+      (vid, rho6, preds.map(p => p._1 -> p._3).toMap)
+    }
+    val ranked = perView.sortBy { case (vid, rho6, _) => (-rho6, vid) }
+    val top = ranked.take(3)
+    val mvPred = valid.map(qi => (qi, top.map(_._3(qi)).sum / top.size))
+    val mvRho = r6(pearson(valid.map(i => x(i - 1)), mvPred.map(_._2)))
+    (
+      valid.size.toLong,
+      top.head._1,
+      top.head._2,
+      top.map(_._1).mkString(","),
+      mvRho
+    )
+  }
+
+  test("matches an independent sequential implementation on random series") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val n = 40 + rng.nextInt(20)
+      val a = Array.fill(n)(rng.nextDouble())
+      val b = Array.fill(n)(rng.nextDouble())
+      val got = run(a, b)(1L)
+      val want = localMultiview(a, b)
+      val close = got._1 == want._1 && got._2 == want._2 &&
+        math.abs(got._3 - want._3) < 2e-6 && got._4 == want._4 &&
+        math.abs(got._5 - want._5) < 2e-6
+      assert(close, s"seed=$seed n=$n spark=$got local=$want")
+    }
+  }
 }
