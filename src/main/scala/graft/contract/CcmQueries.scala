@@ -853,20 +853,26 @@ object CcmQueries {
   private val SurrLib = 48
   private val SurrSeed = 977L
 
-  private def surrogate(s: SparkSession, dir: String): DataFrame = {
+  /** Shared surrogate harness: build true + K re-paired series variants
+    * (the surrogate style is the `pos` rule), run them as one
+    * bidirectional CCM job, and reduce to per-(series, direction)
+    * empirical p-values. `posOf` receives the crossed (bi × ks) relation
+    * carrying (user_id, k, i, n, x) and returns the position row i's x
+    * moves to (k = 0 must be the identity).
+    */
+  private def surrogateWith(
+      s: SparkSession,
+      dir: String,
+      posOf: DataFrame => org.apache.spark.sql.Column
+  ): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy("user_id").orderBy("ts")
     val bi = bootInput(s, dir)
       .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
     val ks = (0 to SurrK).map(_.toLong).toDF("k")
-    // row i carries its x to position pos: identity for k=0 (the true
-    // pairing), a DetHash permutation of 1..n for each surrogate k
-    val wp = Window
-      .partitionBy("user_id", "k")
-      .orderBy(DetHash.rankHashCol(col("i"), col("k"), col("user_id"), SurrSeed), col("i"))
-    val pr = bi
-      .crossJoin(broadcast(ks))
-      .withColumn("pos", when(col("k") === 0, col("i")).otherwise(row_number().over(wp).cast("long")))
+    val crossed = bi.crossJoin(broadcast(ks))
+    val pr = crossed.withColumn("pos", posOf(crossed))
     val xs = pr.select(col("user_id"), col("k"), col("pos").as("i"), col("x"))
     val surr = xs
       .join(bi.select(col("user_id"), col("i"), col("y")), Seq("user_id", "i"))
@@ -908,13 +914,45 @@ object CcmQueries {
       .transform(Norm.ordered(_, col("user_id"), col("direction")))
   }
 
-  private val surrogateSql: String = {
+  // random-permutation null: destroys ALL temporal structure of x
+  private def surrogate(s: SparkSession, dir: String): DataFrame =
+    surrogateWith(
+      s,
+      dir,
+      crossed => {
+        val wp = Window
+          .partitionBy("user_id", "k")
+          .orderBy(DetHash.rankHashCol(col("i"), col("k"), col("user_id"), SurrSeed), col("i"))
+        when(col("k") === 0, col("i")).otherwise(row_number().over(wp).cast("long"))
+      }
+    )
+
+  // circular-shift null: rotates x by a per-k offset, PRESERVING x's
+  // autocorrelation and marginal — the stricter null (a permutation
+  // null lets plain autocorrelation masquerade as causal signal; a
+  // rotation only breaks the cross-series alignment). 7919 is prime and
+  // far above any series length, so the per-k shifts spread over [1, n).
+  private def surrogateCirc(s: SparkSession, dir: String): DataFrame =
+    surrogateWith(
+      s,
+      dir,
+      _ => {
+        val shift0 = pmod(col("k") * lit(7919L), col("n"))
+        val shift = when(shift0 === 0, lit(1L)).otherwise(shift0)
+        when(col("k") === 0, col("i"))
+          .otherwise(pmod(col("i") - 1 + shift, col("n")) + 1)
+      }
+    )
+
+  /** SQL twin of [[surrogateWith]] — `posCase` is the spr CTE's position
+    * rule over b (user_id, i, n, x) × kk (k).
+    */
+  private def surrogateSqlWith(posCase: String): String = {
     val capFrom =
       s"""(SELECT user_id, ts, value FROM (
          |    SELECT user_id, ts, value,
          |           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
          |    FROM events WHERE user_id % $BootUserMod = 0) WHERE rn <= $BootCap)""".stripMargin
-    val h = DetHash.rankHashSql("b.i", "kk.k", "b.user_id", SurrSeed)
     val surrFrom =
       s"""(WITH cap AS (SELECT * FROM $capFrom),
          |  sb0 AS (
@@ -924,15 +962,14 @@ object CcmQueries {
          |  ), sb AS (SELECT * FROM sb0 WHERE y IS NOT NULL),
          |  sbi AS (
          |    SELECT user_id, x, y,
-         |           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS i
+         |           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS i,
+         |           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
          |    FROM sb
          |  ),
          |  ks(k) AS (SELECT CAST(unnest(generate_series(0, $SurrK)) AS BIGINT)),
          |  spr AS (
          |    SELECT b.user_id, kk.k, b.i, b.x,
-         |           CASE WHEN kk.k = 0 THEN b.i
-         |                ELSE CAST(row_number() OVER (PARTITION BY b.user_id, kk.k
-         |                     ORDER BY $h, b.i) AS BIGINT) END AS pos
+         |           $posCase AS pos
          |    FROM sbi b CROSS JOIN ks kk
          |  )
          |  SELECT p.user_id * $SurrStride + p.k AS skey2, p.pos AS ts,
@@ -956,6 +993,22 @@ object CcmQueries {
        |GROUP BY r.user_id, r.direction, t.true_rho
        |ORDER BY r.user_id, r.direction""".stripMargin
   }
+
+  private val surrogateSql: String = {
+    val h = DetHash.rankHashSql("b.i", "kk.k", "b.user_id", SurrSeed)
+    surrogateSqlWith(
+      s"""CASE WHEN kk.k = 0 THEN b.i
+         |                ELSE CAST(row_number() OVER (PARTITION BY b.user_id, kk.k
+         |                     ORDER BY $h, b.i) AS BIGINT) END""".stripMargin
+    )
+  }
+
+  private val surrogateCircSql: String =
+    surrogateSqlWith(
+      """CASE WHEN kk.k = 0 THEN b.i
+        |                ELSE ((b.i - 1 + (CASE WHEN (kk.k * 7919) % b.n = 0 THEN 1
+        |                                       ELSE (kk.k * 7919) % b.n END)) % b.n) + 1 END""".stripMargin
+    )
 
   // -------------------------------------------------------------------
   // ccm_smap — S-map θ-sweep (graft.ccm.Smap): locally weighted linear
@@ -1470,6 +1523,7 @@ object CcmQueries {
     "ccm_mi_tau" -> miTau,
     "ccm_smap" -> smap,
     "ccm_surrogate" -> surrogate,
+    "ccm_surrogate_circ" -> surrogateCirc,
     "ccm_multiview" -> multiview,
     "ccm_lag_sweep" -> lagSweep,
     "ccm_fnn_dim" -> fnnDim
@@ -1501,6 +1555,7 @@ object CcmQueries {
     "ccm_mi_tau" -> miTauSql,
     "ccm_smap" -> smapSql,
     "ccm_surrogate" -> surrogateSql,
+    "ccm_surrogate_circ" -> surrogateCircSql,
     "ccm_multiview" -> multiviewSql,
     "ccm_lag_sweep" -> lagSweepSql,
     "ccm_fnn_dim" -> fnnDimSql
