@@ -346,6 +346,118 @@ object StreamQueries {
        |ORDER BY s.user_id, s.start_ms""".stripMargin
 
   // -------------------------------------------------------------------
+  // stream_late_data — watermark LATE-DATA semantics made first-class:
+  // the events table is replayed as FOUR file-source micro-batches
+  // (maxFilesPerTrigger = 1, file mtimes pinned so the order is
+  // deterministic): A (< Jan 24), B ([Jan 24, Jan 27)), C = the LATE
+  // batch (re-sent ancient rows from Jan 1-3 — their hour windows sit
+  // far below every watermark candidate: DROPPED — plus re-sent rows
+  // from the two hours just before Jan 27 — window ends above every
+  // candidate: ACCEPTED, double-counting their windows), then D
+  // (>= Jan 27), whose fresh event times push the final watermark past
+  // the accepted-late windows so append mode actually EMITS them (an
+  // accepted late row in the LAST batch is definitionally invisible in
+  // append output: emitted means end <= final watermark, accepted means
+  // end above it — the 4th batch is what closes that gap). Empirically
+  // (LateProbe) the operative late-filter watermark lags the reported
+  // one by a batch, so C's two slices are chosen to be dropped/accepted
+  // identically under BOTH candidate watermarks (post-A and post-B) —
+  // the oracle encodes the predicate against the post-B watermark and
+  // the construction makes the lag unobservable.
+  // -------------------------------------------------------------------
+  private val LateCut1Us: Long =
+    java.time.Instant.parse("2024-01-24T00:00:00Z").toEpochMilli * 1000L
+  private val LateCut2Us: Long =
+    java.time.Instant.parse("2024-01-27T00:00:00Z").toEpochMilli * 1000L
+  private val LateOldEndUs: Long =
+    java.time.Instant.parse("2024-01-04T00:00:00Z").toEpochMilli * 1000L
+  private val LateDelayUs: Long = 3L * HourUs
+  private val LateWindowUs: Long = HourUs
+
+  private def streamLateData(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-late")
+    val inDir = tmp.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val ev = Tables
+      .events(s, dir)
+      .select(expr("ts div 1000").as("tus"), col("event_id"), col("value"))
+    def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+      val stage = tmp.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = java.nio.file.Files
+        .list(stage)
+        .iterator()
+        .asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .get
+      val dest = inDir.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files
+        .setLastModifiedTime(dest, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      graft.GateResult.deleteRecursively(stage)
+    }
+    writeOne(ev.filter(col("tus") < LateCut1Us), "00-batch-a.parquet", 1000000L)
+    writeOne(
+      ev.filter(col("tus") >= LateCut1Us && col("tus") < LateCut2Us),
+      "01-batch-b.parquet",
+      2000000L
+    )
+    writeOne(
+      ev.filter(col("tus") < LateOldEndUs)
+        .unionByName(
+          ev.filter(col("tus") >= LateCut2Us - 2 * HourUs && col("tus") < LateCut2Us)
+        ),
+      "02-batch-late.parquet",
+      3000000L
+    )
+    writeOne(ev.filter(col("tus") >= LateCut2Us), "03-batch-d.parquet", 4000000L)
+    val in = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .withWatermark("ts", s"${LateDelayUs / (3600L * 1000 * 1000)} hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100.0).cast("long")).as("sum_cents")
+      )
+    val out = StreamHarness.runAvailableNow(in, "append")
+    val res = out
+      .select(
+        expr("unix_micros(window.start)").as("window_start_us"),
+        col("n_events"),
+        col("sum_cents")
+      )
+      .transform(Norm.ordered(_, col("window_start_us")))
+    graft.GateResult.materialize(res)(graft.GateResult.deleteRecursively(tmp))
+  }
+
+  private val streamLateDataSql: String =
+    s"""WITH ev AS (SELECT epoch_us(ts) AS tus, value FROM events),
+       |wmb AS (SELECT max(tus) - $LateDelayUs AS wm FROM ev WHERE tus < $LateCut2Us),
+       |wmf AS (SELECT max(tus) - $LateDelayUs AS wm FROM ev),
+       |accepted AS (
+       |  SELECT tus, value FROM ev WHERE tus < $LateCut2Us
+       |  UNION ALL
+       |  SELECT tus, value FROM ev WHERE tus >= $LateCut2Us
+       |  UNION ALL
+       |  SELECT c.tus, c.value FROM (
+       |    SELECT tus, value FROM ev WHERE tus < $LateOldEndUs
+       |    UNION ALL SELECT tus, value FROM ev
+       |      WHERE tus >= ${LateCut2Us - 2 * HourUs} AND tus < $LateCut2Us
+       |  ) c CROSS JOIN wmb
+       |  WHERE (c.tus // $LateWindowUs) * $LateWindowUs + $LateWindowUs > wmb.wm
+       |)
+       |SELECT (tus // $LateWindowUs) * $LateWindowUs AS window_start_us,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+       |FROM accepted CROSS JOIN wmf
+       |WHERE (tus // $LateWindowUs) * $LateWindowUs + $LateWindowUs <= wmf.wm
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // stream_session_builtin — the SAME sessionization through Spark's
   // built-in `session_window` aggregation (merging session windows in
   // the state store) beside stream_sessionize's hand-rolled
@@ -733,6 +845,7 @@ object StreamQueries {
     "stream_rolling_corr" -> rollingCorr,
     "stream_sessionize" -> streamSessionize,
     "stream_session_builtin" -> streamSessionBuiltin,
+    "stream_late_data" -> streamLateData,
     "stream_enrich" -> streamEnrich,
     "stream_ccm" -> streamCcm
   )
@@ -749,6 +862,7 @@ object StreamQueries {
     "stream_rolling_corr" -> rollingCorrSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_session_builtin" -> streamSessionBuiltinSql,
+    "stream_late_data" -> streamLateDataSql,
     "stream_enrich" -> streamEnrichSql,
     "stream_ccm" -> streamCcmSql
   )
