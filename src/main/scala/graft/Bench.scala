@@ -65,6 +65,14 @@ object Bench {
       catch { case _: Throwable => () }
     canaryOnce() // warm the canary's codegen too before baselining it
 
+    // Bar floor (VERDICT r8 item 6): a merged-min baseline below the host's
+    // scheduling noise floor (e.g. ccm_gen_coupled at 0.030 s) turns a
+    // ~40 ms absolute delta into a "2x regression". Clamp the baseline to
+    // 0.15 s before doubling so millisecond entries can't trip the alarm;
+    // entries above the floor are unaffected.
+    val BarFloorSec = 0.15
+    def barOf(baseline: Double): Double = math.max(baseline, BarFloorSec) * 2.0
+
     val CanaryBaseRuns = 5
     val QuietFactor = 1.3
     val MaxRetryWindows = 4
@@ -118,7 +126,7 @@ object Bench {
       def quiet(w: (Option[Double], Double, Double)) =
         math.max(w._2, w._3) < QuietFactor * canaryBase
       var windows = List(window(Runs))
-      val bar = BenchBaseline.mergedMinSec.get(name).map(_ * 2.0)
+      val bar = BenchBaseline.mergedMinSec.get(name).map(barOf)
       def rawMin = windows.flatMap(_._1).minOption
       def sawQuietAboveBar =
         bar.exists(b => windows.exists(w => quiet(w) && w._1.exists(_ > b)))
@@ -147,7 +155,7 @@ object Bench {
       val norm = windows.collect { case (Some(t), cB, cA) =>
         t / math.max(1.0, math.min(cB, cA) / finalBase)
       }.minOption
-      val bar = BenchBaseline.mergedMinSec.get(name).map(_ * 2.0)
+      val bar = BenchBaseline.mergedMinSec.get(name).map(barOf)
       val quietAbove = bar.exists(b =>
         windows.exists { case (t, cB, cA) =>
           math.max(cB, cA) < QuietFactor * finalBase && t.exists(_ > b)

@@ -18,8 +18,13 @@ import org.apache.spark.sql.DataFrame
   */
 object GateResult {
   def materialize(df: DataFrame)(cleanup: => Unit): DataFrame = {
-    val rows = df.collect().toSeq
-    cleanup
+    // cleanup in finally (ADVICE r8): a query/read failure mid-collect must
+    // not leak the staged temp dirs — they'd accumulate across bench's
+    // min-of-3(+retry) re-runs. The collect-before-cleanup ordering is
+    // preserved on the success path: rows are in memory before inputs die.
+    val rows =
+      try df.collect().toSeq
+      finally cleanup
     import scala.jdk.CollectionConverters._
     df.sparkSession.createDataFrame(rows.asJava, df.schema)
   }

@@ -514,7 +514,13 @@ object DedupQueries {
           Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
         )
       )
-      .filter(col("rk") <= col("sz") - ceil(lit(tMin) * col("sz")).cast("long") + 1)
+      // prefix length carries the SAME 1e-6 slack as the size prune below:
+      // truth/tp compare the 6-dp-ROUNDED j, so a pair with raw j in
+      // [tMin - 5e-7, tMin) rounds INTO the oracle's truth set and must
+      // not be prefix-pruned here (ADVICE r8) — the slackened overlap
+      // bound ceil((tMin-1e-6)*|d|) keeps every such pair's minimal
+      // common shingle inside both prefixes
+      .filter(col("rk") <= col("sz") - ceil(lit(tMin - 1e-6) * col("sz")).cast("long") + 1)
       .select("doc_id", "sz", "h")
     val candPairs = prefix
       .as("a")

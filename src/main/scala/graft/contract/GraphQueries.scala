@@ -167,7 +167,7 @@ object GraphQueries {
       .distinct()
       .filter(col("vertex") % BfsSeedStride === 0)
     graft.operators.Bfs
-      .distances(sym, seeds, BfsDepth)
+      .distances(sym, seeds, BfsDepth, edgesAlreadySymmetric = true)
       .select(col("vertex").as("doc_id"), col("dist"))
       .transform(Norm.ordered(_, col("doc_id")))
   }

@@ -28,14 +28,25 @@ object Bfs {
     * @param seeds  single-column vertex ids (dist 0)
     * @param maxDepth stop after this many hops; vertices farther than the
     *                 bound (or unreachable) are absent from the output
+    * @param edgesAlreadySymmetric the caller guarantees `edges` already
+    *                 contains both orientations of every edge; skip the
+    *                 internal reverse-union so frontier joins don't process
+    *                 every edge row twice (candidates are distinct'ed, so
+    *                 doubling is correct but pure wasted shuffle)
     * @return (vertex: Long, dist: Int) for every vertex within maxDepth
     *         hops of a seed (seeds themselves at dist 0)
     */
-  def distances(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+  def distances(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int,
+      edgesAlreadySymmetric: Boolean = false
+  ): DataFrame = {
     import Checkpoints.{tracked => checkpointTracked}
     val e0 = edges.toDF("src", "dst")
     val (sym, symPin) = checkpointTracked(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      if (edgesAlreadySymmetric) e0
+      else e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     )
     var (reached, reachedPin) = checkpointTracked(
       seeds.toDF("vertex").distinct().select(col("vertex"), lit(0).as("dist"))

@@ -347,7 +347,11 @@ object Streams {
     * would be run-to-run nondeterministic in its last ulps.
     */
   final case class TypeTotals(eventType: String, n: Long, cents: Long)
-  private final case class Tot(n: Long, cents: Long)
+  // NOT private: Janino-generated encoder code calls the accessors from
+  // outside the companion scope; a private nested case class compiles but
+  // makes every state (de)serialization fall back to the interpreted
+  // encoder (ERROR CodeGenerator spam + slower hot path).
+  final case class Tot(n: Long, cents: Long)
 
   /** Exact-binary-value HALF_UP at scale 0 — DuckDB `round(x)` semantics,
     * same construction as the PCA family's r6 (BigDecimal(double), NOT
