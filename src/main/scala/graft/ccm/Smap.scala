@@ -37,6 +37,66 @@ object Smap {
   val DefaultThetas: Seq[Double] = Seq(0.0, 0.5, 1.0, 2.0, 4.0, 8.0)
   val DefaultNonlinearEps: Double = 0.01
 
+  // ----- general-E machinery (VERDICT r8 item 3) --------------------------
+  // For E > 1 the weighted least squares is an (E+1)-dim normal-equation
+  // solve. Rather than a per-row linear-algebra kernel (which would leave
+  // whole-stage codegen AND be unreplayable in the DuckDB oracle), the
+  // Cramer's-rule solution is generated ONCE as an arithmetic string over
+  // named weighted co-moment columns and handed verbatim to BOTH engines —
+  // Spark via expr(), DuckDB via the oracle SQL. Parity is by construction:
+  // the two engines parse the identical expression tree; the remaining
+  // aggregation-order ulp noise is absorbed by the 6-dp round like every
+  // other query in this family.
+
+  /** Symmetric normal matrix A (size (e+1)²) over moment column names:
+    * A[0][0]=sw, A[0][j]=a_j (Σ w·v_j), A[j][k]=a_{min}_{max} (Σ w·v_j·v_k).
+    */
+  private def normalMatrix(e: Int): Vector[Vector[String]] =
+    Vector.tabulate(e + 1, e + 1) { (i, j) =>
+      (i, j) match {
+        case (0, 0)           => "sw"
+        case (0, k)           => s"a$k"
+        case (k, 0)           => s"a$k"
+        case (i2, j2)         =>
+          val (lo, hi) = (math.min(i2, j2), math.max(i2, j2)); s"a${lo}_$hi"
+      }
+    }
+
+  /** Laplace-expansion determinant as a fully parenthesized arithmetic
+    * string — parseable identically by Spark SQL and DuckDB.
+    */
+  private def detStr(m: Vector[Vector[String]]): String =
+    if (m.size == 1) m(0)(0)
+    else
+      m(0).indices
+        .map { j =>
+          val minor = m.tail.map(row => row.patch(j, Nil, 1))
+          val term = s"${m(0)(j)} * (${detStr(minor)})"
+          if (j == 0) term else if (j % 2 == 0) s"+ $term" else s"- $term"
+        }
+        .mkString(" ")
+
+  /** The S-map prediction for one (target, θ) group as a single arithmetic
+    * expression over the group's moment columns (`sw`, `a*`, `b*`) and the
+    * target's embedding (`tv1..tvE`): pred = Σ_m det(A|col m→b)·φ_t[m] /
+    * det(A), with the singular-matrix guard falling back to the weighted
+    * mean b0/sw (the E=1 convention: drop the slope, keep the intercept).
+    */
+  def cramerPredExpr(e: Int): String = {
+    val a = normalMatrix(e)
+    val bvec = Vector.tabulate(e + 1)(m => if (m == 0) "b0" else s"b$m")
+    val detA = detStr(a)
+    val phi = Vector.tabulate(e + 1)(m => if (m == 0) "1.0" else s"tv$m")
+    // column m of A replaced by the RHS vector b (row r's m-th entry → bvec(r))
+    val numStr = (0 to e)
+      .map { m =>
+        val am = Vector.tabulate(e + 1, e + 1) { (r, c) => if (c == m) bvec(r) else a(r)(c) }
+        s"(${detStr(am)}) * ${phi(m)}"
+      }
+      .mkString(" + ")
+    s"CASE WHEN abs($detA) > 1e-12 THEN ($numStr) / ($detA) ELSE b0 / sw END"
+  }
+
   /** Output: (skey, direction, theta, rho, nonlinear) — rho rounded to
     * 6 dp BEFORE the nonlinear flag is derived, so the flag compares
     * engine-identical doubles (cross-engine ulp noise cannot flip it).
@@ -107,6 +167,132 @@ object Smap {
       // keeps the branch unevaluated on degenerate groups. (Engine-delta
       // vs DuckDB's corr is ulp-level and absorbed by the 6-dp round,
       // like every other aggregation-order delta in this family.)
+      preds
+        .groupBy($"skey", $"theta")
+        .agg(
+          covar_samp($"tg", $"pred").as("cv"),
+          stddev_samp($"tg").as("s1"),
+          stddev_samp($"pred").as("s2")
+        )
+        .withColumn(
+          "rho",
+          when(
+            $"cv".isNull || $"s1".isNull || $"s2".isNull ||
+              isnan($"cv") || isnan($"s1") || isnan($"s2") ||
+              $"s1" === 0.0 || $"s2" === 0.0,
+            0.0
+          ).otherwise($"cv" / ($"s1" * $"s2"))
+        )
+        .select($"skey", lit(dir).as("direction"), $"theta", (round($"rho", 6) + lit(0.0)).as("rho"))
+    }
+
+    val u = oneDir("y", "x", Ccm.DirXCausesY).unionByName(oneDir("x", "y", Ccm.DirYCausesX))
+    val minTheta = thetas.min
+    val wFlag = Window.partitionBy("skey", "direction")
+    u.withColumn("rho0", max(when($"theta" === minTheta, $"rho")).over(wFlag))
+      .withColumn("rho_max", max($"rho").over(wFlag))
+      .withColumn("nonlinear", $"rho_max" - $"rho0" > nonlinearEps)
+      .drop("rho0", "rho_max")
+  }
+
+  /** Moment aggregates for the general-E solve, over the pair relation's
+    * (w, iv1..ivE, ig) columns; aliases are exactly the operand names
+    * [[cramerPredExpr]] references.
+    */
+  def momentAggs(e: Int): Seq[Column] =
+    Seq(sum(col("w")).as("sw"), sum(col("w") * col("ig")).as("b0")) ++
+      (1 to e).flatMap { j =>
+        Seq(
+          sum(col("w") * col(s"iv$j")).as(s"a$j"),
+          sum(col("w") * col(s"iv$j") * col("ig")).as(s"b$j")
+        ) ++ (j to e).map(k =>
+          sum(col("w") * col(s"iv$j") * col(s"iv$k")).as(s"a${j}_$k")
+        )
+      }
+
+  /** The same moment aggregates as ANSI SQL select-list fragments (for the
+    * DuckDB oracle) — kept in ONE place so the two engines can never
+    * drift.
+    */
+  def momentAggsSql(e: Int): Seq[String] =
+    Seq("sum(w) AS sw", "sum(w * ig) AS b0") ++
+      (1 to e).flatMap { j =>
+        Seq(s"sum(w * iv$j) AS a$j", s"sum(w * iv$j * ig) AS b$j") ++
+          (j to e).map(k => s"sum(w * iv$j * iv$k) AS a${j}_$k")
+      }
+
+  /** General-E S-map θ-sweep (VERDICT r8 item 3): embeds the SOURCE series
+    * with lags 0..E-1 (the same embedding the simplex pipeline uses,
+    * `lib/ccm.ex:99-107`), Euclidean distance in embedding space, and per
+    * (target, θ) the (E+1)-dim weighted normal-equation solve via
+    * [[cramerPredExpr]]. E=1 degenerates to [[bidirectional]]'s closed
+    * form. Output schema and the `nonlinear` flag contract are identical
+    * to [[bidirectional]].
+    *
+    * Scale: identical shuffle skeleton to E=1 — per-series pair join, one
+    * window for d̄, one aggregation for the (E+1)(E+4)/2 moments; the whole
+    * Cramer solve is a single codegen'd projection over the grouped row,
+    * so E only widens rows, never adds a shuffle.
+    */
+  def bidirectionalE(
+      df: DataFrame,
+      skey: Column,
+      order: Seq[String],
+      x: Column,
+      y: Column,
+      e: Int,
+      thetas: Seq[Double] = DefaultThetas,
+      nonlinearEps: Double = DefaultNonlinearEps
+  ): DataFrame = {
+    require(e >= 1, "embedding dimension must be >= 1")
+    require(thetas.nonEmpty, "thetas must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base =
+      df.select(Seq(skey.cast("long").as("skey"), x.as("x"), y.as("y")) ++ order.map(col): _*)
+    val wIdx = Window.partitionBy("skey").orderBy(order.map(col): _*)
+    val indexed = base
+      .withColumn("idx", row_number().over(wIdx).cast("long"))
+      .select("skey", "idx", "x", "y")
+    val thetaDf = broadcast(thetas.toDF("theta"))
+    val predExpr = cramerPredExpr(e)
+
+    def oneDir(srcName: String, tgtName: String, dir: String): DataFrame = {
+      val rel = indexed.select(col("skey"), col("idx"), col(srcName).as("s"), col(tgtName).as("g"))
+      val wLag = Window.partitionBy("skey").orderBy("idx")
+      val emb = (1 to e)
+        .foldLeft(rel)((d, j) => d.withColumn(s"v$j", lag(col("s"), j - 1).over(wLag)))
+        .filter(col(s"v$e").isNotNull)
+        .drop("s")
+      val pairs = emb
+        .as("t")
+        .join(emb.as("i"), $"t.skey" === $"i.skey" && $"t.idx" =!= $"i.idx")
+        .select(
+          Seq($"t.skey".as("skey"), $"t.idx".as("t_idx"), $"t.g".as("tg"), $"i.g".as("ig")) ++
+            (1 to e).map(j => col(s"t.v$j").as(s"tv$j")) ++
+            (1 to e).map(j => col(s"i.v$j").as(s"iv$j")): _*
+        )
+        // (iv-tv)*(iv-tv), not pow(): the oracle replays the identical
+        // multiply so the only cross-engine delta is aggregation order
+        .withColumn(
+          "d",
+          sqrt(
+            (1 to e)
+              .map(j => (col(s"iv$j") - col(s"tv$j")) * (col(s"iv$j") - col(s"tv$j")))
+              .reduce(_ + _)
+          )
+        )
+      val wBar = Window.partitionBy("skey", "t_idx")
+      val weighted = pairs
+        .withColumn("dbar", avg($"d").over(wBar))
+        .crossJoin(thetaDf)
+        .withColumn("w", when($"dbar" > 0.0, exp(-$"theta" * $"d" / $"dbar")).otherwise(1.0))
+      val groupCols =
+        Seq($"skey", $"theta", $"t_idx", $"tg") ++ (1 to e).map(j => col(s"tv$j"))
+      val aggs = momentAggs(e)
+      val sums = weighted.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+      val preds = sums.withColumn("pred", expr(predExpr))
+      // guarded Pearson — same C9 degenerate→0.0 convention as the E=1 path
       preds
         .groupBy($"skey", $"theta")
         .agg(

@@ -3,7 +3,7 @@ package graft.contract
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ccm.{Ccm, CcmPipeline, CcmSpec, DetHash, Generators, LagCcm, Smap}
+import graft.ccm.{Ccm, CcmPipeline, CcmSpec, DetHash, FftSurrogate, Generators, LagCcm, Smap}
 
 /** Driver-contract queries for the CCM operator family (SURVEY.md §2a),
   * each paired with ANSI/DuckDB oracle SQL over the same parquet tables.
@@ -882,6 +882,14 @@ object CcmQueries {
         col("x"),
         col("y")
       )
+    surrogatePvals(surr)
+  }
+
+  /** Shared surrogate tail: CCM over the (skey2 = user·stride + k) series
+    * bundle, then the one-sided permutation-test p-value of the true rho
+    * (k=0) against the K surrogate rhos — used by all three nulls.
+    */
+  private def surrogatePvals(surr: DataFrame): DataFrame = {
     val rhos = Ccm
       .bidirectional(
         surr,
@@ -975,6 +983,13 @@ object CcmQueries {
          |  SELECT p.user_id * $SurrStride + p.k AS skey2, p.pos AS ts,
          |         p.x AS value, yy.y AS y0
          |  FROM spr p JOIN sbi yy ON yy.user_id = p.user_id AND yy.i = p.pos)""".stripMargin
+    surrogateSqlTail(surrFrom)
+  }
+
+  /** Shared SQL twin of [[surrogatePvals]]: CCM over the surrogate-bundle
+    * relation (skey2, ts, value, y0) and the permutation-test p-value.
+    */
+  private def surrogateSqlTail(surrFrom: String): String = {
     s"""${curveSqlCommon(None, SurrSamples, Seq(SurrLib), "skey2", Seq("ts"), surrFrom, Some("y0"))},
        |rh AS (
        |  SELECT skey // $SurrStride AS user_id, skey % $SurrStride AS k,
@@ -1009,6 +1024,83 @@ object CcmQueries {
         |                ELSE ((b.i - 1 + (CASE WHEN (kk.k * 7919) % b.n = 0 THEN 1
         |                                       ELSE (kk.k * 7919) % b.n END)) % b.n) + 1 END""".stripMargin
     )
+
+  // -------------------------------------------------------------------
+  // ccm_surrogate_fft — phase-randomized (Ebisuzaki/FFT) null, the one
+  // the EDM significance-testing literature actually recommends for
+  // autocorrelated series (VERDICT r8 item 7): each surrogate preserves
+  // x's FULL power spectrum (hence its autocorrelation at every lag and
+  // spectral shape — strictly more than the circular shift keeps) while
+  // drawing the phases of all non-fixed bins uniformly from [0, 2π) via
+  // DetHash. The DFT of each capped series is a deterministic O(n²)
+  // join-aggregate of cos/sin sums, and the surrogate is the direct real
+  // cosine-sum reconstruction — fully declarative, one shuffle per
+  // stage, replayable verbatim in the DuckDB oracle (cross-engine
+  // libm-ulp deltas are absorbed by the 6-dp rho round like exp() in the
+  // smap family). DC and Nyquist bins keep phase 0 (randomizing the
+  // Nyquist bin of a real cosine-sum would rescale, not rotate, it);
+  // k = 0 bypasses reconstruction entirely so the truth rho is computed
+  // on the bit-exact original series.
+  // -------------------------------------------------------------------
+  private val FftSeed = 1187L
+  private val TwoPi = 6.283185307179586
+
+  private def surrogateFft(s: SparkSession, dir: String): DataFrame =
+    surrogatePvals(
+      FftSurrogate.bundle(
+        bootInput(s, dir),
+        skey = col("user_id"),
+        order = Seq("ts"),
+        x = col("x"),
+        y = col("y"),
+        numK = SurrK,
+        stride = SurrStride,
+        seed = FftSeed
+      )
+    )
+
+  private val surrogateFftSql: String = {
+    val h = DetHash.rankHashSql("c.f", "kk.k", "c.user_id", FftSeed)
+    val surrFrom =
+      s"""(WITH cap AS (SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value,
+         |           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+         |    FROM events WHERE user_id % $BootUserMod = 0) WHERE rn <= $BootCap),
+         |  sb0 AS (
+         |    SELECT user_id, ts, value AS x,
+         |           lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS y
+         |    FROM cap
+         |  ), sb AS (SELECT * FROM sb0 WHERE y IS NOT NULL),
+         |  sbi AS (
+         |    SELECT user_id, x, y,
+         |           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS i,
+         |           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+         |    FROM sb
+         |  ),
+         |  pts AS (SELECT user_id, i, i - 1 AS t, n, x, y FROM sbi),
+         |  fq AS (SELECT user_id, t AS f, n FROM pts WHERE t * 2 <= n),
+         |  cf0 AS (
+         |    SELECT f.user_id, f.f, f.n,
+         |           sum(p.x * cos(($TwoPi * (f.f * p.t)) / f.n)) AS re,
+         |           sum(-p.x * sin(($TwoPi * (f.f * p.t)) / f.n)) AS im
+         |    FROM fq f JOIN pts p ON p.user_id = f.user_id GROUP BY 1, 2, 3
+         |  ),
+         |  cf AS (SELECT user_id, f, n, sqrt(re * re + im * im) AS amp, atan2(im, re) AS ph FROM cf0),
+         |  ks(k) AS (SELECT CAST(unnest(generate_series(0, $SurrK)) AS BIGINT)),
+         |  rc AS (
+         |    SELECT c.user_id, kk.k, p.i, p.x, p.y,
+         |           sum(CASE WHEN c.f = 0 OR c.f * 2 = c.n THEN 1.0 ELSE 2.0 END / c.n * c.amp *
+         |               cos(($TwoPi * (c.f * p.t)) / c.n + c.ph +
+         |                   CASE WHEN kk.k = 0 OR c.f = 0 OR c.f * 2 = c.n THEN 0.0
+         |                        ELSE $TwoPi * (CAST($h AS DOUBLE) / ${DetHash.P}.0) END)) AS rx
+         |    FROM cf c JOIN pts p ON p.user_id = c.user_id CROSS JOIN ks kk
+         |    GROUP BY 1, 2, 3, 4, 5
+         |  )
+         |  SELECT user_id * $SurrStride + k AS skey2, i AS ts,
+         |         CASE WHEN k = 0 THEN x ELSE rx END AS value, y AS y0
+         |  FROM rc)""".stripMargin
+    surrogateSqlTail(surrFrom)
+  }
 
   // -------------------------------------------------------------------
   // ccm_smap — S-map θ-sweep (graft.ccm.Smap): locally weighted linear
@@ -1075,6 +1167,103 @@ object CcmQueries {
          |         round(coalesce(corr(tg, pred), 0.0), 6) + 0.0 AS rho
          |  FROM pr$n GROUP BY 1, 2, 3
          |)""".stripMargin
+    s"""WITH cap AS (
+       |  SELECT user_id, ts, value FROM (
+       |    SELECT user_id, ts, value,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+       |    FROM events WHERE user_id % $BootUserMod = 0) WHERE rn <= $BootCap
+       |), b0 AS (
+       |  SELECT user_id AS skey, ts, value AS x,
+       |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS y
+       |  FROM cap
+       |), sb AS (
+       |  SELECT skey, row_number() OVER (PARTITION BY skey ORDER BY ts) AS idx, x, y
+       |  FROM b0 WHERE y IS NOT NULL
+       |), thetas AS (SELECT CAST(unnest([${SmapThetas.mkString(", ")}]) AS DOUBLE) AS theta),
+       |${dirSql("y", "x", "x_causes_y", 1)},
+       |${dirSql("x", "y", "y_causes_x", 2)},
+       |u AS (SELECT * FROM rh1 UNION ALL SELECT * FROM rh2),
+       |fl AS (
+       |  SELECT *,
+       |         max(CASE WHEN theta = ${SmapThetas.min} THEN rho END)
+       |           OVER (PARTITION BY skey, direction) AS rho0,
+       |         max(rho) OVER (PARTITION BY skey, direction) AS rho_max
+       |  FROM u
+       |)
+       |SELECT skey AS user_id, direction, theta, rho,
+       |       (rho_max - rho0 > CAST($SmapEps AS DOUBLE)) AS nonlinear
+       |FROM fl ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // ccm_smap_e3 — general-E S-map (VERDICT r8 item 3): the same θ-sweep
+  // at the embedding dimension real EDM practice uses (E=3 here, the FNN
+  // regime; reference embeddings are E-dimensional, lib/ccm.ex:99-107).
+  // Per (target, θ) the (E+1)-dim weighted normal equations are solved by
+  // Cramer's rule GENERATED ONCE as an arithmetic string over weighted
+  // co-moment columns (Smap.cramerPredExpr) and handed verbatim to both
+  // engines — Spark expr() and this oracle parse the identical tree, so
+  // parity is by construction and only aggregation-order ulps remain
+  // (absorbed by the 6-dp round).
+  // -------------------------------------------------------------------
+  private val SmapE = 3
+
+  private def smapE3(s: SparkSession, dir: String): DataFrame =
+    Smap
+      .bidirectionalE(
+        bootInput(s, dir),
+        skey = col("user_id"),
+        order = Seq("ts"),
+        x = col("x"),
+        y = col("y"),
+        e = SmapE,
+        thetas = SmapThetas,
+        nonlinearEps = SmapEps
+      )
+      .select(
+        col("skey").as("user_id"),
+        col("direction"),
+        col("theta"),
+        col("rho"),
+        col("nonlinear")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("direction"), col("theta")))
+
+  private val smapE3Sql: String = {
+    val e = SmapE
+    val tvList = (1 to e).map(j => s"tv$j").mkString(", ")
+    def dirSql(srcCol: String, tgtCol: String, dirName: String, n: Int): String = {
+      val lags = (1 to e)
+        .map(j => s"lag($srcCol, ${j - 1}) OVER (PARTITION BY skey ORDER BY idx) AS v$j")
+        .mkString(", ")
+      val tCols = (1 to e).map(j => s"t.v$j AS tv$j").mkString(", ")
+      val iCols = (1 to e).map(j => s"i.v$j AS iv$j").mkString(", ")
+      val dist = (1 to e).map(j => s"(i.v$j - t.v$j) * (i.v$j - t.v$j)").mkString(" + ")
+      s"""emb$n AS (
+         |  SELECT * FROM (SELECT skey, idx, $tgtCol AS g, $lags FROM sb)
+         |  WHERE v$e IS NOT NULL
+         |), pairs$n AS (
+         |  SELECT t.skey, t.idx AS t_idx, t.g AS tg, i.g AS ig, $tCols, $iCols,
+         |         sqrt($dist) AS d
+         |  FROM emb$n t JOIN emb$n i ON t.skey = i.skey AND t.idx <> i.idx
+         |), db$n AS (
+         |  SELECT *, avg(d) OVER (PARTITION BY skey, t_idx) AS dbar FROM pairs$n
+         |), wt$n AS (
+         |  SELECT p.*, th.theta,
+         |         CASE WHEN p.dbar > 0 THEN exp(-th.theta * p.d / p.dbar) ELSE 1.0 END AS w
+         |  FROM db$n p CROSS JOIN thetas th
+         |), ag$n AS (
+         |  SELECT skey, theta, t_idx, tg, $tvList,
+         |         ${Smap.momentAggsSql(e).mkString(",\n         ")}
+         |  FROM wt$n GROUP BY skey, theta, t_idx, tg, $tvList
+         |), pr$n AS (
+         |  SELECT skey, theta, tg, ${Smap.cramerPredExpr(e)} AS pred FROM ag$n
+         |), rh$n AS (
+         |  SELECT skey, '$dirName' AS direction, theta,
+         |         round(coalesce(corr(tg, pred), 0.0), 6) + 0.0 AS rho
+         |  FROM pr$n GROUP BY 1, 2, 3
+         |)""".stripMargin
+    }
     s"""WITH cap AS (
        |  SELECT user_id, ts, value FROM (
        |    SELECT user_id, ts, value,
@@ -1522,8 +1711,10 @@ object CcmQueries {
     "ccm_gen_coupled" -> genCoupled,
     "ccm_mi_tau" -> miTau,
     "ccm_smap" -> smap,
+    "ccm_smap_e3" -> smapE3,
     "ccm_surrogate" -> surrogate,
     "ccm_surrogate_circ" -> surrogateCirc,
+    "ccm_surrogate_fft" -> surrogateFft,
     "ccm_multiview" -> multiview,
     "ccm_lag_sweep" -> lagSweep,
     "ccm_fnn_dim" -> fnnDim
@@ -1554,8 +1745,10 @@ object CcmQueries {
     "ccm_gen_coupled" -> genCoupledSql,
     "ccm_mi_tau" -> miTauSql,
     "ccm_smap" -> smapSql,
+    "ccm_smap_e3" -> smapE3Sql,
     "ccm_surrogate" -> surrogateSql,
     "ccm_surrogate_circ" -> surrogateCircSql,
+    "ccm_surrogate_fft" -> surrogateFftSql,
     "ccm_multiview" -> multiviewSql,
     "ccm_lag_sweep" -> lagSweepSql,
     "ccm_fnn_dim" -> fnnDimSql
