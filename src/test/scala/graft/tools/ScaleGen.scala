@@ -97,10 +97,22 @@ object ScaleGen {
       .sorted
     val v = vocab.length
     replicate(docs) { (d, k) =>
+      // Copy 0 is verbatim. Copies k > 0 get BOTH a substitution cipher
+      // (so within-copy dup structure is preserved under a different word
+      // distribution) AND a per-copy suffix tag making vocabularies truly
+      // DISJOINT across copies. The r8 cipher alone cycled mod the 31-word
+      // corpus vocab, so every copy shared the same 31 words and shingle
+      // document frequencies grew with the copy count — at 100 copies the
+      // lsh-quality prefix join's df² term exhausted 80 GB of spill. That
+      // measured a DEGENERATE corpus (vocabulary pinned while text grows
+      // 100x), not a bigger instance of the same one; real corpora grow
+      // vocabulary with size, which the suffix tag models (SCALE.md
+      // round-9 section records both readings).
       val mapped =
         if (k == 0) col("text")
         else {
-          val mapping = vocab.indices.map(i => vocab(i) -> vocab((i + 17 * k) % v)).toMap
+          val mapping =
+            vocab.indices.map(i => vocab(i) -> s"${vocab((i + 17 * k) % v)}c$k").toMap
           val mapExpr = map(mapping.flatMap { case (a, b) => Seq(lit(a), lit(b)) }.toSeq: _*)
           array_join(
             transform(split(col("text"), " "), w => coalesce(element_at(mapExpr, w), w)),
