@@ -625,6 +625,148 @@ object DedupQueries {
   }
 
   // -------------------------------------------------------------------
+  // dedup_lsh_quality_sampled — the 100-TB form of the LSH quality eval
+  // (SCALE.md round-9: the full eval's exact-truth term is the set-
+  // similarity join whose Σ df² cost was measured to the WALL on the
+  // degenerate pinned-vocab corpus — 80 GB of spill at 100×, no lossless
+  // filter exists against it). Production evaluates on a SAMPLE: exact
+  // truth only for pairs touching a deterministic doc panel (doc_id %
+  // SampleStride), generated as sampled-postings × all-postings — cost
+  // Σ df_sample·df, the |sample|/|corpus| fraction of the full term and
+  // immune to the stopword degeneracy (the hot shingle contributes
+  // df_sample·df, not df²). Precision/recall keep the full eval's exact
+  // semantics restricted to sampled pairs: a candidate pair outside jp
+  // shares no shingle with any sampled doc, so its true j is 0 and the
+  // coalesce is exact, not an approximation. The serving path (banding +
+  // verify) is untouched — only the eval's truth generation is sampled.
+  // -------------------------------------------------------------------
+  private val SampleStride = 4L
+  // The panel must be FIXED-SIZE as the corpus grows — a constant-FRACTION
+  // sample only divides the Σ df² wall by the stride, it doesn't remove
+  // it. The id cap bounds the panel to the base id range (inert at every
+  // gate SF, where all doc_ids sit below it; on the 100× replica it pins
+  // the panel to the copy-0 docs), making the truth term Σ df_panel·df —
+  // linear in corpus size even on the pinned-vocab degenerate corpus.
+  private val SamplePanelCap = 1000000L
+
+  private def dedupLshQualitySampled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withSets = shingled(s, dir)
+      .select(col("doc_id"), expr("array_distinct(shh)").as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .localCheckpoint()
+    val tokens = withSets.select(col("doc_id"), explode(col("sh")).as("h"))
+    val qtokens =
+      tokens.filter(col("doc_id") % SampleStride === 0 && col("doc_id") < SamplePanelCap)
+    val candPairs = qtokens
+      .as("a")
+      .join(tokens.as("b"), col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")
+      )
+      .distinct()
+    val jp = candPairs
+      .join(withSets.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("sz").as("sza")), "doc_a")
+      .join(withSets.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("sz").as("szb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        Norm.rnd(col("n_common") / (col("sza") + col("szb") - col("n_common")).cast("double"), 6)
+          .as("j")
+      )
+      .localCheckpoint() // consumed per threshold AND by the candidate join
+    val th = EvalThresholds.toDF("threshold")
+    val truth = jp
+      .crossJoin(broadcast(th))
+      .filter(col("j") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_truth"))
+    val candj = lshPairsRaw(s, dir)
+      .select("doc_a", "doc_b")
+      .filter(
+        (col("doc_a") % SampleStride === 0 && col("doc_a") < SamplePanelCap) ||
+          (col("doc_b") % SampleStride === 0 && col("doc_b") < SamplePanelCap)
+      )
+      .join(jp, Seq("doc_a", "doc_b"), "left")
+      .select(coalesce(col("j"), lit(0.0)).as("j0"))
+    val cand = candj
+      .crossJoin(broadcast(th))
+      .groupBy("threshold")
+      .agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("j0") >= col("threshold"), 1L).otherwise(0L)).as("tp")
+      )
+    th.join(cand, Seq("threshold"), "left")
+      .join(truth, Seq("threshold"), "left")
+      .select(
+        col("threshold"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("n_cand"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("n_truth"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"),
+        when(coalesce(col("n_cand"), lit(0L)) === 0, 0.0)
+          .otherwise(Norm.rnd(col("tp") / col("n_cand").cast("double"), 6))
+          .as("prec"),
+        when(coalesce(col("n_truth"), lit(0L)) === 0, 0.0)
+          .otherwise(Norm.rnd(col("tp") / col("n_truth").cast("double"), 6))
+          .as("rec")
+      )
+      .transform(Norm.ordered(_, col("threshold")))
+  }
+
+  private val dedupLshQualitySampledSql: String = {
+    val thValues = EvalThresholds.map(t => s"(CAST($t AS DOUBLE))").mkString(", ")
+    s"""WITH $bandsCteSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  WHERE (a.doc_id % $SampleStride = 0 AND a.doc_id < $SamplePanelCap)
+       |     OR (b.doc_id % $SampleStride = 0 AND b.doc_id < $SamplePanelCap)
+       |),
+       |dsq AS (SELECT doc_id, list_distinct($shingleFromWhDuck) AS sh FROM dw),
+       |jp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(len(list_intersect(a.sh, b.sh))
+       |          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) + 0.0 AS j
+       |  FROM dsq a JOIN dsq b ON a.doc_id < b.doc_id
+       |    AND ((a.doc_id % $SampleStride = 0 AND a.doc_id < $SamplePanelCap)
+       |      OR (b.doc_id % $SampleStride = 0 AND b.doc_id < $SamplePanelCap))
+       |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+       |),
+       |th(threshold) AS (VALUES $thValues),
+       |tr AS (
+       |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_truth
+       |  FROM jp CROSS JOIN th WHERE j >= threshold GROUP BY threshold
+       |),
+       |cj AS (
+       |  SELECT c.doc_a, c.doc_b, coalesce(jp.j, 0.0) AS j0
+       |  FROM cand c LEFT JOIN jp ON c.doc_a = jp.doc_a AND c.doc_b = jp.doc_b
+       |),
+       |cd AS (
+       |  SELECT threshold, CAST(count(*) AS BIGINT) AS n_cand,
+       |         CAST(sum(CASE WHEN j0 >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+       |  FROM cj CROSS JOIN th GROUP BY threshold
+       |)
+       |SELECT th.threshold,
+       |  CAST(coalesce(tr.n_truth, 0) AS BIGINT) AS n_truth,
+       |  CAST(coalesce(cd.n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(coalesce(cd.tp, 0) AS BIGINT) AS tp,
+       |  CAST(coalesce(cd.n_cand, 0) - coalesce(cd.tp, 0) AS BIGINT) AS fp,
+       |  CAST(coalesce(tr.n_truth, 0) - coalesce(cd.tp, 0) AS BIGINT) AS fn,
+       |  CASE WHEN coalesce(cd.n_cand, 0) = 0 THEN 0.0
+       |       ELSE round(cd.tp / CAST(cd.n_cand AS DOUBLE), 6) + 0.0 END AS prec,
+       |  CASE WHEN coalesce(tr.n_truth, 0) = 0 THEN 0.0
+       |       ELSE round(cd.tp / CAST(tr.n_truth AS DOUBLE), 6) + 0.0 END AS rec
+       |FROM th LEFT JOIN cd ON th.threshold = cd.threshold
+       |        LEFT JOIN tr ON th.threshold = tr.threshold
+       |ORDER BY th.threshold""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // dedup_keep_best — canonical-document selection, the step after
   // clustering: within each near-dup cluster keep the LONGEST member
   // (n_chars desc, doc_id asc tie-break — the "keep the most complete
@@ -940,6 +1082,7 @@ object DedupQueries {
     "dedup_cluster_star" -> dedupClusterStar,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_lsh_quality" -> dedupLshQuality,
+    "dedup_lsh_quality_sampled" -> dedupLshQualitySampled,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> minhashSig,
     "dedup_lsh_pairs" -> lshPairs,
@@ -958,6 +1101,7 @@ object DedupQueries {
     "dedup_cluster_star" -> dedupClusterSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_lsh_quality" -> dedupLshQualitySql,
+    "dedup_lsh_quality_sampled" -> dedupLshQualitySampledSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSigSql,
     "dedup_lsh_pairs" -> lshPairsSql,

@@ -108,11 +108,19 @@ object ScaleGen {
       // 100x), not a bigger instance of the same one; real corpora grow
       // vocabulary with size, which the suffix tag models (SCALE.md
       // round-9 section records both readings).
+      // SPARK_GRAFT_DEGENERATE=1 reproduces the r8 pinned-vocab cipher
+      // (no suffix tag): text grows with copies while the vocabulary does
+      // NOT — the adversarial stopword-corpus shape used to demonstrate
+      // which eval forms survive it (SCALE.md round-9).
+      val degenerate = sys.env.get("SPARK_GRAFT_DEGENERATE").contains("1")
       val mapped =
         if (k == 0) col("text")
         else {
           val mapping =
-            vocab.indices.map(i => vocab(i) -> s"${vocab((i + 17 * k) % v)}c$k").toMap
+            vocab.indices.map { i =>
+              val w = vocab((i + 17 * k) % v)
+              vocab(i) -> (if (degenerate) w else s"${w}c$k")
+            }.toMap
           val mapExpr = map(mapping.flatMap { case (a, b) => Seq(lit(a), lit(b)) }.toSeq: _*)
           array_join(
             transform(split(col("text"), " "), w => coalesce(element_at(mapExpr, w), w)),
