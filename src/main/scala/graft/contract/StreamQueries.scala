@@ -244,6 +244,60 @@ object StreamQueries {
        |       round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS sum_value
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // stream_topk — Streams.typeTopK: BOUNDED-state streaming top-k per
+  // event type through transformWithState's ListState (the third state
+  // cell kind beside stream_transform_state's ValueState and the FMGWS
+  // gates): state is exactly min(k, seen) entries per key regardless of
+  // stream volume — the "top documents per category over a firehose"
+  // shape that survives unbounded events at 100 TB/day. Update-mode
+  // emission re-publishes a key's current top-k per touched batch; the
+  // gate keeps, per (event_type, rank), the (value DESC, user ASC,
+  // ts ASC)-first row — for every rank the retained set only improves
+  // monotonically under that ordering, so the selection equals the final
+  // batch's emission even under a multi-batch replay. Oracle: ONE batch
+  // window (row_number over the same ordering).
+  // -------------------------------------------------------------------
+  private val StreamTopK = 5
+
+  private def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = evStream(s, dir).as[Streams.Event]
+      val out = StreamHarness.runAvailableNow(Streams.typeTopK(in, StreamTopK).toDF(), "update")
+      val wLast = Window
+        .partitionBy("eventType", "rank")
+        .orderBy(col("value").desc, col("userId").asc, col("tsUs").asc)
+      out
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(
+          col("eventType").as("event_type"),
+          col("rank").cast("long").as("rank"),
+          col("value"),
+          col("userId").as("user_id"),
+          col("tsUs").as("ts_us")
+        )
+        .transform(Norm.ordered(_, col("event_type"), col("rank")))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+  }
+
+  private val streamTopkSql: String =
+    s"""SELECT event_type, rank, value, user_id, ts_us FROM (
+       |  SELECT event_type, value, user_id, epoch_us(ts) AS ts_us,
+       |         CAST(row_number() OVER (PARTITION BY event_type
+       |              ORDER BY value DESC, user_id ASC, epoch_us(ts) ASC) AS BIGINT) AS rank
+       |  FROM events
+       |) WHERE rank <= $StreamTopK ORDER BY event_type, rank""".stripMargin
+
   private val streamDedupBuiltinSql: String =
     s"""SELECT ${DetHash.polyHashSql("text")} AS text_hash,
        |       CAST(max(length(text)) AS BIGINT) AS text_len
@@ -842,6 +896,7 @@ object StreamQueries {
     "stream_dedup" -> streamDedup,
     "stream_dedup_builtin" -> streamDedupBuiltin,
     "stream_transform_state" -> streamTransformState,
+    "stream_topk" -> streamTopk,
     "stream_rolling_corr" -> rollingCorr,
     "stream_sessionize" -> streamSessionize,
     "stream_session_builtin" -> streamSessionBuiltin,
@@ -859,6 +914,7 @@ object StreamQueries {
     "stream_dedup" -> streamDedupSql,
     "stream_dedup_builtin" -> streamDedupBuiltinSql,
     "stream_transform_state" -> streamTransformStateSql,
+    "stream_topk" -> streamTopkSql,
     "stream_rolling_corr" -> rollingCorrSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_session_builtin" -> streamSessionBuiltinSql,

@@ -396,6 +396,70 @@ object Streams {
     }
   }
 
+  /** One retained top-k entry; NOT private (the [[Tot]] encoder-codegen
+    * lesson) — Janino-generated (de)serializers call the accessors.
+    */
+  final case class Ent(value: Double, userId: Long, tsUs: Long)
+  final case class TopEntry(eventType: String, rank: Int, value: Double, userId: Long, tsUs: Long)
+
+  /** `transformWithState` processor holding the top-`k` events per key in
+    * a `ListState` — the BOUNDED-state streaming top-k ("top domains /
+    * largest documents per category over a firehose"): state is exactly
+    * min(k, seen) entries per key no matter how many events stream
+    * through, the shape that survives an unbounded key×event volume at
+    * 100 TB/day. Each batch re-emits the key's current top-k (update
+    * semantics); ordering is (value DESC, userId ASC, tsUs ASC) — fully
+    * deterministic, replayable as one window in the batch oracle.
+    */
+  private class TypeTopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, TopEntry] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var top: org.apache.spark.sql.streaming.ListState[Ent] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[Ent]("topk", E.product[Ent], TTLConfig.NONE)
+    private val ord: Ordering[Ent] =
+      Ordering.by(e => (-e.value, e.userId, e.tsUs))
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues
+    ): Iterator[TopEntry] = {
+      val cur = {
+        val it = top.get(); val b = Seq.newBuilder[Ent]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      val merged =
+        // exact epoch-micros from the JDBC Timestamp: getTime carries
+        // floor-millis, getNanos the full fractional second
+        (cur ++ rows.map(e =>
+          Ent(e.value, e.userId, e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L)
+        ))
+          .sorted(ord)
+          .take(k)
+      top.put(merged.toArray)
+      merged.zipWithIndex.iterator.map { case (e, i) =>
+        TopEntry(key, i + 1, e.value, e.userId, e.tsUs)
+      }
+    }
+  }
+
+  /** Top-`k` events per event type via [[TypeTopKProcessor]] (RocksDB
+    * store required, as for [[runningTypeTotals]]).
+    */
+  def typeTopK(events: Dataset[Event], k: Int): Dataset[TopEntry] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.eventType)
+      .transformWithState(
+        new TypeTopKProcessor(k),
+        TimeMode.None(),
+        OutputMode.Update()
+      )
+  }
+
   /** Running per-type totals via [[TypeTotalsProcessor]]. Caller must have
     * the RocksDB state-store provider configured — transformWithState
     * refuses the default HDFS-backed store.
