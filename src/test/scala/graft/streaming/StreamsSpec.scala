@@ -141,6 +141,55 @@ class StreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("typeTopK keeps exactly k entries across batches and displaces by (value, user, ts)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf
+      .set(provKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = Streams
+      .typeTopK(input.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topk_stream").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(ts(1), 10L, "t", 5.0),
+        Event(ts(2), 11L, "t", 1.0),
+        Event(ts(3), 12L, "t", 3.0),
+        Event(ts(4), 13L, "t", 2.0) // 4 events -> state truncates to top-3
+      )
+      q.processAllAvailable()
+      // batch 2: one value displaces the current 3rd (2.0 out), an equal
+      // value with a SMALLER user id takes rank precedence, a tiny value
+      // never enters state
+      input.addData(
+        Event(ts(5), 9L, "t", 5.0), // ties value 5.0, user 9 < 10 -> rank 1
+        Event(ts(6), 14L, "t", 4.0), // displaces 3.0 to out-of-k
+        Event(ts(7), 15L, "t", 0.5) // below the retained set, dropped
+      )
+      q.processAllAvailable()
+      val rows = spark
+        .table("topk_stream")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      // batch-1 emission: exactly 3 rows (bounded even within one batch)
+      val b1 = rows.filter(t => Set(10L, 11L, 12L, 13L).contains(t._4))
+      assert(b1.count(_._2 == 1) >= 1)
+      // final emission = last 3 rows appended: (5.0,u9), (5.0,u10), (4.0,u14)
+      val fin = rows.takeRight(3).sortBy(_._2)
+      assert(fin.map(t => (t._2, t._3, t._4)).toSeq ==
+        Seq((1, 5.0, 9L), (2, 5.0, 10L), (3, 4.0, 14L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("rollingLagCorrelation keeps bounded state and matches the local Pearson") {
     val spark2 = spark
     import spark2.implicits._
