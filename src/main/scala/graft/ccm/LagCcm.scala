@@ -63,7 +63,15 @@ object LagCcm {
     def oneDir(src: Column, tgt: Column, dir: String): DataFrame = {
       val emb = CcmPipeline.embedded(base, Seq("skey"), ord, src, tgt, e, tau)
       val dims = (0 until e).map(j => s"e$j")
-      val rel = emb.select((Seq(col("skey"), col("idx")) ++ dims.map(col) :+ col("tgt")): _*)
+      // localCheckpoint: rel feeds FOUR join sides (pair t/l, shifted
+      // library targets, shifted actuals) — without materialization each
+      // reference re-runs the capped scan + index/embedding windows
+      // (8 scans per query, visible as duplicated WindowGroupLimit
+      // subtrees in CcmFanoutPlanSpec's plan); at cluster scale this is
+      // the persisted embedding table every EDM stage shares
+      val rel = emb
+        .select((Seq(col("skey"), col("idx")) ++ dims.map(col) :+ col("tgt")): _*)
+        .localCheckpoint()
       val d2 = dims
         .map(dn => (col(s"t.$dn") - col(s"l.$dn")) * (col(s"t.$dn") - col(s"l.$dn")))
         .reduceLeft(_ + _)
