@@ -124,7 +124,11 @@ object Smap {
     val thetaDf = broadcast(thetas.toDF("theta"))
 
     def oneDir(srcName: String, tgtName: String, dir: String): DataFrame = {
-      val rel = indexed.select(col("skey"), col("idx"), col(srcName).as("s"), col(tgtName).as("g"))
+      // localCheckpoint: rel feeds both pair-join sides (the LagCcm/
+      // bidirectionalE lesson — measured wins in both)
+      val rel = indexed
+        .select(col("skey"), col("idx"), col(srcName).as("s"), col(tgtName).as("g"))
+        .localCheckpoint()
       val pairs = rel
         .as("t")
         .join(rel.as("i"), $"t.skey" === $"i.skey" && $"t.idx" =!= $"i.idx")
