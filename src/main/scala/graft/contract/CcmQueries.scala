@@ -3,7 +3,7 @@ package graft.contract
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ccm.{Ccm, CcmPipeline, CcmSpec, DetHash, FftSurrogate, Generators, LagCcm, Smap}
+import graft.ccm.{Ccm, CcmPipeline, CcmSpec, DetHash, FftSurrogate, Generators, LagCcm, Simplex, Smap}
 
 /** Driver-contract queries for the CCM operator family (SURVEY.md §2a),
   * each paired with ANSI/DuckDB oracle SQL over the same parquet tables.
@@ -1686,6 +1686,151 @@ object CcmQueries {
       |  round(CAST(list_sum(list_transform(vals, x -> CAST(round(x) AS BIGINT))) AS BIGINT) / 100.0, 2) + 0.0 AS sum_v
       |FROM parsed ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // ccm_simplex — univariate simplex projection (Sugihara & May 1990),
+  // the E-selection forecaster the reference's README workflow presumes
+  // (README:77 "E estimation"; the reference's kNN core `lib/ccm.ex:139-
+  // 177` IS this forecaster pointed across series). E = 1..4 at horizon
+  // tp = 1; best_e = argmax rho (smallest E on ties), replicated per
+  // series like the convergent flag. See graft.ccm.Simplex.
+  // -------------------------------------------------------------------
+  private val SimplexMaxE = 4
+  private val SimplexTpE = 2
+  private val SimplexMaxTp = 6
+
+  private def simplexCurve(s: SparkSession, dir: String): DataFrame = {
+    val curve =
+      Simplex.curve(ev(s, dir), Seq("user_id"), Seq(col("ts")), col("value"), SimplexMaxE)
+    // best-E as WINDOW aggregates over the tiny per-series curve (the
+    // fnnDim lesson: a join against a best-E subquery re-executes the
+    // whole kNN pipeline twice). rho is already 6-dp rounded, so the
+    // equality against the windowed max compares engine-identical doubles.
+    val wAll = Window.partitionBy("user_id")
+    curve
+      .withColumn("rho_max", max(col("rho")).over(wAll))
+      .withColumn(
+        "best_e",
+        min(when(col("rho") === col("rho_max"), col("e"))).over(wAll).cast("int")
+      )
+      .drop("rho_max")
+      .transform(Norm.ordered(_, col("user_id"), col("e")))
+  }
+
+  private val simplexSql: String = {
+    val maxE = SimplexMaxE
+    val leadCols = ((1 until maxE).map(j => s"lead(value, $j) OVER w AS e$j") ++
+      (1 to maxE).map(e => s"lead(value, $e) OVER w AS f$e")).mkString(", ")
+    val perE = (1 to maxE)
+      .map { e =>
+        val dist2 = (0 until e).map(j => s"(t.e$j - i.e$j) * (t.e$j - i.e$j)").mkString(" + ")
+        s"""SELECT user_id, $e AS e, actual,
+           |    CASE WHEN sw = 0.0 THEN 0.0 ELSE swt / sw END AS pred
+           |  FROM (
+           |    SELECT user_id, t_idx, actual, sum(wgt) AS sw, sum(wgt * i_f) AS swt
+           |    FROM (
+           |      SELECT user_id, t_idx, actual, i_f,
+           |        CASE WHEN dist < 1e-12 THEN 1.0
+           |             ELSE exp(-dist / (min(dist) OVER (PARTITION BY user_id, t_idx) + 1e-8)) END AS wgt
+           |      FROM (
+           |        SELECT t.user_id AS user_id, t.idx AS t_idx, t.f$e AS actual,
+           |          i.f$e AS i_f, sqrt($dist2) AS dist,
+           |          row_number() OVER (PARTITION BY t.user_id, t.idx
+           |                             ORDER BY sqrt($dist2), i.idx) AS rn
+           |        FROM (SELECT * FROM emb WHERE e${e - 1} IS NOT NULL AND f$e IS NOT NULL) t
+           |        JOIN (SELECT * FROM emb WHERE e${e - 1} IS NOT NULL AND f$e IS NOT NULL) i
+           |          ON t.user_id = i.user_id AND t.idx <> i.idx
+           |      ) WHERE rn <= ${e + 1}
+           |    ) GROUP BY 1, 2, 3
+           |  )""".stripMargin
+      }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH emb AS (
+       |  SELECT user_id, CAST(row_number() OVER w - 1 AS BIGINT) AS idx, value AS e0, $leadCols
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), preds AS (
+       |  $perE
+       |), agg AS (
+       |  SELECT user_id, e, CAST(count(*) AS BIGINT) AS n_pred,
+       |         covar_samp(actual, pred) AS cv, stddev_samp(actual) AS s1, stddev_samp(pred) AS s2
+       |  FROM preds GROUP BY 1, 2
+       |), curve AS (
+       |  SELECT user_id, e, n_pred,
+       |    round(CASE WHEN cv IS NULL OR s1 IS NULL OR s2 IS NULL
+       |                 OR isnan(cv) OR isnan(s1) OR isnan(s2)
+       |                 OR s1 = 0.0 OR s2 = 0.0 THEN 0.0
+       |               ELSE cv / (s1 * s2) END, 6) + 0.0 AS rho
+       |  FROM agg
+       |), best AS (
+       |  SELECT user_id, CAST(min(CASE WHEN rho = rho_max THEN e END) AS INTEGER) AS best_e
+       |  FROM (SELECT user_id, e, rho, max(rho) OVER (PARTITION BY user_id) AS rho_max FROM curve)
+       |  GROUP BY 1
+       |)
+       |SELECT c.user_id, c.e, c.n_pred, c.rho, b.best_e
+       |FROM curve c JOIN best b ON c.user_id = b.user_id
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ccm_simplex_tp — prediction-decay sweep (the Sugihara–May chaos-vs-
+  // noise diagnostic): simplex skill at horizons tp = 1..6 with E fixed
+  // at 2. The library is pinned to full-horizon rows so the kNN runs ONCE
+  // for all horizons (see Simplex.tpSweep's plan notes).
+  private def simplexTp(s: SparkSession, dir: String): DataFrame =
+    Simplex
+      .tpSweep(ev(s, dir), Seq("user_id"), Seq(col("ts")), col("value"), SimplexTpE, SimplexMaxTp)
+      .transform(Norm.ordered(_, col("user_id"), col("tp")))
+
+  private val simplexTpSql: String = {
+    val e = SimplexTpE
+    val mt = SimplexMaxTp
+    val leads = ((1 until e).map(j => s"lead(value, $j) OVER w AS e$j") ++
+      (1 to mt).map(t => s"lead(value, ${e - 1 + t}) OVER w AS f$t")).mkString(", ")
+    val dist2 = (0 until e).map(j => s"(t.e$j - i.e$j) * (t.e$j - i.e$j)").mkString(" + ")
+    val tfCols = (1 to mt).map(t => s"t.f$t AS tf$t").mkString(", ")
+    val ifCols = (1 to mt).map(t => s"i.f$t AS if$t").mkString(", ")
+    val tfNames = (1 to mt).map(t => s"tf$t").mkString(", ")
+    val swtAggs = (1 to mt).map(t => s"sum(wgt * if$t) AS swt$t").mkString(", ")
+    val unpivot = (1 to mt)
+      .map(t =>
+        s"SELECT user_id, $t AS tp, tf$t AS actual, CASE WHEN sw = 0.0 THEN 0.0 ELSE swt$t / sw END AS pred FROM sums"
+      )
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH emb AS (
+       |  SELECT user_id, CAST(row_number() OVER w - 1 AS BIGINT) AS idx, value AS e0, $leads
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), rows_ AS (
+       |  SELECT * FROM emb WHERE f$mt IS NOT NULL
+       |), nn AS (
+       |  SELECT * FROM (
+       |    SELECT t.user_id AS user_id, t.idx AS t_idx, i.idx AS i_idx, sqrt($dist2) AS dist,
+       |      $tfCols, $ifCols,
+       |      row_number() OVER (PARTITION BY t.user_id, t.idx
+       |                         ORDER BY sqrt($dist2), i.idx) AS rn
+       |    FROM rows_ t JOIN rows_ i ON t.user_id = i.user_id AND t.idx <> i.idx
+       |  ) WHERE rn <= ${e + 1}
+       |), weighted AS (
+       |  SELECT *, CASE WHEN dist < 1e-12 THEN 1.0
+       |                 ELSE exp(-dist / (min(dist) OVER (PARTITION BY user_id, t_idx) + 1e-8)) END AS wgt
+       |  FROM nn
+       |), sums AS (
+       |  SELECT user_id, t_idx, $tfNames, sum(wgt) AS sw, $swtAggs
+       |  FROM weighted GROUP BY ${(1 to mt + 2).mkString(", ")}
+       |), longf AS (
+       |  $unpivot
+       |), agg AS (
+       |  SELECT user_id, tp, CAST(count(*) AS BIGINT) AS n_pred,
+       |         covar_samp(actual, pred) AS cv, stddev_samp(actual) AS s1, stddev_samp(pred) AS s2
+       |  FROM longf GROUP BY 1, 2
+       |)
+       |SELECT user_id, tp, n_pred,
+       |  round(CASE WHEN cv IS NULL OR s1 IS NULL OR s2 IS NULL
+       |               OR isnan(cv) OR isnan(s1) OR isnan(s2)
+       |               OR s1 = 0.0 OR s2 = 0.0 THEN 0.0
+       |             ELSE cv / (s1 * s2) END, 6) + 0.0 AS rho
+       |FROM agg ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_series" -> ingestSeries,
     "det_hash" -> detHash,
@@ -1717,7 +1862,9 @@ object CcmQueries {
     "ccm_surrogate_fft" -> surrogateFft,
     "ccm_multiview" -> multiview,
     "ccm_lag_sweep" -> lagSweep,
-    "ccm_fnn_dim" -> fnnDim
+    "ccm_fnn_dim" -> fnnDim,
+    "ccm_simplex" -> simplexCurve,
+    "ccm_simplex_tp" -> simplexTp
   )
 
   val oracle: Map[String, String] = Map(
@@ -1751,6 +1898,8 @@ object CcmQueries {
     "ccm_surrogate_fft" -> surrogateFftSql,
     "ccm_multiview" -> multiviewSql,
     "ccm_lag_sweep" -> lagSweepSql,
-    "ccm_fnn_dim" -> fnnDimSql
+    "ccm_fnn_dim" -> fnnDimSql,
+    "ccm_simplex" -> simplexSql,
+    "ccm_simplex_tp" -> simplexTpSql
   )
 }
