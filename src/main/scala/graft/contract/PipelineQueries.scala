@@ -388,12 +388,84 @@ object PipelineQueries {
        |ORDER BY t.lang""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // sample_temperature — temperature-based multilingual rebalancing
+  // (the exponential-smoothing mixture of XLM-R/mBERT): sampling weight
+  // w_l ∝ (n_l/N)^α at α=0.5, realized as per-doc hash acceptance with
+  // rate_l = (w_l/n_l) / max_m(w_m/n_m) — the no-upsampling normalization
+  // (the rarest language keeps everything; big languages are damped
+  // toward sqrt scale). Unlike sample_mixture's FIXED targets, the rates
+  // here are DATA-DEPENDENT: float arithmetic is confined to the
+  // |langs|-row relation and written as the same expression text on both
+  // engines (IEEE-identical: sqrt and / are correctly rounded), then
+  // folded into an integer DetHash threshold so the per-doc decision is
+  // pure int64 compare — the map-only shape that survives 100-TB strata.
+  // -------------------------------------------------------------------
+  private val TempSeed = 331L
+
+  private def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val total = counts.agg(sum(col("n_lang")).as("total_docs"))
+    val wp = counts
+      .crossJoin(total)
+      .withColumn("wpn", expr("sqrt(CAST(n_lang AS DOUBLE) / total_docs) / n_lang"))
+    val mx = wp.agg(max(col("wpn")).as("mx"))
+    val thr = wp
+      .crossJoin(mx)
+      .select(
+        col("lang"),
+        col("n_lang"),
+        (round(expr("wpn / mx"), 6) + lit(0.0)).as("rate"),
+        expr(s"CAST(floor(wpn / mx * ${DetHash.P}.0) AS BIGINT)").as("thr")
+      )
+    val h = DetHash.rankHashCol(col("doc_id"), lit(9), lit(4), TempSeed)
+    d.withColumn("h", h)
+      .join(broadcast(thr), "lang")
+      .filter(col("h") < col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+      .join(broadcast(thr.select("lang", "n_lang", "rate")), "lang")
+      .select("lang", "n_lang", "rate", "n_kept", "kept_id_sum")
+      .transform(Norm.ordered(_, col("lang")))
+  }
+
+  private val sampleTemperatureSql: String = {
+    val h = DetHash.rankHashSql("doc_id", "9", "4", TempSeed)
+    s"""WITH counts AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY 1
+       |),
+       |total AS (SELECT CAST(sum(n_lang) AS BIGINT) AS total_docs FROM counts),
+       |wp AS (
+       |  SELECT lang, n_lang,
+       |    sqrt(CAST(n_lang AS DOUBLE) / total_docs) / n_lang AS wpn
+       |  FROM counts, total
+       |),
+       |mxr AS (SELECT max(wpn) AS mx FROM wp),
+       |thr AS (
+       |  SELECT lang, n_lang, round(wpn / mx, 6) + 0.0 AS rate,
+       |    CAST(floor(wpn / mx * ${DetHash.P}.0) AS BIGINT) AS thr
+       |  FROM wp, mxr
+       |),
+       |kept AS (
+       |  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+       |         CAST(sum(d.doc_id) AS BIGINT) AS kept_id_sum
+       |  FROM documents d JOIN thr t ON d.lang = t.lang
+       |  WHERE $h < t.thr
+       |  GROUP BY d.lang
+       |)
+       |SELECT t.lang, t.n_lang, t.rate, k.n_kept, k.kept_id_sum
+       |FROM kept k JOIN thr t ON k.lang = t.lang
+       |ORDER BY t.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "contam_check" -> contamCheck,
     "corpus_prep" -> corpusPrep,
     "quantile_bucket" -> quantileBucket,
     "pack_windows" -> packWindows,
     "sample_mixture" -> sampleMixture,
+    "sample_temperature" -> sampleTemperature,
     "split_leakage" -> splitLeakage
   )
 
@@ -403,6 +475,7 @@ object PipelineQueries {
     "quantile_bucket" -> quantileBucketSql,
     "pack_windows" -> packWindowsSql,
     "sample_mixture" -> sampleMixtureSql,
+    "sample_temperature" -> sampleTemperatureSql,
     "split_leakage" -> splitLeakageSql
   )
 }

@@ -802,6 +802,7 @@ object TextQueries {
     "text_inverted_index" -> invertedIndex,
     "text_phrase_search" -> phraseSearch,
     "text_bigram_lm" -> bigramLm,
+    "text_vocab_coverage" -> vocabCoverage,
     "text_lm_score" -> lmScore,
     "text_repetition" -> textRepetition,
     "text_bm25" -> bm25,
@@ -817,7 +818,87 @@ object TextQueries {
     "text_source_divergence" -> sourceDivergence
   )
 
+  // -------------------------------------------------------------------
+  // text_vocab_coverage — pre-tokenizer-training measurement: per lang,
+  // the vocabulary size needed to cover {50,90,95,99}% of all token
+  // occurrences when the vocab is filled greedily by frequency. Computed
+  // over the count-of-counts HISTOGRAM: the per-term relation is
+  // aggregated twice (term counts, then (lang, cnt) buckets) and the
+  // running sum runs over the tiny histogram — no per-term window
+  // anywhere, so at 100 TB the vocabulary can be billions of terms while
+  // the windowed relation stays ~O(sqrt(tokens)) distinct frequencies.
+  // Coverage-threshold arithmetic is INTEGER-exact (cum*pct vs total*100
+  // comparisons + ceil-div inside the boundary bucket) — no doubles, so
+  // cross-engine parity is structural. Within a frequency bucket all
+  // terms are interchangeable for coverage, so the bucket-granular
+  // formula reproduces the per-term greedy rank exactly.
+  // -------------------------------------------------------------------
+  private val CoveragePcts = Seq(50, 90, 95, 99)
+
+  private def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val counts = docs(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term")
+      .agg(count(lit(1)).as("cnt"))
+    val hist = counts.groupBy("lang", "cnt").agg(count(lit(1)).as("n_terms"))
+    val wRun = Window
+      .partitionBy("lang")
+      .orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("lang")
+    val enriched = hist
+      .withColumn("tokens_above", coalesce(sum(col("cnt") * col("n_terms")).over(wRun), lit(0L)))
+      .withColumn("terms_above", coalesce(sum(col("n_terms")).over(wRun), lit(0L)))
+      .withColumn("total_tokens", sum(col("cnt") * col("n_terms")).over(wAll))
+      .withColumn("total_vocab", sum(col("n_terms")).over(wAll))
+    enriched
+      .crossJoin(broadcast(CoveragePcts.toDF("pct")))
+      .withColumn("target", expr("(total_tokens * pct + 99) div 100"))
+      .filter(
+        col("tokens_above") < col("target") &&
+          col("tokens_above") + col("cnt") * col("n_terms") >= col("target")
+      )
+      .withColumn(
+        "vocab_needed",
+        col("terms_above") + expr("(target - tokens_above + cnt - 1) div cnt")
+      )
+      .select("lang", "pct", "vocab_needed", "total_vocab", "total_tokens")
+      .transform(Norm.ordered(_, col("lang"), col("pct")))
+  }
+
+  private val vocabCoverageSql: String = {
+    val pctList = CoveragePcts.mkString(", ")
+    s"""WITH counts AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+       |), agg AS (
+       |  SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt FROM counts GROUP BY 1, 2
+       |), hist AS (
+       |  SELECT lang, cnt, CAST(count(*) AS BIGINT) AS n_terms FROM agg GROUP BY 1, 2
+       |), enriched AS (
+       |  SELECT lang, cnt, n_terms,
+       |    CAST(COALESCE(sum(cnt * n_terms) OVER (PARTITION BY lang ORDER BY cnt DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_above,
+       |    CAST(COALESCE(sum(n_terms) OVER (PARTITION BY lang ORDER BY cnt DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS terms_above,
+       |    CAST(sum(cnt * n_terms) OVER (PARTITION BY lang) AS BIGINT) AS total_tokens,
+       |    CAST(sum(n_terms) OVER (PARTITION BY lang) AS BIGINT) AS total_vocab
+       |  FROM hist
+       |), pcts AS (
+       |  SELECT unnest([$pctList]) AS pct
+       |)
+       |SELECT e.lang, p.pct,
+       |  e.terms_above + ((e.total_tokens * p.pct + 99) // 100 - e.tokens_above + e.cnt - 1) // e.cnt AS vocab_needed,
+       |  e.total_vocab, e.total_tokens
+       |FROM enriched e CROSS JOIN pcts p
+       |WHERE e.tokens_above < (e.total_tokens * p.pct + 99) // 100
+       |  AND e.tokens_above + e.cnt * e.n_terms >= (e.total_tokens * p.pct + 99) // 100
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_vocab_coverage" -> vocabCoverageSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_phrase_search" -> phraseSearchSql,
     "text_bigram_lm" -> bigramLmSql,
