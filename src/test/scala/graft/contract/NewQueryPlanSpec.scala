@@ -43,4 +43,29 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(expands == 1, s"expected ONE Expand operator (single-scan grouping sets), got $expands")
     assert(!p.contains("Union"), "grouping sets must not plan as a union of re-scans")
   }
+
+  test("ccm_simplex_tp computes the kNN once: a single pair join serves all six horizons") {
+    val p = plan("ccm_simplex_tp")
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).size
+    assert(joins == 1, s"expected ONE pair join (tp-invariant neighbor set), got $joins in:\n$p")
+    assert(p.contains("Generate stack"), "horizons must unpivot in-stage via stack, not per-tp re-joins")
+  }
+
+  test("ccm_simplex prunes each per-E top-k map-side before its exchange") {
+    val p = plan("ccm_simplex")
+    val limits = "WindowGroupLimit".r.findAllIn(p).size
+    // 4 E values x (partial + final) WindowGroupLimit
+    assert(limits >= 8, s"expected partial+final WindowGroupLimit per E (>=8), got $limits")
+  }
+
+  test("text_vocab_coverage windows only the count-of-counts histogram, never the per-term vocab") {
+    val p = plan("text_vocab_coverage")
+    // two aggregate layers (term counts -> frequency histogram), each
+    // partial+final, must sit BELOW the first Window operator
+    val firstWindow = p.indexOf("Window")
+    assert(firstWindow >= 0, "coverage needs a running-sum window")
+    val aggsBelow = "HashAggregate".r.findAllIn(p.substring(firstWindow)).size
+    assert(aggsBelow >= 4, s"the per-term and histogram aggregations must run below the window, got $aggsBelow")
+    assert(!p.contains("SortMergeJoin"), "thresholds must attach without a data-proportional shuffle join")
+  }
 }
