@@ -322,15 +322,166 @@ object SketchQueries {
        |ORDER BY n_name""".stripMargin
   }
 
+  // =====================================================================
+  // sketch_kmv_setops — KMV (k-minimum-values) distinct sketches with SET
+  // ALGEBRA (Beyer et al. 2007): per set keep the k smallest item hashes;
+  // N̂ = (k-1)·P / h_(k). Unlike HLL, KMV sketches support set
+  // INTERSECTION: merge the two sketches, keep the k smallest of the
+  // union (→ union estimate), and scale by the fraction of merged-top-k
+  // items present in BOTH input sketches. Demonstrated on the distinct
+  // l_orderkey sets of returnflags R and A, estimates next to exact.
+  //
+  // Scale: the per-set state is k (hash, key) pairs built by a LITERAL-
+  // limit row_number window — map-side TopK heap before the exchange, so
+  // a trillion-row set still ships only k rows per partition. Every
+  // relation after the sketches is constant-size (≤ 2k rows; the merge
+  // window's single partition is bounded by construction). Mergeability
+  // is the point: set algebra runs on sketches alone, never re-scanning
+  // the raw data. When a sketch holds the whole set (n < k) the estimate
+  // degrades gracefully to the exact count — the standard KMV guard.
+  // All hashes are DetHash int64; the only floats are the final
+  // single-division estimates, written as ONE expression text shared
+  // verbatim with the oracle (IEEE-identical), rounded 6 dp.
+  // =====================================================================
+  private val KmvK = 1024
+  private val KmvSeed = 83L
+  private val KmvFlagA = "R"
+  private val KmvFlagB = "A"
+
+  // the estimator texts, spliced into BOTH engines' expressions
+  private def kmvEstExpr(hk: String, nsk: String): String =
+    s"CASE WHEN $nsk < $KmvK THEN CAST($nsk AS DOUBLE) ELSE ${KmvK - 1}.0 * ${P}.0 / $hk END"
+  private val kmvInterExpr: String =
+    s"CASE WHEN n_u < $KmvK THEN CAST(inter_cnt AS DOUBLE) " +
+      s"ELSE CAST(inter_cnt AS DOUBLE) / ${KmvK}.0 * union_est_raw END"
+
+  private def sketchKmvSetops(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, dir)
+      .filter(col("l_returnflag").isin(KmvFlagA, KmvFlagB))
+      .select(col("l_returnflag").as("flag"), col("l_orderkey").as("key"))
+      .distinct()
+      // feeds the hash ranking AND both exact counts — one shuffle, reused
+      .localCheckpoint()
+    val h = DetHash.rankHashCol(col("key"), lit(0L), lit(0L), KmvSeed)
+    val wF = Window.partitionBy("flag").orderBy(col("h").asc, col("key").asc)
+    val sk = li
+      .withColumn("h", h)
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= KmvK)
+      // ≤ 2k rows; feeds per-flag stats, the merge, and two membership joins
+      .localCheckpoint()
+    val perFlag = sk
+      .groupBy()
+      .agg(
+        max(when(col("flag") === KmvFlagA, col("h"))).as("hk_a"),
+        sum(when(col("flag") === KmvFlagA, 1L).otherwise(0L)).as("nsk_a"),
+        max(when(col("flag") === KmvFlagB, col("h"))).as("hk_b"),
+        sum(when(col("flag") === KmvFlagB, 1L).otherwise(0L)).as("nsk_b")
+      )
+    val exact = li
+      .groupBy()
+      .agg(
+        sum(when(col("flag") === KmvFlagA, 1L).otherwise(0L)).as("a_exact"),
+        sum(when(col("flag") === KmvFlagB, 1L).otherwise(0L)).as("b_exact")
+      )
+    val mtop = sk
+      .select("key", "h")
+      .distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("h").asc, col("key").asc)))
+      .filter(col("rn") <= KmvK)
+      .localCheckpoint()
+    val uagg = mtop.agg(max(col("h")).as("hk_u"), count(lit(1)).as("n_u"))
+    val interCnt = mtop
+      .join(sk.filter(col("flag") === KmvFlagA).select("key"), "key")
+      .join(sk.filter(col("flag") === KmvFlagB).select("key"), "key")
+      .agg(count(lit(1)).as("inter_cnt"))
+    val exactU = li.select("key").distinct().agg(count(lit(1)).as("union_exact"))
+    val exactI = li
+      .groupBy("key")
+      .agg(count(lit(1)).as("nf"))
+      .filter(col("nf") === 2)
+      .agg(count(lit(1)).as("inter_exact"))
+    perFlag
+      .crossJoin(exact)
+      .crossJoin(uagg)
+      .crossJoin(interCnt)
+      .crossJoin(exactU)
+      .crossJoin(exactI)
+      .withColumn("union_est_raw", expr(kmvEstExpr("hk_u", "n_u")))
+      .select(
+        lit(KmvK).as("k"),
+        col("a_exact"),
+        Norm.rnd(expr(kmvEstExpr("hk_a", "nsk_a")), 6).as("a_est"),
+        col("b_exact"),
+        Norm.rnd(expr(kmvEstExpr("hk_b", "nsk_b")), 6).as("b_est"),
+        col("union_exact"),
+        Norm.rnd(col("union_est_raw"), 6).as("union_est"),
+        col("inter_exact"),
+        Norm.rnd(expr(kmvInterExpr), 6).as("inter_est")
+      )
+  }
+
+  private val sketchKmvSetopsSql: String = {
+    val h = DetHash.rankHashSql("key", "0", "0", KmvSeed)
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_returnflag AS flag, l_orderkey AS key
+       |  FROM lineitem WHERE l_returnflag IN ('$KmvFlagA', '$KmvFlagB')
+       |), sk AS (
+       |  SELECT * FROM (
+       |    SELECT flag, key, h, row_number() OVER (PARTITION BY flag ORDER BY h, key) AS rn
+       |    FROM (SELECT flag, key, $h AS h FROM li)
+       |  ) WHERE rn <= $KmvK
+       |), pf AS (
+       |  SELECT max(CASE WHEN flag = '$KmvFlagA' THEN h END) AS hk_a,
+       |         CAST(sum(CASE WHEN flag = '$KmvFlagA' THEN 1 ELSE 0 END) AS BIGINT) AS nsk_a,
+       |         max(CASE WHEN flag = '$KmvFlagB' THEN h END) AS hk_b,
+       |         CAST(sum(CASE WHEN flag = '$KmvFlagB' THEN 1 ELSE 0 END) AS BIGINT) AS nsk_b
+       |  FROM sk
+       |), ex AS (
+       |  SELECT CAST(sum(CASE WHEN flag = '$KmvFlagA' THEN 1 ELSE 0 END) AS BIGINT) AS a_exact,
+       |         CAST(sum(CASE WHEN flag = '$KmvFlagB' THEN 1 ELSE 0 END) AS BIGINT) AS b_exact
+       |  FROM li
+       |), mtop AS (
+       |  SELECT * FROM (
+       |    SELECT key, h, row_number() OVER (ORDER BY h, key) AS rn
+       |    FROM (SELECT DISTINCT key, h FROM sk)
+       |  ) WHERE rn <= $KmvK
+       |), uagg AS (
+       |  SELECT max(h) AS hk_u, CAST(count(*) AS BIGINT) AS n_u FROM mtop
+       |), inter AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS inter_cnt
+       |  FROM mtop m
+       |  JOIN (SELECT key FROM sk WHERE flag = '$KmvFlagA') a ON m.key = a.key
+       |  JOIN (SELECT key FROM sk WHERE flag = '$KmvFlagB') b ON m.key = b.key
+       |), exu AS (
+       |  SELECT CAST(count(DISTINCT key) AS BIGINT) AS union_exact FROM li
+       |), exi AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS inter_exact
+       |  FROM (SELECT key FROM li GROUP BY key HAVING count(*) = 2)
+       |), base AS (
+       |  SELECT *, ${kmvEstExpr("hk_u", "n_u")} AS union_est_raw
+       |  FROM pf, ex, uagg, inter, exu, exi
+       |)
+       |SELECT $KmvK AS k,
+       |  a_exact, round(${kmvEstExpr("hk_a", "nsk_a")}, 6) + 0.0 AS a_est,
+       |  b_exact, round(${kmvEstExpr("hk_b", "nsk_b")}, 6) + 0.0 AS b_est,
+       |  union_exact, round(union_est_raw, 6) + 0.0 AS union_est,
+       |  inter_exact, round($kmvInterExpr, 6) + 0.0 AS inter_est
+       |FROM base""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> sketchHll,
     "sketch_cms_topk" -> sketchCmsTopk,
-    "sketch_bloom_join" -> sketchBloomJoin
+    "sketch_bloom_join" -> sketchBloomJoin,
+    "sketch_kmv_setops" -> sketchKmvSetops
   )
 
   val oracle: Map[String, String] = Map(
     "sketch_hll" -> sketchHllSql,
     "sketch_cms_topk" -> sketchCmsTopkSql,
-    "sketch_bloom_join" -> sketchBloomJoinSql
+    "sketch_bloom_join" -> sketchBloomJoinSql,
+    "sketch_kmv_setops" -> sketchKmvSetopsSql
   )
 }
