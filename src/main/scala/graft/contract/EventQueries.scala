@@ -1064,6 +1064,94 @@ object EventQueries {
        |        END) * 10000.0) AS BIGINT) / 10000.0 + 0.0 AS v_fill
        |FROM pn ORDER BY user_id, h""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_attribution — multi-touch conversion attribution, the three
+  // standard models in ONE pass: every 'purchase' is joined to its
+  // same-user 'click'/'view' touches inside a 3-day lookback (equi-join
+  // on user_id + range predicate — per-user work bounded by the lookback,
+  // never a cross join), then one window per conversion derives touch
+  // count and ordinal, from which channel credit follows: LINEAR
+  // (cents/n per touch — a ratio of exact integers, engine-identical
+  // before the final 6-dp round), FIRST-touch and LAST-touch (full
+  // credit, exact integer cents). The conversion-granular window
+  // partitions by the globally unique purchase event id, so credit
+  // normalization distributes freely across a cluster.
+  // -------------------------------------------------------------------
+  private val AttribLookbackUs: Long = 3L * 86400 * 1000 * 1000 // 3 days
+  private val AttribTouches = Seq("click", "view")
+
+  private def attribution(s: SparkSession, dir: String): DataFrame = {
+    val base = ev(s, dir).withColumn("cents", round(col("value") * 100.0).cast("long"))
+    // one scan serves both join sides (self-join rule)
+    val e = base.localCheckpoint()
+    val p = e
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("p_event_id"),
+        col("tus").as("p_tus"),
+        col("cents").as("p_cents")
+      )
+    val t = e
+      .filter(col("event_type").isin(AttribTouches: _*))
+      .select(
+        col("user_id"),
+        col("event_type").as("channel"),
+        col("event_id").as("t_event_id"),
+        col("tus").as("t_tus")
+      )
+    val joined = p.join(
+      t,
+      p("user_id") === t("user_id") &&
+        t("t_tus") >= p("p_tus") - AttribLookbackUs && t("t_tus") < p("p_tus")
+    )
+    val w = Window.partitionBy("p_event_id")
+    val wOrd = w.orderBy(col("t_tus").asc, col("t_event_id").asc)
+    joined
+      .select(col("p_event_id"), col("p_cents"), col("channel"), col("t_tus"), col("t_event_id"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wOrd))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_touches"),
+        Norm.rnd(sum(expr("CAST(p_cents AS DOUBLE) / n")) / 100.0, 6).as("linear_value"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("first_cnt"),
+        sum(when(col("rn") === 1, col("p_cents")).otherwise(0L)).as("first_cents"),
+        sum(when(col("rn") === col("n"), 1L).otherwise(0L)).as("last_cnt"),
+        sum(when(col("rn") === col("n"), col("p_cents")).otherwise(0L)).as("last_cents")
+      )
+      .transform(Norm.ordered(_, col("channel")))
+  }
+
+  private val attributionSql: String = {
+    val touches = AttribTouches.map(c => s"'$c'").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+       |         CAST(round(value * 100.0) AS BIGINT) AS cents
+       |  FROM events
+       |), j AS (
+       |  SELECT p.event_id AS p_event_id, p.cents AS p_cents,
+       |         t.event_type AS channel, t.tus AS t_tus, t.event_id AS t_event_id
+       |  FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+       |  JOIN (SELECT * FROM e WHERE event_type IN ($touches)) t
+       |    ON p.user_id = t.user_id
+       |   AND t.tus >= p.tus - $AttribLookbackUs AND t.tus < p.tus
+       |), o AS (
+       |  SELECT *,
+       |    CAST(count(*) OVER (PARTITION BY p_event_id) AS BIGINT) AS n,
+       |    CAST(row_number() OVER (PARTITION BY p_event_id ORDER BY t_tus, t_event_id) AS BIGINT) AS rn
+       |  FROM j
+       |)
+       |SELECT channel,
+       |  CAST(count(*) AS BIGINT) AS n_touches,
+       |  round(sum(CAST(p_cents AS DOUBLE) / n) / 100.0, 6) + 0.0 AS linear_value,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_cnt,
+       |  CAST(sum(CASE WHEN rn = 1 THEN p_cents ELSE 0 END) AS BIGINT) AS first_cents,
+       |  CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT) AS last_cnt,
+       |  CAST(sum(CASE WHEN rn = n THEN p_cents ELSE 0 END) AS BIGINT) AS last_cents
+       |FROM o GROUP BY channel ORDER BY channel""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
@@ -1084,6 +1172,7 @@ object EventQueries {
     "evt_rollup" -> rollup,
     "evt_asof_purchase" -> asofPurchase,
     "evt_asof_next" -> asofNext,
+    "evt_attribution" -> attribution,
     "evt_percentiles" -> percentiles,
     "evt_window_agg" -> windowAgg,
     "evt_setops" -> setOps,
@@ -1112,6 +1201,7 @@ object EventQueries {
     "evt_rollup" -> rollupSql,
     "evt_asof_purchase" -> asofPurchaseSql,
     "evt_asof_next" -> asofNextSql,
+    "evt_attribution" -> attributionSql,
     "evt_percentiles" -> percentilesSql,
     "evt_window_agg" -> windowAggSql,
     "evt_setops" -> setOpsSql,
