@@ -1152,6 +1152,87 @@ object EventQueries {
        |FROM o GROUP BY channel ORDER BY channel""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // evt_seasonal_decompose — classical additive decomposition of each
+  // user's DAILY value series: trend = centered 7-day moving average
+  // over a RANGE (value-based) frame keyed on the epoch-day index, so
+  // calendar gaps shrink the window instead of silently misaligning it
+  // (a ROWS frame would average non-adjacent days); trend is defined
+  // only where all 7 calendar days exist. Seasonal = per-(user, weekday)
+  // mean of the detrended series, centered by the count-weighted per-user
+  // mean (so seasonal sums to zero over OBSERVED days — both engines
+  // compute the identical row-replicated average);
+  // residual = value − trend − seasonal. The trend numerator stays exact
+  // integer cents (window sum), the single division by 7 is
+  // engine-identical, and the remaining double aggregates follow the
+  // family's 6-dp-round convention. One shuffle (user), then windows and
+  // two tiny per-user aggregates — per-user series parallelize freely.
+  // -------------------------------------------------------------------
+  private val SeasonPeriod = 7
+
+  private def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .withColumn("cents", round(col("value") * 100.0).cast("long"))
+      .groupBy(col("user_id"), expr(s"tus div $DayUs").as("day"))
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("dow", expr(s"day % $SeasonPeriod"))
+    val half = SeasonPeriod / 2
+    val wMA = Window.partitionBy("user_id").orderBy("day").rangeBetween(-half, half)
+    val detrended = daily
+      .withColumn("w_cnt", count(lit(1)).over(wMA))
+      .withColumn("w_sum", sum(col("cents")).over(wMA))
+      .withColumn(
+        "trend",
+        when(col("w_cnt") === SeasonPeriod, expr(s"CAST(w_sum AS DOUBLE) / $SeasonPeriod"))
+      )
+      .withColumn("detr", col("cents") - col("trend"))
+    val wU = Window.partitionBy("user_id")
+    val wUD = Window.partitionBy("user_id", "dow")
+    detrended
+      // avg ignores the edge-null detrended rows on both engines
+      .withColumn("s_raw", avg(col("detr")).over(wUD))
+      .withColumn("s_mean", avg(col("s_raw")).over(wU))
+      .withColumn("seasonal", col("s_raw") - col("s_mean"))
+      .select(
+        col("user_id"),
+        col("day"),
+        col("cents"),
+        Norm.rnd(col("trend"), 6).as("trend"),
+        Norm.rnd(col("seasonal"), 6).as("seasonal"),
+        Norm.rnd(col("cents") - col("trend") - col("seasonal"), 6).as("resid")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("day")))
+  }
+
+  private val seasonalDecomposeSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, epoch_us(ts) // $DayUs AS day,
+       |         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2
+       |), ma AS (
+       |  SELECT *, day % $SeasonPeriod AS dow,
+       |    CAST(count(*) OVER w AS BIGINT) AS w_cnt,
+       |    CAST(sum(cents) OVER w AS BIGINT) AS w_sum
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+       |               RANGE BETWEEN ${SeasonPeriod / 2} PRECEDING AND ${SeasonPeriod / 2} FOLLOWING)
+       |), det AS (
+       |  SELECT *,
+       |    CASE WHEN w_cnt = $SeasonPeriod THEN CAST(w_sum AS DOUBLE) / $SeasonPeriod END AS trend
+       |  FROM ma
+       |), seas AS (
+       |  SELECT *, cents - trend AS detr,
+       |    avg(cents - trend) OVER (PARTITION BY user_id, dow) AS s_raw
+       |  FROM det
+       |), cent AS (
+       |  SELECT *, avg(s_raw) OVER (PARTITION BY user_id) AS s_mean FROM seas
+       |)
+       |SELECT user_id, day, cents,
+       |  round(trend, 6) + 0.0 AS trend,
+       |  round(s_raw - s_mean, 6) + 0.0 AS seasonal,
+       |  round(cents - trend - (s_raw - s_mean), 6) + 0.0 AS resid
+       |FROM cent ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
@@ -1173,6 +1254,7 @@ object EventQueries {
     "evt_asof_purchase" -> asofPurchase,
     "evt_asof_next" -> asofNext,
     "evt_attribution" -> attribution,
+    "evt_seasonal_decompose" -> seasonalDecompose,
     "evt_percentiles" -> percentiles,
     "evt_window_agg" -> windowAgg,
     "evt_setops" -> setOps,
@@ -1202,6 +1284,7 @@ object EventQueries {
     "evt_asof_purchase" -> asofPurchaseSql,
     "evt_asof_next" -> asofNextSql,
     "evt_attribution" -> attributionSql,
+    "evt_seasonal_decompose" -> seasonalDecomposeSql,
     "evt_percentiles" -> percentilesSql,
     "evt_window_agg" -> windowAggSql,
     "evt_setops" -> setOpsSql,
