@@ -1233,6 +1233,87 @@ object EventQueries {
        |  round(cents - trend - (s_raw - s_mean), 6) + 0.0 AS resid
        |FROM cent ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_changepoint — two-sided CUSUM changepoint detection (Page 1954)
+  // over each user's daily spend. The textbook recurrence
+  // S_t = max(0, S_{t-1} + x_t) is not a window aggregate, but it has
+  // the exact closed form S_t = R_t − min(0, min_{j<=t} R_j) over the
+  // prefix sums R — so the whole detector is two running windows
+  // (sum + min) per side, fully declarative and one shuffle on the user
+  // key. Standardization guards: mean and stddev are 6-dp-ROUNDED before
+  // z is formed (cross-engine aggregation-order ulps live in the
+  // UNORDERED aggregates; the running sums accumulate in the window's
+  // defined row order, so after the round every downstream double is
+  // engine-identical and the boolean flag compares identical values —
+  // the `nonlinear`-flag convention); zero variance → z = 0.
+  // -------------------------------------------------------------------
+  private val CusumSlack = 0.5 // drift allowance k, in z units
+  private val CusumThreshold = 4.0 // alarm level h, in z units
+
+  private def changepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .withColumn("cents", round(col("value") * 100.0).cast("long"))
+      .groupBy(col("user_id"), expr(s"tus div $DayUs").as("day"))
+      .agg(sum(col("cents")).as("cents"))
+    val wU = Window.partitionBy("user_id")
+    val wRun = Window
+      .partitionBy("user_id")
+      .orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("m", round(avg(col("cents")).over(wU), 6))
+      .withColumn("sd", round(coalesce(stddev_samp(col("cents")).over(wU), lit(0.0)), 6))
+      .withColumn("z", when(col("sd") === 0.0, 0.0).otherwise((col("cents") - col("m")) / col("sd")))
+      .withColumn("r_pos", sum(col("z") - CusumSlack).over(wRun))
+      .withColumn("r_neg", sum(-col("z") - CusumSlack).over(wRun))
+      .withColumn("s_pos", col("r_pos") - least(lit(0.0), min(col("r_pos")).over(wRun)))
+      .withColumn("s_neg", col("r_neg") - least(lit(0.0), min(col("r_neg")).over(wRun)))
+      .select(
+        col("user_id"),
+        col("day"),
+        col("cents"),
+        Norm.rnd(col("z"), 6).as("z"),
+        Norm.rnd(col("s_pos"), 6).as("s_pos"),
+        Norm.rnd(col("s_neg"), 6).as("s_neg"),
+        (col("s_pos") > CusumThreshold || col("s_neg") > CusumThreshold).as("alarm")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("day")))
+  }
+
+  private val changepointSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, epoch_us(ts) // $DayUs AS day,
+       |         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2
+       |), z AS (
+       |  SELECT *, CASE WHEN sd = 0.0 THEN 0.0 ELSE (cents - m) / sd END AS z
+       |  FROM (
+       |    SELECT *, round(avg(cents) OVER (PARTITION BY user_id), 6) AS m,
+       |           round(COALESCE(stddev_samp(cents) OVER (PARTITION BY user_id), 0.0), 6) AS sd
+       |    FROM daily
+       |  )
+       |), pre AS (
+       |  SELECT *,
+       |    sum(z - $CusumSlack) OVER w AS r_pos,
+       |    sum(-z - $CusumSlack) OVER w AS r_neg
+       |  FROM z
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), cusum AS (
+       |  SELECT *,
+       |    r_pos - least(0.0, min(r_pos) OVER w) AS s_pos,
+       |    r_neg - least(0.0, min(r_neg) OVER w) AS s_neg
+       |  FROM pre
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, day, cents,
+       |  round(z, 6) + 0.0 AS z,
+       |  round(s_pos, 6) + 0.0 AS s_pos,
+       |  round(s_neg, 6) + 0.0 AS s_neg,
+       |  (s_pos > $CusumThreshold OR s_neg > $CusumThreshold) AS alarm
+       |FROM cusum ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
@@ -1255,6 +1336,7 @@ object EventQueries {
     "evt_asof_next" -> asofNext,
     "evt_attribution" -> attribution,
     "evt_seasonal_decompose" -> seasonalDecompose,
+    "evt_changepoint" -> changepoint,
     "evt_percentiles" -> percentiles,
     "evt_window_agg" -> windowAgg,
     "evt_setops" -> setOps,
@@ -1285,6 +1367,7 @@ object EventQueries {
     "evt_asof_next" -> asofNextSql,
     "evt_attribution" -> attributionSql,
     "evt_seasonal_decompose" -> seasonalDecomposeSql,
+    "evt_changepoint" -> changepointSql,
     "evt_percentiles" -> percentilesSql,
     "evt_window_agg" -> windowAggSql,
     "evt_setops" -> setOpsSql,
