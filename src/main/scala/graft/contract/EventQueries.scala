@@ -1314,6 +1314,109 @@ object EventQueries {
        |  (s_pos > $CusumThreshold OR s_neg > $CusumThreshold) AS alarm
        |FROM cusum ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_theilsen — Theil–Sen robust trend estimation per user: the
+  // median of all pairwise daily-spend slopes, beside the OLS slope it
+  // robustifies (up to ~29% contamination tolerance vs OLS's zero). The
+  // pair join is per-user only (equi-join on the series key — a million
+  // users parallelize freely; per-user pairs are the O(n²) the estimator
+  // inherently costs, bounded here by the 30-day daily rollup). The
+  // median is an exact order statistic: slopes are ratios of exact
+  // integers (identical doubles on both engines), ranked by value with
+  // the pair's day keys as deterministic tie-breaks, and the middle
+  // one/two positions are averaged — no approximate percentile anywhere.
+  // -------------------------------------------------------------------
+  private def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .withColumn("cents", round(col("value") * 100.0).cast("long"))
+      .groupBy(col("user_id"), expr(s"tus div $DayUs").as("day"))
+      .agg(sum(col("cents")).as("cents"))
+      .localCheckpoint() // feeds both pair-join sides + the OLS aggregate
+    val pairs = daily
+      .as("a")
+      .join(daily.as("b"), col("a.user_id") === col("b.user_id") && col("a.day") < col("b.day"))
+      .select(
+        col("a.user_id").as("user_id"),
+        col("a.day").as("d1"),
+        col("b.day").as("d2"),
+        ((col("b.cents") - col("a.cents")) / (col("b.day") - col("a.day")).cast("double"))
+          .as("slope")
+      )
+    val wRank = Window
+      .partitionBy("user_id")
+      .orderBy(col("slope").asc, col("d1").asc, col("d2").asc)
+    val wU = Window.partitionBy("user_id")
+    val sen = pairs
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wU))
+      // middle position(s): (n+1) div 2 and (n+2) div 2 — equal when odd
+      .filter(col("rn") >= expr("(n + 1) div 2") && col("rn") <= expr("(n + 2) div 2"))
+      .groupBy("user_id")
+      .agg(avg(col("slope")).as("sen_slope"))
+    // OLS slope from EXACT integer co-moments (day and cents are BIGINTs;
+    // every sum/product stays far under 2^63) — engine-native regr_slope
+    // differs by internal ulps, which a boundary draw turned into a real
+    // 6-dp hash flip (user 121 measured 124.101562 vs .101563); the
+    // integer-moment form leaves ONE double division, bit-identical
+    val ols = daily
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("day")).as("sx"),
+        sum(col("cents")).as("sy"),
+        sum(col("day") * col("cents")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx")
+      )
+      .withColumn(
+        "ols_slope",
+        expr("CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * sxx - sx * sx AS DOUBLE)")
+      )
+    ols
+      .join(sen, "user_id")
+      .select(
+        col("user_id"),
+        col("n_days"),
+        Norm.rnd(col("sen_slope"), 6).as("sen_slope"),
+        Norm.rnd(col("ols_slope"), 6).as("ols_slope")
+      )
+      .transform(Norm.ordered(_, col("user_id")))
+  }
+
+  private val theilSenSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, epoch_us(ts) // $DayUs AS day,
+       |         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT a.user_id AS user_id, a.day AS d1, b.day AS d2,
+       |         (b.cents - a.cents) / CAST(b.day - a.day AS DOUBLE) AS slope
+       |  FROM daily a JOIN daily b ON a.user_id = b.user_id AND a.day < b.day
+       |), ranked AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY slope, d1, d2) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+       |  FROM pairs
+       |), sen AS (
+       |  SELECT user_id, avg(slope) AS sen_slope
+       |  FROM ranked
+       |  WHERE rn >= (n + 1) // 2 AND rn <= (n + 2) // 2
+       |  GROUP BY 1
+       |), olsm AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+       |         CAST(sum(day) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+       |         CAST(sum(day * cents) AS BIGINT) AS sxy, CAST(sum(day * day) AS BIGINT) AS sxx
+       |  FROM daily GROUP BY 1
+       |), ols AS (
+       |  SELECT user_id, n_days,
+       |         CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * sxx - sx * sx AS DOUBLE) AS ols_slope
+       |  FROM olsm
+       |)
+       |SELECT o.user_id, o.n_days,
+       |  round(s.sen_slope, 6) + 0.0 AS sen_slope,
+       |  round(o.ols_slope, 6) + 0.0 AS ols_slope
+       |FROM ols o JOIN sen s ON o.user_id = s.user_id
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
@@ -1337,6 +1440,7 @@ object EventQueries {
     "evt_attribution" -> attribution,
     "evt_seasonal_decompose" -> seasonalDecompose,
     "evt_changepoint" -> changepoint,
+    "evt_theilsen" -> theilSen,
     "evt_percentiles" -> percentiles,
     "evt_window_agg" -> windowAgg,
     "evt_setops" -> setOps,
@@ -1368,6 +1472,7 @@ object EventQueries {
     "evt_attribution" -> attributionSql,
     "evt_seasonal_decompose" -> seasonalDecomposeSql,
     "evt_changepoint" -> changepointSql,
+    "evt_theilsen" -> theilSenSql,
     "evt_percentiles" -> percentilesSql,
     "evt_window_agg" -> windowAggSql,
     "evt_setops" -> setOpsSql,
