@@ -341,6 +341,77 @@ object StreamQueries {
        |FROM seq GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // stream_cusum — Streams.streamingCusum: the batch evt_changepoint's
+  // streaming twin with O(1) SCALAR state per key (integer moment sums +
+  // four CUSUM accumulators — no ring buffer). Self-starting: each point
+  // is standardized against the PRIOR-only mean/stddev, so the oracle
+  // replays the identical arithmetic with prior-frame running windows
+  // (exact integer moments; the only doubles are the same divisions and
+  // the correctly-rounded sqrt). The single-file availableNow replay
+  // delivers each user's events in one batch, sorted inside the group —
+  // the same order the oracle's windows use.
+  // -------------------------------------------------------------------
+  private val CusumSlack = 0.5
+  private val CusumThreshold = 4.0
+
+  private def streamCusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = evStream(s, dir).as[Streams.Event]
+    val out = StreamHarness.runAvailableNow(
+      Streams.streamingCusum(in, CusumSlack, CusumThreshold).toDF(),
+      "update"
+    )
+    out
+      .select(
+        col("userId").as("user_id"),
+        col("n").as("n_points"),
+        Norm.rnd(col("maxSPos"), 6).as("max_s_pos"),
+        Norm.rnd(col("maxSNeg"), 6).as("max_s_neg"),
+        col("alarms").as("n_alarms")
+      )
+      .transform(Norm.ordered(_, col("user_id")))
+  }
+
+  private val streamCusumSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus,
+       |         CAST(round(value * 100.0) AS BIGINT) AS cents
+       |  FROM events
+       |), mom AS (
+       |  SELECT *,
+       |    CAST(count(*) OVER wp AS BIGINT) AS pn,
+       |    CAST(COALESCE(sum(cents) OVER wp, 0) AS BIGINT) AS psum,
+       |    CAST(COALESCE(sum(cents * cents) OVER wp, 0) AS BIGINT) AS psum2
+       |  FROM e
+       |  WINDOW wp AS (PARTITION BY user_id ORDER BY tus
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |), zs AS (
+       |  SELECT *, CASE WHEN pn >= 2 AND (pn * psum2 - psum * psum) > 0
+       |    THEN (cents - CAST(psum AS DOUBLE) / pn) /
+       |         sqrt(CAST(pn * psum2 - psum * psum AS DOUBLE) / CAST(pn * (pn - 1) AS DOUBLE))
+       |    ELSE 0.0 END AS z
+       |  FROM mom
+       |), r AS (
+       |  SELECT *, sum(z - $CusumSlack) OVER wr AS r_pos,
+       |            sum(-z - $CusumSlack) OVER wr AS r_neg
+       |  FROM zs
+       |  WINDOW wr AS (PARTITION BY user_id ORDER BY tus
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), cus AS (
+       |  SELECT *, r_pos - least(0.0, min(r_pos) OVER wr) AS s_pos,
+       |            r_neg - least(0.0, min(r_neg) OVER wr) AS s_neg
+       |  FROM r
+       |  WINDOW wr AS (PARTITION BY user_id ORDER BY tus
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+       |  round(max(s_pos), 6) + 0.0 AS max_s_pos,
+       |  round(max(s_neg), 6) + 0.0 AS max_s_neg,
+       |  CAST(sum(CASE WHEN s_pos > $CusumThreshold OR s_neg > $CusumThreshold
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+       |FROM cus GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // stream_sessionize — Streams.streamingSessionize: watermark-governed
   // session finalization. The finite replay has exactly two engine steps:
   // the data batch (watermark 0 — nothing finalizes, all sessions buffer
@@ -898,6 +969,7 @@ object StreamQueries {
     "stream_transform_state" -> streamTransformState,
     "stream_topk" -> streamTopk,
     "stream_rolling_corr" -> rollingCorr,
+    "stream_cusum" -> streamCusum,
     "stream_sessionize" -> streamSessionize,
     "stream_session_builtin" -> streamSessionBuiltin,
     "stream_late_data" -> streamLateData,
@@ -916,6 +988,7 @@ object StreamQueries {
     "stream_transform_state" -> streamTransformStateSql,
     "stream_topk" -> streamTopkSql,
     "stream_rolling_corr" -> rollingCorrSql,
+    "stream_cusum" -> streamCusumSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_session_builtin" -> streamSessionBuiltinSql,
     "stream_late_data" -> streamLateDataSql,

@@ -187,6 +187,95 @@ object Streams {
   }
 
   // -------------------------------------------------------------------
+  // Streaming self-starting CUSUM: the batch evt_changepoint detector's
+  // streaming twin, with O(1) SCALAR state per key — no ring buffer at
+  // all, the contrast to rollingLagCorrelation's O(window) state. The
+  // standardizing moments are PRIOR-only (each point is scored against
+  // the mean/stddev of everything before it — the self-starting CUSUM,
+  // Hawkins 1987), accumulated as exact integer sums, so the oracle can
+  // replay the identical arithmetic with prior-frame running windows.
+  // Out-of-order events are sorted within each batch; across batches a
+  // scalar state cannot reorder the past — that one-directionality is
+  // the price of O(1) state and is the documented contract (the ring-
+  // buffer ops pay O(window) state to buy re-sorting instead).
+  // -------------------------------------------------------------------
+  final case class CusumState(
+      n: Long,
+      sumC: Long,
+      sumC2: Long,
+      rPos: Double,
+      rNeg: Double,
+      minRPos: Double,
+      minRNeg: Double,
+      maxSPos: Double,
+      maxSNeg: Double,
+      alarms: Long
+  )
+  final case class CusumResult(userId: Long, n: Long, maxSPos: Double, maxSNeg: Double, alarms: Long)
+
+  def streamingCusum(
+      events: Dataset[Event],
+      slack: Double = 0.5,
+      threshold: Double = 4.0,
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = 3600L * 1000
+  ): Dataset[CusumResult] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              CusumState(0L, 0L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0L)
+            )
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var lastTs = 0L
+            for (e <- sorted) {
+              lastTs = math.max(lastTs, e.ts.getTime)
+              val cents = math.round(e.value * 100.0)
+              // prior-only standardization from exact integer moments —
+              // operand-for-operand the oracle's arithmetic
+              val varNum = st.n * st.sumC2 - st.sumC * st.sumC
+              val z =
+                if (st.n >= 2 && varNum > 0) {
+                  val m = st.sumC.toDouble / st.n
+                  val sd = math.sqrt(varNum.toDouble / (st.n * (st.n - 1)).toDouble)
+                  (cents - m) / sd
+                } else 0.0
+              val rPos = st.rPos + (z - slack)
+              val rNeg = st.rNeg + (-z - slack)
+              val minRPos = math.min(st.minRPos, rPos)
+              val minRNeg = math.min(st.minRNeg, rNeg)
+              val sPos = rPos - minRPos
+              val sNeg = rNeg - minRNeg
+              st = CusumState(
+                st.n + 1,
+                st.sumC + cents,
+                st.sumC2 + cents * cents,
+                rPos,
+                rNeg,
+                minRPos,
+                minRNeg,
+                math.max(st.maxSPos, sPos),
+                math.max(st.maxSNeg, sNeg),
+                st.alarms + (if (sPos > threshold || sNeg > threshold) 1L else 0L)
+              )
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(lastTs + stateTtlMs, state.getCurrentWatermarkMs() + 1)
+            )
+            Iterator.single(CusumResult(userId, st.n, st.maxSPos, st.maxSNeg, st.alarms))
+          }
+      }
+  }
+
+  // -------------------------------------------------------------------
   // Streaming CCM (SURVEY §7 stretch): sliding-window re-estimation of the
   // full bidirectional CCM per series. Each series keeps the last `window`
   // (ord, x, y) points in state; once `minPoints` are buffered the local
