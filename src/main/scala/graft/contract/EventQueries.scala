@@ -1417,6 +1417,114 @@ object EventQueries {
        |FROM ols o JOIN sen s ON o.user_id = s.user_id
        |ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_ses_forecast — exponentially weighted level + one-step-ahead
+  // forecast of each user's daily spend: kernel-normalized EWMA
+  // level_t = Σ (1-α)^(day_t − day_j)·c_j / Σ (1-α)^(day_t − day_j) over
+  // the last `SesWindow` calendar days (day-distance weights, so data
+  // gaps DECAY the influence of old points instead of misaligning a
+  // row-based recurrence; normalization makes the truncation exact
+  // rather than an approximation). Forecast for a day = the PREVIOUS
+  // observed day's level; err = actual − forecast; per-user MAE beside
+  // each row. Cross-engine trap avoided: pow() is libm-dependent, so the
+  // decay weights are precomputed in Scala by sequential multiplication
+  // and spliced as shortest-roundtrip DOUBLE LITERALS into one CASE
+  // expression both engines parse — weight parity is by construction.
+  // The range self-join is per-user with a bounded day span; the window
+  // fan-out is the operator's fixed kernel width, never the series size.
+  // -------------------------------------------------------------------
+  private val SesWindow = 14
+  private val SesDecay = 0.7 // 1 - alpha
+  private val sesWeightCase: String = {
+    val ws = Iterator.iterate(1.0)(_ * SesDecay).take(SesWindow).toSeq
+    val whens = ws.zipWithIndex.map { case (w, k) => s"WHEN $k THEN $w" }.mkString(" ")
+    s"(CASE CAST(dd AS INTEGER) $whens ELSE 0.0 END)"
+  }
+
+  private def sesForecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .withColumn("cents", round(col("value") * 100.0).cast("long"))
+      .groupBy(col("user_id"), expr(s"tus div $DayUs").as("day"))
+      .agg(sum(col("cents")).as("cents"))
+      .localCheckpoint() // feeds both sides of the kernel join
+    val joined = daily
+      .as("a")
+      .join(
+        daily.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.day") > col("a.day") - SesWindow && col("b.day") <= col("a.day")
+      )
+      .select(
+        col("a.user_id").as("user_id"),
+        col("a.day").as("day"),
+        col("a.cents").as("cents"),
+        (col("a.day") - col("b.day")).as("dd"),
+        col("b.cents").as("c_j")
+      )
+      .withColumn("w", expr(sesWeightCase))
+    val wSeq = Window.partitionBy("user_id").orderBy("day")
+    val wU = Window.partitionBy("user_id")
+    joined
+      .groupBy("user_id", "day", "cents")
+      .agg(sum(col("w") * col("c_j")).as("swc"), sum(col("w")).as("sw"))
+      .withColumn("level", col("swc") / col("sw"))
+      // forecast/err derive from the 6-dp-ROUNDED level: at cents
+      // magnitude ~1e4 the unrounded sums' order noise (~1e-7) exceeds
+      // the 6-dp rounding granularity, so the MAE is accumulated in
+      // EXACT INTEGER micro-units of the rounded err — order-independent
+      // by construction (measured: avg(abs(err)) flipped 6760.129050 vs
+      // .129051 for one user before this)
+      .withColumn("forecast", lag(Norm.rnd(col("level"), 6), 1).over(wSeq))
+      .withColumn("err", col("cents") - col("forecast"))
+      .withColumn("err_micro", expr("CAST(round(abs(err) * 1000000.0) AS BIGINT)"))
+      .withColumn(
+        "mae",
+        expr("CAST(sum(err_micro) OVER (PARTITION BY user_id) AS DOUBLE)") /
+          expr("count(err_micro) OVER (PARTITION BY user_id)") / 1000000.0
+      )
+      .select(
+        col("user_id"),
+        col("day"),
+        col("cents"),
+        Norm.rnd(col("level"), 6).as("level"),
+        Norm.rnd(col("forecast"), 6).as("forecast"),
+        Norm.rnd(col("err"), 6).as("err"),
+        Norm.rnd(col("mae"), 6).as("mae")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("day")))
+  }
+
+  private val sesForecastSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, epoch_us(ts) // $DayUs AS day,
+       |         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2
+       |), kern AS (
+       |  SELECT a.user_id AS user_id, a.day AS day, a.cents AS cents,
+       |         a.day - b.day AS dd, b.cents AS c_j
+       |  FROM daily a JOIN daily b
+       |    ON a.user_id = b.user_id
+       |   AND b.day > a.day - $SesWindow AND b.day <= a.day
+       |), lvl AS (
+       |  SELECT user_id, day, cents,
+       |         sum($sesWeightCase * c_j) / sum($sesWeightCase) AS level
+       |  FROM kern GROUP BY 1, 2, 3
+       |), fc AS (
+       |  SELECT *, lag(round(level, 6) + 0.0) OVER (PARTITION BY user_id ORDER BY day) AS forecast
+       |  FROM lvl
+       |), er AS (
+       |  SELECT *, cents - forecast AS err,
+       |    CAST(round(abs(cents - forecast) * 1000000.0) AS BIGINT) AS err_micro
+       |  FROM fc
+       |)
+       |SELECT user_id, day, cents,
+       |  round(level, 6) + 0.0 AS level,
+       |  round(forecast, 6) + 0.0 AS forecast,
+       |  round(err, 6) + 0.0 AS err,
+       |  round(CAST(CAST(sum(err_micro) OVER (PARTITION BY user_id) AS BIGINT) AS DOUBLE) /
+       |        count(err_micro) OVER (PARTITION BY user_id) / 1000000.0, 6) + 0.0 AS mae
+       |FROM er ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
@@ -1441,6 +1549,7 @@ object EventQueries {
     "evt_seasonal_decompose" -> seasonalDecompose,
     "evt_changepoint" -> changepoint,
     "evt_theilsen" -> theilSen,
+    "evt_ses_forecast" -> sesForecast,
     "evt_percentiles" -> percentiles,
     "evt_window_agg" -> windowAgg,
     "evt_setops" -> setOps,
@@ -1473,6 +1582,7 @@ object EventQueries {
     "evt_seasonal_decompose" -> seasonalDecomposeSql,
     "evt_changepoint" -> changepointSql,
     "evt_theilsen" -> theilSenSql,
+    "evt_ses_forecast" -> sesForecastSql,
     "evt_percentiles" -> percentilesSql,
     "evt_window_agg" -> windowAggSql,
     "evt_setops" -> setOpsSql,
