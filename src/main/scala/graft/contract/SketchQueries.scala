@@ -323,6 +323,102 @@ object SketchQueries {
   }
 
   // =====================================================================
+  // sketch_cms_error — the evaluation layer for the Count-Min sketch:
+  // the FULL overestimation profile (not just the top-k surface) at two
+  // widths side by side — 256 (deliberately undersized: keys/width ~3.7,
+  // collisions everywhere) and the production 8192. Per width and bigram
+  // the q-error est/exact is an exact integer ratio; the profile reports
+  // exactly-right fraction, p50/p95 (EXACT order statistics via the rank
+  // technique — no approximate percentile), and max. This is the
+  // measurement that justifies sketch_cms_topk's width-sizing rule: the
+  // same corpus that is ~fully exact at 8192 shows its true collision
+  // inflation at 256.
+  // =====================================================================
+  private val CmsErrWidths = Seq(256, 8192)
+
+  private def sketchCmsError(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = bigrams(s, dir).localCheckpoint()
+    val wdf = broadcast(CmsErrWidths.toDF("width"))
+    val cells = bg
+      .select(explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("d"), col("hb"))
+      .crossJoin(wdf)
+      .select(col("width"), col("d"), (hashD(col("hb"), col("d"), CmsSeed) % col("width")).as("bucket"))
+      .groupBy("width", "d", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val cand = bg.groupBy("bg", "hb").agg(count(lit(1)).as("exact_count"))
+    val est = cand
+      .crossJoin(wdf)
+      .select(col("width"), col("bg"), col("exact_count"),
+        explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("d"),
+        col("hb"))
+      .withColumn("bucket", hashD(col("hb"), col("d"), CmsSeed) % col("width"))
+      .join(cells, Seq("width", "d", "bucket"))
+      .groupBy("width", "bg", "exact_count")
+      .agg(min(col("c")).as("est_count"))
+      .withColumn("q", col("est_count").cast("double") / col("exact_count"))
+    val wRank = Window.partitionBy("width").orderBy(col("q").asc, col("bg").asc)
+    val wAll = Window.partitionBy("width")
+    est
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("width")
+      .agg(
+        max(col("n")).as("n_keys"),
+        sum(when(col("est_count") === col("exact_count"), 1L).otherwise(0L)).as("n_exact"),
+        (round(max(when(col("rn") === expr("(n + 1) div 2"), col("q"))), 6) + lit(0.0)).as("p50_q"),
+        (round(max(when(col("rn") === expr("(19 * n + 19) div 20"), col("q"))), 6) + lit(0.0)).as("p95_q"),
+        (round(max(col("q")), 6) + lit(0.0)).as("max_q")
+      )
+      .transform(Norm.ordered(_, col("width")))
+  }
+
+  private val sketchCmsErrorSql: String = {
+    val widths = CmsErrWidths.mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |         list_transform(string_split(text, ' '), t -> ${DetHash.polyHashSql("t")}) AS wh
+       |  FROM documents
+       |), b0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(len(ws) - 1), i ->
+       |           struct_pack(bg := ws[i + 1] || ' ' || ws[i + 2],
+       |                       hb := (wh[i + 1] * 131 + wh[i + 2]) % $P))) AS u
+       |  FROM w
+       |), b AS (
+       |  SELECT u.bg AS bg, u.hb AS hb FROM b0
+       |), wid AS (SELECT unnest([$widths]) AS width
+       |), cells AS (
+       |  SELECT width, d, ${hashDSql("hb", "d", CmsSeed)} % width AS bucket,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM b, (SELECT unnest(range($CmsDepth)) AS d), wid
+       |  GROUP BY 1, 2, 3
+       |), cand AS (
+       |  SELECT bg, hb, CAST(count(*) AS BIGINT) AS exact_count FROM b GROUP BY 1, 2
+       |), est AS (
+       |  SELECT x.width, x.bg, x.exact_count, CAST(min(cells.c) AS BIGINT) AS est_count
+       |  FROM (
+       |    SELECT wid.width, cand.bg, cand.exact_count, dd.d, cand.hb,
+       |           ${hashDSql("cand.hb", "dd.d", CmsSeed)} % wid.width AS bucket
+       |    FROM cand, (SELECT unnest(range($CmsDepth)) AS d) dd, wid
+       |  ) x
+       |  JOIN cells ON cells.width = x.width AND cells.d = x.d AND cells.bucket = x.bucket
+       |  GROUP BY 1, 2, 3
+       |), q AS (
+       |  SELECT *, CAST(est_count AS DOUBLE) / exact_count AS q FROM est
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY width ORDER BY q, bg) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY width) AS BIGINT) AS n
+       |  FROM q
+       |)
+       |SELECT width, max(n) AS n_keys,
+       |  CAST(sum(CASE WHEN est_count = exact_count THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |  round(max(CASE WHEN rn = (n + 1) // 2 THEN q END), 6) + 0.0 AS p50_q,
+       |  round(max(CASE WHEN rn = (19 * n + 19) // 20 THEN q END), 6) + 0.0 AS p95_q,
+       |  round(max(q), 6) + 0.0 AS max_q
+       |FROM ranked GROUP BY width ORDER BY width""".stripMargin
+  }
+
+  // =====================================================================
   // sketch_kmv_setops — KMV (k-minimum-values) distinct sketches with SET
   // ALGEBRA (Beyer et al. 2007): per set keep the k smallest item hashes;
   // N̂ = (k-1)·P / h_(k). Unlike HLL, KMV sketches support set
@@ -475,6 +571,7 @@ object SketchQueries {
     "sketch_hll" -> sketchHll,
     "sketch_cms_topk" -> sketchCmsTopk,
     "sketch_bloom_join" -> sketchBloomJoin,
+    "sketch_cms_error" -> sketchCmsError,
     "sketch_kmv_setops" -> sketchKmvSetops
   )
 
@@ -482,6 +579,7 @@ object SketchQueries {
     "sketch_hll" -> sketchHllSql,
     "sketch_cms_topk" -> sketchCmsTopkSql,
     "sketch_bloom_join" -> sketchBloomJoinSql,
+    "sketch_cms_error" -> sketchCmsErrorSql,
     "sketch_kmv_setops" -> sketchKmvSetopsSql
   )
 }
