@@ -803,6 +803,7 @@ object TextQueries {
     "text_phrase_search" -> phraseSearch,
     "text_bigram_lm" -> bigramLm,
     "text_vocab_coverage" -> vocabCoverage,
+    "text_para_dedup" -> paraDedup,
     "text_lm_score" -> lmScore,
     "text_repetition" -> textRepetition,
     "text_bm25" -> bm25,
@@ -897,7 +898,70 @@ object TextQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // text_para_dedup — corpus-wide PARAGRAPH dedup (the CCNet/RefinedWeb
+  // op: duplicated paragraphs are removed across the whole corpus while
+  // their documents survive). This corpus has no sentence markers, so a
+  // "paragraph" is a non-overlapping 16-token block; each block is
+  // polyHashed and globally deduped keep-first by (doc_id, block_idx) —
+  // one window over the block-hash partition, exactly the exact-dedup
+  // shuffle shape, so the op is one explode + one shuffle regardless of
+  // corpus size. Output: per-doc block census + tokens retained.
+  // -------------------------------------------------------------------
+  private val ParaTokens = 16
+
+  private def paraDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(
+            s"transform(sequence(0, (size(toks) - 1) div $ParaTokens), i -> array_join(slice(toks, i * $ParaTokens + 1, $ParaTokens), ' '))"
+          )
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("pos").as("blk"),
+        expr(DetHash.polyHashSparkSql("col")).as("bh"),
+        size(split(col("col"), " ")).cast("long").as("n_toks")
+      )
+    val wH = Window.partitionBy("bh").orderBy(col("doc_id").asc, col("blk").asc)
+    blocks
+      .withColumn("rn", row_number().over(wH))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_blocks"),
+        sum(when(col("rn") === 1, col("n_toks")).otherwise(0L)).as("n_tokens_kept")
+      )
+      .transform(Norm.ordered(_, col("doc_id")))
+  }
+
+  private val paraDedupSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), blocks AS (
+       |  SELECT doc_id, u.blk AS blk,
+       |         ${DetHash.polyHashSql("u.btxt")} AS bh,
+       |         CAST(len(string_split(u.btxt, ' ')) AS BIGINT) AS n_toks
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range((len(toks) - 1) // $ParaTokens + 1),
+       |             i -> struct_pack(blk := i,
+       |                              btxt := array_to_string(list_slice(toks, i * $ParaTokens + 1, i * $ParaTokens + $ParaTokens), ' ')))) AS u
+       |  FROM t)
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY bh ORDER BY doc_id, blk) AS rn FROM blocks
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+       |  CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens_kept
+       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_para_dedup" -> paraDedupSql,
     "text_vocab_coverage" -> vocabCoverageSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_phrase_search" -> phraseSearchSql,
