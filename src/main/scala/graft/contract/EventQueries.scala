@@ -1525,6 +1525,99 @@ object EventQueries {
        |        count(err_micro) OVER (PARTITION BY user_id) / 1000000.0, 6) + 0.0 AS mae
        |FROM er ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_mad_outliers — robust point-outlier detection via the modified
+  // z-score (Iglewicz & Hoaglin 1993): 0.6745·(x − median)/MAD with the
+  // |z| > 3.5 flag. Complements the family: CUSUM finds level SHIFTS,
+  // Theil–Sen robust TRENDS, this flags individual points. Both the
+  // median and the MAD are EXACT order statistics (rank windows over
+  // integer cents; the middle-two average is exactly representable at
+  // .5 granularity, and deviations inherit it), so every comparison —
+  // including the boolean flag — is over engine-identical doubles with
+  // no rounding convention needed anywhere except the cosmetic output.
+  // -------------------------------------------------------------------
+  private val MadC = 0.6745
+  private val MadCut = 3.5
+
+  private def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .withColumn("cents", round(col("value") * 100.0).cast("long"))
+      .groupBy(col("user_id"), expr(s"tus div $DayUs").as("day"))
+      .agg(sum(col("cents")).as("cents"))
+      .localCheckpoint() // feeds the median rank, the MAD rank, and the output join
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val wR = Window.partitionBy("user_id").orderBy(col(valueCol).asc, col("day").asc)
+      val wU = Window.partitionBy("user_id")
+      df.withColumn("rn", row_number().over(wR).cast("long"))
+        .withColumn("n", count(lit(1)).over(wU))
+        .filter(col("rn") >= expr("(n + 1) div 2") && col("rn") <= expr("(n + 2) div 2"))
+        .groupBy("user_id")
+        .agg(avg(col(valueCol)).as(out))
+    }
+    val med = medianOf(daily, "cents", "med")
+    val dev = daily
+      .join(med, "user_id")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = medianOf(dev, "dev", "mad")
+    dev
+      .join(mad, "user_id")
+      .withColumn(
+        "z",
+        when(col("mad") === 0.0, 0.0)
+          .otherwise(lit(MadC) * (col("cents") - col("med")) / col("mad"))
+      )
+      .select(
+        col("user_id"),
+        col("day"),
+        col("cents"),
+        col("med"),
+        col("mad"),
+        // z is UNROUNDED by design: every operand is exact (integer cents,
+        // .5-granular medians) and the op order matches the oracle, so the
+        // doubles are bit-identical — while ROUNDING actually diverges
+        // here: z values are often terminating decimals (0.6745·int/half)
+        // and Spark's round() rounds the shortest DECIMAL repr (HALF_UP on
+        // "0.5227375" → .522738) where DuckDB rounds the BINARY value
+        // (...749999 → .522737). Measured on user 65 day 19750.
+        col("z"),
+        (abs(col("z")) > MadCut).as("outlier")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("day")))
+  }
+
+  private val madOutliersSql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, epoch_us(ts) // $DayUs AS day,
+       |         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2
+       |), medr AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY cents, day) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+       |  FROM daily
+       |), med AS (
+       |  SELECT user_id, avg(cents) AS med FROM medr
+       |  WHERE rn >= (n + 1) // 2 AND rn <= (n + 2) // 2 GROUP BY 1
+       |), dev AS (
+       |  SELECT d.user_id, d.day, d.cents, m.med, abs(d.cents - m.med) AS dev
+       |  FROM daily d JOIN med m ON d.user_id = m.user_id
+       |), madr AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY dev, day) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+       |  FROM dev
+       |), mad AS (
+       |  SELECT user_id, avg(dev) AS mad FROM madr
+       |  WHERE rn >= (n + 1) // 2 AND rn <= (n + 2) // 2 GROUP BY 1
+       |), z AS (
+       |  SELECT d.user_id, d.day, d.cents, d.med, m.mad,
+       |         CASE WHEN m.mad = 0.0 THEN 0.0
+       |              ELSE $MadC * (d.cents - d.med) / m.mad END AS z
+       |  FROM dev d JOIN mad m ON d.user_id = m.user_id
+       |)
+       |SELECT user_id, day, cents, med, mad,
+       |  z + 0.0 AS z,
+       |  (abs(z) > $MadCut) AS outlier
+       |FROM z ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
@@ -1550,6 +1643,7 @@ object EventQueries {
     "evt_changepoint" -> changepoint,
     "evt_theilsen" -> theilSen,
     "evt_ses_forecast" -> sesForecast,
+    "evt_mad_outliers" -> madOutliers,
     "evt_percentiles" -> percentiles,
     "evt_window_agg" -> windowAgg,
     "evt_setops" -> setOps,
@@ -1583,6 +1677,7 @@ object EventQueries {
     "evt_changepoint" -> changepointSql,
     "evt_theilsen" -> theilSenSql,
     "evt_ses_forecast" -> sesForecastSql,
+    "evt_mad_outliers" -> madOutliersSql,
     "evt_percentiles" -> percentilesSql,
     "evt_window_agg" -> windowAggSql,
     "evt_setops" -> setOpsSql,
