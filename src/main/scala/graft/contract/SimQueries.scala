@@ -52,6 +52,75 @@ object SimQueries {
   }
 
   // -------------------------------------------------------------------
+  // ann_mips — maximum inner product search, the retrieval scoring
+  // cosine cannot express (recommendation / query-document scoring where
+  // vector MAGNITUDE carries signal): exact top-k by dot product, with
+  // the classic MIPS→NN REDUCTION (Bachrach et al. 2014) demonstrated in
+  // the same hash-checked result. Augmenting items with an extra
+  // coordinate sqrt(M² − ‖x‖²) (M = max item norm, queries get 0) makes
+  // the squared augmented Euclidean distance ‖q‖² + M² − 2·q·x — a
+  // per-query monotone transform of the dot, so nearest-neighbor order
+  // in the augmented space IS MIPS order. Both rankings are computed
+  // from identical expressions on BOTH engines and emitted side by side:
+  // `reduction_rank` equaling `rank` on every row is the reduction's
+  // exactness, checked by the oracle hash instead of asserted. At scale
+  // this is the bridge that lets every NN index (IVF/LSH/PQ above) serve
+  // MIPS queries unchanged.
+  // -------------------------------------------------------------------
+  private def annMips(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val msq = e.agg(max(expr(dotSpark.format("v", "v"))).as("msq"))
+    val dotQN = expr(dotSpark.format("q.v", "n.v"))
+    val qq = expr(dotSpark.format("q.v", "q.v"))
+    val pairs = q
+      .as("q")
+      .join(e.as("n"), col("q.vec_id") =!= col("n.vec_id"))
+      .crossJoin(broadcast(msq))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("n.vec_id").as("neighbor_id"),
+        dotQN.as("dot"),
+        (qq + col("msq") - lit(2.0) * dotQN).as("aug_dist2")
+      )
+    val wDot = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id").asc)
+    val wRed = Window.partitionBy("query_id").orderBy(col("aug_dist2").asc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(wDot).cast("long"))
+      .withColumn("reduction_rank", row_number().over(wRed).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(
+        col("query_id"),
+        col("rank"),
+        col("neighbor_id"),
+        Norm.rnd(col("dot"), 6).as("dot"),
+        col("reduction_rank")
+      )
+      .transform(Norm.ordered(_, col("query_id"), col("rank")))
+  }
+
+  private val annMipsSql: String = {
+    val dotQN = dotDuck("q.v", "n.v")
+    val qq = dotDuck("q.v", "q.v")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id % $QueryStride = 0),
+       |mx AS (SELECT max(${dotDuck("v", "v")}) AS msq FROM e),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |         $dotQN AS dot,
+       |         $qq + mx.msq - 2.0 * $dotQN AS aug_dist2
+       |  FROM q JOIN e n ON q.vec_id <> n.vec_id, mx
+       |), ranked AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS BIGINT) AS rank,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY aug_dist2, neighbor_id) AS BIGINT) AS reduction_rank
+       |  FROM pairs
+       |)
+       |SELECT query_id, rank, neighbor_id, round(dot, 6) + 0.0 AS dot, reduction_rank
+       |FROM ranked WHERE rank <= $TopK ORDER BY 1, 2""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ann_range — RADIUS search: all neighbors with cosine >= RangeMin,
   // the other half of the similarity-search API (top-k answers "best
   // k", range answers "everything this close" — retrieval filtering,
@@ -1549,6 +1618,7 @@ object SimQueries {
     "vec_normalize" -> vecNormalize,
     "vec_random_proj" -> vecRandomProj,
     "ann_topk" -> annTopk,
+    "ann_mips" -> annMips,
     "ann_range" -> annRange,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
@@ -1570,6 +1640,7 @@ object SimQueries {
     "vec_normalize" -> vecNormalizeSql,
     "vec_random_proj" -> vecRandomProjSql,
     "ann_topk" -> annTopkSql,
+    "ann_mips" -> annMipsSql,
     "ann_range" -> annRangeSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
