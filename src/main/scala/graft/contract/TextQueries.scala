@@ -804,6 +804,7 @@ object TextQueries {
     "text_bigram_lm" -> bigramLm,
     "text_vocab_coverage" -> vocabCoverage,
     "text_para_dedup" -> paraDedup,
+    "text_zipf" -> textZipf,
     "text_lm_score" -> lmScore,
     "text_repetition" -> textRepetition,
     "text_bm25" -> bm25,
@@ -960,7 +961,83 @@ object TextQueries {
        |  CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens_kept
        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // text_zipf — corpus-naturalness diagnostic: weighted log-log OLS fit
+  // of the term frequency distribution against Zipf's law (natural text
+  // has slope ≈ −1; synthetic, templated or spammy corpora deviate — a
+  // standard pretraining-data QA signal). Runs over the count-of-counts
+  // HISTOGRAM like text_vocab_coverage: each distinct frequency is one
+  // weighted point (x = ln of the bucket's midpoint rank, y = ln cnt,
+  // weight = n_terms), so the fit touches ~O(√tokens) rows, never the
+  // vocabulary. ln() agreement between Java's Math.log and DuckDB's libm
+  // is empirical (both are correctly-rounded in practice) with residual
+  // ulps absorbed by the family's 6-dp round.
+  // -------------------------------------------------------------------
+  private def textZipf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term")
+      .agg(count(lit(1)).as("cnt"))
+    val hist = counts.groupBy("lang", "cnt").agg(count(lit(1)).as("n_terms"))
+    val wRun = Window
+      .partitionBy("lang")
+      .orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("terms_above", coalesce(sum(col("n_terms")).over(wRun), lit(0L)))
+      .withColumn("x", log(col("terms_above") + (col("n_terms") + 1) / lit(2.0)))
+      .withColumn("y", log(col("cnt")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("n_terms").cast("double")).as("sw"),
+        sum(col("n_terms") * col("x")).as("sx"),
+        sum(col("n_terms") * col("y")).as("sy"),
+        sum(col("n_terms") * col("x") * col("y")).as("sxy"),
+        sum(col("n_terms") * col("x") * col("x")).as("sxx"),
+        sum(col("n_terms") * col("y") * col("y")).as("syy")
+      )
+      .withColumn("dx", col("sw") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("sw") * col("syy") - col("sy") * col("sy"))
+      .withColumn("cov", col("sw") * col("sxy") - col("sx") * col("sy"))
+      .select(
+        col("lang"),
+        col("n_buckets"),
+        Norm.rnd(col("cov") / col("dx"), 6).as("zipf_slope"),
+        Norm.rnd(col("cov") * col("cov") / (col("dx") * col("dy")), 6).as("r2")
+      )
+      .transform(Norm.ordered(_, col("lang")))
+  }
+
+  private val textZipfSql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+       |), agg AS (
+       |  SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt FROM counts GROUP BY 1, 2
+       |), hist AS (
+       |  SELECT lang, cnt, CAST(count(*) AS BIGINT) AS n_terms FROM agg GROUP BY 1, 2
+       |), pts AS (
+       |  SELECT lang, cnt, n_terms,
+       |    ln(CAST(COALESCE(sum(n_terms) OVER (PARTITION BY lang ORDER BY cnt DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + (n_terms + 1) / 2.0) AS x,
+       |    ln(cnt) AS y
+       |  FROM hist
+       |), mom AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_buckets,
+       |    sum(CAST(n_terms AS DOUBLE)) AS sw,
+       |    sum(n_terms * x) AS sx, sum(n_terms * y) AS sy,
+       |    sum(n_terms * x * y) AS sxy, sum(n_terms * x * x) AS sxx, sum(n_terms * y * y) AS syy
+       |  FROM pts GROUP BY 1
+       |)
+       |SELECT lang, n_buckets,
+       |  round((sw * sxy - sx * sy) / (sw * sxx - sx * sx), 6) + 0.0 AS zipf_slope,
+       |  round((sw * sxy - sx * sy) * (sw * sxy - sx * sy) /
+       |        ((sw * sxx - sx * sx) * (sw * syy - sy * sy)), 6) + 0.0 AS r2
+       |FROM mom ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_zipf" -> textZipfSql,
     "text_para_dedup" -> paraDedupSql,
     "text_vocab_coverage" -> vocabCoverageSql,
     "text_inverted_index" -> invertedIndexSql,
