@@ -1437,7 +1437,7 @@ object EventQueries {
   private val SesDecay = 0.7 // 1 - alpha
   private val sesWeightCase: String = {
     val ws = Iterator.iterate(1.0)(_ * SesDecay).take(SesWindow).toSeq
-    val whens = ws.zipWithIndex.map { case (w, k) => s"WHEN $k THEN $w" }.mkString(" ")
+    val whens = ws.zipWithIndex.map { case (w, k) => s"WHEN $k THEN ${w}e0" }.mkString(" ")
     s"(CASE CAST(dd AS INTEGER) $whens ELSE 0.0 END)"
   }
 

@@ -446,10 +446,10 @@ object SketchQueries {
 
   // the estimator texts, spliced into BOTH engines' expressions
   private def kmvEstExpr(hk: String, nsk: String): String =
-    s"CASE WHEN $nsk < $KmvK THEN CAST($nsk AS DOUBLE) ELSE ${KmvK - 1}.0 * ${P}.0 / $hk END"
+    s"CASE WHEN $nsk < $KmvK THEN CAST($nsk AS DOUBLE) ELSE ${KmvK - 1}e0 * ${P}e0 / $hk END"
   private val kmvInterExpr: String =
     s"CASE WHEN n_u < $KmvK THEN CAST(inter_cnt AS DOUBLE) " +
-      s"ELSE CAST(inter_cnt AS DOUBLE) / ${KmvK}.0 * union_est_raw END"
+      s"ELSE CAST(inter_cnt AS DOUBLE) / ${KmvK}e0 * union_est_raw END"
 
   private def sketchKmvSetops(s: SparkSession, dir: String): DataFrame = {
     val li = Tables

@@ -58,6 +58,38 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(limits >= 8, s"expected partial+final WindowGroupLimit per E (>=8), got $limits")
   }
 
+  test("text_para_dedup is one explode + one hash-partition window: no join anywhere") {
+    val p = plan("text_para_dedup")
+    assert(!p.contains("Join"), "paragraph dedup must not join — it is the exact-dedup shuffle shape")
+    val windows = "(?m)^\\s*[*+:\\-() 0-9]*Window ".r.findAllIn(p).size
+    assert(windows == 1, s"expected ONE window (block-hash keep-first), got $windows")
+  }
+
+  test("sketch_kmv_setops' post-sketch algebra is constant-size: no data-proportional join") {
+    // the sketch build itself is materialized behind localCheckpoints (its
+    // TopK window runs inside the checkpoint job), so the visible plan is
+    // the set algebra — which must be all broadcast/cross over k-row
+    // relations, never a shuffle join
+    val p = plan("sketch_kmv_setops")
+    assert(!p.contains("SortMergeJoin"), "set algebra over sketches must not shuffle-join")
+  }
+
+  test("ann_mips is a single pair join; the reduction rank adds no second join") {
+    val p = plan("ann_mips")
+    val joins = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).size
+    assert(joins <= 1, s"expected at most one data-proportional join, got $joins")
+  }
+
+  test("evt_changepoint and stream_cusum never join — pure window pipelines") {
+    assert(!plan("evt_changepoint").contains("Join"), "CUSUM closed form is windows only")
+  }
+
+  test("evt_ses_forecast's kernel join is the only join") {
+    val p = plan("evt_ses_forecast")
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findAllIn(p).size
+    assert(joins == 1, s"expected exactly the one bounded kernel join, got $joins")
+  }
+
   test("text_vocab_coverage windows only the count-of-counts histogram, never the per-term vocab") {
     val p = plan("text_vocab_coverage")
     // two aggregate layers (term counts -> frequency histogram), each
