@@ -1618,6 +1618,174 @@ object EventQueries {
        |  (abs(z) > $MadCut) AS outlier
        |FROM z ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_acf — sample autocorrelation function of the DAILY EVENT-COUNT
+  // series at lags 1..AcfMaxLag, over the gap-filled (contiguous,
+  // missing days = 0) day spine. The estimator is the standard
+  // cross-product form r_k = Σ_{t<=n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+  // expanded into INTEGER co-moments (multiply num and den by n²):
+  //   r_k = (n²·C_k − n·S·(H_k+T_k) + (n−k)·S²) / (n·(n·Q − S²))
+  // with C_k = Σ x_t·x_{t+k}, H_k/T_k the head/tail partial sums,
+  // S = Σx, Q = Σx² — all int64 (counts ~1e5/day at 100× bench data
+  // keep n²·Q < 1e16), ONE double division at the end (memory trap:
+  // engine-native corr/regr aggregates and mean-centered double sums
+  // both flip 6-dp boundaries; exact integer co-moments don't). The
+  // day spine is aggregated-small by construction (days, not events),
+  // so the single-partition window is bounded at any corpus size; the
+  // Spark side pairs lags with ONE window pass (AcfMaxLag lead columns
+  // + stack), the oracle with a day+k self-join on the same spine.
+  // -------------------------------------------------------------------
+  private val AcfMaxLag = 10
+
+  private def acf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, dir)
+      .groupBy(expr(s"tus div $DayUs").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val full = daily
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .localCheckpoint() // feeds base moments + the lead window
+    val base = full.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q")
+    )
+    val w = Window.orderBy("day")
+    val leads = (1 to AcfMaxLag).foldLeft(full) { (df, k) =>
+      df.withColumn(s"l$k", lead(col("x"), k).over(w))
+    }
+    val stacked = leads
+      .select(expr(s"stack($AcfMaxLag, ${(1 to AcfMaxLag).map(k => s"${k}L, x, l$k").mkString(", ")}) AS (lag, x, xl)"))
+      .filter(col("xl").isNotNull)
+    stacked
+      .groupBy("lag")
+      .agg(
+        sum(col("x") * col("xl")).as("c"),
+        sum(col("x")).as("h"),
+        sum(col("xl")).as("t")
+      )
+      .crossJoin(broadcast(base))
+      .select(
+        col("lag"),
+        (col("n") - col("lag")).as("n_pairs"),
+        (round(
+          (col("n") * col("n") * col("c") - col("n") * col("s") * (col("h") + col("t")) +
+            (col("n") - col("lag")) * col("s") * col("s")).cast("double") /
+            (col("n") * (col("n") * col("q") - col("s") * col("s"))).cast("double"),
+          6
+        ) + 0.0).as("r")
+      )
+      .transform(Norm.ordered(_, col("lag")))
+  }
+
+  private val acfSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // $DayUs AS day, CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1
+       |), spine AS (
+       |  SELECT unnest(generate_series((SELECT min(day) FROM daily),
+       |                                (SELECT max(day) FROM daily))) AS day
+       |), f AS (
+       |  SELECT s.day, COALESCE(d.x, 0) AS x FROM spine s LEFT JOIN daily d ON s.day = d.day
+       |), base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+       |         CAST(sum(x * x) AS BIGINT) AS q
+       |  FROM f
+       |), ks AS (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag
+       |), pairs_k AS (
+       |  SELECT k.lag, a.x AS x, b.x AS xl
+       |  FROM f a JOIN ks k ON true JOIN f b ON b.day = a.day + k.lag
+       |), agg AS (
+       |  SELECT CAST(lag AS BIGINT) AS lag, CAST(sum(x * xl) AS BIGINT) AS c,
+       |         CAST(sum(x) AS BIGINT) AS h, CAST(sum(xl) AS BIGINT) AS t
+       |  FROM pairs_k GROUP BY 1
+       |)
+       |SELECT a.lag, b.n - a.lag AS n_pairs,
+       |       round(CAST(b.n * b.n * a.c - b.n * b.s * (a.h + a.t) + (b.n - a.lag) * b.s * b.s AS DOUBLE)
+       |             / CAST(b.n * (b.n * b.q - b.s * b.s) AS DOUBLE), 6) + 0.0 AS r
+       |FROM agg a CROSS JOIN base b
+       |ORDER BY a.lag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // evt_survival — Kaplan–Meier risk table over USER LIFETIMES (hours
+  // from first to last observed event; hour granularity gives the
+  // corpus a proper lifetime distribution where days collapse to 3
+  // buckets). A user whose last event falls within SurvCensorHours of
+  // the corpus max hour is right-CENSORED (they may still be active);
+  // otherwise their lifetime ends in a "death" (churn). For each
+  // lifetime hour t the table reports the at-risk count
+  // (lifetime >= t), deaths and censorings AT t, and the
+  // conditional survival (n_risk − d)/n_risk — integer counts plus one
+  // double division per row; the cumulative KM product is deliberately
+  // NOT emitted (a product of ratios is exp/ln territory — libm-
+  // dependent, the known cross-engine trap). The at-risk count is a
+  // reverse cumulative sum over the tiny per-lifetime-day histogram,
+  // never over users — at 100 TB the windowed relation stays bounded
+  // by the observation span.
+  // -------------------------------------------------------------------
+  private val SurvCensorHours = 24
+
+  private def survival(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = ev(s, dir)
+      .withColumn("hr", expr(s"tus div $HourUs"))
+      .groupBy("user_id")
+      .agg(min(col("hr")).as("d_first"), max(col("hr")).as("d_last"))
+    val maxDay = spans.agg(max("d_last").as("d_max"))
+    val marked = spans
+      .crossJoin(broadcast(maxDay))
+      .select(
+        (col("d_last") - col("d_first")).as("lifetime"),
+        (col("d_max") - col("d_last") < SurvCensorHours).as("censored")
+      )
+    val byT = marked
+      .groupBy(col("lifetime").as("t"))
+      .agg(
+        count(lit(1)).as("ending"),
+        sum(when(col("censored"), 0L).otherwise(1L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c")
+      )
+    val w = Window.orderBy(col("t").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("ending")).over(w))
+      .select(
+        col("t"),
+        col("n_risk"),
+        col("d").as("n_events"),
+        col("c").as("n_censored"),
+        (round((col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double"), 6) + 0.0)
+          .as("cond_surv")
+      )
+      .transform(Norm.ordered(_, col("t")))
+  }
+
+  private val survivalSql: String =
+    s"""WITH spans AS (
+       |  SELECT user_id,
+       |         CAST(min(epoch_us(ts) // $HourUs) AS BIGINT) AS d_first,
+       |         CAST(max(epoch_us(ts) // $HourUs) AS BIGINT) AS d_last
+       |  FROM events GROUP BY 1
+       |), marked AS (
+       |  SELECT d_last - d_first AS lifetime,
+       |         (SELECT max(d_last) FROM spans) - d_last < $SurvCensorHours AS censored
+       |  FROM spans
+       |), by_t AS (
+       |  SELECT lifetime AS t, CAST(count(*) AS BIGINT) AS ending,
+       |         CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS d,
+       |         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM marked GROUP BY 1
+       |)
+       |SELECT t,
+       |       CAST(sum(ending) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+       |       d AS n_events, c AS n_censored,
+       |       round(CAST(sum(ending) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - d AS DOUBLE)
+       |             / CAST(sum(ending) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) + 0.0 AS cond_surv
+       |FROM by_t
+       |ORDER BY t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
@@ -1644,6 +1812,8 @@ object EventQueries {
     "evt_theilsen" -> theilSen,
     "evt_ses_forecast" -> sesForecast,
     "evt_mad_outliers" -> madOutliers,
+    "evt_acf" -> acf,
+    "evt_survival" -> survival,
     "evt_percentiles" -> percentiles,
     "evt_window_agg" -> windowAgg,
     "evt_setops" -> setOps,
@@ -1678,6 +1848,8 @@ object EventQueries {
     "evt_theilsen" -> theilSenSql,
     "evt_ses_forecast" -> sesForecastSql,
     "evt_mad_outliers" -> madOutliersSql,
+    "evt_acf" -> acfSql,
+    "evt_survival" -> survivalSql,
     "evt_percentiles" -> percentilesSql,
     "evt_window_agg" -> windowAggSql,
     "evt_setops" -> setOpsSql,

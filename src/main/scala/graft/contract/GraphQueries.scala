@@ -260,12 +260,176 @@ object GraphQueries {
        |ORDER BY v.vertex""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // graph_cluster_coeff — local clustering coefficient per vertex:
+  // cc(v) = 2·t(v) / (deg(v)·(deg(v)−1)) where t(v) is the number of
+  // triangles through v. Spark reuses the (deg, id)-oriented wedge join
+  // from graph_triangles (fan-out bounded by sqrt(m)) but CARRIES all
+  // three triangle corners through the closure probe and explodes each
+  // triangle into three per-vertex credits; the oracle recounts with the
+  // plain id-ordered three-way join and UNION ALLs the corners. The
+  // coefficient is a single double division of exact integers
+  // (2.0·t / deg·(deg−1)) — identical op order on both engines.
+  // -------------------------------------------------------------------
+  private def graphClusterCoeff(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairsOf(s, dir).localCheckpoint() // feeds deg + orientation + closure
+    val deg = symOf(pairs).groupBy(col("src").as("vertex")).agg(count(lit(1)).as("deg"))
+    val withDeg = pairs
+      .join(deg.select(col("vertex"), col("deg").as("deg_a")), pairs("doc_a") === col("vertex"))
+      .drop("vertex")
+      .join(deg.select(col("vertex"), col("deg").as("deg_b")), pairs("doc_b") === col("vertex"))
+      .drop("vertex")
+    def lt(d1: Column, v1: Column, d2: Column, v2: Column): Column =
+      d1 < d2 || (d1 === d2 && v1 < v2)
+    val oriented = withDeg
+      .select(
+        when(lt(col("deg_a"), col("doc_a"), col("deg_b"), col("doc_b")), col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(lt(col("deg_a"), col("doc_a"), col("deg_b"), col("doc_b")), col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(lt(col("deg_a"), col("doc_a"), col("deg_b"), col("doc_b")), col("deg_b")).otherwise(col("deg_a")).as("dst_deg")
+      )
+      .localCheckpoint() // wedge self-join + closure probe
+    val wedges = oriented
+      .as("e1")
+      .join(
+        oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          lt(col("e1.dst_deg"), col("e1.dst"), col("e2.dst_deg"), col("e2.dst"))
+      )
+      .select(col("e1.src").as("v1"), col("e1.dst").as("v2"), col("e2.dst").as("v3"))
+    val tri = wedges
+      .join(oriented.as("c"), col("v2") === col("c.src") && col("v3") === col("c.dst"))
+      .select("v1", "v2", "v3")
+    val perVertex = tri
+      .select(explode(array(col("v1"), col("v2"), col("v3"))).as("vertex"))
+      .groupBy("vertex")
+      .agg(count(lit(1)).as("tri"))
+    deg
+      .filter(col("deg") >= 2)
+      .join(perVertex, Seq("vertex"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .select(
+        col("vertex"),
+        col("deg"),
+        col("tri"),
+        (round(lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)), 6) + 0.0).as("cc")
+      )
+      .transform(Norm.ordered(_, col("vertex")))
+  }
+
+  private val graphClusterCoeffSql: String =
+    s"""WITH ${DedupQueries.bandsCteSql},
+       |$pairsCteSql,
+       |tri AS (
+       |  SELECT e1.doc_a AS v1, e1.doc_b AS v2, e2.doc_b AS v3
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+       |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+       |),
+       |tv AS (SELECT v1 AS vertex FROM tri
+       |       UNION ALL SELECT v2 FROM tri
+       |       UNION ALL SELECT v3 FROM tri),
+       |tcnt AS (SELECT vertex, CAST(count(*) AS BIGINT) AS tri FROM tv GROUP BY 1)
+       |SELECT d.vertex, d.deg, COALESCE(t.tri, 0) AS tri,
+       |       round(2.0 * COALESCE(t.tri, 0) / (d.deg * (d.deg - 1)), 6) + 0.0 AS cc
+       |FROM deg d LEFT JOIN tcnt t ON d.vertex = t.vertex
+       |WHERE d.deg >= 2
+       |ORDER BY d.vertex""".stripMargin
+
+  // -------------------------------------------------------------------
+  // graph_jaccard — link prediction by neighborhood Jaccard: for every
+  // NON-edge pair (u < v) sharing >= 1 common neighbor, score
+  // jac = |N(u) ∩ N(v)| / (deg(u) + deg(v) − |∩|), and keep the top
+  // JacTopK by (jac desc, u, v). Common neighbors are enumerated as
+  // wedges grouped by center; centers with deg > JacHubCap are excluded
+  // from WEDGE GENERATION (both engines — the cap is part of the
+  // contract): the common-neighbor join is inherently quadratic in the
+  // center's degree, and capping hubs is the standard production
+  // mitigation (a 10^6-degree hub would emit 10^12 wedges; its common
+  // neighborships are the least informative for link prediction
+  // precisely because the hub connects everything). deg(u)/deg(v) in
+  // the denominator remain the FULL degrees. The score is one double
+  // division of exact integers; ordering ties break on (u, v).
+  // -------------------------------------------------------------------
+  private val JacHubCap = 64
+  private val JacTopK = 50
+
+  private def graphJaccard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = pairsOf(s, dir).localCheckpoint() // feeds sym/deg + the anti join
+    val sym = symOf(pairs)
+    val deg = sym.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("deg"))
+    val capped = sym
+      .join(deg.withColumnRenamed("vertex", "src").withColumnRenamed("deg", "cdeg"), "src")
+      .filter(col("cdeg") <= JacHubCap)
+      .select("src", "dst")
+    val cn = capped
+      .as("a")
+      .join(capped.as("b"), col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("u"), col("b.dst").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    val nonEdges = cn.join(
+      pairs,
+      cn("u") === pairs("doc_a") && cn("v") === pairs("doc_b"),
+      "left_anti"
+    )
+    val scored = nonEdges
+      .join(deg.select(col("vertex"), col("deg").as("deg_u")), col("u") === col("vertex"))
+      .drop("vertex")
+      .join(deg.select(col("vertex"), col("deg").as("deg_v")), col("v") === col("vertex"))
+      .drop("vertex")
+      .withColumn("jac", col("cn").cast("double") / (col("deg_u") + col("deg_v") - col("cn")))
+    val w = Window.orderBy(col("jac").desc, col("u").asc, col("v").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= JacTopK)
+      .select(
+        col("rank"),
+        col("u"),
+        col("v"),
+        col("cn"),
+        col("deg_u"),
+        col("deg_v"),
+        (round(col("jac"), 6) + 0.0).as("jac")
+      )
+      .transform(Norm.ordered(_, col("rank")))
+  }
+
+  private val graphJaccardSql: String =
+    s"""WITH ${DedupQueries.bandsCteSql},
+       |$pairsCteSql,
+       |capped AS (
+       |  SELECT e.s AS src, e.d AS dst FROM sym e
+       |  JOIN deg c ON e.s = c.vertex
+       |  WHERE c.deg <= $JacHubCap
+       |),
+       |cn AS (
+       |  SELECT a.dst AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS cn
+       |  FROM capped a JOIN capped b ON a.src = b.src AND a.dst < b.dst
+       |  GROUP BY 1, 2
+       |),
+       |ne AS (
+       |  SELECT c.* FROM cn c
+       |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_a = c.u AND p.doc_b = c.v)
+       |),
+       |scored AS (
+       |  SELECT n.u, n.v, n.cn, du.deg AS deg_u, dv.deg AS deg_v,
+       |         CAST(n.cn AS DOUBLE) / (du.deg + dv.deg - n.cn) AS jac
+       |  FROM ne n JOIN deg du ON n.u = du.vertex JOIN deg dv ON n.v = dv.vertex
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY jac DESC, u, v) AS BIGINT) AS rank,
+       |       u, v, cn, deg_u, deg_v, round(jac, 6) + 0.0 AS jac
+       |FROM scored
+       |QUALIFY rank <= $JacTopK
+       |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degree" -> graphDegree,
     "graph_triangles" -> graphTriangles,
     "graph_pagerank" -> graphPagerank,
     "graph_bfs" -> graphBfs,
-    "graph_kcore" -> graphKcore
+    "graph_kcore" -> graphKcore,
+    "graph_cluster_coeff" -> graphClusterCoeff,
+    "graph_jaccard" -> graphJaccard
   )
 
   val oracle: Map[String, String] = Map(
@@ -273,6 +437,8 @@ object GraphQueries {
     "graph_triangles" -> graphTrianglesSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_bfs" -> graphBfsSql,
-    "graph_kcore" -> graphKcoreSql
+    "graph_kcore" -> graphKcoreSql,
+    "graph_cluster_coeff" -> graphClusterCoeffSql,
+    "graph_jaccard" -> graphJaccardSql
   )
 }
