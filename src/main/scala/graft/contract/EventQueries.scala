@@ -1786,6 +1786,64 @@ object EventQueries {
        |FROM by_t
        |ORDER BY t""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_benford — Benford's-law first-digit audit of the value column
+  // (the classic fabricated-data / instrumentation-bug detector): the
+  // distribution of the first significant digit of positive amounts
+  // vs the Benford expectation log10(1 + 1/d). The first digit is
+  // extracted from the DECIMAL STRING of integer cents (pure string op,
+  // no log10/pow on data — libm never touches a data value); the
+  // expected probabilities are compile-time Scala literals spliced into
+  // ONE shared CASE expression both engines parse (round-trip doubles,
+  // parity by construction). Deviation = round(obs/total − p, 6): a
+  // double division of exact integers minus a shared literal.
+  // -------------------------------------------------------------------
+  private val benfordCase: String =
+    "CASE digit " +
+      (1 to 9).map(d => s"WHEN $d THEN ${math.log10(1.0 + 1.0 / d)}").mkString(" ") +
+      " END"
+
+  private def benford(s: SparkSession, dir: String): DataFrame = {
+    val digits = ev(s, dir)
+      .withColumn("cents", round(col("value") * 100.0).cast("long"))
+      .filter(col("cents") > 0)
+      .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("long"))
+    digits
+      .groupBy("digit")
+      .agg(count(lit(1)).as("observed"))
+      .withColumn("total", sum(col("observed")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("benford_p", expr(benfordCase))
+      .select(
+        col("digit"),
+        col("observed"),
+        col("total"),
+        (round(col("observed").cast("double") / col("total").cast("double"), 6) + 0.0).as("obs_frac"),
+        (round(col("benford_p"), 6) + 0.0).as("benford_p"),
+        (round(col("observed").cast("double") / col("total").cast("double") - col("benford_p"), 6) + 0.0)
+          .as("dev")
+      )
+      .transform(Norm.ordered(_, col("digit")))
+  }
+
+  private val benfordSql: String =
+    s"""WITH digits AS (
+       |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM (SELECT CAST(round(value * 100.0) AS BIGINT) AS cents FROM events)
+       |  WHERE cents > 0
+       |), counts AS (
+       |  SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM digits GROUP BY 1
+       |), t AS (
+       |  SELECT digit, observed, CAST(sum(observed) OVER () AS BIGINT) AS total,
+       |         $benfordCase AS benford_p
+       |  FROM counts
+       |)
+       |SELECT digit, observed, total,
+       |       round(CAST(observed AS DOUBLE) / CAST(total AS DOUBLE), 6) + 0.0 AS obs_frac,
+       |       round(benford_p, 6) + 0.0 AS benford_p,
+       |       round(CAST(observed AS DOUBLE) / CAST(total AS DOUBLE) - benford_p, 6) + 0.0 AS dev
+       |FROM t
+       |ORDER BY digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
@@ -1814,6 +1872,7 @@ object EventQueries {
     "evt_mad_outliers" -> madOutliers,
     "evt_acf" -> acf,
     "evt_survival" -> survival,
+    "evt_benford" -> benford,
     "evt_percentiles" -> percentiles,
     "evt_window_agg" -> windowAgg,
     "evt_setops" -> setOps,
@@ -1850,6 +1909,7 @@ object EventQueries {
     "evt_mad_outliers" -> madOutliersSql,
     "evt_acf" -> acfSql,
     "evt_survival" -> survivalSql,
+    "evt_benford" -> benfordSql,
     "evt_percentiles" -> percentilesSql,
     "evt_window_agg" -> windowAggSql,
     "evt_setops" -> setOpsSql,

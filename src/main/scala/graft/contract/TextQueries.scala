@@ -798,9 +798,134 @@ object TextQueries {
        |ORDER BY ph.phrase""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // text_collocations — collocation mining by POINTWISE LIFT (the PMI
+  // exponential: lift = N·c(w1w2) / (c(w1)·c(w2)), PMI = log2(lift)):
+  // adjacent-token pairs whose corpus frequency beats the independence
+  // expectation. The log is deliberately NOT taken — lift carries the
+  // identical ranking and stays a single double division of exact int64
+  // products (log2 would drag libm in). Pairs below CollMinCount are
+  // pruned BEFORE the unigram joins (the classic support threshold —
+  // it also bounds the scored relation, so the top-k window sees only
+  // frequent-pair candidates, never the long bigram tail). Unigram
+  // denominators use TOKEN counts (not bigram starts — the standard
+  // collocation formulation).
+  // -------------------------------------------------------------------
+  private val CollMinCount = 5
+  private val CollTopK = 50
+
+  private def collocations(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val toks = d.select(explode(col("ws")).as("w")).localCheckpoint() // feeds uni counts + N
+    val bg = d
+      .filter(size(col("ws")) >= 2)
+      .select(
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> named_struct('w1', element_at(ws, i), 'w2', element_at(ws, i + 1)))"
+        )).as("b")
+      )
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).filter(col("c12") >= CollMinCount)
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    val scored = big
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift", (col("n") * col("c12")).cast("double") / (col("c1") * col("c2")).cast("double"))
+    val w = Window.orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= CollTopK)
+      .select(
+        col("rank"),
+        col("w1"),
+        col("w2"),
+        col("c12"),
+        col("c1"),
+        col("c2"),
+        (round(col("lift"), 6) + 0.0).as("lift")
+      )
+      .transform(Norm.ordered(_, col("rank")))
+  }
+
+  private val collocationsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |), toks AS (
+       |  SELECT unnest(ws) AS w FROM d
+       |), bg AS (
+       |  SELECT b.w1 AS w1, b.w2 AS w2
+       |  FROM (SELECT unnest(list_transform(range(len(ws) - 1), i ->
+       |                 struct_pack(w1 := ws[i + 1], w2 := ws[i + 2]))) AS b
+       |        FROM d WHERE len(ws) >= 2)
+       |), big AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+       |  HAVING count(*) >= $CollMinCount
+       |), uni AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+       |), total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+       |scored AS (
+       |  SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+       |         CAST(t.n * b.c12 AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+       |  FROM big b
+       |  JOIN uni u1 ON b.w1 = u1.w
+       |  JOIN uni u2 ON b.w2 = u2.w
+       |  CROSS JOIN total t
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT) AS rank,
+       |       w1, w2, c12, c1, c2, round(lift, 6) + 0.0 AS lift
+       |FROM scored
+       |QUALIFY rank <= $CollTopK
+       |ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // text_bpe_pairs — the counting step of ONE byte-pair-encoding merge
+  // iteration (the inner loop of BPE tokenizer training): every
+  // adjacent CHARACTER pair inside every word occurrence, counted
+  // corpus-wide, top BpeTopK by frequency. substring(w, i, 2) emits the
+  // pair directly (no concat of two probes); at training scale the same
+  // plan runs over the word-frequency table (count-weighted) instead of
+  // raw occurrences — here occurrences ARE the weights. Integer counts
+  // only; deterministic (cnt desc, pair asc) ranking.
+  // -------------------------------------------------------------------
+  private val BpeTopK = 30
+
+  private def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+    val counts = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("pair").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= BpeTopK)
+      .select(col("rank"), col("pair"), col("cnt"))
+      .transform(Norm.ordered(_, col("rank")))
+  }
+
+  private val bpePairsSql: String =
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |), pairs AS (
+       |  SELECT unnest(list_transform(range(length(w) - 1), i -> substr(w, i + 1, 2))) AS pair
+       |  FROM words WHERE length(w) >= 2
+       |), counts AS (
+       |  SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank, pair, cnt
+       |FROM counts
+       |QUALIFY rank <= $BpeTopK
+       |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_inverted_index" -> invertedIndex,
     "text_phrase_search" -> phraseSearch,
+    "text_collocations" -> collocations,
+    "text_bpe_pairs" -> bpePairs,
     "text_bigram_lm" -> bigramLm,
     "text_vocab_coverage" -> vocabCoverage,
     "text_para_dedup" -> paraDedup,
@@ -1042,6 +1167,8 @@ object TextQueries {
     "text_vocab_coverage" -> vocabCoverageSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_phrase_search" -> phraseSearchSql,
+    "text_collocations" -> collocationsSql,
+    "text_bpe_pairs" -> bpePairsSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_lm_score" -> lmScoreSql,
     "text_repetition" -> textRepetitionSql,
