@@ -239,15 +239,84 @@ object ClusterQueries {
        |SELECT query_id, rank, neighbor_id, round(d2, 6) + 0.0 AS d2
        |FROM ranked WHERE rank <= $IvfKmTopK ORDER BY query_id, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // vec_silhouette — clustering quality per cluster by the SIMPLIFIED
+  // (centroid-based) silhouette: a(i) = distance to own centroid,
+  // b(i) = distance to the nearest OTHER centroid,
+  // s(i) = (b − a) / max(a, b). The classic silhouette needs all
+  // pairwise point distances (O(n²) — the reason sklearn ships
+  // `silhouette_score(sample_size=…)`); the centroid form is the
+  // standard O(n·k) scale substitute and is exact for the k-means
+  // objective's purposes. Per-point work is one broadcast cross join
+  // against the ROUNDED final centroids (the determinism anchor every
+  // kmeans consumer shares); the per-cluster MEAN is accumulated in
+  // exact integer micro-units of the 6-dp-rounded per-point scores
+  // (trap: a double sum over ~1e3 signed values flips 6-dp boundaries
+  // under aggregation-order noise; integer sums don't).
+  // -------------------------------------------------------------------
+  private def vecSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val (longForm, assigned) = kmeans(s, dir)
+    val cents = toVectors(longForm)
+    val d2 = expr(d2Spark.format("v", "cv"))
+    val ab = assigned
+      .crossJoin(broadcast(cents.withColumnRenamed("cid", "ccid")))
+      .withColumn("d2", d2)
+      .groupBy("vec_id", "cid")
+      .agg(
+        min(when(col("cid") === col("ccid"), col("d2"))).as("a2"),
+        min(when(col("cid") =!= col("ccid"), col("d2"))).as("b2")
+      )
+    val sil = ab
+      .withColumn("a", sqrt(col("a2")))
+      .withColumn("b", sqrt(col("b2")))
+      .withColumn(
+        "sraw",
+        when(greatest(col("a"), col("b")) === 0.0, 0.0)
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b")))
+      )
+      .withColumn("micro", round(col("sraw") * 1000000.0).cast("long"))
+    sil
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("micro")).as("sm"))
+      .select(
+        col("cid"),
+        col("n_vecs"),
+        (round(col("sm").cast("double") / (col("n_vecs") * 1000000L).cast("double"), 6) + 0.0)
+          .as("mean_sil")
+      )
+      .transform(Norm.ordered(_, col("cid")))
+  }
+
+  private val vecSilhouetteSql: String =
+    s"""WITH $kmeansCteSql,
+       |ab AS (
+       |  SELECT a.vec_id, a.cid,
+       |         min(CASE WHEN c.cid = a.cid THEN ${d2Duck("a.v", "c.cv")} END) AS a2,
+       |         min(CASE WHEN c.cid <> a.cid THEN ${d2Duck("a.v", "c.cv")} END) AS b2
+       |  FROM a$Iters a CROSS JOIN c$Iters c
+       |  GROUP BY 1, 2
+       |), sil AS (
+       |  SELECT vec_id, cid,
+       |         CAST(round(CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0.0 THEN 0.0
+       |                         ELSE (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)) END
+       |                    * 1000000.0) AS BIGINT) AS micro
+       |  FROM ab
+       |)
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       round(CAST(sum(micro) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE), 6) + 0.0 AS mean_sil
+       |FROM sil GROUP BY cid ORDER BY cid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_kmeans" -> vecKmeans,
     "dedup_semantic" -> dedupSemantic,
-    "ann_ivf_kmeans" -> annIvfKmeans
+    "ann_ivf_kmeans" -> annIvfKmeans,
+    "vec_silhouette" -> vecSilhouette
   )
 
   val oracle: Map[String, String] = Map(
     "vec_kmeans" -> vecKmeansSql,
     "dedup_semantic" -> dedupSemanticSql,
-    "ann_ivf_kmeans" -> annIvfKmeansSql
+    "ann_ivf_kmeans" -> annIvfKmeansSql,
+    "vec_silhouette" -> vecSilhouetteSql
   )
 }

@@ -459,9 +459,53 @@ object PipelineQueries {
        |ORDER BY t.lang""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // corpus_curriculum — the training-ORDER manifest: easy→hard
+  // curriculum over quality buckets with a deterministic shuffle INSIDE
+  // each bucket (straight quality order would correlate adjacent
+  // batches; the hash shuffle decorrelates them while keeping the
+  // bucket progression). Composes the engine's own primitives: quality
+  // quartile rank (PrefixSum two-phase global rank — no single-
+  // partition window), [[graft.ccm.DetHash]] as the seeded in-bucket
+  // shuffle key, and a second PrefixSum pass for the final ordinal.
+  // Every ordering key is exact-integer; the output is the
+  // (ordinal → doc) manifest a trainer would consume.
+  // -------------------------------------------------------------------
+  private val CurrSeed = 7L
+
+  private def corpusCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val q = TextQueries.qualityBase(docs(s, dir)).select("doc_id", "n_tokens", "quality")
+    val nDocs = docs(s, dir).count() // driver scalar — metadata, like the oracle's subquery
+    val bucketed = PrefixSum
+      .runningSumPinned(q, Seq(col("quality").desc, col("doc_id")), lit(1L), "rank")
+      .withColumn("bucket", expr(s"((rank - 1) * $NBuckets) div $nDocs"))
+      .withColumn("shuffle_key", DetHash.rankHashCol(col("doc_id"), lit(2), lit(0), CurrSeed))
+    PrefixSum
+      .runningSumPinned(bucketed, Seq(col("bucket").asc, col("shuffle_key").asc, col("doc_id").asc), lit(1L), "ordinal")
+      .select(col("ordinal"), col("doc_id"), col("bucket"), col("shuffle_key"), col("n_tokens"))
+      .transform(Norm.ordered(_, col("ordinal")))
+  }
+
+  private val corpusCurriculumSql: String = {
+    val shuffleKey = DetHash.rankHashSql("doc_id", "2", "0", CurrSeed)
+    s"""WITH ${TextQueries.qualityCteSql},
+       |r AS (SELECT doc_id, n_tokens, quality,
+       |        CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+       |      FROM qc),
+       |b AS (SELECT doc_id, n_tokens,
+       |        ((rank - 1) * $NBuckets) // (SELECT count(*) FROM documents) AS bucket,
+       |        $shuffleKey AS shuffle_key
+       |      FROM r)
+       |SELECT CAST(row_number() OVER (ORDER BY bucket, shuffle_key, doc_id) AS BIGINT) AS ordinal,
+       |       doc_id, bucket, shuffle_key, n_tokens
+       |FROM b
+       |ORDER BY ordinal""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "contam_check" -> contamCheck,
     "corpus_prep" -> corpusPrep,
+    "corpus_curriculum" -> corpusCurriculum,
     "quantile_bucket" -> quantileBucket,
     "pack_windows" -> packWindows,
     "sample_mixture" -> sampleMixture,
@@ -472,6 +516,7 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "contam_check" -> contamCheckSql,
     "corpus_prep" -> corpusPrepSql,
+    "corpus_curriculum" -> corpusCurriculumSql,
     "quantile_bucket" -> quantileBucketSql,
     "pack_windows" -> packWindowsSql,
     "sample_mixture" -> sampleMixtureSql,
