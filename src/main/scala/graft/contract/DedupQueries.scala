@@ -272,6 +272,95 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // dedup_minhash_est — MinHash ESTIMATOR calibration on the LSH
+  // candidate pairs: the slot-match fraction (matches/8 — the unbiased
+  // MinHash Jaccard estimate) against the EXACT distinct-shingle
+  // Jaccard, with the signed error per pair. With k = 8 permutations
+  // the estimate is k-quantized (std ≈ sqrt(j(1−j)/8) ≈ 0.17 at
+  // j = 0.5) — the measured error column is the evidence for how many
+  // permutations a production near-dup bar needs, the same
+  // estimator-vs-truth methodology as sketch_cms_error/ann_recall_eval.
+  // The candidate set is LSH-bounded (never all-pairs); the exact
+  // intersection runs once per candidate in a single projection (no
+  // downstream filter exists to duplicate it through pushdown).
+  // -------------------------------------------------------------------
+  private def minhashEst(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigRaw(s, dir).localCheckpoint() // feeds the band join AND both estimate sides
+    val long = bandsFrom(sig)
+    val pairs = long
+      .as("a")
+      .join(
+        long.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val matches = (0 until NumPerms)
+      .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sets = shingled(s, dir)
+      .select(col("doc_id"), expr("array_distinct(shh)").as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .localCheckpoint() // both sides of the pair join
+    val withEst = pairs
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), matches.as("matches"))
+    withEst
+      .join(sets.select(col("doc_id"), col("sh").as("sh_a"), col("sz").as("sz_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sets.select(col("doc_id"), col("sh").as("sh_b"), col("sz").as("sz_b")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_common"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("matches"),
+        col("n_common"),
+        col("n_union"),
+        (round(col("matches").cast("double") / lit(NumPerms.toDouble), 6) + 0.0).as("est_j"),
+        (round(col("n_common").cast("double") / col("n_union").cast("double"), 6) + 0.0).as("exact_j"),
+        (round(
+          col("matches").cast("double") / lit(NumPerms.toDouble) -
+            col("n_common").cast("double") / col("n_union").cast("double"),
+          6
+        ) + 0.0).as("err")
+      )
+      .transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
+  }
+
+  private val minhashEstSql: String = {
+    val matchSum = (0 until NumPerms)
+      .map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $bandsCteSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |sets AS (SELECT doc_id, list_distinct(shh) AS sh FROM ds),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b, CAST($matchSum AS BIGINT) AS matches
+       |  FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id
+       |),
+       |ex AS (
+       |  SELECT e.doc_a, e.doc_b, e.matches,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+       |         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+       |  FROM est e JOIN sets a ON e.doc_a = a.doc_id JOIN sets b ON e.doc_b = b.doc_id
+       |)
+       |SELECT doc_a, doc_b, matches, n_common, n_union,
+       |       round(CAST(matches AS DOUBLE) / ${NumPerms.toDouble}, 6) + 0.0 AS est_j,
+       |       round(CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE), 6) + 0.0 AS exact_j,
+       |       round(CAST(matches AS DOUBLE) / ${NumPerms.toDouble} -
+       |             CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE), 6) + 0.0 AS err
+       |FROM ex
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // dedup_ngram_jaccard — n-gram Jaccard similarity verification within a
   // blocking key (source): |A ∩ B| / |A ∪ B| over distinct shingle hashes,
   // reporting pairs with jaccard >= MinJaccard.
@@ -1085,6 +1174,7 @@ object DedupQueries {
     "dedup_lsh_quality_sampled" -> dedupLshQualitySampled,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> minhashSig,
+    "dedup_minhash_est" -> minhashEst,
     "dedup_lsh_pairs" -> lshPairs,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
@@ -1104,6 +1194,7 @@ object DedupQueries {
     "dedup_lsh_quality_sampled" -> dedupLshQualitySampledSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSigSql,
+    "dedup_minhash_est" -> minhashEstSql,
     "dedup_lsh_pairs" -> lshPairsSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
