@@ -3,6 +3,7 @@ package graft.contract
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ccm.FftSurrogate
 
 /** Event-stream relational operators (SURVEY §2b depth): gap-based
   * sessionization, rollup aggregation, and an as-of join.
@@ -1787,6 +1788,80 @@ object EventQueries {
        |ORDER BY t""".stripMargin
 
   // -------------------------------------------------------------------
+  // evt_periodogram — discrete Fourier power spectrum of the DAILY
+  // EVENT-COUNT series (seasonality detector — the frequency-domain
+  // complement of evt_acf/evt_seasonal_decompose): for each integer
+  // frequency f in 1..n/2 over the gap-filled day spine,
+  // re = Σ x_t·cos(2πft/n), im = −Σ x_t·sin(2πft/n),
+  // power_frac = (re² + im²)/(n·Σx²) — the spectrum NORMALIZED by total
+  // energy. The same deterministic O(n²) join-aggregate DFT as
+  // [[graft.ccm.FftSurrogate]] (whose oracle established that
+  // engine-native cos/sin/sqrt agree bit-for-bit on these inputs); n is
+  // the DAY COUNT, so the quadratic term and the single-partition spine
+  // stay bounded at any corpus size. f = 0 (the DC bin — just the
+  // series sum) is excluded: for f >= 1 the non-demeaned and demeaned
+  // spectra coincide mathematically, so no double-valued mean ever
+  // enters the sums. Normalization is load-bearing for parity, not
+  // cosmetics: RAW power grows like (Σx)² and a 6-dp ABSOLUTE round of
+  // a ~1e10 value sits below aggregation-order noise at sf0.1 — the
+  // energy fraction is O(1) with ~1e-14 relative noise at any corpus
+  // size, so the 6-dp gate is deterministic everywhere.
+  // -------------------------------------------------------------------
+  private def periodogram(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(expr(s"tus div $DayUs").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val spine = daily
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select((col("day") - col("d0")).as("t"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint() // feeds the frequency grid AND the DFT join
+    val n = spine.agg(count(lit(1)).as("n"), sum(col("x") * col("x")).as("q"))
+    val freqs = spine
+      .crossJoin(broadcast(n))
+      .select(col("t").as("f"), col("n"), col("q"))
+      .filter(col("f") >= 1 && col("f") * 2 <= col("n"))
+    val angle = lit(FftSurrogate.TwoPi) * (col("f") * col("t")) / col("n")
+    freqs
+      .crossJoin(spine.select(col("t"), col("x")))
+      .groupBy(col("f"), col("n"), col("q"))
+      .agg(
+        sum(col("x") * cos(angle)).as("re"),
+        sum(-col("x") * sin(angle)).as("im")
+      )
+      .select(
+        col("f"),
+        col("n"),
+        (round((col("re") * col("re") + col("im") * col("im")) / col("n") / col("q"), 6) + 0.0)
+          .as("power_frac")
+      )
+      .transform(Norm.ordered(_, col("f")))
+  }
+
+  private val periodogramSql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // $DayUs AS day, CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1
+       |), spine AS (
+       |  SELECT s.day - (SELECT min(day) FROM daily) AS t, COALESCE(d.x, 0) AS x
+       |  FROM (SELECT unnest(generate_series((SELECT min(day) FROM daily),
+       |                                      (SELECT max(day) FROM daily))) AS day) s
+       |  LEFT JOIN daily d ON s.day = d.day
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x * x) AS BIGINT) AS q FROM spine),
+       |freqs AS (
+       |  SELECT t AS f, n, q FROM spine CROSS JOIN nn WHERE t >= 1 AND t * 2 <= n
+       |)
+       |SELECT f.f, f.n,
+       |       round((sum(p.x * cos(${FftSurrogate.TwoPi} * (f.f * p.t) / f.n)) *
+       |              sum(p.x * cos(${FftSurrogate.TwoPi} * (f.f * p.t) / f.n)) +
+       |              sum(-p.x * sin(${FftSurrogate.TwoPi} * (f.f * p.t) / f.n)) *
+       |              sum(-p.x * sin(${FftSurrogate.TwoPi} * (f.f * p.t) / f.n))) / f.n / f.q, 6) + 0.0 AS power_frac
+       |FROM freqs f CROSS JOIN spine p
+       |GROUP BY f.f, f.n, f.q
+       |ORDER BY f.f""".stripMargin
+
+  // -------------------------------------------------------------------
   // evt_benford — Benford's-law first-digit audit of the value column
   // (the classic fabricated-data / instrumentation-bug detector): the
   // distribution of the first significant digit of positive amounts
@@ -1873,6 +1948,7 @@ object EventQueries {
     "evt_acf" -> acf,
     "evt_survival" -> survival,
     "evt_benford" -> benford,
+    "evt_periodogram" -> periodogram,
     "evt_percentiles" -> percentiles,
     "evt_window_agg" -> windowAgg,
     "evt_setops" -> setOps,
@@ -1910,6 +1986,7 @@ object EventQueries {
     "evt_acf" -> acfSql,
     "evt_survival" -> survivalSql,
     "evt_benford" -> benfordSql,
+    "evt_periodogram" -> periodogramSql,
     "evt_percentiles" -> percentilesSql,
     "evt_window_agg" -> windowAggSql,
     "evt_setops" -> setOpsSql,
