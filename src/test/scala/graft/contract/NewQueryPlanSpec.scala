@@ -100,4 +100,69 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(aggsBelow >= 4, s"the per-term and histogram aggregations must run below the window, got $aggsBelow")
     assert(!p.contains("SortMergeJoin"), "thresholds must attach without a data-proportional shuffle join")
   }
+
+  test("evt_acf pairs all lags in ONE window pass over the day spine (leads collapse)") {
+    val p = plan("evt_acf")
+    val windows = "(?m)^\\s*[*+:\\-() 0-9]*Window ".r.findAllIn(p).size
+    assert(windows == 1, s"expected ONE Window (all lead columns share the frame), got $windows in:\n$p")
+    assert(p.contains("Generate stack"), "per-lag pairs must unpivot via stack, not per-lag re-scans")
+  }
+
+  test("evt_survival never shuffle-joins: max-day attaches by broadcast, at-risk is one tiny window") {
+    val p = plan("evt_survival")
+    assert(!p.contains("SortMergeJoin"), "corpus max day must attach by broadcast, not a shuffle join")
+    val windows = "(?m)^\\s*[*+:\\-() 0-9]*Window ".r.findAllIn(p).size
+    assert(windows == 1, s"expected ONE window (reverse cumsum over the lifetime histogram), got $windows")
+  }
+
+  test("evt_benford is join-free: digit histogram + a 9-row total window") {
+    val p = plan("evt_benford")
+    assert(!p.contains("Join"), "first-digit audit needs no join")
+  }
+
+  test("evt_periodogram's DFT join is bounded: no shuffle join, no window") {
+    val p = plan("evt_periodogram")
+    assert(!p.contains("SortMergeJoin"), "the freqs x spine product is day-bounded, never a data shuffle join")
+    assert(!p.contains("Window"), "the DFT is a pure join-aggregate, no window pass")
+  }
+
+  test("graph_cluster_coeff credits triangles via explode, not three re-joins") {
+    val p = plan("graph_cluster_coeff")
+    assert(p.contains("Generate explode"), "per-vertex credit must explode the 3 corners in-stage")
+    assert(!p.contains("CartesianProduct"), "wedge and closure joins must stay equi-keyed")
+  }
+
+  test("graph_jaccard excludes existing edges with an anti join and never goes cartesian") {
+    val p = plan("graph_jaccard")
+    assert(p.contains("LeftAnti"), "non-edge filtering must be a left-anti join against the pair list")
+    assert(!p.contains("CartesianProduct"), "wedge enumeration must stay equi-keyed on the center")
+  }
+
+  test("text_collocations attaches the token total by broadcast and ranks once") {
+    val p = plan("text_collocations")
+    assert(!p.contains("CartesianProduct"), "the 1-row total must attach by broadcast nested loop")
+    val windows = "(?m)^\\s*[*+:\\-() 0-9]*Window ".r.findAllIn(p).size
+    assert(windows == 1, s"expected ONE top-k window over support-filtered pairs, got $windows")
+  }
+
+  test("text_bpe_pairs is explode + count + one top-k window: no join") {
+    val p = plan("text_bpe_pairs")
+    assert(!p.contains("Join"), "pair counting needs no join")
+    val windows = "(?m)^\\s*[*+:\\-() 0-9]*Window ".r.findAllIn(p).size
+    assert(windows == 1, s"expected ONE top-k window, got $windows")
+  }
+
+  test("vec_silhouette's centroid distances come from a broadcast product, never a shuffle join") {
+    val p = plan("vec_silhouette")
+    assert(!p.contains("SortMergeJoin"), "centroids are k-bounded and must broadcast")
+    assert(!p.contains("Window"), "the per-cluster mean is a hash aggregate, no window")
+  }
+
+  test("dedup_minhash_est runs the exact intersection ONCE per candidate (single projection)") {
+    val p = plan("dedup_minhash_est")
+    val intersects = "array_intersect".r.findAllIn(p).size
+    // n_common feeds n_union, est/exact/err — all must read one shared
+    // array_intersect, not re-evaluate it per consumer
+    assert(intersects <= 2, s"array_intersect must not be duplicated per consumer, got $intersects")
+  }
 }
