@@ -422,6 +422,55 @@ object GraphQueries {
        |QUALIFY rank <= $JacTopK
        |ORDER BY rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // graph_ppr — PERSONALIZED PageRank from the same stride-50 seed set
+  // graph_bfs uses: teleport mass (1−d)·1/|seeds| lands on seeds only,
+  // so rank measures graph PROXIMITY to the curated set (seed-biased
+  // relevance/trust propagation) instead of global centrality. Same
+  // per-round shuffle shape as graph_pagerank (one vertex-keyed
+  // equi-join + partial-agg sum — see [[graft.operators.PageRank
+  // .runPersonalized]]); the oracle unrolls the recurrence with the
+  // seed-indicator teleport carried on the vertex relation, mirroring
+  // the Spark left-join so teleport-only vertices survive every round.
+  // -------------------------------------------------------------------
+  private def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val sym = symOf(pairsOf(s, dir))
+    val seeds = sym
+      .select(col("src").as("vertex"))
+      .distinct()
+      .filter(col("vertex") % BfsSeedStride === 0)
+    PageRank
+      .runPersonalized(sym, seeds, PrIters, PrDamping)
+      .select(col("vertex"), Norm.rnd(col("rank"), 6).as("ppr"))
+      .transform(Norm.ordered(_, col("vertex")))
+  }
+
+  private val graphPprSql: String = {
+    val iters = (1 to PrIters)
+      .map { i =>
+        s"""pr$i AS (
+           |  SELECT v.vertex, ${1.0 - PrDamping} * v.tp + $PrDamping * COALESCE(c.contrib, 0.0) AS rank
+           |  FROM verts v LEFT JOIN (
+           |    SELECT y.d AS vertex, sum(p.rank / g.deg) AS contrib
+           |    FROM sym y JOIN pr${i - 1} p ON p.vertex = y.s JOIN deg g ON g.vertex = y.s
+           |    GROUP BY y.d
+           |  ) c ON v.vertex = c.vertex)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH ${DedupQueries.bandsCteSql},
+       |$pairsCteSql,
+       |seeds AS (SELECT DISTINCT s AS v FROM sym WHERE s % $BfsSeedStride = 0),
+       |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+       |verts AS (
+       |  SELECT d.vertex,
+       |         CASE WHEN sd.v IS NOT NULL THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS tp
+       |  FROM deg d LEFT JOIN seeds sd ON d.vertex = sd.v
+       |),
+       |pr0 AS (SELECT vertex, tp AS rank FROM verts),
+       |$iters
+       |SELECT vertex, round(rank, 6) + 0.0 AS ppr FROM pr$PrIters ORDER BY vertex""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degree" -> graphDegree,
     "graph_triangles" -> graphTriangles,
@@ -429,7 +478,8 @@ object GraphQueries {
     "graph_bfs" -> graphBfs,
     "graph_kcore" -> graphKcore,
     "graph_cluster_coeff" -> graphClusterCoeff,
-    "graph_jaccard" -> graphJaccard
+    "graph_jaccard" -> graphJaccard,
+    "graph_ppr" -> graphPpr
   )
 
   val oracle: Map[String, String] = Map(
@@ -439,6 +489,7 @@ object GraphQueries {
     "graph_bfs" -> graphBfsSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_cluster_coeff" -> graphClusterCoeffSql,
-    "graph_jaccard" -> graphJaccardSql
+    "graph_jaccard" -> graphJaccardSql,
+    "graph_ppr" -> graphPprSql
   )
 }

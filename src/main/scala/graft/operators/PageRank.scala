@@ -84,4 +84,64 @@ object PageRank {
     Checkpoints.free(vRdds)
     ranks
   }
+
+  /** PERSONALIZED PageRank: teleport mass goes to a seed set instead of
+    * uniformly to every vertex — r_{t+1}(v) = (1−d)·s(v) + d·Σ contribs,
+    * s(v) = 1/|seeds| on seeds, 0 elsewhere; r_0 = s. Same shuffle shape
+    * as [[run]] (one equi-join + partial-agg sum per round, vertex-keyed
+    * throughout); the seed indicator is joined in ONCE and carried on the
+    * checkpointed vertex relation, so the per-iteration plan is identical
+    * to the global variant's. Ranks concentrate around the seeds — the
+    * "similar documents by graph proximity" primitive (seed-biased trust /
+    * relevance propagation).
+    *
+    * @param seeds one column of vertex ids; must be a subset of the
+    *              graph's vertices for the mass interpretation to hold
+    */
+  def runPersonalized(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int = 10,
+      damping: Double = 0.85,
+      reliableCheckpoints: Boolean = false
+  ): DataFrame = {
+    val e0 = edges.toDF("src", "dst")
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+    val (e, eRdds) = Checkpoints.tracked(e0.join(deg, "src"), reliableCheckpoints)
+    val sd = seeds.toDF("vertex").distinct()
+    val (vertices, vRdds) = Checkpoints.tracked(
+      e.select(col("src").as("vertex"))
+        .union(e.select(col("dst").as("vertex")))
+        .distinct()
+        .join(sd.select(col("vertex"), lit(1L).as("is_seed")), Seq("vertex"), "left")
+        .select(col("vertex"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+    )
+    val nSeeds = vertices.filter(col("is_seed") === 1L).count()
+    val sD = nSeeds.toDouble
+    val teleport = when(col("is_seed") === 1L, lit(1.0) / lit(sD)).otherwise(lit(0.0))
+    var (ranks, rankRdds) = Checkpoints.tracked(
+      vertices.select(col("vertex"), teleport.as("rank"))
+    )
+    for (i <- 1 to iterations) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("vertex"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+      val next = vertices
+        .join(contribs, vertices("vertex") === contribs("dst"), "left")
+        .select(
+          vertices("vertex"),
+          (lit(1.0 - damping) * teleport + lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank")
+        )
+      if (i % CheckpointInterval == 0 || i == iterations) {
+        val (cp, cpRdds) = Checkpoints.tracked(next, reliableCheckpoints)
+        Checkpoints.free(rankRdds)
+        ranks = cp
+        rankRdds = cpRdds
+      } else ranks = next
+    }
+    Checkpoints.free(eRdds)
+    Checkpoints.free(vRdds)
+    ranks
+  }
 }
