@@ -1437,6 +1437,103 @@ object SimQueries {
       s"list_transform(generate_series(1, $Dim), i -> ($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]) * " +
       s"($a[CAST(i AS INTEGER)] - $b[CAST(i AS INTEGER)]))), (acc, d) -> acc + d)"
 
+  // -------------------------------------------------------------------
+  // ann_sq_topk — SQ8 scalar-quantized search + exact rerank, the
+  // memory-compression family member between raw floats and PQ: each
+  // normalized coordinate is quantized to one byte against PER-DIMENSION
+  // global [min, max] ranges (the FAISS SQ8 layout — 64 B/vector vs
+  // 512 B raw, an 8× working-set cut with far better fidelity than
+  // PQ's 16 B codes). The scan computes squared-L2 over MIDPOINT-
+  // dequantized codes (graft_l2sq fixed fold — bit-identical across
+  // engines, so shortlist membership and order are deterministic),
+  // keeps an SqRerankR-deep shortlist per query, then re-scores only
+  // those with exact distances — the standard two-stage serving shape
+  // (cf. ann_ivfpq_rerank). Per-dimension ranges are a Dim-row
+  // aggregate (min/max are order-independent — no rounding anchor
+  // needed) collapsed to one broadcast row; quantization is map-side.
+  // -------------------------------------------------------------------
+  private val SqRerankR = 20
+
+  private def annSqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
+      .localCheckpoint() // feeds the dim-stats aggregate AND the coded scan
+    val dims = e
+      .select(posexplode(col("u")).as(Seq("p0", "x")))
+      .groupBy((col("p0") + 1).as("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val stats = dims.agg(
+      expr("transform(array_sort(collect_list(struct(pos, mn))), t -> t.mn)").as("mna"),
+      expr("transform(array_sort(collect_list(struct(pos, mx))), t -> t.mx)").as("mxa")
+    )
+    val dqExpr =
+      s"transform(sequence(1, $Dim), i -> " +
+        "CASE WHEN element_at(mxa, i) = element_at(mna, i) THEN element_at(mna, i) " +
+        "ELSE element_at(mna, i) + (least(floor((element_at(u, i) - element_at(mna, i)) / " +
+        "((element_at(mxa, i) - element_at(mna, i)) / 255.0)), 255.0D) + 0.5D) * " +
+        "((element_at(mxa, i) - element_at(mna, i)) / 255.0) END)"
+    val coded = e
+      .crossJoin(broadcast(stats))
+      .withColumn("dq", expr(dqExpr))
+      .select("vec_id", "u", "dq")
+      .localCheckpoint() // queries AND database side of the scan
+    val queries = coded
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"), col("dq").as("qdq"))
+    val w1 = Window.partitionBy("query_id").orderBy(col("d2q").asc, col("vec_id").asc)
+    val short = coded
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("d2q", expr("graft_l2sq(qdq, dq)"))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= SqRerankR)
+    val w2 = Window.partitionBy("query_id").orderBy(col("d2").asc, col("vec_id").asc)
+    short
+      .withColumn("d2", expr("graft_l2sq(qu, u)"))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), Norm.rnd(col("d2"), 6).as("d2"))
+      .transform(Norm.ordered(_, col("query_id"), col("rank")))
+  }
+
+  private val annSqTopkSql: String = {
+    val dq =
+      s"list_transform(generate_series(1, $Dim), i -> " +
+        "CASE WHEN mxa[CAST(i AS INTEGER)] = mna[CAST(i AS INTEGER)] THEN mna[CAST(i AS INTEGER)] " +
+        "ELSE mna[CAST(i AS INTEGER)] + (least(floor((u[CAST(i AS INTEGER)] - mna[CAST(i AS INTEGER)]) / " +
+        "((mxa[CAST(i AS INTEGER)] - mna[CAST(i AS INTEGER)]) / 255.0)), 255.0) + 0.5) * " +
+        "((mxa[CAST(i AS INTEGER)] - mna[CAST(i AS INTEGER)]) / 255.0) END)"
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+       |e AS (SELECT vec_id,
+       |        list_transform(v0, x -> x / sqrt(${dotDuck("v0", "v0")})) AS u
+       |      FROM e0),
+       |dims AS (
+       |  SELECT t.i AS pos, min(u[CAST(t.i AS INTEGER)]) AS mn, max(u[CAST(t.i AS INTEGER)]) AS mx
+       |  FROM e CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY 1
+       |),
+       |stats AS (SELECT list(mn ORDER BY pos) AS mna, list(mx ORDER BY pos) AS mxa FROM dims),
+       |coded AS (
+       |  SELECT vec_id, u, $dq AS dq FROM e CROSS JOIN stats
+       |),
+       |q AS (SELECT vec_id AS query_id, u AS qu, dq AS qdq FROM coded WHERE vec_id % $QueryStride = 0),
+       |short AS (
+       |  SELECT * FROM (
+       |    SELECT q.query_id, n.vec_id, q.qu, n.u,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${d2FullDuck("q.qdq", "n.dq")}, n.vec_id) AS r1
+       |    FROM coded n CROSS JOIN q WHERE q.query_id <> n.vec_id)
+       |  WHERE r1 <= $SqRerankR
+       |),
+       |rr AS (
+       |  SELECT query_id, vec_id, ${d2FullDuck("qu", "u")} AS d2,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY ${d2FullDuck("qu", "u")}, vec_id) AS BIGINT) AS rank
+       |  FROM short
+       |)
+       |SELECT query_id, rank, vec_id AS neighbor_id, round(d2, 6) + 0.0 AS d2
+       |FROM rr WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** cents → adc CTE chain shared by ann_ivfpq_topk / ann_ivfpq_rerank —
     * mirrors [[ivfPqWithLut]] + [[adcScored]] step for step.
     */
@@ -1706,6 +1803,7 @@ object SimQueries {
     "ann_pq_topk" -> annPqTopk,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "ann_ivfpq_rerank" -> annIvfPqRerank,
+    "ann_sq_topk" -> annSqTopk,
     "vec_centroid" -> vecCentroid,
     "vec_covariance" -> vecCovariance,
     "vec_pca_power" -> vecPcaPower,
@@ -1729,6 +1827,7 @@ object SimQueries {
     "ann_pq_topk" -> annPqTopkSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_ivfpq_rerank" -> annIvfPqRerankSql,
+    "ann_sq_topk" -> annSqTopkSql,
     "vec_centroid" -> vecCentroidSql,
     "vec_covariance" -> vecCovarianceSql,
     "vec_pca_power" -> vecPcaPowerSql,
