@@ -100,9 +100,109 @@ object MultimodalQueries {
        |       ${DetHash.polyHashSql("rz")} AS resized_hash
        |FROM rz ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mm_phash — perceptual AVERAGE-HASH (aHash) over the stub decode:
+  // per frame, the mean "pixel" (byte code) is compared against the
+  // payload's global mean; the resulting bit string (MSB = frame 0,
+  // acc·2+bit fold in frame order) is the media fingerprint, and docs
+  // sharing (ahash, n_frames) link to their lowest-id representative —
+  // the hash-keyed near-dup join of an image-dedup pipeline. The mean
+  // comparison is an INTEGER cross-multiply (s_f·L > S·l_f — no
+  // division ever happens), so the fingerprint is exact on both
+  // engines. A real codec swaps byte codes for luma; every shape
+  // around it — frame fan-out, integer fingerprint fold, hash-bucket
+  // dedup join — is the production plumbing. Frames cap at 62 bits
+  // (one BIGINT); longer payloads would hash 64-byte frames of a
+  // RESIZED payload first (mm_resize), exactly like aHash's 8x8
+  // downscale.
+  // -------------------------------------------------------------------
+  private def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    val frames = Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        expr(s"CAST((length(text) + ${FrameBytes - 1}) div $FrameBytes AS BIGINT)").as("n_frames")
+      )
+      .filter(col("n_frames") > 0 && col("n_frames") <= 62)
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id"),
+        col("text")
+      )
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        col("frame_id"),
+        expr(s"substring(text, CAST(frame_id * $FrameBytes + 1 AS INT), $FrameBytes)").as("fm")
+      )
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        col("frame_id"),
+        expr("aggregate(transform(sequence(1, length(fm)), i -> CAST(ascii(substring(fm, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> acc + c)")
+          .as("s_f"),
+        length(col("fm")).cast("long").as("l_f")
+      )
+    val bits = frames
+      .withColumn("s_tot", sum(col("s_f")).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("l_tot", sum(col("l_f")).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("bit", when(col("s_f") * col("l_tot") > col("s_tot") * col("l_f"), 1L).otherwise(0L))
+    val hashed = bits
+      .groupBy("doc_id", "n_frames")
+      .agg(expr("aggregate(array_sort(collect_list(struct(frame_id, bit))), CAST(0 AS BIGINT), (acc, x) -> acc * 2 + x.bit)").as("ahash"))
+      .localCheckpoint() // both sides of the dup join
+    hashed
+      .as("a")
+      .join(
+        hashed.as("b"),
+        col("a.ahash") === col("b.ahash") && col("a.n_frames") === col("b.n_frames") &&
+          col("a.doc_id") > col("b.doc_id"),
+        "left"
+      )
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.n_frames").as("n_frames"), col("a.ahash").as("ahash"))
+      .agg(min(col("b.doc_id")).as("dup_of"))
+      .transform(Norm.ordered(_, col("doc_id")))
+  }
+
+  private val mmPhashSql: String =
+    s"""WITH meta AS (
+       |  SELECT doc_id, text,
+       |         CAST((length(text) + ${FrameBytes - 1}) // $FrameBytes AS BIGINT) AS n_frames
+       |  FROM documents
+       |  WHERE (length(text) + ${FrameBytes - 1}) // $FrameBytes BETWEEN 1 AND 62
+       |), fr AS (
+       |  SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1)) AS frame_id, text
+       |  FROM meta
+       |), fs AS (
+       |  SELECT doc_id, n_frames, frame_id,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(substr(text, CAST(frame_id * $FrameBytes + 1 AS INTEGER), $FrameBytes), ''),
+       |                          c -> CAST(ascii(c) AS BIGINT))),
+       |           (acc, c) -> acc + c) AS s_f,
+       |         CAST(length(substr(text, CAST(frame_id * $FrameBytes + 1 AS INTEGER), $FrameBytes)) AS BIGINT) AS l_f
+       |  FROM fr
+       |), bits AS (
+       |  SELECT doc_id, n_frames, frame_id,
+       |         CASE WHEN s_f * sum(l_f) OVER (PARTITION BY doc_id)
+       |                   > sum(s_f) OVER (PARTITION BY doc_id) * l_f THEN 1 ELSE 0 END AS bit
+       |  FROM fs
+       |), hashed AS (
+       |  SELECT doc_id, n_frames,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), list(bit ORDER BY frame_id)),
+       |                     (acc, b) -> acc * 2 + b) AS ahash
+       |  FROM bits GROUP BY 1, 2
+       |)
+       |SELECT a.doc_id, a.n_frames, a.ahash, min(b.doc_id) AS dup_of
+       |FROM hashed a LEFT JOIN hashed b
+       |  ON a.ahash = b.ahash AND a.n_frames = b.n_frames AND a.doc_id > b.doc_id
+       |GROUP BY 1, 2, 3
+       |ORDER BY a.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_frames" -> mmMeta,
-    "mm_resize" -> mmResize
+    "mm_resize" -> mmResize,
+    "mm_phash" -> mmPhash
   )
 
   // mm_features oracle — the decode STUB's byte statistics are exactly
@@ -141,6 +241,7 @@ object MultimodalQueries {
   val oracle: Map[String, String] = Map(
     "mm_frames" -> mmMetaSql,
     "mm_resize" -> mmResizeSql,
+    "mm_phash" -> mmPhashSql,
     "mm_features" -> mmFeaturesSql
   )
 }
