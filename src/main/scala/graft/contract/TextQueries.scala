@@ -881,6 +881,119 @@ object TextQueries {
        |ORDER BY rank""".stripMargin
 
   // -------------------------------------------------------------------
+  // text_keyphrases — RAKE keyphrase extraction (Rose et al. 2010):
+  // candidate phrases are MAXIMAL RUNS of non-stopword tokens (stopwords
+  // are the delimiters), each word scores deg(w)/freq(w) over the
+  // candidate corpus (deg = Σ phrase length over the word's phrase
+  // occurrences — long-phrase membership raises a word's score; freq =
+  // occurrence count), and a phrase scores the sum of its words'
+  // ratios. Identical phrase texts share one corpus-wide score (deg and
+  // freq are corpus-level), so the output groups by phrase text with
+  // its occurrence count; top RakeTopK by (score desc, phrase). The
+  // phrase-sum is accumulated in integer MICRO-UNITS of the per-word
+  // ratio (round(deg·1e6/freq) — one double division then exact integer
+  // sums; a double Σ of ratios would be aggregation-order-sensitive).
+  // Segmentation is one window pass per doc (running stopword count =
+  // phrase id — the sessionize shape applied to token streams).
+  // -------------------------------------------------------------------
+  private val RakeTopK = 50
+  private val RakeMinWords = 2
+  private val RakeMinOccur = 2
+
+  private def keyphrases(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    val toks = docs(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))
+      .withColumn("stop", expr(s"w IN ($stopList)"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val seg = toks
+      .withColumn("pid", sum(when(col("stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("stop"))
+      .select("doc_id", "pid", "pos", "w")
+      .localCheckpoint() // feeds phrase texts, word stats, and phrase scores
+    val plens = seg.groupBy("doc_id", "pid").agg(count(lit(1)).as("plen"))
+    val wstats = seg
+      .join(plens, Seq("doc_id", "pid"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("micro", expr("CAST(round(deg * 1000000.0 / freq) AS BIGINT)"))
+    val scored = seg
+      .join(wstats.select("w", "micro"), Seq("w"))
+      .groupBy("doc_id", "pid")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, w))), x -> x.w), ' ')").as("phrase"),
+        count(lit(1)).as("plen"),
+        sum(col("micro")).as("score_micro")
+      )
+      .filter(col("plen") >= RakeMinWords)
+    val byPhrase = scored
+      .groupBy("phrase")
+      .agg(
+        count(lit(1)).as("n_occur"),
+        first(col("plen")).as("n_words"),
+        first(col("score_micro")).as("score_micro")
+      )
+      .filter(col("n_occur") >= RakeMinOccur)
+    val w = Window.orderBy(col("score_micro").desc, col("phrase").asc)
+    byPhrase
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= RakeTopK)
+      .select(
+        col("rank"),
+        col("phrase"),
+        col("n_words"),
+        col("n_occur"),
+        (round(col("score_micro").cast("double") / 1000000.0, 6) + 0.0).as("score")
+      )
+      .transform(Norm.ordered(_, col("rank")))
+  }
+
+  private val keyphrasesSql: String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+       |), toks AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, w, w IN ($stopList) AS stop FROM t0
+       |), seg AS (
+       |  SELECT doc_id, pos, w,
+       |         sum(CASE WHEN stop THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+       |  FROM toks
+       |  QUALIFY NOT stop
+       |), plens AS (
+       |  SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen FROM seg GROUP BY 1, 2
+       |), wstats AS (
+       |  SELECT s.w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(p.plen) AS BIGINT) AS deg
+       |  FROM seg s JOIN plens p ON s.doc_id = p.doc_id AND s.pid = p.pid
+       |  GROUP BY 1
+       |), wmicro AS (
+       |  SELECT w, CAST(round(deg * 1000000.0 / freq) AS BIGINT) AS micro FROM wstats
+       |), scored AS (
+       |  SELECT s.doc_id, s.pid,
+       |         string_agg(s.w, ' ' ORDER BY s.pos) AS phrase,
+       |         CAST(count(*) AS BIGINT) AS plen,
+       |         CAST(sum(m.micro) AS BIGINT) AS score_micro
+       |  FROM seg s JOIN wmicro m ON s.w = m.w
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $RakeMinWords
+       |), by_phrase AS (
+       |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur,
+       |         min(plen) AS n_words, min(score_micro) AS score_micro
+       |  FROM scored GROUP BY 1
+       |  HAVING count(*) >= $RakeMinOccur
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, phrase) AS BIGINT) AS rank,
+       |       phrase, n_words, n_occur,
+       |       round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) + 0.0 AS score
+       |FROM by_phrase
+       |QUALIFY rank <= $RakeTopK
+       |ORDER BY rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // text_bpe_pairs — the counting step of ONE byte-pair-encoding merge
   // iteration (the inner loop of BPE tokenizer training): every
   // adjacent CHARACTER pair inside every word occurrence, counted
@@ -926,6 +1039,7 @@ object TextQueries {
     "text_phrase_search" -> phraseSearch,
     "text_collocations" -> collocations,
     "text_bpe_pairs" -> bpePairs,
+    "text_keyphrases" -> keyphrases,
     "text_bigram_lm" -> bigramLm,
     "text_vocab_coverage" -> vocabCoverage,
     "text_para_dedup" -> paraDedup,
@@ -1169,6 +1283,7 @@ object TextQueries {
     "text_phrase_search" -> phraseSearchSql,
     "text_collocations" -> collocationsSql,
     "text_bpe_pairs" -> bpePairsSql,
+    "text_keyphrases" -> keyphrasesSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_lm_score" -> lmScoreSql,
     "text_repetition" -> textRepetitionSql,
