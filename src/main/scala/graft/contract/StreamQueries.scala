@@ -298,6 +298,86 @@ object StreamQueries {
        |  FROM events
        |) WHERE rank <= $StreamTopK ORDER BY event_type, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // stream_kmv — Streams.typeKmv: a K-MINIMUM-VALUES distinct sketch per
+  // event type through transformWithState's ListState — the STREAMING
+  // sketch gate ("distinct users per category over a firehose" in k·16
+  // bytes of state per key, forever). The sketch is DetHash-
+  // deterministic, so unlike approx_count_distinct the batch oracle
+  // replays it EXACTLY: bottom-k of the distinct user hashes + the
+  // (k−1)·P/h_(k) estimator (the sketch_kmv_setops arithmetic), emitted
+  // beside the exact distinct count. Multi-batch replays select the
+  // final sketch by (nsk DESC, hk ASC) — both improve monotonically.
+  // -------------------------------------------------------------------
+  private val StreamKmvK = 64
+  private val StreamKmvSeed = 29L
+  // the estimator text, spliced into BOTH engines' expressions
+  private val streamKmvEstText =
+    s"CASE WHEN nsk < $StreamKmvK THEN CAST(nsk AS DOUBLE) " +
+      s"ELSE ${StreamKmvK - 1}e0 * ${DetHash.P}e0 / hk END"
+
+  private def streamKmv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = evStream(s, dir).as[Streams.Event]
+      val out = StreamHarness.runAvailableNow(
+        Streams.typeKmv(in, StreamKmvK, StreamKmvSeed).toDF(),
+        "update"
+      )
+      val wLast = Window.partitionBy("eventType").orderBy(col("nsk").desc, col("hk").asc)
+      val fin = out
+        .withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("eventType").as("event_type"), col("nsk"), col("hk"))
+      val exact = Tables
+        .events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact"))
+      fin
+        .join(exact, Seq("event_type"))
+        .select(
+          col("event_type"),
+          col("nsk"),
+          col("hk"),
+          (round(expr(streamKmvEstText), 6) + 0.0).as("est"),
+          col("exact")
+        )
+        .transform(Norm.ordered(_, col("event_type")))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+  }
+
+  private val streamKmvSql: String =
+    s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (SELECT event_type, user_id,
+       |        ${DetHash.rankHashSql("user_id", "0", "0", StreamKmvSeed)} AS h
+       |      FROM d),
+       |sk AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |           row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+       |    FROM h) WHERE rn <= $StreamKmvK
+       |),
+       |st AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS nsk, CAST(max(h) AS BIGINT) AS hk
+       |  FROM sk GROUP BY 1
+       |),
+       |ex AS (
+       |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT s.event_type, s.nsk, s.hk,
+       |       round($streamKmvEstText, 6) + 0.0 AS est, e.exact
+       |FROM st s JOIN ex e ON s.event_type = e.event_type
+       |ORDER BY s.event_type""".stripMargin
+
   private val streamDedupBuiltinSql: String =
     s"""SELECT ${DetHash.polyHashSql("text")} AS text_hash,
        |       CAST(max(length(text)) AS BIGINT) AS text_len
@@ -968,6 +1048,7 @@ object StreamQueries {
     "stream_dedup_builtin" -> streamDedupBuiltin,
     "stream_transform_state" -> streamTransformState,
     "stream_topk" -> streamTopk,
+    "stream_kmv" -> streamKmv,
     "stream_rolling_corr" -> rollingCorr,
     "stream_cusum" -> streamCusum,
     "stream_sessionize" -> streamSessionize,
@@ -987,6 +1068,7 @@ object StreamQueries {
     "stream_dedup_builtin" -> streamDedupBuiltinSql,
     "stream_transform_state" -> streamTransformStateSql,
     "stream_topk" -> streamTopkSql,
+    "stream_kmv" -> streamKmvSql,
     "stream_rolling_corr" -> rollingCorrSql,
     "stream_cusum" -> streamCusumSql,
     "stream_sessionize" -> streamSessionizeSql,

@@ -534,6 +534,64 @@ object Streams {
     }
   }
 
+  /** One retained minimum-hash entry; NOT private (the [[Tot]]
+    * encoder-codegen lesson).
+    */
+  final case class KmvEnt(h: Long, key: Long)
+  final case class KmvSketch(eventType: String, nsk: Long, hk: Long)
+
+  /** `transformWithState` processor maintaining a K-MINIMUM-VALUES
+    * distinct sketch per key — the STREAMING form of sketch_kmv_setops:
+    * state is the k smallest DetHash values of the item ids seen for the
+    * key (deduplicated — a re-seen item must not occupy a second slot),
+    * so "distinct users per event type over a firehose" costs k·16 bytes
+    * per key forever. Each batch re-emits the key's current (n_sketch,
+    * k-th-minimum); both improve MONOTONICALLY (nsk grows to k and
+    * freezes; hk only decreases), so the final sketch is selectable from
+    * a multi-batch replay by (nsk DESC, hk ASC) — and the estimator
+    * (k−1)·P/h_(k) replays as plain SQL over the same DetHash.
+    */
+  private class TypeKmvProcessor(k: Int, seed: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, KmvSketch] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var mins: org.apache.spark.sql.streaming.ListState[KmvEnt] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mins = getHandle.getListState[KmvEnt]("kmv", E.product[KmvEnt], TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues
+    ): Iterator[KmvSketch] = {
+      val cur = {
+        val it = mins.get(); val b = Seq.newBuilder[KmvEnt]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      val merged = (cur ++ rows.map(e => KmvEnt(graft.ccm.DetHash.rankHash(e.userId, 0L, 0L, seed), e.userId)))
+        .distinct
+        .sortBy(e => (e.h, e.key))
+        .take(k)
+      mins.put(merged.toArray)
+      Iterator.single(KmvSketch(key, merged.length.toLong, merged.last.h))
+    }
+  }
+
+  /** Streaming KMV distinct sketch per event type via [[TypeKmvProcessor]]
+    * (RocksDB store required, as for [[runningTypeTotals]]).
+    */
+  def typeKmv(events: Dataset[Event], k: Int, seed: Long): Dataset[KmvSketch] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.eventType)
+      .transformWithState(
+        new TypeKmvProcessor(k, seed),
+        TimeMode.None(),
+        OutputMode.Update()
+      )
+  }
+
   /** Top-`k` events per event type via [[TypeTopKProcessor]] (RocksDB
     * store required, as for [[runningTypeTotals]]).
     */
