@@ -97,6 +97,82 @@ object Smap {
     s"CASE WHEN abs($detA) > 1e-12 THEN ($numStr) / ($detA) ELSE b0 / sw END"
   }
 
+  /** Time-varying LOCAL SLOPES (the Deyle et al. 2016 "interaction
+    * strength" series): at ONE θ, the E=1 S-map's per-target regression
+    * coefficient bc_t = ∂tgt/∂src evaluated at every library point — the
+    * quantity ecology actually reads off S-maps once nonlinearity is
+    * established (a time series of how strongly src forces tgt, not one
+    * summary rho). Same pair-join / weighted-sums chain as
+    * [[bidirectional]] restricted to a single θ; emits the slope, the
+    * intercept-form prediction, and the target value per (skey,
+    * direction, t_idx). Degenerate guards identical (d̄=0 → uniform
+    * weights, singular matrix → slope 0).
+    */
+  def coeffs(
+      df: DataFrame,
+      skey: Column,
+      order: Seq[String],
+      x: Column,
+      y: Column,
+      theta: Double
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base =
+      df.select(Seq(skey.cast("long").as("skey"), x.as("x"), y.as("y")) ++ order.map(col): _*)
+    val wIdx = Window.partitionBy("skey").orderBy(order.map(col): _*)
+    val indexed = base
+      .withColumn("idx", row_number().over(wIdx).cast("long"))
+      .select("skey", "idx", "x", "y")
+
+    def oneDir(srcName: String, tgtName: String, dir: String): DataFrame = {
+      val rel = indexed
+        .select(col("skey"), col("idx"), col(srcName).as("s"), col(tgtName).as("g"))
+        .localCheckpoint()
+      val pairs = rel
+        .as("t")
+        .join(rel.as("i"), $"t.skey" === $"i.skey" && $"t.idx" =!= $"i.idx")
+        .select(
+          $"t.skey".as("skey"),
+          $"t.idx".as("t_idx"),
+          $"t.s".as("ts_"),
+          $"t.g".as("tg"),
+          $"i.s".as("is_"),
+          $"i.g".as("ig")
+        )
+        .withColumn("d", abs($"is_" - $"ts_"))
+      val wBar = Window.partitionBy("skey", "t_idx")
+      val sums = pairs
+        .withColumn("dbar", avg($"d").over(wBar))
+        .withColumn("w", when($"dbar" > 0.0, exp(-lit(theta) * $"d" / $"dbar")).otherwise(1.0))
+        .groupBy($"skey", $"t_idx", $"ts_", $"tg")
+        .agg(
+          sum($"w").as("sw"),
+          sum($"w" * $"is_").as("swx"),
+          sum($"w" * $"ig").as("swy"),
+          sum($"w" * $"is_" * $"is_").as("swxx"),
+          sum($"w" * $"is_" * $"ig").as("swxy")
+        )
+      val den = $"sw" * $"swxx" - $"swx" * $"swx"
+      sums
+        .withColumn(
+          "bc",
+          when(abs(den) > 1e-12, ($"sw" * $"swxy" - $"swx" * $"swy") / den).otherwise(0.0)
+        )
+        .withColumn("pred", ($"swy" - $"bc" * $"swx") / $"sw" + $"bc" * $"ts_")
+        .select(
+          $"skey",
+          lit(dir).as("direction"),
+          $"t_idx",
+          $"tg",
+          (round($"bc", 6) + lit(0.0)).as("slope"),
+          (round($"pred", 6) + lit(0.0)).as("pred")
+        )
+    }
+
+    oneDir("y", "x", Ccm.DirXCausesY).unionByName(oneDir("x", "y", Ccm.DirYCausesX))
+  }
+
   /** Output: (skey, direction, theta, rho, nonlinear) — rho rounded to
     * 6 dp BEFORE the nonlinear flag is derived, so the flag compares
     * engine-identical doubles (cross-engine ulp noise cannot flip it).

@@ -1196,6 +1196,85 @@ object CcmQueries {
   }
 
   // -------------------------------------------------------------------
+  // ccm_smap_coeffs — the S-map's TIME-VARYING interaction strength
+  // (Deyle et al. 2016, "Tracking and forecasting ecosystem interactions
+  // in real time"): at one fixed θ the per-target regression slope
+  // bc_t = ∂tgt/∂src is the quantity EDM practice reads off S-maps once
+  // ccm_smap's sweep establishes nonlinearity — a TIME SERIES of how
+  // strongly the source forces the target, not a single summary rho.
+  // Same pair-join / weighted-sums chain as ccm_smap restricted to one
+  // θ; the oracle replays the five sums, the Cramer slope and both
+  // degenerate guards, and emits the slope and prediction per library
+  // point.
+  // -------------------------------------------------------------------
+  private val SmapCoeffTheta = 2.0
+
+  private def smapCoeffs(s: SparkSession, dir: String): DataFrame =
+    Smap
+      .coeffs(
+        bootInput(s, dir),
+        skey = col("user_id"),
+        order = Seq("ts"),
+        x = col("x"),
+        y = col("y"),
+        theta = SmapCoeffTheta
+      )
+      .select(
+        col("skey").as("user_id"),
+        col("direction"),
+        col("t_idx"),
+        col("tg"),
+        col("slope"),
+        col("pred")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("direction"), col("t_idx")))
+
+  private val smapCoeffsSql: String = {
+    def dirSql(srcCol: String, tgtCol: String, dirName: String, n: Int): String =
+      s"""cpairs$n AS (
+         |  SELECT t.skey, t.idx AS t_idx, t.$srcCol AS ts_, t.$tgtCol AS tg,
+         |         i.$srcCol AS is_, i.$tgtCol AS ig, abs(i.$srcCol - t.$srcCol) AS d
+         |  FROM sb t JOIN sb i ON t.skey = i.skey AND t.idx <> i.idx
+         |), cdb$n AS (
+         |  SELECT *, avg(d) OVER (PARTITION BY skey, t_idx) AS dbar FROM cpairs$n
+         |), cag$n AS (
+         |  SELECT skey, t_idx, ts_, tg,
+         |         sum(w) AS sw, sum(w * is_) AS swx, sum(w * ig) AS swy,
+         |         sum(w * is_ * is_) AS swxx, sum(w * is_ * ig) AS swxy
+         |  FROM (SELECT p.*,
+         |          CASE WHEN p.dbar > 0 THEN exp(-$SmapCoeffTheta * p.d / p.dbar) ELSE 1.0 END AS w
+         |        FROM cdb$n p)
+         |  GROUP BY 1, 2, 3, 4
+         |), cco$n AS (
+         |  SELECT skey, '$dirName' AS direction, t_idx, tg, sw, swx, swy, ts_,
+         |         CASE WHEN abs(sw * swxx - swx * swx) > 1e-12
+         |              THEN (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+         |              ELSE 0.0 END AS bc
+         |  FROM cag$n
+         |)""".stripMargin
+    s"""WITH cap AS (
+       |  SELECT user_id, ts, value FROM (
+       |    SELECT user_id, ts, value,
+       |           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+       |    FROM events WHERE user_id % $BootUserMod = 0) WHERE rn <= $BootCap
+       |), b0 AS (
+       |  SELECT user_id AS skey, ts, value AS x,
+       |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS y
+       |  FROM cap
+       |), sb AS (
+       |  SELECT skey, row_number() OVER (PARTITION BY skey ORDER BY ts) AS idx, x, y
+       |  FROM b0 WHERE y IS NOT NULL
+       |),
+       |${dirSql("y", "x", "x_causes_y", 1)},
+       |${dirSql("x", "y", "y_causes_x", 2)},
+       |cu AS (SELECT * FROM cco1 UNION ALL SELECT * FROM cco2)
+       |SELECT skey AS user_id, direction, t_idx, tg,
+       |       round(bc, 6) + 0.0 AS slope,
+       |       round((swy - bc * swx) / sw + bc * ts_, 6) + 0.0 AS pred
+       |FROM cu ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ccm_smap_e3 — general-E S-map (VERDICT r8 item 3): the same θ-sweep
   // at the embedding dimension real EDM practice uses (E=3 here, the FNN
   // regime; reference embeddings are E-dimensional, lib/ccm.ex:99-107).
@@ -1856,6 +1935,7 @@ object CcmQueries {
     "ccm_gen_coupled" -> genCoupled,
     "ccm_mi_tau" -> miTau,
     "ccm_smap" -> smap,
+    "ccm_smap_coeffs" -> smapCoeffs,
     "ccm_smap_e3" -> smapE3,
     "ccm_surrogate" -> surrogate,
     "ccm_surrogate_circ" -> surrogateCirc,
@@ -1892,6 +1972,7 @@ object CcmQueries {
     "ccm_gen_coupled" -> genCoupledSql,
     "ccm_mi_tau" -> miTauSql,
     "ccm_smap" -> smapSql,
+    "ccm_smap_coeffs" -> smapCoeffsSql,
     "ccm_smap_e3" -> smapE3Sql,
     "ccm_surrogate" -> surrogateSql,
     "ccm_surrogate_circ" -> surrogateCircSql,
