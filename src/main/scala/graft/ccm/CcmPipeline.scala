@@ -421,6 +421,46 @@ object CcmPipeline {
     cells.groupBy((k :+ col("lib_size")): _*).agg(avg($"rho_cell").as("rho"))
   }
 
+  /** Per-sample skill CELLS — the relation [[skill]] averages, exposed for
+    * resampling statistics (bootstrap quantiles in ccm_boot_ci): one
+    * rho_cell per (keys, sample_id, lib_size), guard cells included at
+    * 0.0 exactly as in the mean path.
+    */
+  def skillCells(
+      rankedDf: DataFrame,
+      keys: Seq[String],
+      libSizes: Seq[Int],
+      numSamples: Int,
+      e: Int,
+      knnBuckets: Int = 0,
+      knnAutoFactor: Int = 64
+  ): DataFrame = {
+    val spark = rankedDf.sparkSession
+    import spark.implicits._
+    val k = keys.map(col)
+    val libs = broadcast(libSizes.toDF("lib_size"))
+    val cellKeys = k ++ Seq(col("sample_id"), col("lib_size"))
+    val preds = predictions(rankedDf, keys, libSizes, e, knnBuckets, knnAutoFactor)
+    val corrCell = preds
+      .groupBy(cellKeys: _*)
+      .agg(corr($"actual", $"predicted").as("c"))
+      .withColumn("c", when($"c".isNull || isnan($"c"), 0.0).otherwise($"c"))
+    val nPts = rankedDf
+      .filter($"sample_id" === 1)
+      .groupBy(k: _*)
+      .agg(count(lit(1)).as("n_pts"))
+    val samples = spark.range(1, numSamples + 1).select(col("id").as("sample_id"))
+    val grid = nPts.crossJoin(broadcast(samples)).crossJoin(libs)
+    val gridJoinKeys = keys ++ Seq("sample_id", "lib_size")
+    grid
+      .join(corrCell, gridJoinKeys, "left")
+      .withColumn(
+        "rho_cell",
+        when($"lib_size" >= $"n_pts", 0.0)
+          .otherwise(coalesce($"c", lit(0.0)))
+      )
+  }
+
   /** Convergence per series: OLS slope of rho on lib_size, strictly > 0.001,
     * false when < 3 lib sizes or degenerate (`lib/ccm.ex:215-244`).
     */

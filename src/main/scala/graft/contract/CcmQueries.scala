@@ -417,7 +417,7 @@ object CcmQueries {
        |  SELECT n.direction, n.skey, n.n_pts, s.sample_id, ls.lib_size
        |  FROM npts n CROSS JOIN samples s CROSS JOIN libs ls
        |), cells AS (
-       |  SELECT g.direction, g.skey, g.lib_size,
+       |  SELECT g.direction, g.skey, g.sample_id, g.lib_size,
        |         CASE WHEN g.lib_size >= g.n_pts THEN 0.0 ELSE coalesce(c.c, 0.0) END AS rho_cell
        |  FROM grid g LEFT JOIN corr_cell c
        |    ON g.direction = c.direction AND g.skey = c.skey
@@ -1196,6 +1196,115 @@ object CcmQueries {
   }
 
   // -------------------------------------------------------------------
+  // ccm_boot_ci — bootstrap UNCERTAINTY for the CCM skill: the
+  // per-sample rho cells ccm_boot averages away, summarized as exact
+  // order statistics per (series, direction, lib_size) — min / median /
+  // max over the 8 resamples plus the mean. The reference reports the
+  // bare mean (`lib/ccm.ex:131-137`); anyone acting on a causality
+  // claim needs the spread (a rho of 0.6 whose resamples span
+  // [-0.1, 0.9] is a different fact from one spanning [0.55, 0.65]).
+  // Cross-engine determinism: cells are 6-dp-ROUNDED before ranking
+  // (ulp noise cannot reorder near-ties; sample_id breaks exact ties),
+  // the median of the middle two is one addition + division of
+  // engine-identical doubles and ships UNROUNDED (the evt_mad_outliers
+  // convention — a second rounding is where engines diverge), and the
+  // mean is accumulated in integer micro-units.
+  // -------------------------------------------------------------------
+  private def bootCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = bootInput(s, dir)
+      .select(col("user_id").cast("long").as("skey"), col("ts"), col("x"), col("y"))
+    def oneDir(src: org.apache.spark.sql.Column, tgt: org.apache.spark.sql.Column, dirName: String) =
+      CcmPipeline
+        .embedded(base, Seq("skey"), Seq(col("ts")), src, tgt, bootSpec.embeddingDim, bootSpec.tau)
+        .withColumn("direction", lit(dirName))
+    val emb = oneDir($"y", $"x", Ccm.DirXCausesY).unionByName(oneDir($"x", $"y", Ccm.DirYCausesX))
+    val keys = Seq("skey", "direction")
+    val rk = CcmPipeline
+      .ranked(emb, keys, bootSpec.numSamples, bootSpec.seed, col("skey"))
+      .localCheckpoint()
+    val cells = CcmPipeline
+      .skillCells(rk, keys, BootLibs, bootSpec.numSamples, bootSpec.embeddingDim)
+      .select(
+        col("skey"),
+        col("direction"),
+        col("lib_size"),
+        col("sample_id"),
+        (round(col("rho_cell"), 6) + 0.0).as("rho6")
+      )
+      .localCheckpoint() // feeds the rank window, the median filter, and the aggregate
+    val grp = Seq(col("skey"), col("direction"), col("lib_size"))
+    val wR = Window.partitionBy(grp: _*).orderBy(col("rho6").asc, col("sample_id").asc)
+    val wG = Window.partitionBy(grp: _*)
+    val ranked = cells
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .withColumn("n", count(lit(1)).over(wG))
+    val med = ranked
+      .filter(col("rn") >= expr("(n + 1) div 2") && col("rn") <= expr("(n + 2) div 2"))
+      .groupBy(grp: _*)
+      .agg((avg(col("rho6")) + 0.0).as("rho_med"))
+    ranked
+      .groupBy(grp: _*)
+      .agg(
+        count(lit(1)).as("n_samples"),
+        min(col("rho6")).as("rho_lo"),
+        max(col("rho6")).as("rho_hi"),
+        sum(expr("CAST(round(rho6 * 1000000.0) AS BIGINT)")).as("sm")
+      )
+      .join(med, Seq("skey", "direction", "lib_size"))
+      .select(
+        col("skey").as("user_id"),
+        col("direction"),
+        col("lib_size"),
+        col("n_samples"),
+        col("rho_lo"),
+        col("rho_med"),
+        col("rho_hi"),
+        // mean via micro-integers WITHOUT a final 6-dp round call:
+        // sm/n is exact in binary (n = 8 divides a < 2^53 integer), so
+        // round() sees a true x.5 where both engines agree; a round-6 of
+        // sm/(n·1e6) instead hits the decimal-vs-binary HALF_UP split
+        // (measured: -0.031545 vs -0.031546 at sf0.1)
+        (expr("CAST(round(CAST(sm AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS BIGINT)")
+          .cast("double") / 1000000.0 + 0.0).as("rho_mean")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("direction"), col("lib_size")))
+  }
+
+  private val bootCiSql: String = {
+    val capFrom =
+      s"""(SELECT user_id, ts, value FROM (
+         |    SELECT user_id, ts, value,
+         |           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+         |    FROM events WHERE user_id % $BootUserMod = 0) WHERE rn <= $BootCap)""".stripMargin
+    s"""${curveSqlCommon(None, BootSamples, BootLibs, "user_id", Seq("ts"), capFrom)},
+       |r6 AS (
+       |  SELECT skey, direction, lib_size, sample_id, round(rho_cell, 6) + 0.0 AS rho6
+       |  FROM cells
+       |), rk6 AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY skey, direction, lib_size
+       |                                    ORDER BY rho6, sample_id) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY skey, direction, lib_size) AS BIGINT) AS n
+       |  FROM r6
+       |), med6 AS (
+       |  SELECT skey, direction, lib_size, avg(rho6) + 0.0 AS rho_med
+       |  FROM rk6 WHERE rn >= (n + 1) // 2 AND rn <= (n + 2) // 2
+       |  GROUP BY 1, 2, 3
+       |), agg6 AS (
+       |  SELECT skey, direction, lib_size, CAST(count(*) AS BIGINT) AS n_samples,
+       |         min(rho6) AS rho_lo, max(rho6) AS rho_hi,
+       |         CAST(sum(CAST(round(rho6 * 1000000.0) AS BIGINT)) AS BIGINT) AS sm
+       |  FROM rk6 GROUP BY 1, 2, 3
+       |)
+       |SELECT a.skey AS user_id, a.direction, a.lib_size, a.n_samples,
+       |       a.rho_lo, m.rho_med, a.rho_hi,
+       |       CAST(CAST(round(CAST(a.sm AS DOUBLE) / CAST(a.n_samples AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1000000.0 + 0.0 AS rho_mean
+       |FROM agg6 a JOIN med6 m
+       |  ON a.skey = m.skey AND a.direction = m.direction AND a.lib_size = m.lib_size
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ccm_smap_coeffs — the S-map's TIME-VARYING interaction strength
   // (Deyle et al. 2016, "Tracking and forecasting ecosystem interactions
   // in real time"): at one fixed θ the per-target regression slope
@@ -1928,6 +2037,7 @@ object CcmQueries {
     "ccm_wide4" -> wide4,
     "ccm_wide4_approx" -> wide4Approx,
     "ccm_boot" -> boot,
+    "ccm_boot_ci" -> bootCi,
     "ccm_boot_reuse" -> bootReuse,
     "ccm_boot_fused" -> bootFused,
     "ccm_convergence" -> convergenceQ,
@@ -1965,6 +2075,7 @@ object CcmQueries {
     "ccm_wide4" -> wide4Sql,
     "ccm_wide4_approx" -> wide4ApproxSql,
     "ccm_boot" -> bootSql,
+    "ccm_boot_ci" -> bootCiSql,
     "ccm_boot_reuse" -> bootSql,
     "ccm_boot_fused" -> bootSql,
     "ccm_convergence" -> convergenceSql,
