@@ -165,4 +165,30 @@ class NewQueryPlanSpec extends SparkTestBase {
     // array_intersect, not re-evaluate it per consumer
     assert(intersects <= 2, s"array_intersect must not be duplicated per consumer, got $intersects")
   }
+
+  test("ann_sq_topk broadcasts queries and stats: the code scan never shuffle-joins") {
+    val p = plan("ann_sq_topk")
+    assert(!p.contains("SortMergeJoin"), "queries and per-dim stats are bounded relations — broadcast only")
+  }
+
+  test("mm_phash never goes cartesian: the dup join is (ahash, n_frames)-bucketed") {
+    val p = plan("mm_phash")
+    assert(!p.contains("CartesianProduct"), "dup candidates must come from the hash-bucket equi join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "dup candidates must come from the hash-bucket equi join")
+  }
+
+  test("text_keyphrases segments with per-doc windows and vocabulary-keyed joins only") {
+    val p = plan("text_keyphrases")
+    assert(!p.contains("CartesianProduct"), "word-stat joins key on the word, never all-pairs")
+  }
+
+  test("ccm_smap_coeffs is the ccm_smap pair shape: series-keyed pair join, no cartesian") {
+    val p = plan("ccm_smap_coeffs")
+    assert(!p.contains("CartesianProduct"), "pairs must be generated per series (equi-join on skey)")
+  }
+
+  test("graph_ppr's per-round joins are vertex-keyed (no cartesian, no nested loop on data)") {
+    val p = plan("graph_ppr")
+    assert(!p.contains("CartesianProduct"), "contribution flow must equi-join on vertex ids")
+  }
 }
