@@ -1919,6 +1919,106 @@ object EventQueries {
        |FROM t
        |ORDER BY digit""".stripMargin
 
+  // -------------------------------------------------------------------
+  // evt_holt — Holt's linear-trend method (double exponential
+  // smoothing) per user over the GAP-FILLED daily-cents series:
+  //   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+  //   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},  l_1 = x_1, b_1 = x_2 − x_1
+  // — the trend-aware upgrade of evt_ses_forecast's level-only EWMA.
+  // The recurrence is GENUINELY sequential (no kernel/window closed
+  // form exists, unlike SES), so it runs as a DECLARATIVE ARRAY FOLD:
+  // collect each user's ordered series once, then one higher-order
+  // `aggregate` lambda carries the (l, b) pair through the fold —
+  // whole-stage-codegen'd, no driver loop, no per-row UDF, and the
+  // SAME left-to-right sequential arithmetic replays in DuckDB's
+  // list_reduce, so every intermediate double is BIT-IDENTICAL and the
+  // outputs ship UNROUNDED (+0.0). State per user = the day-spine
+  // array (bounded by the observation span, the evt_acf argument); at
+  // 100 TB the fold stays partition-local per user after one shuffle.
+  // -------------------------------------------------------------------
+  private val HoltAlpha = 0.3
+  private val HoltBeta = 0.1
+
+  private def holt(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .withColumn("cents", round(col("value") * 100.0).cast("long"))
+      .groupBy(col("user_id"), expr(s"tus div $DayUs").as("day"))
+      .agg(sum(col("cents")).as("cents"))
+    val spine = daily
+      .groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), col("d0"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("cents"), lit(0L)).cast("double").as("x"))
+    val folded = spine
+      .groupBy("user_id")
+      .agg(expr("array_sort(collect_list(struct(day, x)))").as("sx"))
+      .withColumn("xs", expr("transform(sx, p -> p.x)"))
+      .filter(size(col("xs")) >= 3)
+      .withColumn(
+        "st",
+        expr(
+          s"""aggregate(
+             |  slice(xs, 3, size(xs) - 2),
+             |  named_struct('l', element_at(xs, 2), 'b', element_at(xs, 2) - element_at(xs, 1)),
+             |  (acc, x) -> named_struct(
+             |    'l', $HoltAlpha * x + ${1.0 - HoltAlpha} * (acc.l + acc.b),
+             |    'b', $HoltBeta * (($HoltAlpha * x + ${1.0 - HoltAlpha} * (acc.l + acc.b)) - acc.l)
+             |         + ${1.0 - HoltBeta} * acc.b))""".stripMargin
+        )
+      )
+    folded
+      .select(
+        col("user_id"),
+        size(col("xs")).cast("long").as("n_days"),
+        (col("st.l") + 0.0).as("level"),
+        (col("st.b") + 0.0).as("trend"),
+        (col("st.l") + col("st.b") + 0.0).as("forecast_1"),
+        (col("st.l") + lit(7.0) * col("st.b") + 0.0).as("forecast_7")
+      )
+      .transform(Norm.ordered(_, col("user_id")))
+  }
+
+  // Parity note: the DuckDB fold carries state as a 2-element DOUBLE
+  // LIST, not a struct — struct_pack inside list_reduce lambdas was
+  // MEASURED to contaminate the accumulator type (decimal/float32
+  // truncation of every intermediate); with list state + e0 double
+  // literals the fold is bit-identical to Spark's named_struct
+  // aggregate (verified against a scalar reference recursion).
+  private val holtSql: String = {
+    val a = HoltAlpha; val b = HoltBeta
+    s"""WITH daily AS (
+       |  SELECT user_id, epoch_us(ts) // $DayUs AS day,
+       |         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2
+       |), rng AS (
+       |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+       |), days AS (
+       |  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM rng
+       |), spine AS (
+       |  SELECT dy.user_id, dy.day, CAST(COALESCE(d.cents, 0) AS DOUBLE) AS x
+       |  FROM days dy LEFT JOIN daily d ON d.user_id = dy.user_id AND d.day = dy.day
+       |), arrs AS (
+       |  SELECT user_id, list(x ORDER BY day) AS xs FROM spine GROUP BY 1
+       |), ok AS (SELECT * FROM arrs WHERE len(xs) >= 3),
+       |folded AS (
+       |  SELECT user_id, CAST(len(xs) AS BIGINT) AS n_days,
+       |    list_reduce(
+       |      list_prepend([xs[2], xs[2] - xs[1]],
+       |                   list_transform(xs[3:], v -> [v, 0.0e0])),
+       |      (acc, e) -> [
+       |        ${a}e0 * e[1] + ${1.0 - a}e0 * (acc[1] + acc[2]),
+       |        ${b}e0 * ((${a}e0 * e[1] + ${1.0 - a}e0 * (acc[1] + acc[2])) - acc[1])
+       |             + ${1.0 - b}e0 * acc[2]]) AS st
+       |  FROM ok
+       |)
+       |SELECT user_id, n_days,
+       |       st[1] + 0.0 AS level, st[2] + 0.0 AS trend,
+       |       st[1] + st[2] + 0.0 AS forecast_1,
+       |       st[1] + 7.0 * st[2] + 0.0 AS forecast_7
+       |FROM folded ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
@@ -1948,6 +2048,7 @@ object EventQueries {
     "evt_acf" -> acf,
     "evt_survival" -> survival,
     "evt_benford" -> benford,
+    "evt_holt" -> holt,
     "evt_periodogram" -> periodogram,
     "evt_percentiles" -> percentiles,
     "evt_window_agg" -> windowAgg,
@@ -1986,6 +2087,7 @@ object EventQueries {
     "evt_acf" -> acfSql,
     "evt_survival" -> survivalSql,
     "evt_benford" -> benfordSql,
+    "evt_holt" -> holtSql,
     "evt_periodogram" -> periodogramSql,
     "evt_percentiles" -> percentilesSql,
     "evt_window_agg" -> windowAggSql,
