@@ -502,10 +502,119 @@ object PipelineQueries {
        |ORDER BY ordinal""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // corpus_report — the one-row corpus DATASHEET (the summary table a
+  // dataset card leads with): volume (docs / tokens / distinct tokens /
+  // chars), composition (languages, sources), central tendency (exact
+  // median doc length, mean quality), and duplication (exact-dup groups
+  // and surplus docs, LSH candidate pairs). Pure composition of the
+  // engine's own primitives — every figure is an integer aggregate or
+  // an exact order statistic; the mean quality follows the ccm_boot_ci
+  // rule (micro-integer sum, round(sm/n) where exact .5 boundaries are
+  // binary-representable, THEN scale — never a 6-dp round of a
+  // terminating decimal). Each component is one aggregation pass over
+  // its own relation; the one-row results cross-join for free.
+  // -------------------------------------------------------------------
+  private def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val q = TextQueries.qualityBase(d).select("doc_id", "n_tokens", "quality")
+    val vol = q.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(expr("CAST(round(quality * 1000000.0) AS BIGINT)")).as("qm")
+    )
+    val chars = d.agg(sum(length(col("text")).cast("long")).as("n_chars"))
+    val distinctToks = d
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("n_distinct_tokens"))
+    val comp = d.agg(
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources")
+    )
+    val wR = Window.orderBy(col("n_tokens").asc, col("doc_id").asc)
+    val medTok = q
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") >= expr("(n + 1) div 2") && col("rn") <= expr("(n + 2) div 2"))
+      .agg((avg(col("n_tokens")) + 0.0).as("median_doc_tokens"))
+    val dups = d
+      .groupBy(DetHash.polyHashCol(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("exact_dup_groups"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("exact_dup_surplus")
+      )
+    val lsh = DedupQueries.lshPairsRaw(s, dir).agg(count(lit(1)).as("lsh_candidate_pairs"))
+    vol
+      .crossJoin(chars)
+      .crossJoin(distinctToks)
+      .crossJoin(comp)
+      .crossJoin(medTok)
+      .crossJoin(dups)
+      .crossJoin(lsh)
+      .select(
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_distinct_tokens"),
+        col("n_chars"),
+        col("n_langs"),
+        col("n_sources"),
+        col("median_doc_tokens"),
+        (expr("CAST(round(CAST(qm AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT)").cast("double")
+          / 1000000.0 + 0.0).as("mean_quality"),
+        col("exact_dup_groups"),
+        col("exact_dup_surplus"),
+        col("lsh_candidate_pairs")
+      )
+  }
+
+  private val corpusReportSql: String =
+    s"""WITH ${TextQueries.qualityCteSql},
+       |${DedupQueries.bandsCteSql},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |vol AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |         CAST(sum(CAST(round(quality * 1000000.0) AS BIGINT)) AS BIGINT) AS qm
+       |  FROM qc
+       |),
+       |medr AS (
+       |  SELECT n_tokens,
+       |         CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER () AS BIGINT) AS n
+       |  FROM qc
+       |),
+       |med AS (
+       |  SELECT avg(n_tokens) + 0.0 AS median_doc_tokens FROM medr
+       |  WHERE rn >= (n + 1) // 2 AND rn <= (n + 2) // 2
+       |),
+       |dups AS (
+       |  SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_groups,
+       |         CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS exact_dup_surplus
+       |  FROM (SELECT ${DetHash.polyHashSql("text")} AS h, count(*) AS n FROM documents GROUP BY 1)
+       |)
+       |SELECT v.n_docs, v.n_tokens,
+       |  (SELECT CAST(count(DISTINCT w) AS BIGINT)
+       |   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)) AS n_distinct_tokens,
+       |  (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents) AS n_chars,
+       |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents) AS n_langs,
+       |  (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents) AS n_sources,
+       |  m.median_doc_tokens,
+       |  CAST(CAST(round(CAST(v.qm AS DOUBLE) / CAST(v.n_docs AS DOUBLE)) AS BIGINT) AS DOUBLE)
+       |    / 1000000.0 + 0.0 AS mean_quality,
+       |  du.exact_dup_groups, du.exact_dup_surplus,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS lsh_candidate_pairs
+       |FROM vol v CROSS JOIN med m CROSS JOIN dups du""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "contam_check" -> contamCheck,
     "corpus_prep" -> corpusPrep,
     "corpus_curriculum" -> corpusCurriculum,
+    "corpus_report" -> corpusReport,
     "quantile_bucket" -> quantileBucket,
     "pack_windows" -> packWindows,
     "sample_mixture" -> sampleMixture,
@@ -517,6 +626,7 @@ object PipelineQueries {
     "contam_check" -> contamCheckSql,
     "corpus_prep" -> corpusPrepSql,
     "corpus_curriculum" -> corpusCurriculumSql,
+    "corpus_report" -> corpusReportSql,
     "quantile_bucket" -> quantileBucketSql,
     "pack_windows" -> packWindowsSql,
     "sample_mixture" -> sampleMixtureSql,
