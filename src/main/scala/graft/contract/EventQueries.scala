@@ -1862,6 +1862,123 @@ object EventQueries {
        |ORDER BY f.f""".stripMargin
 
   // -------------------------------------------------------------------
+  // evt_pacf — PARTIAL autocorrelation function at lags 1..AcfMaxLag via
+  // the Durbin–Levinson recursion — the ACF's companion that isolates
+  // each lag's DIRECT effect (the AR-order selection tool: PACF cuts off
+  // at the true order where ACF only decays). Inputs are evt_acf's
+  // UNROUNDED autocorrelations (one double division of exact int64
+  // co-moments — bit-identical across engines), and the recursion runs
+  // as a declarative HOF fold (the evt_holt technique, nested one level
+  // deeper): the accumulator list carries [φ_{k,1..k} | pacf_{1..k}],
+  // each step computes φ_{k,k} = (r_k − Σφ_{k−1,j}·r_{k−j}) /
+  // (1 − Σφ_{k−1,j}·r_j) with the inner sums as nested left-folds, so
+  // every intermediate is sequential identical arithmetic in both
+  // engines and the output ships UNROUNDED. DuckDB carries the fold
+  // elements as 1-element double lists (the measured struct-in-fold
+  // type-contamination bug; list state is exact).
+  // -------------------------------------------------------------------
+  private def pacf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, dir)
+      .groupBy(expr(s"tus div $DayUs").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val full = daily
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .localCheckpoint() // base moments + the lead window
+    val base = full.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q")
+    )
+    val w = Window.orderBy("day")
+    val leads = (1 to AcfMaxLag).foldLeft(full) { (df, k) =>
+      df.withColumn(s"l$k", lead(col("x"), k).over(w))
+    }
+    val rRows = leads
+      .select(expr(s"stack($AcfMaxLag, ${(1 to AcfMaxLag).map(k => s"${k}L, x, l$k").mkString(", ")}) AS (lag, x, xl)"))
+      .filter(col("xl").isNotNull)
+      .groupBy("lag")
+      .agg(sum(col("x") * col("xl")).as("c"), sum(col("x")).as("h"), sum(col("xl")).as("t"))
+      .crossJoin(broadcast(base))
+      .select(
+        col("lag"),
+        ((col("n") * col("n") * col("c") - col("n") * col("s") * (col("h") + col("t")) +
+          (col("n") - col("lag")) * col("s") * col("s")).cast("double") /
+          (col("n") * (col("n") * col("q") - col("s") * col("s"))).cast("double")).as("r")
+      )
+    val rs = rRows.agg(expr("transform(array_sort(collect_list(struct(lag, r))), p -> p.r)").as("rs"))
+    val m = "(size(acc) div 2)"
+    val num =
+      s"(element_at(rs, CAST(k AS INT)) - aggregate(sequence(1, $m), CAST(0.0 AS DOUBLE), (s2, i) -> s2 + element_at(acc, CAST(i AS INT)) * element_at(rs, CAST(k - i AS INT))))"
+    val den =
+      s"(CAST(1.0 AS DOUBLE) - aggregate(sequence(1, $m), CAST(0.0 AS DOUBLE), (s2, i) -> s2 + element_at(acc, CAST(i AS INT)) * element_at(rs, CAST(i AS INT))))"
+    val a = s"($num / $den)"
+    val newPhis =
+      s"concat(transform(sequence(1, $m), j -> element_at(acc, CAST(j AS INT)) - $a * element_at(acc, CAST(k - j AS INT))), array($a))"
+    val newPacfs = s"concat(slice(acc, $m + 1, $m), array($a))"
+    val fold =
+      s"aggregate(sequence(2, $AcfMaxLag), array(element_at(rs, 1), element_at(rs, 1)), (acc, k) -> concat($newPhis, $newPacfs))"
+    rs
+      .withColumn("pa", expr(s"slice($fold, $AcfMaxLag + 1, $AcfMaxLag)"))
+      .select(posexplode(col("pa")).as(Seq("p0", "pacf")))
+      .select((col("p0") + 1).cast("long").as("lag"), (col("pacf") + 0.0).as("pacf"))
+      .transform(Norm.ordered(_, col("lag")))
+  }
+
+  private val pacfSql: String = {
+    val kI = "CAST(e[1] AS BIGINT)"
+    val m = "(len(acc) // 2)"
+    val num =
+      s"(rs[$kI] - list_reduce(list_prepend(0.0e0, list_transform(generate_series(1, $m), i -> acc[i] * rs[$kI - i])), (s2, v) -> s2 + v))"
+    val den =
+      s"(1.0e0 - list_reduce(list_prepend(0.0e0, list_transform(generate_series(1, $m), i -> acc[i] * rs[i])), (s2, v) -> s2 + v))"
+    val a = s"($num / $den)"
+    val newPhis =
+      s"list_concat(list_transform(generate_series(1, $m), j -> acc[j] - $a * acc[$kI - j]), [$a])"
+    val newPacfs = s"list_concat(acc[$m + 1 : 2 * $m], [$a])"
+    val fold =
+      s"""list_reduce(
+         |      list_prepend([rs[1], rs[1]],
+         |                   list_transform(generate_series(2, $AcfMaxLag), kk -> [CAST(kk AS DOUBLE)])),
+         |      (acc, e) -> list_concat($newPhis, $newPacfs))""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // $DayUs AS day, CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1
+       |), spine AS (
+       |  SELECT unnest(generate_series((SELECT min(day) FROM daily),
+       |                                (SELECT max(day) FROM daily))) AS day
+       |), f AS (
+       |  SELECT s.day, COALESCE(d.x, 0) AS x FROM spine s LEFT JOIN daily d ON s.day = d.day
+       |), base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+       |         CAST(sum(x * x) AS BIGINT) AS q
+       |  FROM f
+       |), ks AS (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag
+       |), pairs_k AS (
+       |  SELECT k.lag, a.x AS x, b.x AS xl
+       |  FROM f a JOIN ks k ON true JOIN f b ON b.day = a.day + k.lag
+       |), agg AS (
+       |  SELECT CAST(lag AS BIGINT) AS lag, CAST(sum(x * xl) AS BIGINT) AS c,
+       |         CAST(sum(x) AS BIGINT) AS h, CAST(sum(xl) AS BIGINT) AS t
+       |  FROM pairs_k GROUP BY 1
+       |), rrel AS (
+       |  SELECT a.lag,
+       |         CAST(b.n * b.n * a.c - b.n * b.s * (a.h + a.t) + (b.n - a.lag) * b.s * b.s AS DOUBLE)
+       |           / CAST(b.n * (b.n * b.q - b.s * b.s) AS DOUBLE) AS r
+       |  FROM agg a CROSS JOIN base b
+       |), rarr AS (SELECT list(r ORDER BY lag) AS rs FROM rrel),
+       |fin AS (
+       |  SELECT ($fold)[$AcfMaxLag + 1 : 2 * $AcfMaxLag] AS pa FROM rarr
+       |)
+       |SELECT CAST(t.i AS BIGINT) AS lag, pa[CAST(t.i AS INTEGER)] + 0.0 AS pacf
+       |FROM fin CROSS JOIN range(1, ${AcfMaxLag + 1}) t(i)
+       |ORDER BY lag""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // evt_benford — Benford's-law first-digit audit of the value column
   // (the classic fabricated-data / instrumentation-bug detector): the
   // distribution of the first significant digit of positive amounts
@@ -2046,6 +2163,7 @@ object EventQueries {
     "evt_ses_forecast" -> sesForecast,
     "evt_mad_outliers" -> madOutliers,
     "evt_acf" -> acf,
+    "evt_pacf" -> pacf,
     "evt_survival" -> survival,
     "evt_benford" -> benford,
     "evt_holt" -> holt,
@@ -2085,6 +2203,7 @@ object EventQueries {
     "evt_ses_forecast" -> sesForecastSql,
     "evt_mad_outliers" -> madOutliersSql,
     "evt_acf" -> acfSql,
+    "evt_pacf" -> pacfSql,
     "evt_survival" -> survivalSql,
     "evt_benford" -> benfordSql,
     "evt_holt" -> holtSql,
