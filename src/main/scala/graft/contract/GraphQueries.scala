@@ -471,6 +471,100 @@ object GraphQueries {
        |SELECT vertex, round(rank, 6) + 0.0 AS ppr FROM pr$PrIters ORDER BY vertex""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // graph_modularity — Newman modularity of the SOURCE partition over
+  // the candidate graph: Q = Σ_c [in_c/m − (deg_c/2m)²] measures how
+  // much near-duplication concentrates WITHIN sources vs what a random
+  // graph with the same degrees would give (the assortativity diagnostic
+  // that decides whether dedup can shard by source). Per-source rows
+  // carry the exact integer ingredients (in-edges, degree mass) and the
+  // unrounded q_term (pure integer-ratio arithmetic — identical op
+  // order, no round call to trap on terminating decimals); the TOTAL is
+  // computed from the integer SUMS (Σin)/m − (Σdeg_c²)/(4m²), never as
+  // a float sum over community rows (aggregation order).
+  // -------------------------------------------------------------------
+  private def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairsOf(s, dir).localCheckpoint() // feeds deg, m, and the in-edge join
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val deg = symOf(pairs)
+      .groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("deg"))
+      .join(src, col("vertex") === col("doc_id"))
+      .drop("doc_id")
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val perSrc = deg
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vertices"), sum(col("deg")).as("deg_sum"))
+    val inEdges = pairs
+      .join(src.select(col("doc_id"), col("source").as("s_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(src.select(col("doc_id"), col("source").as("s_b")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .filter(col("s_a") === col("s_b"))
+      .groupBy(col("s_a").as("source"))
+      .agg(count(lit(1)).as("in_edges"))
+    val rows = perSrc
+      .join(inEdges, Seq("source"), "left")
+      .withColumn("in_edges", coalesce(col("in_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+    val totals = rows
+      .agg(sum(col("in_edges")).as("sin"), sum(col("deg_sum") * col("deg_sum")).as("sdeg2"))
+      .crossJoin(broadcast(m))
+      .select(
+        (col("sin").cast("double") / col("m").cast("double") -
+          col("sdeg2").cast("double") / (lit(4L) * col("m") * col("m")).cast("double") + 0.0)
+          .as("total_q")
+      )
+    rows
+      .select(
+        col("source"),
+        col("n_vertices"),
+        col("in_edges"),
+        col("deg_sum"),
+        col("m"),
+        (col("in_edges").cast("double") / col("m").cast("double") -
+          (col("deg_sum").cast("double") / (lit(2L) * col("m")).cast("double")) *
+            (col("deg_sum").cast("double") / (lit(2L) * col("m")).cast("double")) + 0.0).as("q_term")
+      )
+      .crossJoin(broadcast(totals))
+      .transform(Norm.ordered(_, col("source")))
+  }
+
+  private val graphModularitySql: String =
+    s"""WITH ${DedupQueries.bandsCteSql},
+       |$pairsCteSql,
+       |dsrc AS (SELECT doc_id, source FROM documents),
+       |degs AS (
+       |  SELECT d.vertex, d.deg, s.source FROM deg d JOIN dsrc s ON d.vertex = s.doc_id
+       |),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+       |per_src AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_vertices, CAST(sum(deg) AS BIGINT) AS deg_sum
+       |  FROM degs GROUP BY 1
+       |),
+       |in_e AS (
+       |  SELECT a.source, CAST(count(*) AS BIGINT) AS in_edges
+       |  FROM pairs p JOIN dsrc a ON p.doc_a = a.doc_id JOIN dsrc b ON p.doc_b = b.doc_id
+       |  WHERE a.source = b.source GROUP BY 1
+       |),
+       |rows_ AS (
+       |  SELECT p.source, p.n_vertices, COALESCE(i.in_edges, 0) AS in_edges, p.deg_sum, mm.m
+       |  FROM per_src p LEFT JOIN in_e i ON p.source = i.source CROSS JOIN mm
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(in_edges) AS DOUBLE) / CAST(max(m) AS DOUBLE)
+       |         - CAST(sum(deg_sum * deg_sum) AS DOUBLE) / CAST(4 * max(m) * max(m) AS DOUBLE)
+       |         + 0.0 AS total_q
+       |  FROM rows_
+       |)
+       |SELECT r.source, r.n_vertices, r.in_edges, r.deg_sum, r.m,
+       |       CAST(r.in_edges AS DOUBLE) / CAST(r.m AS DOUBLE)
+       |       - (CAST(r.deg_sum AS DOUBLE) / CAST(2 * r.m AS DOUBLE))
+       |         * (CAST(r.deg_sum AS DOUBLE) / CAST(2 * r.m AS DOUBLE)) + 0.0 AS q_term,
+       |       t.total_q
+       |FROM rows_ r CROSS JOIN tot t
+       |ORDER BY r.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degree" -> graphDegree,
     "graph_triangles" -> graphTriangles,
@@ -479,7 +573,8 @@ object GraphQueries {
     "graph_kcore" -> graphKcore,
     "graph_cluster_coeff" -> graphClusterCoeff,
     "graph_jaccard" -> graphJaccard,
-    "graph_ppr" -> graphPpr
+    "graph_ppr" -> graphPpr,
+    "graph_modularity" -> graphModularity
   )
 
   val oracle: Map[String, String] = Map(
@@ -490,6 +585,7 @@ object GraphQueries {
     "graph_kcore" -> graphKcoreSql,
     "graph_cluster_coeff" -> graphClusterCoeffSql,
     "graph_jaccard" -> graphJaccardSql,
-    "graph_ppr" -> graphPprSql
+    "graph_ppr" -> graphPprSql,
+    "graph_modularity" -> graphModularitySql
   )
 }
