@@ -1979,6 +1979,148 @@ object EventQueries {
   }
 
   // -------------------------------------------------------------------
+  // evt_ar_forecast — AR(p) fit + one-step forecast of the daily count
+  // series, completing the Box–Jenkins triple (evt_acf diagnoses, the
+  // Durbin–Levinson fold of evt_pacf SOLVES — its φ row at step p IS
+  // the Yule–Walker AR(p) coefficient vector): x̂_{n+1} = x̄ +
+  // Σ φ_j·(x_{n+1−j} − x̄). Same unrounded integer-co-moment ACF
+  // inputs, same list-state fold truncated at ArOrder; the mean enters
+  // as ONE double division of exact int64s, so the whole chain stays
+  // bit-identical and ships unrounded. Output: one row with the fitted
+  // coefficients, the mean, the last observations, and the forecast.
+  // -------------------------------------------------------------------
+  private val ArOrder = 3
+
+  private def arForecast(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, dir)
+      .groupBy(expr(s"tus div $DayUs").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val full = daily
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .localCheckpoint() // moments + lead window + the tail collect
+    val base = full.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s"),
+      sum(col("x") * col("x")).as("q")
+    )
+    val w = Window.orderBy("day")
+    val leads = (1 to ArOrder).foldLeft(full) { (df, k) =>
+      df.withColumn(s"l$k", lead(col("x"), k).over(w))
+    }
+    val rRows = leads
+      .select(expr(s"stack($ArOrder, ${(1 to ArOrder).map(k => s"${k}L, x, l$k").mkString(", ")}) AS (lag, x, xl)"))
+      .filter(col("xl").isNotNull)
+      .groupBy("lag")
+      .agg(sum(col("x") * col("xl")).as("c"), sum(col("x")).as("h"), sum(col("xl")).as("t"))
+      .crossJoin(broadcast(base))
+      .select(
+        col("lag"),
+        ((col("n") * col("n") * col("c") - col("n") * col("s") * (col("h") + col("t")) +
+          (col("n") - col("lag")) * col("s") * col("s")).cast("double") /
+          (col("n") * (col("n") * col("q") - col("s") * col("s"))).cast("double")).as("r")
+      )
+    val rs = rRows.agg(expr("transform(array_sort(collect_list(struct(lag, r))), p -> p.r)").as("rs"))
+    // identical fold machinery to evt_pacf, truncated at ArOrder; the
+    // FIRST half of the final accumulator is φ_{p,1..p}
+    val m = "(size(acc) div 2)"
+    val num =
+      s"(element_at(rs, CAST(k AS INT)) - aggregate(sequence(1, $m), CAST(0.0 AS DOUBLE), (s2, i) -> s2 + element_at(acc, CAST(i AS INT)) * element_at(rs, CAST(k - i AS INT))))"
+    val den =
+      s"(CAST(1.0 AS DOUBLE) - aggregate(sequence(1, $m), CAST(0.0 AS DOUBLE), (s2, i) -> s2 + element_at(acc, CAST(i AS INT)) * element_at(rs, CAST(i AS INT))))"
+    val a = s"($num / $den)"
+    val newPhis =
+      s"concat(transform(sequence(1, $m), j -> element_at(acc, CAST(j AS INT)) - $a * element_at(acc, CAST(k - j AS INT))), array($a))"
+    val newPacfs = s"concat(slice(acc, $m + 1, $m), array($a))"
+    val fold =
+      s"aggregate(sequence(2, $ArOrder), array(element_at(rs, 1), element_at(rs, 1)), (acc, k) -> concat($newPhis, $newPacfs))"
+    val tail = full
+      .withColumn("rn", row_number().over(Window.orderBy(col("day").desc)).cast("long"))
+      .filter(col("rn") <= ArOrder)
+      .agg(expr("transform(array_sort(collect_list(struct(rn, x))), p -> CAST(p.x AS DOUBLE))").as("xt"))
+    // xt[j] = x_{n+1-j} (rn ascending = most recent first)
+    rs.crossJoin(broadcast(base))
+      .crossJoin(broadcast(tail))
+      .withColumn("phis", expr(s"slice($fold, 1, $ArOrder)"))
+      .withColumn("mu", col("s").cast("double") / col("n").cast("double"))
+      .withColumn(
+        "forecast",
+        expr(s"mu + aggregate(sequence(1, $ArOrder), CAST(0.0 AS DOUBLE), (s2, j) -> s2 + element_at(phis, CAST(j AS INT)) * (element_at(xt, CAST(j AS INT)) - mu))")
+      )
+      .select(
+        col("n").as("n_days"),
+        (element_at(col("phis"), 1) + 0.0).as("phi_1"),
+        (element_at(col("phis"), 2) + 0.0).as("phi_2"),
+        (element_at(col("phis"), 3) + 0.0).as("phi_3"),
+        (col("mu") + 0.0).as("mean_x"),
+        (element_at(col("xt"), 1) + 0.0).as("x_last"),
+        (col("forecast") + 0.0).as("forecast")
+      )
+  }
+
+  private val arForecastSql: String = {
+    val kI = "CAST(e[1] AS BIGINT)"
+    val m = "(len(acc) // 2)"
+    val num =
+      s"(rs[$kI] - list_reduce(list_prepend(0.0e0, list_transform(generate_series(1, $m), i -> acc[i] * rs[$kI - i])), (s2, v) -> s2 + v))"
+    val den =
+      s"(1.0e0 - list_reduce(list_prepend(0.0e0, list_transform(generate_series(1, $m), i -> acc[i] * rs[i])), (s2, v) -> s2 + v))"
+    val a = s"($num / $den)"
+    val newPhis =
+      s"list_concat(list_transform(generate_series(1, $m), j -> acc[j] - $a * acc[$kI - j]), [$a])"
+    val newPacfs = s"list_concat(acc[$m + 1 : 2 * $m], [$a])"
+    val fold =
+      s"""list_reduce(
+         |      list_prepend([rs[1], rs[1]],
+         |                   list_transform(generate_series(2, $ArOrder), kk -> [CAST(kk AS DOUBLE)])),
+         |      (acc, e) -> list_concat($newPhis, $newPacfs))""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // $DayUs AS day, CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1
+       |), spine AS (
+       |  SELECT unnest(generate_series((SELECT min(day) FROM daily),
+       |                                (SELECT max(day) FROM daily))) AS day
+       |), f AS (
+       |  SELECT s.day, COALESCE(d.x, 0) AS x FROM spine s LEFT JOIN daily d ON s.day = d.day
+       |), base AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+       |         CAST(sum(x * x) AS BIGINT) AS q
+       |  FROM f
+       |), ks AS (SELECT unnest(generate_series(1, $ArOrder)) AS lag
+       |), pairs_k AS (
+       |  SELECT k.lag, a.x AS x, b.x AS xl
+       |  FROM f a JOIN ks k ON true JOIN f b ON b.day = a.day + k.lag
+       |), agg AS (
+       |  SELECT CAST(lag AS BIGINT) AS lag, CAST(sum(x * xl) AS BIGINT) AS c,
+       |         CAST(sum(x) AS BIGINT) AS h, CAST(sum(xl) AS BIGINT) AS t
+       |  FROM pairs_k GROUP BY 1
+       |), rrel AS (
+       |  SELECT a.lag,
+       |         CAST(b.n * b.n * a.c - b.n * b.s * (a.h + a.t) + (b.n - a.lag) * b.s * b.s AS DOUBLE)
+       |           / CAST(b.n * (b.n * b.q - b.s * b.s) AS DOUBLE) AS r
+       |  FROM agg a CROSS JOIN base b
+       |), rarr AS (SELECT list(r ORDER BY lag) AS rs FROM rrel),
+       |tail_ AS (
+       |  SELECT list(CAST(x AS DOUBLE) ORDER BY day DESC)[1 : $ArOrder] AS xt FROM f
+       |),
+       |fit AS (
+       |  SELECT ($fold)[1 : $ArOrder] AS phis, rs FROM rarr
+       |)
+       |SELECT b.n AS n_days,
+       |       fit.phis[1] + 0.0 AS phi_1, fit.phis[2] + 0.0 AS phi_2, fit.phis[3] + 0.0 AS phi_3,
+       |       CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) + 0.0 AS mean_x,
+       |       t.xt[1] + 0.0 AS x_last,
+       |       CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)
+       |       + list_reduce(list_prepend(0.0e0, list_transform(generate_series(1, $ArOrder),
+       |           j -> fit.phis[j] * (t.xt[j] - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)))),
+       |           (s2, v) -> s2 + v) + 0.0 AS forecast
+       |FROM fit CROSS JOIN base b CROSS JOIN tail_ t""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // evt_benford — Benford's-law first-digit audit of the value column
   // (the classic fabricated-data / instrumentation-bug detector): the
   // distribution of the first significant digit of positive amounts
@@ -2164,6 +2306,7 @@ object EventQueries {
     "evt_mad_outliers" -> madOutliers,
     "evt_acf" -> acf,
     "evt_pacf" -> pacf,
+    "evt_ar_forecast" -> arForecast,
     "evt_survival" -> survival,
     "evt_benford" -> benford,
     "evt_holt" -> holt,
@@ -2204,6 +2347,7 @@ object EventQueries {
     "evt_mad_outliers" -> madOutliersSql,
     "evt_acf" -> acfSql,
     "evt_pacf" -> pacfSql,
+    "evt_ar_forecast" -> arForecastSql,
     "evt_survival" -> survivalSql,
     "evt_benford" -> benfordSql,
     "evt_holt" -> holtSql,
