@@ -122,4 +122,81 @@ class Round9AnalyticsSpec extends SparkTestBase {
     // measured 1.0 at both gate SFs; 0.9 floor leaves room for corpus drift
     assert(mean >= 0.9, s"SQ8 rerank recall collapsed to $mean")
   }
+
+  test("evt_pacf: lag-1 PACF equals lag-1 ACF and all values live in [-1, 1]") {
+    val pac = q("evt_pacf").orderBy("lag").collect()
+    val ac = q("evt_acf").orderBy("lag").collect()
+    assert(math.abs(pac.head.getAs[Double]("pacf") - ac.head.getAs[Double]("r")) < 1e-5,
+      "phi_11 must equal r_1 by definition")
+    assert(pac.forall(r => math.abs(r.getAs[Double]("pacf")) <= 1.0 + 1e-9))
+  }
+
+  test("evt_holt: with zero trend at init and constant series the level equals the constant") {
+    import spark.implicits._
+    // closed-loop sanity of the fold arithmetic itself, independent of data
+    val xs = Seq.fill(10)(42.0)
+    var l = xs(1); var b = xs(1) - xs(0)
+    for (x <- xs.drop(2)) { val nl = 0.3 * x + 0.7 * (l + b); b = 0.1 * (nl - l) + 0.9 * b; l = nl }
+    assert(math.abs(l - 42.0) < 1e-9 && math.abs(b) < 1e-9)
+    val rows = q("evt_holt").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("n_days") >= 3))
+  }
+
+  test("evt_ar_forecast: coefficients are stationary-bounded and the forecast reverts toward the mean") {
+    val r = q("evt_ar_forecast").head
+    val phis = Seq(r.getAs[Double]("phi_1"), r.getAs[Double]("phi_2"), r.getAs[Double]("phi_3"))
+    assert(phis.forall(p => math.abs(p) <= 1.0), s"Yule-Walker coefficients out of bound: $phis")
+    val mu = r.getAs[Double]("mean_x")
+    val dev = math.abs(r.getAs[Double]("forecast") - mu)
+    val lastDev = math.abs(r.getAs[Double]("x_last") - mu)
+    assert(dev <= lastDev + math.abs(mu) * 0.5, "forecast should not explode away from the mean")
+  }
+
+  test("ccm_boot_ci: the interval brackets the mean and the median sits inside it") {
+    val rows = q("ccm_boot_ci").collect()
+    assert(rows.forall { r =>
+      val lo = r.getAs[Double]("rho_lo"); val hi = r.getAs[Double]("rho_hi")
+      val me = r.getAs[Double]("rho_med"); val mn = r.getAs[Double]("rho_mean")
+      lo <= me + 1e-9 && me <= hi + 1e-9 && lo - 1e-6 <= mn && mn <= hi + 1e-6
+    })
+    assert(rows.forall(_.getAs[Long]("n_samples") == 8L))
+  }
+
+  test("ccm_smap_coeffs: slopes are finite and each (series, direction) keeps every library point") {
+    val rows = q("ccm_smap_coeffs").collect()
+    assert(rows.forall(r => !r.getAs[Double]("slope").isNaN && !r.getAs[Double]("slope").isInfinite))
+    // per series, the two directions share one library -> equal point counts
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, rs) =>
+      val byDir = rs.groupBy(_.getAs[String]("direction")).view.mapValues(_.length).toMap
+      assert(byDir.values.toSet.size == 1, s"series $uid directions disagree: $byDir")
+    }
+  }
+
+  test("corpus_report: the datasheet internally cross-checks") {
+    val r = q("corpus_report").head
+    assert(r.getAs[Long]("n_docs") > 0)
+    assert(r.getAs[Long]("n_distinct_tokens") <= r.getAs[Long]("n_tokens"))
+    assert(r.getAs[Double]("mean_quality") >= 0.0 && r.getAs[Double]("mean_quality") <= 1.0)
+    assert(r.getAs[Long]("exact_dup_surplus") >= r.getAs[Long]("exact_dup_groups") ||
+      r.getAs[Long]("exact_dup_groups") == 0L)
+  }
+
+  test("graph_modularity: q terms are bounded and the total matches the integer-sum identity") {
+    val rows = q("graph_modularity").collect()
+    assert(rows.forall(r => math.abs(r.getAs[Double]("q_term")) <= 1.0 + 1e-9))
+    val m = rows.head.getAs[Long]("m").toDouble
+    val sin = rows.map(_.getAs[Long]("in_edges")).sum.toDouble
+    val sdeg2 = rows.map(r => { val d = r.getAs[Long]("deg_sum").toDouble; d * d }).sum
+    val expected = sin / m - sdeg2 / (4.0 * m * m)
+    assert(math.abs(rows.head.getAs[Double]("total_q") - expected) < 1e-9)
+  }
+
+  test("stream_kmv: sketches are exact below k and estimates land near the exact distinct count") {
+    val rows = q("stream_kmv").collect()
+    rows.foreach { r =>
+      val nsk = r.getAs[Long]("nsk"); val est = r.getAs[Double]("est"); val ex = r.getAs[Long]("exact")
+      if (nsk < 64) assert(est == ex.toDouble, "below k the sketch IS the exact count")
+      else assert(math.abs(est - ex) <= 0.5 * ex, s"KMV estimate $est too far from exact $ex")
+    }
+  }
 }
