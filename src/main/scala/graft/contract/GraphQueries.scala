@@ -565,6 +565,67 @@ object GraphQueries {
        |FROM rows_ r CROSS JOIN tot t
        |ORDER BY r.source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // graph_assortativity — degree assortativity (Newman 2002): the
+  // Pearson correlation of endpoint degrees over the symmetric edge
+  // list. Positive = hubs attach to hubs (dup clusters of boilerplate),
+  // negative = hub-and-spoke (one template, many near-copies) — the
+  // number that tells a dedup pipeline which cluster SHAPE dominates.
+  // All five co-moments are exact int64 sums over the edge list; one
+  // sqrt + one division at the end (the engine-native corr trap —
+  // regr_slope/corr flip 6-dp boundaries — applies verbatim here).
+  // -------------------------------------------------------------------
+  private def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = pairsOf(s, dir).localCheckpoint() // deg + both endpoint joins
+    val deg = symOf(pairs).groupBy(col("src").as("vertex")).agg(count(lit(1)).as("deg"))
+    val edges = symOf(pairs)
+      .join(deg.select(col("vertex"), col("deg").as("dx")), col("src") === col("vertex"))
+      .drop("vertex")
+      .join(deg.select(col("vertex"), col("deg").as("dy")), col("dst") === col("vertex"))
+      .drop("vertex")
+    edges
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"),
+        sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy")
+      )
+      .select(
+        col("n").as("n_edges_directed"),
+        col("sxy"),
+        (round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+            ),
+          6
+        ) + 0.0).as("assortativity")
+      )
+  }
+
+  private val graphAssortativitySql: String =
+    s"""WITH ${DedupQueries.bandsCteSql},
+       |$pairsCteSql,
+       |ed AS (
+       |  SELECT e.s, e.d, a.deg AS dx, b.deg AS dy
+       |  FROM sym e JOIN deg a ON e.s = a.vertex JOIN deg b ON e.d = b.vertex
+       |),
+       |mo AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+       |         CAST(sum(dx * dx) AS BIGINT) AS sxx, CAST(sum(dy * dy) AS BIGINT) AS syy,
+       |         CAST(sum(dx * dy) AS BIGINT) AS sxy
+       |  FROM ed
+       |)
+       |SELECT n AS n_edges_directed, sxy,
+       |       round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+       |             6) + 0.0 AS assortativity
+       |FROM mo""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degree" -> graphDegree,
     "graph_triangles" -> graphTriangles,
@@ -574,7 +635,8 @@ object GraphQueries {
     "graph_cluster_coeff" -> graphClusterCoeff,
     "graph_jaccard" -> graphJaccard,
     "graph_ppr" -> graphPpr,
-    "graph_modularity" -> graphModularity
+    "graph_modularity" -> graphModularity,
+    "graph_assortativity" -> graphAssortativity
   )
 
   val oracle: Map[String, String] = Map(
@@ -586,6 +648,7 @@ object GraphQueries {
     "graph_cluster_coeff" -> graphClusterCoeffSql,
     "graph_jaccard" -> graphJaccardSql,
     "graph_ppr" -> graphPprSql,
-    "graph_modularity" -> graphModularitySql
+    "graph_modularity" -> graphModularitySql,
+    "graph_assortativity" -> graphAssortativitySql
   )
 }

@@ -567,8 +567,117 @@ object SketchQueries {
        |FROM base""".stripMargin
   }
 
+  // =====================================================================
+  // sketch_hll_error — HLL register-count sizing profile (the
+  // sketch_cms_error methodology applied to the distinct sketch): the
+  // SAME estimator at m = 16 / 64 / 256 registers side by side with the
+  // exact count and the signed relative error — the measured basis for
+  // the 1.04/√m error rule a production HLL is sized with. Each m block
+  // reuses the integral register math (scaled-integer harmonic sum,
+  // empty registers contributing 2^wBits, alpha_m as a round-trip Scala
+  // literal); rel_err derives from the 4-dp-ROUNDED estimate so both
+  // engines compare identical doubles.
+  // =====================================================================
+  private val HllErrMs = Seq(16, 64, 256)
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  private def rhoColN(w: Column, wBits: Int): Column =
+    (1 to wBits - 1).foldRight(lit(wBits)) { (k, acc) =>
+      when(w % (1L << k) === (1L << (k - 1)), lit(k)).otherwise(acc)
+    }
+
+  private def rhoSqlN(w: String, wBits: Int): String = {
+    val cases = (1 to wBits - 1)
+      .map(k => s"WHEN ($w) % ${1L << k} = ${1L << (k - 1)} THEN $k")
+      .mkString(" ")
+    s"(CASE $cases ELSE $wBits END)"
+  }
+
+  private def sketchHllError(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"))
+      .localCheckpoint() // feeds one register pass per m + the exact count
+    val h = DetHash.rankHashCol(col("l_orderkey"), lit(0L), lit(0L), HllSeed)
+    def estOf(m: Int): DataFrame = {
+      val regBits = Integer.numberOfTrailingZeros(m)
+      val wBits = 32 - regBits
+      val scale = 1L << wBits
+      val numerator = hllAlpha(m) * m.toDouble * m.toDouble * scale.toDouble
+      li.select(col("l_returnflag"), (h % m).as("reg"), rhoColN(shiftright(h, regBits), wBits).as("rho"))
+        .groupBy(col("l_returnflag"), col("reg"))
+        .agg(max(col("rho")).as("mj"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), $wBits - mj)")).as("s_used"),
+          count(lit(1)).as("n_used")
+        )
+        .select(
+          col("l_returnflag"),
+          lit(m.toLong).as("m"),
+          Norm.rnd(
+            lit(numerator) / (col("s_used") + (lit(m.toLong) - col("n_used")) * scale).cast("double"),
+            4
+          ).as("hll_est")
+        )
+    }
+    val ests = HllErrMs.map(estOf).reduce(_.unionByName(_))
+    val exact = li.groupBy("l_returnflag").agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    ests
+      .join(exact, "l_returnflag")
+      .select(
+        col("l_returnflag"),
+        col("m"),
+        col("n_exact"),
+        col("hll_est"),
+        (round((col("hll_est") - col("n_exact").cast("double")) / col("n_exact").cast("double"), 6) + 0.0)
+          .as("rel_err")
+      )
+      .transform(Norm.ordered(_, col("l_returnflag"), col("m")))
+  }
+
+  private val sketchHllErrorSql: String = {
+    val h = DetHash.rankHashSql("l_orderkey", "0", "0", HllSeed)
+    val blocks = HllErrMs
+      .map { m =>
+        val regBits = Integer.numberOfTrailingZeros(m)
+        val wBits = 32 - regBits
+        val scale = 1L << wBits
+        val numerator = hllAlpha(m) * m.toDouble * m.toDouble * scale.toDouble
+        s"""SELECT l_returnflag, CAST($m AS BIGINT) AS m,
+           |       round($numerator / CAST(s_used + ($m - n_used) * $scale AS DOUBLE), 4) + 0.0 AS hll_est
+           |FROM (
+           |  SELECT l_returnflag,
+           |         sum(CAST(1 AS BIGINT) << ($wBits - mj)) AS s_used,
+           |         CAST(count(*) AS BIGINT) AS n_used
+           |  FROM (
+           |    SELECT l_returnflag, reg, max(rho) AS mj FROM (
+           |      SELECT l_returnflag, ($h) % $m AS reg, ${rhoSqlN(s"($h) // $m", wBits)} AS rho
+           |      FROM lineitem) GROUP BY 1, 2
+           |  ) GROUP BY 1
+           |)""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH ests AS (
+       |$blocks
+       |), ex AS (
+       |  SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT e.l_returnflag, e.m, x.n_exact, e.hll_est,
+       |       round((e.hll_est - CAST(x.n_exact AS DOUBLE)) / CAST(x.n_exact AS DOUBLE), 6) + 0.0 AS rel_err
+       |FROM ests e JOIN ex x ON e.l_returnflag = x.l_returnflag
+       |ORDER BY e.l_returnflag, e.m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll" -> sketchHll,
+    "sketch_hll_error" -> sketchHllError,
     "sketch_cms_topk" -> sketchCmsTopk,
     "sketch_bloom_join" -> sketchBloomJoin,
     "sketch_cms_error" -> sketchCmsError,
@@ -577,6 +686,7 @@ object SketchQueries {
 
   val oracle: Map[String, String] = Map(
     "sketch_hll" -> sketchHllSql,
+    "sketch_hll_error" -> sketchHllErrorSql,
     "sketch_cms_topk" -> sketchCmsTopkSql,
     "sketch_bloom_join" -> sketchBloomJoinSql,
     "sketch_cms_error" -> sketchCmsErrorSql,
