@@ -572,7 +572,10 @@ object SketchQueries {
   // sketch_cms_error methodology applied to the distinct sketch): the
   // SAME estimator at m = 16 / 64 / 256 registers side by side with the
   // exact count and the signed relative error — the measured basis for
-  // the 1.04/√m error rule a production HLL is sized with. Each m block
+  // the 1.04/√m error rule a production HLL is sized with (measured at
+  // sf0.1: mean |rel_err| 0.258 / 0.054 / 0.015 at m = 16/64/256 vs the
+  // rule's 0.26/0.13/0.065 — m=16 on the line, larger m beating it on
+  // this 3-set panel). Each m block
   // reuses the integral register math (scaled-integer harmonic sum,
   // empty registers contributing 2^wBits, alpha_m as a round-trip Scala
   // literal); rel_err derives from the 4-dp-ROUNDED estimate so both
