@@ -1465,10 +1465,13 @@ object SimQueries {
       "((mxa[CAST(i AS INTEGER)] - mna[CAST(i AS INTEGER)]) / 255.0)), 255.0) + 0.5) * " +
       "((mxa[CAST(i AS INTEGER)] - mna[CAST(i AS INTEGER)]) / 255.0) END)"
 
-  private def annSqTopk(s: SparkSession, dir: String): DataFrame = {
+  /** Normalized vectors + SQ8 midpoint-dequantized codes, shared by
+    * ann_sq_topk (exhaustive) and ann_ivfsq (IVF-restricted).
+    */
+  private def sqCoded(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
       .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
-      .localCheckpoint() // feeds the dim-stats aggregate AND the coded scan
+      .localCheckpoint() // dim-stats aggregate AND the coded scan
     val dims = e
       .select(posexplode(col("u")).as(Seq("p0", "x")))
       .groupBy((col("p0") + 1).as("pos"))
@@ -1483,11 +1486,14 @@ object SimQueries {
         "ELSE element_at(mna, i) + (least(floor((element_at(u, i) - element_at(mna, i)) / " +
         "((element_at(mxa, i) - element_at(mna, i)) / 255.0)), 255.0D) + 0.5D) * " +
         "((element_at(mxa, i) - element_at(mna, i)) / 255.0) END)"
-    val coded = e
-      .crossJoin(broadcast(stats))
+    e.crossJoin(broadcast(stats))
       .withColumn("dq", expr(dqExpr))
       .select("vec_id", "u", "dq")
       .localCheckpoint() // queries AND database side of the scan
+  }
+
+  private def annSqTopk(s: SparkSession, dir: String): DataFrame = {
+    val coded = sqCoded(s, dir)
     val queries = coded
       .filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("u").as("qu"), col("dq").as("qdq"))
@@ -1506,6 +1512,105 @@ object SimQueries {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), Norm.rnd(col("d2"), 6).as("d2"))
       .transform(Norm.ordered(_, col("query_id"), col("rank")))
   }
+
+  // -------------------------------------------------------------------
+  // ann_ivfsq — IVF + SQ8, the OTHER production compression pairing
+  // beside ann_ivfpq_topk: the stride coarse quantizer bounds the scan
+  // to NProbe inverted lists (corpus-size-independent candidates), the
+  // per-dimension int8 codes bound the memory (64 B/vector), and the
+  // SqRerankR shortlist re-scores exact — where IVF+PQ trades recall
+  // for 16-byte codes, IVF+SQ keeps the measured recall-1.0 fidelity of
+  // the SQ path at 4× the code size. Same assignment/list/probe shapes
+  // as ann_ivfpq_topk, same dequantized fixed-fold scoring as
+  // ann_sq_topk — both verbatim, so the three-way family is an
+  // apples-to-apples cost/fidelity dial.
+  // -------------------------------------------------------------------
+  private val IvfSqNProbe = 4
+
+  private def annIvfSq(s: SparkSession, dir: String): DataFrame = {
+    val coded = sqCoded(s, dir)
+    val cents = coded
+      .filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cid_c"), col("u").as("cv"))
+    val d2Full = expr("graft_l2sq(u, cv)")
+    val assignW = Window.partitionBy("vec_id").orderBy(d2Full.asc, col("cid_c").asc)
+    val assigned = coded
+      .crossJoin(broadcast(cents))
+      .withColumn("crank", row_number().over(assignW))
+      .filter(col("crank") <= IvfSqNProbe)
+      .select(col("vec_id"), col("cid_c"), col("crank"))
+      .localCheckpoint() // feeds lists AND probes
+    val lists = assigned.filter(col("crank") === 1).select(col("vec_id"), col("cid_c"))
+    val probes = assigned
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("cid_c"))
+    val cand = probes
+      .join(lists, Seq("cid_c"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val q = coded.select(col("vec_id").as("query_id"), col("u").as("qu"), col("dq").as("qdq"))
+    val scored = cand
+      .join(coded, Seq("vec_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("d2q", expr("graft_l2sq(qdq, dq)"))
+    val w1 = Window.partitionBy("query_id").orderBy(col("d2q").asc, col("vec_id").asc)
+    val w2 = Window.partitionBy("query_id").orderBy(col("d2").asc, col("vec_id").asc)
+    scored
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= SqRerankR)
+      .withColumn("d2", expr("graft_l2sq(qu, u)"))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), Norm.rnd(col("d2"), 6).as("d2"))
+      .transform(Norm.ordered(_, col("query_id"), col("rank")))
+  }
+
+  private val annIvfSqSql: String =
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+       |e AS (SELECT vec_id,
+       |        list_transform(v0, x -> x / sqrt(${dotDuck("v0", "v0")})) AS u
+       |      FROM e0),
+       |dims AS (
+       |  SELECT t.i AS pos, min(u[CAST(t.i AS INTEGER)]) AS mn, max(u[CAST(t.i AS INTEGER)]) AS mx
+       |  FROM e CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY 1
+       |),
+       |stats AS (SELECT list(mn ORDER BY pos) AS mna, list(mx ORDER BY pos) AS mxa FROM dims),
+       |coded AS (
+       |  SELECT vec_id, u, $sqDequantDuck AS dq FROM e CROSS JOIN stats
+       |),
+       |cents AS (SELECT vec_id AS cid_c, u AS cv FROM coded WHERE vec_id % $CentroidStride = 0),
+       |asg AS (
+       |  SELECT vec_id, cid_c, crank FROM (
+       |    SELECT s.vec_id, c.cid_c,
+       |           row_number() OVER (PARTITION BY s.vec_id
+       |             ORDER BY ${d2FullDuck("s.u", "c.cv")}, c.cid_c) AS crank
+       |    FROM coded s CROSS JOIN cents c)
+       |  WHERE crank <= $IvfSqNProbe
+       |),
+       |lists AS (SELECT vec_id, cid_c FROM asg WHERE crank = 1),
+       |probes AS (SELECT vec_id AS query_id, cid_c FROM asg WHERE vec_id % $QueryStride = 0),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, l.vec_id
+       |  FROM probes p JOIN lists l ON p.cid_c = l.cid_c AND p.query_id <> l.vec_id
+       |),
+       |short AS (
+       |  SELECT * FROM (
+       |    SELECT c.query_id, c.vec_id, q.u AS qu, n.u, q.dq AS qdq, n.dq,
+       |           row_number() OVER (PARTITION BY c.query_id
+       |             ORDER BY ${d2FullDuck("q.dq", "n.dq")}, c.vec_id) AS r1
+       |    FROM cand c JOIN coded n ON c.vec_id = n.vec_id
+       |                JOIN coded q ON c.query_id = q.vec_id)
+       |  WHERE r1 <= $SqRerankR
+       |),
+       |rr AS (
+       |  SELECT query_id, vec_id, ${d2FullDuck("qu", "u")} AS d2,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY ${d2FullDuck("qu", "u")}, vec_id) AS BIGINT) AS rank
+       |  FROM short
+       |)
+       |SELECT query_id, rank, vec_id AS neighbor_id, round(d2, 6) + 0.0 AS d2
+       |FROM rr WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   private val annSqTopkSql: String = {
     val dq = sqDequantDuck
@@ -1847,6 +1952,7 @@ object SimQueries {
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "ann_ivfpq_rerank" -> annIvfPqRerank,
     "ann_sq_topk" -> annSqTopk,
+    "ann_ivfsq" -> annIvfSq,
     "vec_centroid" -> vecCentroid,
     "vec_covariance" -> vecCovariance,
     "vec_pca_power" -> vecPcaPower,
@@ -1871,6 +1977,7 @@ object SimQueries {
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "ann_sq_topk" -> annSqTopkSql,
+    "ann_ivfsq" -> annIvfSqSql,
     "vec_centroid" -> vecCentroidSql,
     "vec_covariance" -> vecCovarianceSql,
     "vec_pca_power" -> vecPcaPowerSql,
