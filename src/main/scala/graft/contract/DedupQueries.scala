@@ -216,7 +216,10 @@ object DedupQueries {
   // -------------------------------------------------------------------
   private val SimBits = 24
 
-  private def simhash(s: SparkSession, dir: String): DataFrame = {
+  /** Unsorted (doc_id, source, simhash) — shared by the contract query and
+    * the ensemble verdict.
+    */
+  private def simhashRaw(s: SparkSession, dir: String): DataFrame = {
     // one word row carries all SimBits bit-signs as SimBits conditional SUM
     // aggregates (ONE map-side-partial hash-agg pass over |words| rows) —
     // the previous explode-per-bit formulation pushed SimBits x |words|
@@ -233,8 +236,10 @@ object DedupQueries {
       .groupBy("doc_id", "source")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), col("source"), fold.as("simhash"))
-      .transform(Norm.ordered(_, col("doc_id")))
   }
+
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashRaw(s, dir).transform(Norm.ordered(_, col("doc_id")))
 
   private val simhashDuck: String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, ${SimBits - 1}), j ->
@@ -357,6 +362,131 @@ object DedupQueries {
        |       round(CAST(matches AS DOUBLE) / ${NumPerms.toDouble} -
        |             CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE), 6) + 0.0 AS err
        |FROM ex
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // dedup_ensemble — the multi-signal VERDICT a production pipeline
+  // actually ships: every LSH candidate pair scored by all four
+  // independent near-dup signals at once — MinHash slot estimate,
+  // SimHash Hamming distance, exact distinct-shingle Jaccard, and
+  // asymmetric containment — with a per-signal vote and a >= 2-of-4
+  // majority verdict. Single-signal cutoffs each have a failure mode
+  // (MinHash is 1/8-quantized, SimHash misses short docs, Jaccard
+  // misses quote/boilerplate containment); the ensemble is the standard
+  // mitigation and here it is one query over the SAME candidate set, so
+  // the signals' disagreement is itself visible in the output. All
+  // votes compare 6-dp-ROUNDED values (engine-identical doubles);
+  // candidates stay LSH-bounded, each signal adds one keyed join.
+  // -------------------------------------------------------------------
+  private val EnsEstBar = 0.5
+  private val EnsHammingBar = 6L
+  private val EnsJaccardBar = 0.8
+  private val EnsContainBar = 0.9
+
+  private def dedupEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigRaw(s, dir).localCheckpoint() // band join AND both est sides
+    val long = bandsFrom(sig)
+    val pairs = long
+      .as("a")
+      .join(
+        long.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val matches = (0 until NumPerms)
+      .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sets = shingled(s, dir)
+      .select(col("doc_id"), expr("array_distinct(shh)").as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .localCheckpoint() // both sides of the pair join
+    val sim = simhashRaw(s, dir).select(col("doc_id"), col("simhash")).localCheckpoint()
+    pairs
+      .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), matches.as("matches"))
+      .join(sets.select(col("doc_id"), col("sh").as("sh_a"), col("sz").as("sz_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sets.select(col("doc_id"), col("sh").as("sh_b"), col("sz").as("sz_b")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .join(sim.select(col("doc_id"), col("simhash").as("sim_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sim.select(col("doc_id"), col("simhash").as("sim_b")), col("doc_b") === col("doc_id"))
+      .drop("doc_id")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+      .withColumn("est_j", round(col("matches").cast("double") / lit(NumPerms.toDouble), 6) + 0.0)
+      .withColumn(
+        "jaccard",
+        round(col("n_common").cast("double") / (col("sz_a") + col("sz_b") - col("n_common")).cast("double"), 6) + 0.0
+      )
+      .withColumn(
+        "containment",
+        round(col("n_common").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"), 6) + 0.0
+      )
+      .withColumn(
+        "n_votes",
+        when(col("est_j") >= EnsEstBar, 1L).otherwise(0L) +
+          when(col("hamming") <= EnsHammingBar, 1L).otherwise(0L) +
+          when(col("jaccard") >= EnsJaccardBar, 1L).otherwise(0L) +
+          when(col("containment") >= EnsContainBar, 1L).otherwise(0L)
+      )
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("matches"),
+        col("hamming"),
+        col("est_j"),
+        col("jaccard"),
+        col("containment"),
+        col("n_votes"),
+        (col("n_votes") >= 2L).as("is_dup")
+      )
+      .transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
+  }
+
+  private val dedupEnsembleSql: String = {
+    val matchSum = (0 until NumPerms)
+      .map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $bandsCteSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |sets AS (SELECT doc_id, list_distinct(shh) AS sh FROM ds),
+       |simsig AS (SELECT doc_id, $simhashDuck AS simhash FROM dw),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CAST($matchSum AS BIGINT) AS matches,
+       |         CAST(bit_count(xor(ha.simhash, hb.simhash)) AS BIGINT) AS hamming,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+       |         CAST(len(a.sh) AS BIGINT) AS sz_a, CAST(len(b.sh) AS BIGINT) AS sz_b
+       |  FROM cand c
+       |  JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id
+       |  JOIN sets a ON c.doc_a = a.doc_id JOIN sets b ON c.doc_b = b.doc_id
+       |  JOIN simsig ha ON c.doc_a = ha.doc_id JOIN simsig hb ON c.doc_b = hb.doc_id
+       |),
+       |voted AS (
+       |  SELECT doc_a, doc_b, matches, hamming,
+       |         round(CAST(matches AS DOUBLE) / ${NumPerms.toDouble}, 6) + 0.0 AS est_j,
+       |         round(CAST(n_common AS DOUBLE) / CAST(sz_a + sz_b - n_common AS DOUBLE), 6) + 0.0 AS jaccard,
+       |         round(CAST(n_common AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE), 6) + 0.0 AS containment
+       |  FROM scored
+       |)
+       |SELECT doc_a, doc_b, matches, hamming, est_j, jaccard, containment,
+       |       CAST((CASE WHEN est_j >= $EnsEstBar THEN 1 ELSE 0 END)
+       |          + (CASE WHEN hamming <= $EnsHammingBar THEN 1 ELSE 0 END)
+       |          + (CASE WHEN jaccard >= $EnsJaccardBar THEN 1 ELSE 0 END)
+       |          + (CASE WHEN containment >= $EnsContainBar THEN 1 ELSE 0 END) AS BIGINT) AS n_votes,
+       |       ((CASE WHEN est_j >= $EnsEstBar THEN 1 ELSE 0 END)
+       |          + (CASE WHEN hamming <= $EnsHammingBar THEN 1 ELSE 0 END)
+       |          + (CASE WHEN jaccard >= $EnsJaccardBar THEN 1 ELSE 0 END)
+       |          + (CASE WHEN containment >= $EnsContainBar THEN 1 ELSE 0 END)) >= 2 AS is_dup
+       |FROM voted
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -1175,6 +1305,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> minhashSig,
     "dedup_minhash_est" -> minhashEst,
+    "dedup_ensemble" -> dedupEnsemble,
     "dedup_lsh_pairs" -> lshPairs,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs,
@@ -1195,6 +1326,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> minhashSigSql,
     "dedup_minhash_est" -> minhashEstSql,
+    "dedup_ensemble" -> dedupEnsembleSql,
     "dedup_lsh_pairs" -> lshPairsSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
