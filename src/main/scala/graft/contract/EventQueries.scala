@@ -1171,7 +1171,10 @@ object EventQueries {
   // -------------------------------------------------------------------
   private val SeasonPeriod = 7
 
-  private def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+  /** Decompose WITHOUT the final ordering — shared by the contract query
+    * and the residual-anomaly layer.
+    */
+  private def seasonalResid(s: SparkSession, dir: String): DataFrame = {
     val daily = ev(s, dir)
       .withColumn("cents", round(col("value") * 100.0).cast("long"))
       .groupBy(col("user_id"), expr(s"tus div $DayUs").as("day"))
@@ -1202,8 +1205,10 @@ object EventQueries {
         Norm.rnd(col("seasonal"), 6).as("seasonal"),
         Norm.rnd(col("cents") - col("trend") - col("seasonal"), 6).as("resid")
       )
-      .transform(Norm.ordered(_, col("user_id"), col("day")))
   }
+
+  private def seasonalDecompose(s: SparkSession, dir: String): DataFrame =
+    seasonalResid(s, dir).transform(Norm.ordered(_, col("user_id"), col("day")))
 
   private val seasonalDecomposeSql: String =
     s"""WITH daily AS (
@@ -2121,6 +2126,111 @@ object EventQueries {
   }
 
   // -------------------------------------------------------------------
+  // evt_stl_anomaly — SEASONALLY-ADJUSTED anomaly detection: the
+  // modified-z outlier flag (evt_mad_outliers) applied to the seasonal
+  // decomposition's RESIDUALS instead of raw values — a Monday spike
+  // that is merely "every Monday" stops alarming, and a mid-week value
+  // ordinary in magnitude but wrong FOR ITS SEASON starts. Composes the
+  // engine's own layers: [[seasonalResid]]'s 6-dp-rounded residuals
+  // (engine-identical doubles — exact order statistics over them are
+  // deterministic), per-user median/MAD rank windows, and the
+  // Iglewicz–Hoaglin z with the unrounded-z contract.
+  // -------------------------------------------------------------------
+  private def stlAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val resid = seasonalResid(s, dir)
+      .filter(col("resid").isNotNull)
+      .select("user_id", "day", "resid")
+      .localCheckpoint() // median rank, MAD rank, and the output join
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val wR = Window.partitionBy("user_id").orderBy(col(valueCol).asc, col("day").asc)
+      val wU = Window.partitionBy("user_id")
+      df.withColumn("rn", row_number().over(wR).cast("long"))
+        .withColumn("n", count(lit(1)).over(wU))
+        .filter(col("rn") >= expr("(n + 1) div 2") && col("rn") <= expr("(n + 2) div 2"))
+        .groupBy("user_id")
+        .agg(avg(col(valueCol)).as(out))
+    }
+    val med = medianOf(resid, "resid", "med")
+    val dev = resid
+      .join(med, "user_id")
+      .withColumn("dev", abs(col("resid") - col("med")))
+    val mad = medianOf(dev, "dev", "mad")
+    dev
+      .join(mad, "user_id")
+      .withColumn(
+        "z",
+        when(col("mad") === 0.0, 0.0)
+          .otherwise(lit(MadC) * (col("resid") - col("med")) / col("mad"))
+      )
+      .select(
+        col("user_id"),
+        col("day"),
+        col("resid"),
+        // med/mad/z UNROUNDED (the evt_mad_outliers contract): every
+        // operand is an engine-identical double, while a round here is
+        // where the engines' HALF_UP semantics split
+        (col("med") + 0.0).as("med"),
+        (col("mad") + 0.0).as("mad"),
+        (col("z") + 0.0).as("z"),
+        (abs(col("z")) > MadCut).as("anomaly")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("day")))
+  }
+
+  private val stlAnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, epoch_us(ts) // $DayUs AS day,
+       |         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2
+       |), ma AS (
+       |  SELECT *, day % $SeasonPeriod AS dow,
+       |    CAST(count(*) OVER w AS BIGINT) AS w_cnt,
+       |    CAST(sum(cents) OVER w AS BIGINT) AS w_sum
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+       |               RANGE BETWEEN ${SeasonPeriod / 2} PRECEDING AND ${SeasonPeriod / 2} FOLLOWING)
+       |), det AS (
+       |  SELECT *,
+       |    CASE WHEN w_cnt = $SeasonPeriod THEN CAST(w_sum AS DOUBLE) / $SeasonPeriod END AS trend
+       |  FROM ma
+       |), seas AS (
+       |  SELECT *, avg(cents - trend) OVER (PARTITION BY user_id, dow) AS s_raw
+       |  FROM det
+       |), cent AS (
+       |  SELECT *, avg(s_raw) OVER (PARTITION BY user_id) AS s_mean FROM seas
+       |), resid AS (
+       |  SELECT user_id, day,
+       |         round(cents - trend - (s_raw - s_mean), 6) + 0.0 AS resid
+       |  FROM cent
+       |  WHERE trend IS NOT NULL
+       |), medr AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY resid, day) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+       |  FROM resid
+       |), med AS (
+       |  SELECT user_id, avg(resid) AS med FROM medr
+       |  WHERE rn >= (n + 1) // 2 AND rn <= (n + 2) // 2 GROUP BY 1
+       |), dev AS (
+       |  SELECT r.user_id, r.day, r.resid, m.med, abs(r.resid - m.med) AS dev
+       |  FROM resid r JOIN med m ON r.user_id = m.user_id
+       |), madr AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id ORDER BY dev, day) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+       |  FROM dev
+       |), mad AS (
+       |  SELECT user_id, avg(dev) AS mad FROM madr
+       |  WHERE rn >= (n + 1) // 2 AND rn <= (n + 2) // 2 GROUP BY 1
+       |), z AS (
+       |  SELECT d.user_id, d.day, d.resid, d.med, m.mad,
+       |         CASE WHEN m.mad = 0.0 THEN 0.0
+       |              ELSE $MadC * (d.resid - d.med) / m.mad END AS z
+       |  FROM dev d JOIN mad m ON d.user_id = m.user_id
+       |)
+       |SELECT user_id, day, resid, med + 0.0 AS med, mad + 0.0 AS mad, z + 0.0 AS z,
+       |       (abs(z) > $MadCut) AS anomaly
+       |FROM z ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
   // evt_benford — Benford's-law first-digit audit of the value column
   // (the classic fabricated-data / instrumentation-bug detector): the
   // distribution of the first significant digit of positive amounts
@@ -2310,6 +2420,7 @@ object EventQueries {
     "evt_survival" -> survival,
     "evt_benford" -> benford,
     "evt_holt" -> holt,
+    "evt_stl_anomaly" -> stlAnomaly,
     "evt_periodogram" -> periodogram,
     "evt_percentiles" -> percentiles,
     "evt_window_agg" -> windowAgg,
@@ -2351,6 +2462,7 @@ object EventQueries {
     "evt_survival" -> survivalSql,
     "evt_benford" -> benfordSql,
     "evt_holt" -> holtSql,
+    "evt_stl_anomaly" -> stlAnomalySql,
     "evt_periodogram" -> periodogramSql,
     "evt_percentiles" -> percentilesSql,
     "evt_window_agg" -> windowAggSql,
