@@ -191,4 +191,32 @@ class NewQueryPlanSpec extends SparkTestBase {
     val p = plan("graph_ppr")
     assert(!p.contains("CartesianProduct"), "contribution flow must equi-join on vertex ids")
   }
+
+  test("ann_ivfsq candidates come from probed lists: cid-keyed joins, no data shuffle-scan join") {
+    val p = plan("ann_ivfsq")
+    assert(!p.contains("CartesianProduct"), "only the k-bounded centroid product may be nested-loop")
+  }
+
+  test("dedup_ensemble adds each signal as one keyed join — never a second candidate generation") {
+    val p = plan("dedup_ensemble")
+    val intersects = "array_intersect".r.findAllIn(p).size
+    assert(intersects <= 2, s"the exact intersection must not re-evaluate per consumer, got $intersects")
+    assert(!p.contains("CartesianProduct"), "signals attach by doc_id equi-joins")
+  }
+
+  test("evt_stl_anomaly stays user-keyed: decompose windows + rank windows, no cartesian") {
+    val p = plan("evt_stl_anomaly")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("graph_assortativity is one co-moment aggregation over the edge join: no window") {
+    val p = plan("graph_assortativity")
+    assert(!p.contains("Window"), "five co-moments need only a hash aggregate")
+  }
+
+  test("sketch_hll_error's three register passes all partially aggregate before their exchanges") {
+    val p = plan("sketch_hll_error")
+    assert(!p.contains("Window"), "register maxima are hash aggregates, never windows")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
