@@ -390,41 +390,17 @@ object CcmPipeline {
     val spark = rankedDf.sparkSession
     import spark.implicits._
     val k = keys.map(col)
-    val libs = broadcast(libSizes.toDF("lib_size"))
-    val cellKeys = k ++ Seq(col("sample_id"), col("lib_size"))
-    val preds =
-      predictions(rankedDf, keys, libSizes, e, knnBuckets, knnAutoFactor, reuseDistances, fusedTopK)
-
-    // Pearson per cell; NULL/NaN (corr of <2 rows or zero variance) -> 0.0
-    val corrCell = preds
-      .groupBy(cellKeys: _*)
-      .agg(corr($"actual", $"predicted").as("c"))
-      .withColumn("c", when($"c".isNull || isnan($"c"), 0.0).otherwise($"c"))
-
-    // Complete cell grid so guard cells (libSize >= n, or empty prediction
-    // set) contribute 0.0 to the average instead of disappearing.
-    val nPts = rankedDf
-      .filter($"sample_id" === 1)
-      .groupBy(k: _*)
-      .agg(count(lit(1)).as("n_pts"))
-    val samples = spark.range(1, numSamples + 1).select(col("id").as("sample_id"))
-    val grid = nPts.crossJoin(broadcast(samples)).crossJoin(libs)
-    val gridJoinKeys = keys ++ Seq("sample_id", "lib_size")
-    val cells = grid
-      .join(corrCell, gridJoinKeys, "left")
-      .withColumn(
-        "rho_cell",
-        when($"lib_size" >= $"n_pts", 0.0) // guard `lib/ccm.ex:109-110`
-          .otherwise(coalesce($"c", lit(0.0)))
-      )
-
-    cells.groupBy((k :+ col("lib_size")): _*).agg(avg($"rho_cell").as("rho"))
+    skillCells(rankedDf, keys, libSizes, numSamples, e, knnBuckets, knnAutoFactor, reuseDistances, fusedTopK)
+      .groupBy((k :+ col("lib_size")): _*)
+      .agg(avg($"rho_cell").as("rho"))
   }
 
-  /** Per-sample skill CELLS — the relation [[skill]] averages, exposed for
-    * resampling statistics (bootstrap quantiles in ccm_boot_ci): one
-    * rho_cell per (keys, sample_id, lib_size), guard cells included at
-    * 0.0 exactly as in the mean path.
+  /** Per-sample skill CELLS — the single definition of the relation
+    * [[skill]] averages and ccm_boot_ci ranks (one rho_cell per
+    * (keys, sample_id, lib_size), guard cells at 0.0 — the
+    * `lib/ccm.ex:109-110` guard lives HERE and nowhere else, so the
+    * reported mean and the reported CI can never come from different
+    * cell definitions).
     */
   def skillCells(
       rankedDf: DataFrame,
@@ -433,18 +409,24 @@ object CcmPipeline {
       numSamples: Int,
       e: Int,
       knnBuckets: Int = 0,
-      knnAutoFactor: Int = 64
+      knnAutoFactor: Int = 64,
+      reuseDistances: Boolean = false,
+      fusedTopK: Boolean = false
   ): DataFrame = {
     val spark = rankedDf.sparkSession
     import spark.implicits._
     val k = keys.map(col)
     val libs = broadcast(libSizes.toDF("lib_size"))
     val cellKeys = k ++ Seq(col("sample_id"), col("lib_size"))
-    val preds = predictions(rankedDf, keys, libSizes, e, knnBuckets, knnAutoFactor)
+    val preds =
+      predictions(rankedDf, keys, libSizes, e, knnBuckets, knnAutoFactor, reuseDistances, fusedTopK)
+    // Pearson per cell; NULL/NaN (corr of <2 rows or zero variance) -> 0.0
     val corrCell = preds
       .groupBy(cellKeys: _*)
       .agg(corr($"actual", $"predicted").as("c"))
       .withColumn("c", when($"c".isNull || isnan($"c"), 0.0).otherwise($"c"))
+    // Complete cell grid so guard cells (libSize >= n, or empty prediction
+    // set) contribute 0.0 instead of disappearing.
     val nPts = rankedDf
       .filter($"sample_id" === 1)
       .groupBy(k: _*)
@@ -456,7 +438,7 @@ object CcmPipeline {
       .join(corrCell, gridJoinKeys, "left")
       .withColumn(
         "rho_cell",
-        when($"lib_size" >= $"n_pts", 0.0)
+        when($"lib_size" >= $"n_pts", 0.0) // guard `lib/ccm.ex:109-110`
           .otherwise(coalesce($"c", lit(0.0)))
       )
   }

@@ -1,6 +1,6 @@
 package graft.contract
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ccm.DetHash
@@ -149,6 +149,47 @@ object DedupQueries {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
+  /** Distinct LSH candidate pairs (doc_a < doc_b) from a CHECKPOINTED
+    * signature — the one definition of candidate generation the
+    * estimator/ensemble layers share (lshPairsRaw additionally counts
+    * shared bands, which those layers don't need).
+    */
+  private def candPairsFrom(sig: DataFrame): DataFrame = {
+    val long = bandsFrom(sig)
+    long
+      .as("a")
+      .join(
+        long.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Σ of per-slot signature matches between aliases sa/sb. */
+  private def minhashMatchCol: Column =
+    (0 until NumPerms)
+      .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+
+  /** (doc_id, sh: distinct shingle set, sz), checkpointed. */
+  private def distinctSets(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .select(col("doc_id"), expr("array_distinct(shh)").as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .localCheckpoint() // both sides of the pair join
+
+  // SQL twins, appended after bandsCteSql in the consumers
+  private val candCteSql: String =
+    s"""cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  private val setsCteSql: String = "sets AS (SELECT doc_id, list_distinct(shh) AS sh FROM ds)"
+  private val matchSumSql: String =
+    (0 until NumPerms).map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END").mkString(" + ")
+
   private def minhashSig(s: SparkSession, dir: String): DataFrame =
     minhashSigRaw(s, dir).transform(Norm.ordered(_, col("doc_id")))
 
@@ -291,22 +332,9 @@ object DedupQueries {
   // -------------------------------------------------------------------
   private def minhashEst(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSigRaw(s, dir).localCheckpoint() // feeds the band join AND both estimate sides
-    val long = bandsFrom(sig)
-    val pairs = long
-      .as("a")
-      .join(
-        long.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id")
-      )
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val matches = (0 until NumPerms)
-      .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val sets = shingled(s, dir)
-      .select(col("doc_id"), expr("array_distinct(shh)").as("sh"))
-      .withColumn("sz", size(col("sh")).cast("long"))
-      .localCheckpoint() // both sides of the pair join
+    val pairs = candPairsFrom(sig)
+    val matches = minhashMatchCol
+    val sets = distinctSets(s, dir)
     val withEst = pairs
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -336,16 +364,10 @@ object DedupQueries {
   }
 
   private val minhashEstSql: String = {
-    val matchSum = (0 until NumPerms)
-      .map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END")
-      .mkString(" + ")
+    val matchSum = matchSumSql
     s"""WITH $bandsCteSql,
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |),
-       |sets AS (SELECT doc_id, list_distinct(shh) AS sh FROM ds),
+       |$candCteSql,
+       |$setsCteSql,
        |est AS (
        |  SELECT c.doc_a, c.doc_b, CAST($matchSum AS BIGINT) AS matches
        |  FROM cand c JOIN sig sa ON c.doc_a = sa.doc_id JOIN sig sb ON c.doc_b = sb.doc_id
@@ -386,22 +408,9 @@ object DedupQueries {
 
   private def dedupEnsemble(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSigRaw(s, dir).localCheckpoint() // band join AND both est sides
-    val long = bandsFrom(sig)
-    val pairs = long
-      .as("a")
-      .join(
-        long.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id")
-      )
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val matches = (0 until NumPerms)
-      .map(k => when(col(s"sa.mh$k") === col(s"sb.mh$k"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val sets = shingled(s, dir)
-      .select(col("doc_id"), expr("array_distinct(shh)").as("sh"))
-      .withColumn("sz", size(col("sh")).cast("long"))
-      .localCheckpoint() // both sides of the pair join
+    val pairs = candPairsFrom(sig)
+    val matches = minhashMatchCol
+    val sets = distinctSets(s, dir)
     val sim = simhashRaw(s, dir).select(col("doc_id"), col("simhash")).localCheckpoint()
     pairs
       .join(sig.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -448,16 +457,10 @@ object DedupQueries {
   }
 
   private val dedupEnsembleSql: String = {
-    val matchSum = (0 until NumPerms)
-      .map(k => s"CASE WHEN sa.mh$k = sb.mh$k THEN 1 ELSE 0 END")
-      .mkString(" + ")
+    val matchSum = matchSumSql
     s"""WITH $bandsCteSql,
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |),
-       |sets AS (SELECT doc_id, list_distinct(shh) AS sh FROM ds),
+       |$candCteSql,
+       |$setsCteSql,
        |simsig AS (SELECT doc_id, $simhashDuck AS simhash FROM dw),
        |scored AS (
        |  SELECT c.doc_a, c.doc_b,
@@ -478,15 +481,15 @@ object DedupQueries {
        |  FROM scored
        |)
        |SELECT doc_a, doc_b, matches, hamming, est_j, jaccard, containment,
+       |       n_votes, n_votes >= 2 AS is_dup
+       |FROM (
+       |  SELECT *,
        |       CAST((CASE WHEN est_j >= $EnsEstBar THEN 1 ELSE 0 END)
        |          + (CASE WHEN hamming <= $EnsHammingBar THEN 1 ELSE 0 END)
        |          + (CASE WHEN jaccard >= $EnsJaccardBar THEN 1 ELSE 0 END)
-       |          + (CASE WHEN containment >= $EnsContainBar THEN 1 ELSE 0 END) AS BIGINT) AS n_votes,
-       |       ((CASE WHEN est_j >= $EnsEstBar THEN 1 ELSE 0 END)
-       |          + (CASE WHEN hamming <= $EnsHammingBar THEN 1 ELSE 0 END)
-       |          + (CASE WHEN jaccard >= $EnsJaccardBar THEN 1 ELSE 0 END)
-       |          + (CASE WHEN containment >= $EnsContainBar THEN 1 ELSE 0 END)) >= 2 AS is_dup
-       |FROM voted
+       |          + (CASE WHEN containment >= $EnsContainBar THEN 1 ELSE 0 END) AS BIGINT) AS n_votes
+       |  FROM voted
+       |)
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -1643,30 +1643,42 @@ object EventQueries {
   // -------------------------------------------------------------------
   private val AcfMaxLag = 10
 
-  private def acf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Gap-filled (contiguous, missing days = 0) daily event-count spine,
+    * CHECKPOINTED — the single input relation the ACF/PACF/AR family
+    * shares (it feeds base moments, the lead window, and the AR tail).
+    */
+  private def dailySpine(s: SparkSession, dir: String): DataFrame = {
     val daily = ev(s, dir)
       .groupBy(expr(s"tus div $DayUs").as("day"))
       .agg(count(lit(1)).as("x"))
-    val full = daily
+    daily
       .agg(min("day").as("d0"), max("day").as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
       .join(daily, Seq("day"), "left")
       .withColumn("x", coalesce(col("x"), lit(0L)))
-      .localCheckpoint() // feeds base moments + the lead window
+      .localCheckpoint()
+  }
+
+  /** UNROUNDED sample autocorrelations (lag, n_pairs, r) at lags
+    * 1..maxLag over a [[dailySpine]] relation — the ONE definition of
+    * the integer-co-moment estimator that evt_acf rounds and
+    * evt_pacf / evt_ar_forecast fold over (r is a single double
+    * division of exact int64s, bit-identical across engines).
+    */
+  private def acfRawFrom(full: DataFrame, maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = full.agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("s"),
       sum(col("x") * col("x")).as("q")
     )
     val w = Window.orderBy("day")
-    val leads = (1 to AcfMaxLag).foldLeft(full) { (df, k) =>
+    val leads = (1 to maxLag).foldLeft(full) { (df, k) =>
       df.withColumn(s"l$k", lead(col("x"), k).over(w))
     }
-    val stacked = leads
-      .select(expr(s"stack($AcfMaxLag, ${(1 to AcfMaxLag).map(k => s"${k}L, x, l$k").mkString(", ")}) AS (lag, x, xl)"))
+    leads
+      .select(expr(s"stack($maxLag, ${(1 to maxLag).map(k => s"${k}L, x, l$k").mkString(", ")}) AS (lag, x, xl)"))
       .filter(col("xl").isNotNull)
-    stacked
       .groupBy("lag")
       .agg(
         sum(col("x") * col("xl")).as("c"),
@@ -1677,18 +1689,22 @@ object EventQueries {
       .select(
         col("lag"),
         (col("n") - col("lag")).as("n_pairs"),
-        (round(
-          (col("n") * col("n") * col("c") - col("n") * col("s") * (col("h") + col("t")) +
-            (col("n") - col("lag")) * col("s") * col("s")).cast("double") /
-            (col("n") * (col("n") * col("q") - col("s") * col("s"))).cast("double"),
-          6
-        ) + 0.0).as("r")
+        ((col("n") * col("n") * col("c") - col("n") * col("s") * (col("h") + col("t")) +
+          (col("n") - col("lag")) * col("s") * col("s")).cast("double") /
+          (col("n") * (col("n") * col("q") - col("s") * col("s"))).cast("double")).as("r")
       )
-      .transform(Norm.ordered(_, col("lag")))
   }
 
-  private val acfSql: String =
-    s"""WITH daily AS (
+  private def acf(s: SparkSession, dir: String): DataFrame =
+    acfRawFrom(dailySpine(s, dir), AcfMaxLag)
+      .select(col("lag"), col("n_pairs"), (round(col("r"), 6) + 0.0).as("r"))
+      .transform(Norm.ordered(_, col("lag")))
+
+  /** SQL twin of [[dailySpine]] + [[acfRawFrom]]: CTE chain ending at
+    * `rrel` (lag, n_pairs, r UNROUNDED) and `base` (n, s, q).
+    */
+  private def acfCtesSql(maxLag: Int): String =
+    s"""daily AS (
        |  SELECT epoch_us(ts) // $DayUs AS day, CAST(count(*) AS BIGINT) AS x
        |  FROM events GROUP BY 1
        |), spine AS (
@@ -1700,7 +1716,7 @@ object EventQueries {
        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
        |         CAST(sum(x * x) AS BIGINT) AS q
        |  FROM f
-       |), ks AS (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag
+       |), ks AS (SELECT unnest(generate_series(1, $maxLag)) AS lag
        |), pairs_k AS (
        |  SELECT k.lag, a.x AS x, b.x AS xl
        |  FROM f a JOIN ks k ON true JOIN f b ON b.day = a.day + k.lag
@@ -1708,12 +1724,53 @@ object EventQueries {
        |  SELECT CAST(lag AS BIGINT) AS lag, CAST(sum(x * xl) AS BIGINT) AS c,
        |         CAST(sum(x) AS BIGINT) AS h, CAST(sum(xl) AS BIGINT) AS t
        |  FROM pairs_k GROUP BY 1
-       |)
-       |SELECT a.lag, b.n - a.lag AS n_pairs,
-       |       round(CAST(b.n * b.n * a.c - b.n * b.s * (a.h + a.t) + (b.n - a.lag) * b.s * b.s AS DOUBLE)
-       |             / CAST(b.n * (b.n * b.q - b.s * b.s) AS DOUBLE), 6) + 0.0 AS r
-       |FROM agg a CROSS JOIN base b
-       |ORDER BY a.lag""".stripMargin
+       |), rrel AS (
+       |  SELECT a.lag, b.n - a.lag AS n_pairs,
+       |         CAST(b.n * b.n * a.c - b.n * b.s * (a.h + a.t) + (b.n - a.lag) * b.s * b.s AS DOUBLE)
+       |           / CAST(b.n * (b.n * b.q - b.s * b.s) AS DOUBLE) AS r
+       |  FROM agg a CROSS JOIN base b
+       |)""".stripMargin
+
+  private val acfSql: String =
+    s"""WITH ${acfCtesSql(AcfMaxLag)}
+       |SELECT lag, n_pairs, round(r, 6) + 0.0 AS r FROM rrel ORDER BY lag""".stripMargin
+
+  /** Durbin–Levinson fold over an `rs` array column at lags 1..maxLag
+    * (Spark SQL text): accumulator = [φ-row | pacf-prefix] halves; the
+    * ONE definition evt_pacf and evt_ar_forecast share.
+    */
+  private def dlFoldSpark(maxLag: Int): String = {
+    val m = "(size(acc) div 2)"
+    val num =
+      s"(element_at(rs, CAST(k AS INT)) - aggregate(sequence(1, $m), CAST(0.0 AS DOUBLE), (s2, i) -> s2 + element_at(acc, CAST(i AS INT)) * element_at(rs, CAST(k - i AS INT))))"
+    val den =
+      s"(CAST(1.0 AS DOUBLE) - aggregate(sequence(1, $m), CAST(0.0 AS DOUBLE), (s2, i) -> s2 + element_at(acc, CAST(i AS INT)) * element_at(rs, CAST(i AS INT))))"
+    val a = s"($num / $den)"
+    val newPhis =
+      s"concat(transform(sequence(1, $m), j -> element_at(acc, CAST(j AS INT)) - $a * element_at(acc, CAST(k - j AS INT))), array($a))"
+    val newPacfs = s"concat(slice(acc, $m + 1, $m), array($a))"
+    s"aggregate(sequence(2, $maxLag), array(element_at(rs, 1), element_at(rs, 1)), (acc, k) -> concat($newPhis, $newPacfs))"
+  }
+
+  /** DuckDB twin of [[dlFoldSpark]] — list state (struct state measurably
+    * type-contaminates inside list_reduce), e0 double literals.
+    */
+  private def dlFoldDuck(maxLag: Int): String = {
+    val kI = "CAST(e[1] AS BIGINT)"
+    val m = "(len(acc) // 2)"
+    val num =
+      s"(rs[$kI] - list_reduce(list_prepend(0.0e0, list_transform(generate_series(1, $m), i -> acc[i] * rs[$kI - i])), (s2, v) -> s2 + v))"
+    val den =
+      s"(1.0e0 - list_reduce(list_prepend(0.0e0, list_transform(generate_series(1, $m), i -> acc[i] * rs[i])), (s2, v) -> s2 + v))"
+    val a = s"($num / $den)"
+    val newPhis =
+      s"list_concat(list_transform(generate_series(1, $m), j -> acc[j] - $a * acc[$kI - j]), [$a])"
+    val newPacfs = s"list_concat(acc[$m + 1 : 2 * $m], [$a])"
+    s"""list_reduce(
+       |      list_prepend([rs[1], rs[1]],
+       |                   list_transform(generate_series(2, $maxLag), kk -> [CAST(kk AS DOUBLE)])),
+       |      (acc, e) -> list_concat($newPhis, $newPacfs))""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // evt_survival — Kaplan–Meier risk table over USER LIFETIMES (hours
@@ -1883,105 +1940,24 @@ object EventQueries {
   // type-contamination bug; list state is exact).
   // -------------------------------------------------------------------
   private def pacf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = ev(s, dir)
-      .groupBy(expr(s"tus div $DayUs").as("day"))
-      .agg(count(lit(1)).as("x"))
-    val full = daily
-      .agg(min("day").as("d0"), max("day").as("d1"))
-      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-      .join(daily, Seq("day"), "left")
-      .withColumn("x", coalesce(col("x"), lit(0L)))
-      .localCheckpoint() // base moments + the lead window
-    val base = full.agg(
-      count(lit(1)).as("n"),
-      sum(col("x")).as("s"),
-      sum(col("x") * col("x")).as("q")
-    )
-    val w = Window.orderBy("day")
-    val leads = (1 to AcfMaxLag).foldLeft(full) { (df, k) =>
-      df.withColumn(s"l$k", lead(col("x"), k).over(w))
-    }
-    val rRows = leads
-      .select(expr(s"stack($AcfMaxLag, ${(1 to AcfMaxLag).map(k => s"${k}L, x, l$k").mkString(", ")}) AS (lag, x, xl)"))
-      .filter(col("xl").isNotNull)
-      .groupBy("lag")
-      .agg(sum(col("x") * col("xl")).as("c"), sum(col("x")).as("h"), sum(col("xl")).as("t"))
-      .crossJoin(broadcast(base))
-      .select(
-        col("lag"),
-        ((col("n") * col("n") * col("c") - col("n") * col("s") * (col("h") + col("t")) +
-          (col("n") - col("lag")) * col("s") * col("s")).cast("double") /
-          (col("n") * (col("n") * col("q") - col("s") * col("s"))).cast("double")).as("r")
-      )
-    val rs = rRows.agg(expr("transform(array_sort(collect_list(struct(lag, r))), p -> p.r)").as("rs"))
-    val m = "(size(acc) div 2)"
-    val num =
-      s"(element_at(rs, CAST(k AS INT)) - aggregate(sequence(1, $m), CAST(0.0 AS DOUBLE), (s2, i) -> s2 + element_at(acc, CAST(i AS INT)) * element_at(rs, CAST(k - i AS INT))))"
-    val den =
-      s"(CAST(1.0 AS DOUBLE) - aggregate(sequence(1, $m), CAST(0.0 AS DOUBLE), (s2, i) -> s2 + element_at(acc, CAST(i AS INT)) * element_at(rs, CAST(i AS INT))))"
-    val a = s"($num / $den)"
-    val newPhis =
-      s"concat(transform(sequence(1, $m), j -> element_at(acc, CAST(j AS INT)) - $a * element_at(acc, CAST(k - j AS INT))), array($a))"
-    val newPacfs = s"concat(slice(acc, $m + 1, $m), array($a))"
-    val fold =
-      s"aggregate(sequence(2, $AcfMaxLag), array(element_at(rs, 1), element_at(rs, 1)), (acc, k) -> concat($newPhis, $newPacfs))"
+    val rs = acfRawFrom(dailySpine(s, dir), AcfMaxLag)
+      .agg(expr("transform(array_sort(collect_list(struct(lag, r))), p -> p.r)").as("rs"))
     rs
-      .withColumn("pa", expr(s"slice($fold, $AcfMaxLag + 1, $AcfMaxLag)"))
+      .withColumn("pa", expr(s"slice(${dlFoldSpark(AcfMaxLag)}, $AcfMaxLag + 1, $AcfMaxLag)"))
       .select(posexplode(col("pa")).as(Seq("p0", "pacf")))
       .select((col("p0") + 1).cast("long").as("lag"), (col("pacf") + 0.0).as("pacf"))
       .transform(Norm.ordered(_, col("lag")))
   }
 
-  private val pacfSql: String = {
-    val kI = "CAST(e[1] AS BIGINT)"
-    val m = "(len(acc) // 2)"
-    val num =
-      s"(rs[$kI] - list_reduce(list_prepend(0.0e0, list_transform(generate_series(1, $m), i -> acc[i] * rs[$kI - i])), (s2, v) -> s2 + v))"
-    val den =
-      s"(1.0e0 - list_reduce(list_prepend(0.0e0, list_transform(generate_series(1, $m), i -> acc[i] * rs[i])), (s2, v) -> s2 + v))"
-    val a = s"($num / $den)"
-    val newPhis =
-      s"list_concat(list_transform(generate_series(1, $m), j -> acc[j] - $a * acc[$kI - j]), [$a])"
-    val newPacfs = s"list_concat(acc[$m + 1 : 2 * $m], [$a])"
-    val fold =
-      s"""list_reduce(
-         |      list_prepend([rs[1], rs[1]],
-         |                   list_transform(generate_series(2, $AcfMaxLag), kk -> [CAST(kk AS DOUBLE)])),
-         |      (acc, e) -> list_concat($newPhis, $newPacfs))""".stripMargin
-    s"""WITH daily AS (
-       |  SELECT epoch_us(ts) // $DayUs AS day, CAST(count(*) AS BIGINT) AS x
-       |  FROM events GROUP BY 1
-       |), spine AS (
-       |  SELECT unnest(generate_series((SELECT min(day) FROM daily),
-       |                                (SELECT max(day) FROM daily))) AS day
-       |), f AS (
-       |  SELECT s.day, COALESCE(d.x, 0) AS x FROM spine s LEFT JOIN daily d ON s.day = d.day
-       |), base AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
-       |         CAST(sum(x * x) AS BIGINT) AS q
-       |  FROM f
-       |), ks AS (SELECT unnest(generate_series(1, $AcfMaxLag)) AS lag
-       |), pairs_k AS (
-       |  SELECT k.lag, a.x AS x, b.x AS xl
-       |  FROM f a JOIN ks k ON true JOIN f b ON b.day = a.day + k.lag
-       |), agg AS (
-       |  SELECT CAST(lag AS BIGINT) AS lag, CAST(sum(x * xl) AS BIGINT) AS c,
-       |         CAST(sum(x) AS BIGINT) AS h, CAST(sum(xl) AS BIGINT) AS t
-       |  FROM pairs_k GROUP BY 1
-       |), rrel AS (
-       |  SELECT a.lag,
-       |         CAST(b.n * b.n * a.c - b.n * b.s * (a.h + a.t) + (b.n - a.lag) * b.s * b.s AS DOUBLE)
-       |           / CAST(b.n * (b.n * b.q - b.s * b.s) AS DOUBLE) AS r
-       |  FROM agg a CROSS JOIN base b
-       |), rarr AS (SELECT list(r ORDER BY lag) AS rs FROM rrel),
+  private val pacfSql: String =
+    s"""WITH ${acfCtesSql(AcfMaxLag)},
+       |rarr AS (SELECT list(r ORDER BY lag) AS rs FROM rrel),
        |fin AS (
-       |  SELECT ($fold)[$AcfMaxLag + 1 : 2 * $AcfMaxLag] AS pa FROM rarr
+       |  SELECT (${dlFoldDuck(AcfMaxLag)})[$AcfMaxLag + 1 : 2 * $AcfMaxLag] AS pa FROM rarr
        |)
        |SELECT CAST(t.i AS BIGINT) AS lag, pa[CAST(t.i AS INTEGER)] + 0.0 AS pacf
        |FROM fin CROSS JOIN range(1, ${AcfMaxLag + 1}) t(i)
        |ORDER BY lag""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // evt_ar_forecast — AR(p) fit + one-step forecast of the daily count
@@ -1998,50 +1974,10 @@ object EventQueries {
 
   private def arForecast(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = ev(s, dir)
-      .groupBy(expr(s"tus div $DayUs").as("day"))
-      .agg(count(lit(1)).as("x"))
-    val full = daily
-      .agg(min("day").as("d0"), max("day").as("d1"))
-      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-      .join(daily, Seq("day"), "left")
-      .withColumn("x", coalesce(col("x"), lit(0L)))
-      .localCheckpoint() // moments + lead window + the tail collect
-    val base = full.agg(
-      count(lit(1)).as("n"),
-      sum(col("x")).as("s"),
-      sum(col("x") * col("x")).as("q")
-    )
-    val w = Window.orderBy("day")
-    val leads = (1 to ArOrder).foldLeft(full) { (df, k) =>
-      df.withColumn(s"l$k", lead(col("x"), k).over(w))
-    }
-    val rRows = leads
-      .select(expr(s"stack($ArOrder, ${(1 to ArOrder).map(k => s"${k}L, x, l$k").mkString(", ")}) AS (lag, x, xl)"))
-      .filter(col("xl").isNotNull)
-      .groupBy("lag")
-      .agg(sum(col("x") * col("xl")).as("c"), sum(col("x")).as("h"), sum(col("xl")).as("t"))
-      .crossJoin(broadcast(base))
-      .select(
-        col("lag"),
-        ((col("n") * col("n") * col("c") - col("n") * col("s") * (col("h") + col("t")) +
-          (col("n") - col("lag")) * col("s") * col("s")).cast("double") /
-          (col("n") * (col("n") * col("q") - col("s") * col("s"))).cast("double")).as("r")
-      )
-    val rs = rRows.agg(expr("transform(array_sort(collect_list(struct(lag, r))), p -> p.r)").as("rs"))
-    // identical fold machinery to evt_pacf, truncated at ArOrder; the
-    // FIRST half of the final accumulator is φ_{p,1..p}
-    val m = "(size(acc) div 2)"
-    val num =
-      s"(element_at(rs, CAST(k AS INT)) - aggregate(sequence(1, $m), CAST(0.0 AS DOUBLE), (s2, i) -> s2 + element_at(acc, CAST(i AS INT)) * element_at(rs, CAST(k - i AS INT))))"
-    val den =
-      s"(CAST(1.0 AS DOUBLE) - aggregate(sequence(1, $m), CAST(0.0 AS DOUBLE), (s2, i) -> s2 + element_at(acc, CAST(i AS INT)) * element_at(rs, CAST(i AS INT))))"
-    val a = s"($num / $den)"
-    val newPhis =
-      s"concat(transform(sequence(1, $m), j -> element_at(acc, CAST(j AS INT)) - $a * element_at(acc, CAST(k - j AS INT))), array($a))"
-    val newPacfs = s"concat(slice(acc, $m + 1, $m), array($a))"
-    val fold =
-      s"aggregate(sequence(2, $ArOrder), array(element_at(rs, 1), element_at(rs, 1)), (acc, k) -> concat($newPhis, $newPacfs))"
+    val full = dailySpine(s, dir)
+    val base = full.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val rs = acfRawFrom(full, ArOrder)
+      .agg(expr("transform(array_sort(collect_list(struct(lag, r))), p -> p.r)").as("rs"))
     val tail = full
       .withColumn("rn", row_number().over(Window.orderBy(col("day").desc)).cast("long"))
       .filter(col("rn") <= ArOrder)
@@ -2049,7 +1985,7 @@ object EventQueries {
     // xt[j] = x_{n+1-j} (rn ascending = most recent first)
     rs.crossJoin(broadcast(base))
       .crossJoin(broadcast(tail))
-      .withColumn("phis", expr(s"slice($fold, 1, $ArOrder)"))
+      .withColumn("phis", expr(s"slice(${dlFoldSpark(ArOrder)}, 1, $ArOrder)"))
       .withColumn("mu", col("s").cast("double") / col("n").cast("double"))
       .withColumn(
         "forecast",
@@ -2066,53 +2002,14 @@ object EventQueries {
       )
   }
 
-  private val arForecastSql: String = {
-    val kI = "CAST(e[1] AS BIGINT)"
-    val m = "(len(acc) // 2)"
-    val num =
-      s"(rs[$kI] - list_reduce(list_prepend(0.0e0, list_transform(generate_series(1, $m), i -> acc[i] * rs[$kI - i])), (s2, v) -> s2 + v))"
-    val den =
-      s"(1.0e0 - list_reduce(list_prepend(0.0e0, list_transform(generate_series(1, $m), i -> acc[i] * rs[i])), (s2, v) -> s2 + v))"
-    val a = s"($num / $den)"
-    val newPhis =
-      s"list_concat(list_transform(generate_series(1, $m), j -> acc[j] - $a * acc[$kI - j]), [$a])"
-    val newPacfs = s"list_concat(acc[$m + 1 : 2 * $m], [$a])"
-    val fold =
-      s"""list_reduce(
-         |      list_prepend([rs[1], rs[1]],
-         |                   list_transform(generate_series(2, $ArOrder), kk -> [CAST(kk AS DOUBLE)])),
-         |      (acc, e) -> list_concat($newPhis, $newPacfs))""".stripMargin
-    s"""WITH daily AS (
-       |  SELECT epoch_us(ts) // $DayUs AS day, CAST(count(*) AS BIGINT) AS x
-       |  FROM events GROUP BY 1
-       |), spine AS (
-       |  SELECT unnest(generate_series((SELECT min(day) FROM daily),
-       |                                (SELECT max(day) FROM daily))) AS day
-       |), f AS (
-       |  SELECT s.day, COALESCE(d.x, 0) AS x FROM spine s LEFT JOIN daily d ON s.day = d.day
-       |), base AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
-       |         CAST(sum(x * x) AS BIGINT) AS q
-       |  FROM f
-       |), ks AS (SELECT unnest(generate_series(1, $ArOrder)) AS lag
-       |), pairs_k AS (
-       |  SELECT k.lag, a.x AS x, b.x AS xl
-       |  FROM f a JOIN ks k ON true JOIN f b ON b.day = a.day + k.lag
-       |), agg AS (
-       |  SELECT CAST(lag AS BIGINT) AS lag, CAST(sum(x * xl) AS BIGINT) AS c,
-       |         CAST(sum(x) AS BIGINT) AS h, CAST(sum(xl) AS BIGINT) AS t
-       |  FROM pairs_k GROUP BY 1
-       |), rrel AS (
-       |  SELECT a.lag,
-       |         CAST(b.n * b.n * a.c - b.n * b.s * (a.h + a.t) + (b.n - a.lag) * b.s * b.s AS DOUBLE)
-       |           / CAST(b.n * (b.n * b.q - b.s * b.s) AS DOUBLE) AS r
-       |  FROM agg a CROSS JOIN base b
-       |), rarr AS (SELECT list(r ORDER BY lag) AS rs FROM rrel),
+  private val arForecastSql: String =
+    s"""WITH ${acfCtesSql(ArOrder)},
+       |rarr AS (SELECT list(r ORDER BY lag) AS rs FROM rrel),
        |tail_ AS (
        |  SELECT list(CAST(x AS DOUBLE) ORDER BY day DESC)[1 : $ArOrder] AS xt FROM f
        |),
        |fit AS (
-       |  SELECT ($fold)[1 : $ArOrder] AS phis, rs FROM rarr
+       |  SELECT (${dlFoldDuck(ArOrder)})[1 : $ArOrder] AS phis, rs FROM rarr
        |)
        |SELECT b.n AS n_days,
        |       fit.phis[1] + 0.0 AS phi_1, fit.phis[2] + 0.0 AS phi_2, fit.phis[3] + 0.0 AS phi_3,
@@ -2123,7 +2020,6 @@ object EventQueries {
        |           j -> fit.phis[j] * (t.xt[j] - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)))),
        |           (s2, v) -> s2 + v) + 0.0 AS forecast
        |FROM fit CROSS JOIN base b CROSS JOIN tail_ t""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // evt_stl_anomaly — SEASONALLY-ADJUSTED anomaly detection: the

