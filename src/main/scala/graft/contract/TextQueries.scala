@@ -994,6 +994,94 @@ object TextQueries {
   }
 
   // -------------------------------------------------------------------
+  // text_langid_eval — the EVALUATION layer for lang_id (the
+  // dedup_lsh_quality / ann_recall_eval methodology applied to the
+  // classifier): the documents table carries GOLD language labels, so
+  // the marker-word predictor can be scored against truth — full
+  // confusion matrix (gold × predicted, with each cell's share of its
+  // gold row) plus the per-gold-language recall. Same score/argmax
+  // expressions as lang_id VERBATIM (the eval measures the shipped
+  // predictor, not a reimplementation); shares are exact-int ratios.
+  // MEASURED FINDING (sf0.01): per-language recall 0.12–0.21 ≈ the
+  // 1-in-5 chance line — the synthetic corpus draws its `lang` labels
+  // independently of the word soup, so marker words carry no signal
+  // here (the vec_knn_classify finding's text-side twin; on real
+  // multilingual text the same eval is the predictor's report card).
+  // -------------------------------------------------------------------
+  private def langIdEval(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scoreCols = Markers.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      expr(s"CAST(size(filter(toks, t -> t IN ($inList))) AS BIGINT)").as(s"s_$lang")
+    }
+    val langs = Markers.map(_._1)
+    val pred = langs
+      .dropRight(1)
+      .foldRight(lit(langs.last)) { case (lang, elseCol) =>
+        val ge = langs.filter(_ != lang).map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+        when(ge, lit(lang)).otherwise(elseCol)
+      }
+    val wTrue = Window.partitionBy("true_lang")
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id") +: col("lang") +: scoreCols: _*)
+      .withColumn("pred_lang", pred)
+      .groupBy(col("lang").as("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum(col("n")).over(wTrue))
+      .withColumn(
+        "recall",
+        round(
+          sum(when(col("true_lang") === col("pred_lang"), col("n")).otherwise(0L)).over(wTrue)
+            .cast("double") / col("lang_total").cast("double"),
+          6
+        ) + 0.0
+      )
+      .select(
+        col("true_lang"),
+        col("pred_lang"),
+        col("n"),
+        col("lang_total"),
+        (round(col("n").cast("double") / col("lang_total").cast("double"), 6) + 0.0).as("share"),
+        col("recall")
+      )
+      .transform(Norm.ordered(_, col("true_lang"), col("pred_lang")))
+  }
+
+  private val langIdEvalSql: String = {
+    val scores = Markers
+      .map { case (lang, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS BIGINT) AS s_$lang"
+      }
+      .mkString(",\n  ")
+    val langs = Markers.map(_._1)
+    val caseChain = langs
+      .dropRight(1)
+      .map { lang =>
+        val ge = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$lang'"
+      }
+      .mkString("\n    ")
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |  $scores
+       |  FROM documents
+       |), pr AS (
+       |  SELECT lang AS true_lang, CASE $caseChain ELSE '${langs.last}' END AS pred_lang FROM sc
+       |), cm AS (
+       |  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2
+       |)
+       |SELECT true_lang, pred_lang, n,
+       |       CAST(sum(n) OVER (PARTITION BY true_lang) AS BIGINT) AS lang_total,
+       |       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE), 6) + 0.0 AS share,
+       |       round(CAST(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) OVER (PARTITION BY true_lang) AS DOUBLE)
+       |             / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE), 6) + 0.0 AS recall
+       |FROM cm
+       |ORDER BY true_lang, pred_lang""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // text_bpe_pairs — the counting step of ONE byte-pair-encoding merge
   // iteration (the inner loop of BPE tokenizer training): every
   // adjacent CHARACTER pair inside every word occurrence, counted
@@ -1040,6 +1128,7 @@ object TextQueries {
     "text_collocations" -> collocations,
     "text_bpe_pairs" -> bpePairs,
     "text_keyphrases" -> keyphrases,
+    "text_langid_eval" -> langIdEval,
     "text_bigram_lm" -> bigramLm,
     "text_vocab_coverage" -> vocabCoverage,
     "text_para_dedup" -> paraDedup,
@@ -1284,6 +1373,7 @@ object TextQueries {
     "text_collocations" -> collocationsSql,
     "text_bpe_pairs" -> bpePairsSql,
     "text_keyphrases" -> keyphrasesSql,
+    "text_langid_eval" -> langIdEvalSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_lm_score" -> lmScoreSql,
     "text_repetition" -> textRepetitionSql,
