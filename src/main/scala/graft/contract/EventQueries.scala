@@ -2284,6 +2284,221 @@ object EventQueries {
        |FROM folded ORDER BY user_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // evt_cross_corr — sample CROSS-correlation between the hourly CLICK
+  // count (x) and the hourly PURCHASE count (y) at lags −CcfMaxLag..
+  // +CcfMaxLag over the gap-filled hour spine: the classical lead–lag
+  // diagnostic (does x at time t co-vary with y at time t+k?) and the
+  // linear counterpart of the CCM family — CCM detects coupling CCF
+  // can't see, CCF dates the lag CCM doesn't report; users of the
+  // reference run both. Estimator per lag k over the m = n−|k| aligned
+  // pairs: r_k = (m·Sxy − Sx·Sy) / √((m·Sxx − Sx²)(m·Syy − Sy²)) with
+  // every S an exact int64 co-moment of the integer counts and the √ /
+  // division done once on int64-born doubles (the evt_acf lesson:
+  // engine-native corr flips 6-dp boundaries, integer co-moments + one
+  // IEEE-exact sqrt don't). The hour spine is aggregated-small (hours,
+  // not events) so the single window pass is bounded at any corpus
+  // size; positive lags pair x with lead(y,k), negative lags pair
+  // lead(x,|k|) with y — identical to the oracle's hr+k self-join.
+  // -------------------------------------------------------------------
+  private val CcfMaxLag = 6
+  private val CcfXType = "click"
+  private val CcfYType = "purchase"
+
+  /** Gap-filled contiguous hourly two-series spine (hr, x, y) shared by
+    * evt_cross_corr / evt_granger: x = hourly count of [[CcfXType]],
+    * y = hourly count of [[CcfYType]]; missing hours = 0 on both.
+    */
+  private def hourlySpine2(s: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(s, dir)
+      .groupBy(expr(s"tus div $HourUs").as("hr"))
+      .agg(
+        sum(when(col("event_type") === CcfXType, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === CcfYType, 1L).otherwise(0L)).as("y")
+      )
+    hourly
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(hourly, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("x"), lit(0L)).as("x"), coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint()
+  }
+
+  /** SQL twin of [[hourlySpine2]] — CTE chain ending at `f2` (hr, x, y). */
+  private val hourlySpine2Sql: String =
+    s"""hourly2 AS (
+       |  SELECT epoch_us(ts) // $HourUs AS hr,
+       |         CAST(sum(CASE WHEN event_type = '$CcfXType' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |         CAST(sum(CASE WHEN event_type = '$CcfYType' THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM events GROUP BY 1
+       |), spine2 AS (
+       |  SELECT unnest(generate_series((SELECT min(hr) FROM hourly2),
+       |                                (SELECT max(hr) FROM hourly2))) AS hr
+       |), f2 AS (
+       |  SELECT s.hr, COALESCE(h.x, 0) AS x, COALESCE(h.y, 0) AS y
+       |  FROM spine2 s LEFT JOIN hourly2 h ON s.hr = h.hr
+       |)""".stripMargin
+
+  private def crossCorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("hr")
+    val l = CcfMaxLag
+    val leads = (1 to l).foldLeft(hourlySpine2(s, dir)) { (df, k) =>
+      df.withColumn(s"ly$k", lead(col("y"), k).over(w))
+        .withColumn(s"lx$k", lead(col("x"), k).over(w))
+    }
+    // lag k >= 0: (x_t, y_{t+k}); lag -j: (x_{t+j}, y_t) == x_a with y_{a-j}
+    val cells = Seq(s"0L, x, y") ++
+      (1 to l).map(k => s"${k}L, x, ly$k") ++
+      (1 to l).map(j => s"${-j}L, lx$j, y")
+    leads
+      .select(expr(s"stack(${cells.size}, ${cells.mkString(", ")}) AS (lag, xv, yv)"))
+      .filter(col("xv").isNotNull && col("yv").isNotNull)
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("xv")).as("sx"),
+        sum(col("yv")).as("sy"),
+        sum(col("xv") * col("xv")).as("sxx"),
+        sum(col("yv") * col("yv")).as("syy"),
+        sum(col("xv") * col("yv")).as("sxy")
+      )
+      .select(
+        col("lag"),
+        col("m").as("n_pairs"),
+        (round(
+          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(
+              (col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("m") * col("syy") - col("sy") * col("sy")).cast("double")
+            ),
+          6
+        ) + 0.0).as("r")
+      )
+      .transform(Norm.ordered(_, col("lag")))
+  }
+
+  private val crossCorrSql: String =
+    s"""WITH $hourlySpine2Sql,
+       |ks AS (SELECT unnest(generate_series(-$CcfMaxLag, $CcfMaxLag)) AS lag),
+       |pairs_k AS (
+       |  SELECT k.lag, a.x AS xv, b.y AS yv
+       |  FROM f2 a JOIN ks k ON true JOIN f2 b ON b.hr = a.hr + k.lag
+       |), agg AS (
+       |  SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS m,
+       |         CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+       |         CAST(sum(xv * xv) AS BIGINT) AS sxx, CAST(sum(yv * yv) AS BIGINT) AS syy,
+       |         CAST(sum(xv * yv) AS BIGINT) AS sxy
+       |  FROM pairs_k GROUP BY 1
+       |)
+       |SELECT lag, m AS n_pairs,
+       |       round(CAST(m * sxy - sx * sy AS DOUBLE)
+       |             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)), 6) + 0.0 AS r
+       |FROM agg ORDER BY lag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // evt_granger — GRANGER CAUSALITY at lag order p=1 between the hourly
+  // click/purchase count series, BOTH directions in one job: the
+  // linear-VAR baseline the CCM literature defines itself against
+  // (Sugihara et al. 2012 position CCM exactly where Granger's
+  // separability assumption fails — an engine shipping CCM without the
+  // Granger contrast is half a story). Direction x→y regresses y_t on
+  // (1, y_{t−1}, x_{t−1}) vs the restricted (1, y_{t−1}) and reports
+  // F = (RSS_r − RSS_u) / (RSS_u / (n−3)). All ten co-moment sums are
+  // exact int64 aggregates of integer counts; the 3×3 normal-equation
+  // solve is Cramer's rule over those co-moments cast to double ONCE,
+  // with the ENTIRE arithmetic built as a single expression string
+  // handed verbatim to both Spark `expr()` and DuckDB — identical
+  // operation order, bit-identical doubles, parity by construction
+  // (the ccm_smap_e3 technique; validated against numpy lstsq in the
+  // round-9 prototype). The per-direction relation is ONE row of sums —
+  // driver-side cost is constant at any corpus size.
+  // -------------------------------------------------------------------
+
+  /** Cramer 3×3 solve + F-stat over the granger co-moment columns
+    * (n, sy1, sx1, syy1, sxx1, syx1, st, sty, stx, stt), as expression
+    * TEXT shared verbatim by Spark `expr()` and the DuckDB oracle:
+    * (beta0, beta_ar, beta_cross, rss_r, rss_u, f_stat), unrounded.
+    */
+  private val grangerExprs: Seq[(String, String)] = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val (n, sy1, sx1, syy1, sxx1, syx1, st, sty, stx, stt) =
+      (d("n"), d("sy1"), d("sx1"), d("syy1"), d("sxx1"), d("syx1"), d("st"), d("sty"), d("stx"), d("stt"))
+    val det = s"($n*($syy1*$sxx1-$syx1*$syx1) - $sy1*($sy1*$sxx1-$syx1*$sx1) + $sx1*($sy1*$syx1-$syy1*$sx1))"
+    val d0 = s"($st*($syy1*$sxx1-$syx1*$syx1) - $sy1*($sty*$sxx1-$syx1*$stx) + $sx1*($sty*$syx1-$syy1*$stx))"
+    val d1 = s"($n*($sty*$sxx1-$syx1*$stx) - $st*($sy1*$sxx1-$syx1*$sx1) + $sx1*($sy1*$stx-$sty*$sx1))"
+    val d2 = s"($n*($syy1*$stx-$sty*$syx1) - $sy1*($sy1*$stx-$sty*$sx1) + $st*($sy1*$syx1-$syy1*$sx1))"
+    val b0 = s"($d0/$det)"
+    val b1 = s"($d1/$det)"
+    val b2 = s"($d2/$det)"
+    val rssU = s"($stt - ($b0*$st + $b1*$sty + $b2*$stx))"
+    val detR = s"($n*$syy1 - $sy1*$sy1)"
+    val c0 = s"(($st*$syy1 - $sy1*$sty)/$detR)"
+    val c1 = s"(($n*$sty - $st*$sy1)/$detR)"
+    val rssR = s"($stt - ($c0*$st + $c1*$sty))"
+    val f = s"(($rssR - $rssU) / ($rssU / ($n - 3.0)))"
+    Seq("beta_const" -> b0, "beta_ar" -> b1, "beta_cross" -> b2, "rss_r" -> rssR, "rss_u" -> rssU, "f_stat" -> f)
+  }
+
+  private def granger(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("hr")
+    val lagged = hourlySpine2(s, dir)
+      .withColumn("xl", lag(col("x"), 1).over(w))
+      .withColumn("yl", lag(col("y"), 1).over(w))
+      .filter(col("xl").isNotNull)
+    // direction x_to_y: dep = y, cross = x; y_to_x: dep = x, cross = y
+    val stacked = lagged.select(
+      expr("stack(2, 'x_to_y', y, yl, xl, 'y_to_x', x, xl, yl) AS (direction, yt, dyl, dxl)")
+    )
+    val sums = stacked
+      .groupBy("direction")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dyl")).as("sy1"),
+        sum(col("dxl")).as("sx1"),
+        sum(col("dyl") * col("dyl")).as("syy1"),
+        sum(col("dxl") * col("dxl")).as("sxx1"),
+        sum(col("dyl") * col("dxl")).as("syx1"),
+        sum(col("yt")).as("st"),
+        sum(col("yt") * col("dyl")).as("sty"),
+        sum(col("yt") * col("dxl")).as("stx"),
+        sum(col("yt") * col("yt")).as("stt")
+      )
+    grangerExprs
+      .foldLeft(sums) { case (df, (name, e)) => df.withColumn(name, round(expr(e), 6) + 0.0) }
+      .select(
+        (Seq(col("direction"), col("n").as("n_obs")) ++ grangerExprs.map { case (name, _) => col(name) }): _*
+      )
+      .transform(Norm.ordered(_, col("direction")))
+  }
+
+  private val grangerSql: String = {
+    val outs = grangerExprs.map { case (name, e) => s"round($e, 6) + 0.0 AS $name" }.mkString(",\n       ")
+    s"""WITH $hourlySpine2Sql,
+       |lagged AS (
+       |  SELECT x, y,
+       |         lag(x, 1) OVER (ORDER BY hr) AS xl,
+       |         lag(y, 1) OVER (ORDER BY hr) AS yl
+       |  FROM f2
+       |), stacked AS (
+       |  SELECT 'x_to_y' AS direction, y AS yt, yl AS dyl, xl AS dxl FROM lagged WHERE xl IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'y_to_x' AS direction, x AS yt, xl AS dyl, yl AS dxl FROM lagged WHERE xl IS NOT NULL
+       |), sums AS (
+       |  SELECT direction, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(dyl) AS BIGINT) AS sy1, CAST(sum(dxl) AS BIGINT) AS sx1,
+       |         CAST(sum(dyl * dyl) AS BIGINT) AS syy1, CAST(sum(dxl * dxl) AS BIGINT) AS sxx1,
+       |         CAST(sum(dyl * dxl) AS BIGINT) AS syx1,
+       |         CAST(sum(yt) AS BIGINT) AS st, CAST(sum(yt * dyl) AS BIGINT) AS sty,
+       |         CAST(sum(yt * dxl) AS BIGINT) AS stx, CAST(sum(yt * yt) AS BIGINT) AS stt
+       |  FROM stacked GROUP BY 1
+       |)
+       |SELECT direction, n AS n_obs,
+       |       $outs
+       |FROM sums ORDER BY direction""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
@@ -2323,7 +2538,9 @@ object EventQueries {
     "evt_setops" -> setOps,
     "evt_json_props" -> jsonProps,
     "evt_full_outer" -> fullOuter,
-    "evt_histogram" -> histogram
+    "evt_histogram" -> histogram,
+    "evt_cross_corr" -> crossCorr,
+    "evt_granger" -> granger
   )
 
   val oracle: Map[String, String] = Map(
@@ -2365,6 +2582,8 @@ object EventQueries {
     "evt_setops" -> setOpsSql,
     "evt_json_props" -> jsonPropsSql,
     "evt_full_outer" -> fullOuterSql,
-    "evt_histogram" -> histogramSql
+    "evt_histogram" -> histogramSql,
+    "evt_cross_corr" -> crossCorrSql,
+    "evt_granger" -> grangerSql
   )
 }

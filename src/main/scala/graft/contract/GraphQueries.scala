@@ -626,7 +626,66 @@ object GraphQueries {
        |             6) + 0.0 AS assortativity
        |FROM mo""".stripMargin
 
+  // -------------------------------------------------------------------
+  // graph_hits — Kleinberg HITS on the DIRECTED supplier→customer graph
+  // (distinct (l_suppkey, o_custkey) pairs through orders): hub suppliers
+  // with broad reach vs authority customers everyone serves — the directed
+  // ranking the undirected candidate graph cannot express (on a symmetric
+  // graph hub ≡ authority). Six alternating power rounds, each ONE
+  // vertex-keyed equi-join + partial-agg sum (the PageRank shuffle shape,
+  // see [[graft.operators.Hits]]); normalization is by the round MAX —
+  // summation-order independent where an L1/L2 norm (a global double sum)
+  // is not, keeping 6-dp rounding safe. The oracle unrolls the identical
+  // recurrence into chained CTEs, pinned AS MATERIALIZED: each round's
+  // relation feeds two consumers (its max + the next join), and DuckDB
+  // inlines non-materialized CTEs once PER REFERENCE — 2^12 scans by
+  // round six (the measured iterative-CTE trap).
+  // -------------------------------------------------------------------
+  private val HitsIters = 6
+
+  private def suppCustEdges(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("src"), col("o_custkey").as("dst"))
+      .distinct()
+
+  private def graphHits(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Hits
+      .run(suppCustEdges(s, dir), HitsIters)
+      .select(col("role"), col("vertex"), Norm.rnd(col("score"), 6).as("score"))
+      .transform(Norm.ordered(_, col("role"), col("vertex")))
+
+  private val graphHitsSql: String = {
+    val rounds = (1 to HitsIters)
+      .map { i =>
+        s"""a_raw$i AS MATERIALIZED (
+           |  SELECT e.dst AS vertex, sum(h.h) AS a_raw
+           |  FROM edges e JOIN h${i - 1} h ON h.vertex = e.src GROUP BY 1),
+           |a$i AS MATERIALIZED (
+           |  SELECT vertex, a_raw / (SELECT max(a_raw) FROM a_raw$i) AS a FROM a_raw$i),
+           |h_raw$i AS MATERIALIZED (
+           |  SELECT e.src AS vertex, sum(a.a) AS h_raw
+           |  FROM edges e JOIN a$i a ON a.vertex = e.dst GROUP BY 1),
+           |h$i AS MATERIALIZED (
+           |  SELECT vertex, h_raw / (SELECT max(h_raw) FROM h_raw$i) AS h FROM h_raw$i)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |),
+       |h0 AS (SELECT DISTINCT src AS vertex, 1.0e0 AS h FROM edges),
+       |$rounds
+       |SELECT 'hub' AS role, vertex, round(h, 6) + 0.0 AS score FROM h$HitsIters
+       |UNION ALL
+       |SELECT 'authority' AS role, vertex, round(a, 6) + 0.0 AS score FROM a$HitsIters
+       |ORDER BY role, vertex""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits" -> graphHits,
     "graph_degree" -> graphDegree,
     "graph_triangles" -> graphTriangles,
     "graph_pagerank" -> graphPagerank,
@@ -640,6 +699,7 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "graph_hits" -> graphHitsSql,
     "graph_degree" -> graphDegreeSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_pagerank" -> graphPagerankSql,

@@ -1935,7 +1935,95 @@ object SimQueries {
        |ORDER BY method, query_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // vec_hard_negatives — batch-hard TRIPLET MINING over the labeled
+  // embeddings (Hermans et al. 2017, "In Defense of the Triplet Loss"):
+  // for each anchor in the query panel, the HARDEST POSITIVE (least
+  // similar same-label vector — the pair the loss must pull together)
+  // and the HARDEST NEGATIVE (most similar different-label vector — the
+  // pair it must push apart), plus the cosine margin pos−neg whose sign
+  // says whether the triplet is violated. This is the mining step of
+  // every contrastive/metric-learning data pipeline; on these synthetic
+  // embeddings nearly every margin is negative (labels are not
+  // geometrically encoded — the vec_knn_classify finding, re-confirmed
+  // from the triplet side). One anchors×corpus cosine join (the
+  // ann_topk eval shape; production composes the same mining with the
+  // IVF candidate pruning), then ONE window per (anchor, cohort):
+  // positives rank by cos ASC, negatives by cos DESC, identical
+  // expressions both engines so ordering is exact.
+  // -------------------------------------------------------------------
+  private def vecHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val dotQN = expr(dotSpark.format("q.v", "n.v"))
+    val pairs = q
+      .as("q")
+      .join(e.as("n"), col("q.vec_id") =!= col("n.vec_id"))
+      .select(
+        col("q.vec_id").as("anchor_id"),
+        col("q.label").as("label"),
+        col("n.vec_id").as("neighbor_id"),
+        when(col("n.label") === col("q.label"), 1L).otherwise(0L).as("is_pos"),
+        (dotQN / (col("q.nrm") * col("n.nrm"))).as("cos_sim")
+      )
+    // hardest first in ONE window: positives ascend cos, negatives descend
+    val w = Window
+      .partitionBy("anchor_id", "is_pos")
+      .orderBy(
+        when(col("is_pos") === 1L, col("cos_sim")).otherwise(-col("cos_sim")).asc,
+        col("neighbor_id").asc
+      )
+    pairs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy("anchor_id", "label")
+      .agg(
+        max(when(col("is_pos") === 1L, col("neighbor_id"))).as("pos_id"),
+        max(when(col("is_pos") === 1L, col("cos_sim"))).as("pos_cos"),
+        max(when(col("is_pos") === 0L, col("neighbor_id"))).as("neg_id"),
+        max(when(col("is_pos") === 0L, col("cos_sim"))).as("neg_cos")
+      )
+      .select(
+        col("anchor_id"),
+        col("label"),
+        col("pos_id"),
+        Norm.rnd(col("pos_cos"), 6).as("pos_cos"),
+        col("neg_id"),
+        Norm.rnd(col("neg_cos"), 6).as("neg_cos"),
+        Norm.rnd(col("pos_cos") - col("neg_cos"), 6).as("margin")
+      )
+      .transform(Norm.ordered(_, col("anchor_id")))
+  }
+
+  private val vecHardNegativesSql: String = {
+    val cos = s"${dotDuck("q.v", "n.v")} / (sqrt(${dotDuck("q.v", "q.v")}) * sqrt(${dotDuck("n.v", "n.v")}))"
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT * FROM e WHERE vec_id % $QueryStride = 0),
+       |pairs AS (
+       |  SELECT q.vec_id AS anchor_id, q.label AS label, n.vec_id AS neighbor_id,
+       |         CASE WHEN n.label = q.label THEN 1 ELSE 0 END AS is_pos,
+       |         $cos AS cos_sim
+       |  FROM q JOIN e n ON q.vec_id <> n.vec_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY anchor_id, is_pos
+       |    ORDER BY CASE WHEN is_pos = 1 THEN cos_sim ELSE -cos_sim END ASC, neighbor_id ASC) AS rk
+       |  FROM pairs
+       |), hardest AS (
+       |  SELECT anchor_id, label,
+       |         max(CASE WHEN is_pos = 1 THEN neighbor_id END) AS pos_id,
+       |         max(CASE WHEN is_pos = 1 THEN cos_sim END) AS pos_cos_raw,
+       |         max(CASE WHEN is_pos = 0 THEN neighbor_id END) AS neg_id,
+       |         max(CASE WHEN is_pos = 0 THEN cos_sim END) AS neg_cos_raw
+       |  FROM ranked WHERE rk = 1 GROUP BY 1, 2
+       |)
+       |SELECT anchor_id, label, pos_id, round(pos_cos_raw, 6) + 0.0 AS pos_cos,
+       |       neg_id, round(neg_cos_raw, 6) + 0.0 AS neg_cos,
+       |       round(pos_cos_raw - neg_cos_raw, 6) + 0.0 AS margin
+       |FROM hardest ORDER BY anchor_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_hard_negatives" -> vecHardNegatives,
     "ann_recall_eval" -> annRecallEval,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
     "ann_lsh_rotated" -> annLshRotated,
@@ -1961,6 +2049,7 @@ object SimQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "vec_hard_negatives" -> vecHardNegativesSql,
     "ann_recall_eval" -> annRecallEvalSql,
     "ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "ann_lsh_rotated" -> annLshRotatedSql,
