@@ -1,6 +1,7 @@
 package graft.contract
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.PageRank
 
@@ -684,7 +685,68 @@ object GraphQueries {
        |ORDER BY role, vertex""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // graph_label_prop — COMMUNITY DETECTION by synchronous majority-vote
+  // label propagation (Raghavan et al. 2007), the standard "no parameter,
+  // near-linear" community algorithm — a different object than
+  // dedup_cluster's connected components (CC merges everything reachable;
+  // LPA splits a component into densely-knit communities). Init: label =
+  // vertex id. Round: every vertex adopts the most frequent label among
+  // its neighbors, ties to the SMALLEST label (the deterministic
+  // tie-break that makes a fixed-round unroll oracle-checkable;
+  // textbook LPA breaks ties randomly). Fixed LpaRounds synchronous
+  // rounds — each ONE vertex-keyed join + count + per-vertex top-1
+  // (WindowGroupLimit shape), the same shuffle pattern as PageRank.
+  // Output: per-community size histogram + min member id, the audit a
+  // community job feeds to mixture balancing.
+  // -------------------------------------------------------------------
+  private val LpaRounds = 4
+
+  private def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val sym = symOf(pairsOf(s, dir)).localCheckpoint()
+    var labels = sym.select(col("src").as("vertex")).distinct().withColumn("lbl", col("vertex"))
+    for (_ <- 1 to LpaRounds) {
+      val w = Window
+        .partitionBy("vertex")
+        .orderBy(col("n_votes").desc, col("lbl").asc)
+      labels = sym
+        .join(labels, sym("src") === labels("vertex"))
+        .groupBy(sym("dst").as("vertex"), col("lbl"))
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vertex"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("vertex")).as("min_member"))
+      .transform(Norm.ordered(_, col("community")))
+  }
+
+  private val graphLabelPropSql: String = {
+    val rounds = (1 to LpaRounds)
+      .map { i =>
+        s"""lp$i AS MATERIALIZED (
+           |  SELECT vertex, lbl FROM (
+           |    SELECT y.d AS vertex, p.lbl, count(*) AS n_votes,
+           |           row_number() OVER (PARTITION BY y.d ORDER BY count(*) DESC, p.lbl ASC) AS rk
+           |    FROM sym y JOIN lp${i - 1} p ON p.vertex = y.s
+           |    GROUP BY y.d, p.lbl
+           |  ) WHERE rk = 1)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH ${DedupQueries.bandsCteSql},
+       |$pairsCteSql,
+       |lp0 AS MATERIALIZED (SELECT DISTINCT s AS vertex, s AS lbl FROM sym),
+       |$rounds
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |       min(vertex) AS min_member
+       |FROM lp$LpaRounds GROUP BY 1 ORDER BY community""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_prop" -> graphLabelProp,
     "graph_hits" -> graphHits,
     "graph_degree" -> graphDegree,
     "graph_triangles" -> graphTriangles,
@@ -699,6 +761,7 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "graph_label_prop" -> graphLabelPropSql,
     "graph_hits" -> graphHitsSql,
     "graph_degree" -> graphDegreeSql,
     "graph_triangles" -> graphTrianglesSql,

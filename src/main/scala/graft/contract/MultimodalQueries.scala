@@ -199,10 +199,100 @@ object MultimodalQueries {
        |GROUP BY 1, 2, 3
        |ORDER BY a.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mm_scene_cuts — SHOT-BOUNDARY detection over the stub decode: per
+  // frame, the byte-sum "luma" feature (a real codec swaps byte codes
+  // for decoded luma); a CUT is a transition between consecutive FULL
+  // frames whose absolute feature delta exceeds the threshold — the
+  // frame-difference detector every video curation pipeline runs before
+  // keyframe extraction. Threshold chosen at ~p88 of the delta
+  // distribution on the driver corpus (median 99, p90 228), so cuts are
+  // sparse but present. All arithmetic is exact int64 (byte sums,
+  // absolute difference, integer compare); the ragged last frame is
+  // excluded from detection (its sum isn't length-comparable — a codec
+  // pads; the stub documents instead). Scale shape: frame fan-out is
+  // bounded per doc, the lag window is doc-partitioned (never global),
+  // and only (doc_id, frame sums) rows shuffle — blobs stay columnar at
+  // the scan.
+  // -------------------------------------------------------------------
+  private val CutThreshold = 200L
+
+  private def mmSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        expr(s"CAST((length(text) + ${FrameBytes - 1}) div $FrameBytes AS BIGINT)").as("n_frames")
+      )
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(
+          when(col("n_frames") > 0, sequence(lit(0L), col("n_frames") - 1))
+            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+        ).as("frame_id")
+      )
+      .select(
+        col("doc_id"),
+        col("frame_id"),
+        expr(s"substring(text, CAST(frame_id * $FrameBytes + 1 AS INT), $FrameBytes)").as("fr")
+      )
+      .select(
+        col("doc_id"),
+        col("frame_id"),
+        length(col("fr")).cast("long").as("flen"),
+        expr(
+          "aggregate(sequence(1, length(fr)), CAST(0 AS BIGINT), (acc, i) -> acc + CAST(ascii(substring(fr, CAST(i AS INT), 1)) AS BIGINT))"
+        ).as("fsum")
+      )
+    val w = Window.partitionBy("doc_id").orderBy("frame_id")
+    frames
+      .withColumn("prev_sum", lag(col("fsum"), 1).over(w))
+      .withColumn("prev_len", lag(col("flen"), 1).over(w))
+      .filter(
+        col("prev_sum").isNotNull && col("flen") === FrameBytes && col("prev_len") === FrameBytes &&
+          abs(col("fsum") - col("prev_sum")) > CutThreshold
+      )
+      .select(col("doc_id"), col("frame_id").as("cut_at_frame"), abs(col("fsum") - col("prev_sum")).as("delta"))
+      .transform(Norm.ordered(_, col("doc_id"), col("cut_at_frame")))
+  }
+
+  private val mmSceneCutsSql: String =
+    s"""WITH meta AS (
+       |  SELECT doc_id, text,
+       |         CAST((length(text) + ${FrameBytes - 1}) // $FrameBytes AS BIGINT) AS n_frames
+       |  FROM documents
+       |), frames AS (
+       |  SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_id, text FROM meta
+       |), feat AS (
+       |  SELECT doc_id, frame_id,
+       |         substr(text, CAST(frame_id * $FrameBytes + 1 AS INTEGER), $FrameBytes) AS fr
+       |  FROM frames
+       |), sums AS (
+       |  SELECT doc_id, frame_id, CAST(length(fr) AS BIGINT) AS flen,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, length(fr) + 1),
+       |             i -> CAST(ord(substr(fr, CAST(i AS INTEGER), 1)) AS BIGINT))),
+       |           (a, b) -> a + b) AS fsum
+       |  FROM feat
+       |), lagged AS (
+       |  SELECT doc_id, frame_id, flen, fsum,
+       |         lag(fsum, 1) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev_sum,
+       |         lag(flen, 1) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev_len
+       |  FROM sums
+       |)
+       |SELECT doc_id, frame_id AS cut_at_frame, abs(fsum - prev_sum) AS delta
+       |FROM lagged
+       |WHERE prev_sum IS NOT NULL AND flen = $FrameBytes AND prev_len = $FrameBytes
+       |  AND abs(fsum - prev_sum) > $CutThreshold
+       |ORDER BY doc_id, cut_at_frame""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_frames" -> mmMeta,
     "mm_resize" -> mmResize,
-    "mm_phash" -> mmPhash
+    "mm_phash" -> mmPhash,
+    "mm_scene_cuts" -> mmSceneCuts
   )
 
   // mm_features oracle — the decode STUB's byte statistics are exactly
@@ -242,6 +332,7 @@ object MultimodalQueries {
     "mm_frames" -> mmMetaSql,
     "mm_resize" -> mmResizeSql,
     "mm_phash" -> mmPhashSql,
-    "mm_features" -> mmFeaturesSql
+    "mm_features" -> mmFeaturesSql,
+    "mm_scene_cuts" -> mmSceneCutsSql
   )
 }

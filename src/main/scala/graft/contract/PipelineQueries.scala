@@ -610,7 +610,80 @@ object PipelineQueries {
        |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS lsh_candidate_pairs
        |FROM vol v CROSS JOIN med m CROSS JOIN dups du""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sample_repeat — EPOCH-WEIGHTED repetition sampling, the >1-epoch
+  // counterpart of sample_mixture's keep/drop thresholding: a training
+  // mixture that UPSAMPLES high-value sources runs some domains for 2–3
+  // epochs while others see a fraction of one (the Llama/GPT data-mixing
+  // recipe). Per source, weight w in per-mille epochs: every doc emits
+  // floor(w) full copies unconditionally, plus one more iff its per-copy
+  // DetHash draw clears the fractional threshold — so realized copies
+  // concentrate binomially around n·w with NO per-stratum total order
+  // (map-only after a |sources|-row broadcast, the mixture shape that
+  // survives 100-TB strata). Output is the per-source audit: docs,
+  // target per-mille, realized copies, and the copy-weighted id checksum
+  // that pins every individual repeat decision into the hash compare.
+  // -------------------------------------------------------------------
+  private val RepeatMilliBySource: Seq[(String, Long)] =
+    Seq("src0" -> 2300L, "src1" -> 1500L, "src2" -> 700L, "src3" -> 400L)
+  private val RepeatDefaultMilli = 1000L
+  private val RepeatSeed = 733L
+
+  private def sampleRepeat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = RepeatMilliBySource.toDF("source", "w_milli")
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(w), Seq("source"), "left")
+      .withColumn("w_milli", coalesce(col("w_milli"), lit(RepeatDefaultMilli)))
+    // copy c in 1..ceil(w): kept unconditionally while c <= floor(w);
+    // the last (fractional) copy keeps iff h < (w mod 1000)/1000 * P.
+    val fracThr = floor((col("w_milli") % 1000L).cast("double") / lit(1000.0) * lit(DetHash.P.toDouble))
+      .cast("long")
+    d.withColumn("n_full", expr("w_milli div 1000"))
+      .withColumn("frac_thr", fracThr)
+      .withColumn("copy_id", explode(sequence(lit(1L), col("n_full") + 1L)))
+      .withColumn("h", DetHash.rankHashCol(col("doc_id"), col("copy_id"), lit(11L), RepeatSeed))
+      .filter(col("copy_id") <= col("n_full") || col("h") < col("frac_thr"))
+      .groupBy(col("source"))
+      .agg(
+        count_distinct(col("doc_id")).as("n_docs"),
+        max(col("w_milli")).as("w_milli"),
+        count(lit(1)).as("n_copies"),
+        sum(col("doc_id") * col("copy_id")).as("copy_checksum")
+      )
+      .transform(Norm.ordered(_, col("source")))
+  }
+
+  private val sampleRepeatSql: String = {
+    val weights = RepeatMilliBySource
+      .map { case (src, w) => s"('$src', CAST($w AS BIGINT))" }
+      .mkString(", ")
+    s"""WITH w(source, w_milli) AS (VALUES $weights),
+       |d AS (
+       |  SELECT doc_id, dd.source,
+       |         COALESCE(w.w_milli, $RepeatDefaultMilli) AS w_milli
+       |  FROM documents dd LEFT JOIN w ON dd.source = w.source
+       |), copies AS (
+       |  SELECT doc_id, source, w_milli,
+       |         w_milli // 1000 AS n_full,
+       |         CAST(floor(CAST(w_milli % 1000 AS DOUBLE) / 1000.0 * ${DetHash.P.toDouble}) AS BIGINT) AS frac_thr,
+       |         unnest(generate_series(1, w_milli // 1000 + 1)) AS copy_id
+       |  FROM d
+       |), kept AS (
+       |  SELECT *, ${DetHash.rankHashSql("doc_id", "copy_id", "11", RepeatSeed)} AS h
+       |  FROM copies
+       |)
+       |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       max(w_milli) AS w_milli, CAST(count(*) AS BIGINT) AS n_copies,
+       |       CAST(sum(doc_id * copy_id) AS BIGINT) AS copy_checksum
+       |FROM kept
+       |WHERE copy_id <= n_full OR h < frac_thr
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_repeat" -> sampleRepeat,
     "contam_check" -> contamCheck,
     "corpus_prep" -> corpusPrep,
     "corpus_curriculum" -> corpusCurriculum,
@@ -623,6 +696,7 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_repeat" -> sampleRepeatSql,
     "contam_check" -> contamCheckSql,
     "corpus_prep" -> corpusPrepSql,
     "corpus_curriculum" -> corpusCurriculumSql,
