@@ -1,0 +1,123 @@
+package graft.contract
+
+import graft.{SparkEntry, SparkTestBase}
+import org.apache.spark.sql.DataFrame
+
+/** Semantic + plan invariants of the round-9 session-4 batch
+  * (cross-correlation, Granger, HITS, label propagation, triplet mining,
+  * scene cuts, epoch-repeat sampling) — each assertion states a property
+  * the operator's definition promises; the DuckDB hash-match remains the
+  * cross-engine gate.
+  */
+class Round9Session4Spec extends SparkTestBase {
+  private val SfDir = "/root/testdata/sf0.001"
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, SfDir)
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SfDir).queryExecution.executedPlan.toString
+
+  test("evt_cross_corr: all 13 lags present, correlations 1-bounded, pair counts shrink with |lag|") {
+    val rows = q("evt_cross_corr").collect()
+    assert(rows.map(_.getAs[Long]("lag")).sorted.toSeq == (-6L to 6L), "lags must be exactly -6..6")
+    assert(rows.forall(r => math.abs(r.getAs[Double]("r")) <= 1.0 + 1e-9))
+    val byLag = rows.map(r => r.getAs[Long]("lag") -> r.getAs[Long]("n_pairs")).toMap
+    val n = byLag(0L)
+    assert((-6L to 6L).forall(k => byLag(k) == n - math.abs(k)), "n_pairs must equal n - |lag|")
+  }
+
+  test("evt_cross_corr plan: ONE window pass serves all lags (leads + stack, no per-lag self-join)") {
+    val p = plan("evt_cross_corr")
+    val windows = "(?m)^\\s*[*+:\\-() 0-9]*Window ".r.findAllIn(p).size
+    assert(windows == 1, s"expected ONE Window operator, got $windows in:\n$p")
+    assert(p.contains("Generate stack"), "lags must unpivot in-stage via stack")
+    assert(!p.contains("SortMergeJoin"), "no per-lag self-join may shuffle")
+  }
+
+  test("evt_granger: both directions, unrestricted RSS never exceeds restricted, F non-negative") {
+    val rows = q("evt_granger").collect()
+    assert(rows.map(_.getAs[String]("direction")).toSet == Set("x_to_y", "y_to_x"))
+    rows.foreach { r =>
+      val rssR = r.getAs[Double]("rss_r")
+      val rssU = r.getAs[Double]("rss_u")
+      // adding a regressor can only reduce RSS (up to the 6-dp rounding)
+      assert(rssU <= rssR + 1e-5, s"rss_u $rssU > rss_r $rssR in ${r.getAs[String]("direction")}")
+      assert(r.getAs[Double]("f_stat") >= -1e-9)
+    }
+    assert(rows.map(_.getAs[Long]("n_obs")).distinct.length == 1, "both directions see the same n")
+  }
+
+  test("graph_hits: both roles present, scores in (0,1], each role's max pinned at 1.0 by normalization") {
+    val rows = q("graph_hits").collect()
+    val byRole = rows.groupBy(_.getAs[String]("role"))
+    assert(byRole.keySet == Set("hub", "authority"))
+    byRole.foreach { case (role, rs) =>
+      val scores = rs.map(_.getAs[Double]("score"))
+      assert(scores.forall(s => s > 0.0 && s <= 1.0 + 1e-9), s"$role scores must be in (0,1]")
+      assert(math.abs(scores.max - 1.0) < 1e-9, s"$role max must be 1.0 (max-normalized)")
+    }
+  }
+
+  test("graph_label_prop: communities partition the candidate-graph vertex set") {
+    import org.apache.spark.sql.functions.col
+    val members = q("graph_label_prop").collect().map(_.getAs[Long]("n_members")).sum
+    val pairs = DedupQueries.lshPairsRaw(spark, SfDir)
+    val vertices = pairs
+      .select(col("doc_a").as("v"))
+      .union(pairs.select(col("doc_b").as("v")))
+      .distinct()
+      .count()
+    assert(members == vertices, s"community sizes sum to $members, vertex set is $vertices")
+  }
+
+  test("vec_hard_negatives: margins reconcile, cosines 1-bounded, pos/neg distinct from anchor") {
+    val rows = q("vec_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pos = r.getAs[Double]("pos_cos")
+      val neg = r.getAs[Double]("neg_cos")
+      assert(math.abs(pos) <= 1.0 + 1e-9 && math.abs(neg) <= 1.0 + 1e-9)
+      assert(math.abs(r.getAs[Double]("margin") - (pos - neg)) < 2e-6, "margin = pos_cos - neg_cos")
+      assert(r.getAs[Long]("pos_id") != r.getAs[Long]("anchor_id"))
+      assert(r.getAs[Long]("neg_id") != r.getAs[Long]("anchor_id"))
+    }
+  }
+
+  test("vec_hard_negatives plan: per-cohort hardest pick is a WindowGroupLimit, not a full sort") {
+    assert(plan("vec_hard_negatives").contains("WindowGroupLimit"))
+  }
+
+  test("mm_scene_cuts: every emitted cut clears the threshold and never sits at frame 0") {
+    val rows = q("mm_scene_cuts").collect()
+    assert(rows.nonEmpty, "driver corpus must contain cuts at the chosen threshold")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("delta") > 200L)
+      assert(r.getAs[Long]("cut_at_frame") >= 1L)
+    }
+  }
+
+  test("mm_scene_cuts plan: doc-partitioned lag window, no join anywhere") {
+    val p = plan("mm_scene_cuts")
+    assert(!p.contains("Join"), "scene cuts are per-doc — nothing to join")
+    val windows = "(?m)^\\s*[*+:\\-() 0-9]*Window ".r.findAllIn(p).size
+    assert(windows == 1, s"expected ONE lag window, got $windows")
+  }
+
+  test("sample_repeat: copy counts bracket the target epochs; integer-epoch sources repeat exactly") {
+    val rows = q("sample_repeat").collect()
+    rows.foreach { r =>
+      val w = r.getAs[Long]("w_milli")
+      val nDocs = r.getAs[Long]("n_docs")
+      val nCopies = r.getAs[Long]("n_copies")
+      val nFull = w / 1000
+      assert(nCopies >= nFull * nDocs && nCopies <= (nFull + 1) * nDocs, s"copies $nCopies outside [$nFull, ${nFull + 1}] epochs of $nDocs docs")
+      if (w % 1000 == 0) assert(nCopies == nFull * nDocs, s"integer epochs must be exact, got $nCopies != ${nFull * nDocs}")
+    }
+  }
+
+  test("sample_repeat plan: map-only after the weights broadcast — no shuffle-join, no window") {
+    val p = plan("sample_repeat")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), "weights must attach by broadcast")
+    assert(!p.contains("SortMergeJoin"), "no data-proportional relation may shuffle for a join")
+    assert(!p.contains("Window"), "repeat decisions are per-row hash compares, never ranked")
+  }
+}
