@@ -354,6 +354,51 @@ object StreamQueries {
     }
   }
 
+  // -------------------------------------------------------------------
+  // stream_histogram — Streams.typeHistogram: a per-event-type VALUE
+  // HISTOGRAM through transformWithState's MapState — the FOURTH state
+  // cell kind under gate (ValueState: stream_transform_state; ListState:
+  // stream_topk / stream_kmv; FMGWS: the custom dedup/session gates).
+  // MapState is the right cell when the per-key state is itself keyed:
+  // an observation touches ONE (bucket → count) entry instead of
+  // rewriting a list blob — the streaming distribution monitor that
+  // feeds drift alarms. Buckets are exact integer arithmetic
+  // (HALF_UP cents // bucket width — the stream_transform_state cents
+  // convention); per-cell counts grow monotonically, so the multi-batch
+  // replay selects the final histogram as max(n) per (type, bucket) and
+  // the batch oracle is a plain GROUP BY.
+  // -------------------------------------------------------------------
+  private val StreamHistBucketCents = 1000L
+
+  private def streamHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = evStream(s, dir).as[Streams.Event]
+      val out = StreamHarness.runAvailableNow(
+        Streams.typeHistogram(in, StreamHistBucketCents).toDF(),
+        "update"
+      )
+      out
+        .groupBy(col("eventType").as("event_type"), col("bucket"))
+        .agg(max(col("n")).as("n"))
+        .transform(Norm.ordered(_, col("event_type"), col("bucket")))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+  }
+
+  private val streamHistogramSql: String =
+    s"""SELECT event_type,
+       |       CAST(round(value * 100.0) AS BIGINT) // $StreamHistBucketCents AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val streamKmvSql: String =
     s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
        |h AS (SELECT event_type, user_id,
@@ -1049,6 +1094,7 @@ object StreamQueries {
     "stream_transform_state" -> streamTransformState,
     "stream_topk" -> streamTopk,
     "stream_kmv" -> streamKmv,
+    "stream_histogram" -> streamHistogram,
     "stream_rolling_corr" -> rollingCorr,
     "stream_cusum" -> streamCusum,
     "stream_sessionize" -> streamSessionize,
@@ -1069,6 +1115,7 @@ object StreamQueries {
     "stream_transform_state" -> streamTransformStateSql,
     "stream_topk" -> streamTopkSql,
     "stream_kmv" -> streamKmvSql,
+    "stream_histogram" -> streamHistogramSql,
     "stream_rolling_corr" -> rollingCorrSql,
     "stream_cusum" -> streamCusumSql,
     "stream_sessionize" -> streamSessionizeSql,

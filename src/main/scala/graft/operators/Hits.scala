@@ -43,7 +43,12 @@ object Hits {
         .crossJoin(broadcast(aRaw.agg(max(col("a_raw")).as("a_max"))))
         .select(col("vertex"), (col("a_raw") / col("a_max")).as("a"))
       // every round's auth relation feeds TWO consumers (its max and the
-      // hub join) — materialize so the lineage doesn't fork exponentially
+      // hub join) — materialize so the lineage doesn't fork exponentially.
+      // Measured negative (round 9): swapping this eager localCheckpoint
+      // for a lazy persist (Checkpoints.cached, pins freed at hub
+      // checkpoints) went 3.95 → 5.5 s at sf0.1 — each round's broadcast
+      // max-subquery races the cache population and recomputes the
+      // aggregate subtree before it is cached; the eager form stays.
       val (aCp, aCpRdds) = Checkpoints.tracked(aNext, reliableCheckpoints)
       if (authRdds != null) Checkpoints.free(authRdds)
       auths = aCp

@@ -577,6 +577,65 @@ object Streams {
     }
   }
 
+  /** One emitted histogram cell; NOT private (the [[Tot]] encoder-codegen
+    * lesson).
+    */
+  final case class TypeBucket(eventType: String, bucket: Long, n: Long)
+
+  /** `transformWithState` processor maintaining a per-key VALUE HISTOGRAM
+    * in a `MapState` — the fourth state-cell kind beside ValueState
+    * (running totals), ListState (top-k / KMV) and the FMGWS gates: the
+    * map's user-key is the $10 cent-bucket, its value the running count,
+    * so inserting an observation touches ONE map entry instead of
+    * rewriting a whole list (the point of MapState — RocksDB stores each
+    * user-key as its own store key). This is the streaming
+    * distribution-monitor shape ("value histogram per category over a
+    * firehose", the input to drift alarms); state is O(buckets) per key.
+    * Each batch re-emits the key's full current histogram (update
+    * semantics); per-cell counts only grow, so a multi-batch replay
+    * selects the final histogram by max(n) per (key, bucket).
+    */
+  private class TypeHistProcessor(bucketCents: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, TypeBucket] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var hist: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getMapState[Long, Long]("hist", E.scalaLong, E.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues
+    ): Iterator[TypeBucket] = {
+      rows.foreach { e =>
+        val b = roundCents(e.value) / bucketCents
+        val cur = if (hist.containsKey(b)) hist.getValue(b) else 0L
+        hist.updateValue(b, cur + 1L)
+      }
+      val cells = {
+        val it = hist.iterator(); val buf = Seq.newBuilder[(Long, Long)]
+        while (it.hasNext) { val kv = it.next(); buf += (kv._1 -> kv._2) }
+        buf.result().sortBy(_._1)
+      }
+      cells.iterator.map { case (b, n) => TypeBucket(key, b, n) }
+    }
+  }
+
+  /** Streaming per-type value histogram via [[TypeHistProcessor]]
+    * (RocksDB store required, as for [[runningTypeTotals]]).
+    */
+  def typeHistogram(events: Dataset[Event], bucketCents: Long): Dataset[TypeBucket] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.eventType)
+      .transformWithState(
+        new TypeHistProcessor(bucketCents),
+        TimeMode.None(),
+        OutputMode.Update()
+      )
+  }
+
   /** Streaming KMV distinct sketch per event type via [[TypeKmvProcessor]]
     * (RocksDB store required, as for [[runningTypeTotals]]).
     */

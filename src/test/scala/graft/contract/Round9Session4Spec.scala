@@ -114,6 +114,14 @@ class Round9Session4Spec extends SparkTestBase {
     }
   }
 
+  test("stream_histogram: MapState cells partition the stream — counts sum to the table cardinality") {
+    val rows = q("stream_histogram").collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val events = spark.read.parquet(s"$SfDir/events.parquet").count()
+    assert(total == events, s"histogram mass $total must equal the event count $events")
+    assert(rows.forall(_.getAs[Long]("bucket") >= 0L))
+  }
+
   test("sample_repeat plan: map-only after the weights broadcast — no shuffle-join, no window") {
     val p = plan("sample_repeat")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), "weights must attach by broadcast")
