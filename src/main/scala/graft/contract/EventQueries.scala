@@ -2499,7 +2499,105 @@ object EventQueries {
        |FROM sums ORDER BY direction""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // evt_partial_corr — PARTIAL correlation r(x,y|z) between the hourly
+  // click (x) and purchase (y) count series CONTROLLING for the view
+  // count (z): the confounder test that completes the causality
+  // diagnostics trio (evt_cross_corr dates the lag, evt_granger tests
+  // linear predictability, this asks whether the x–y association
+  // survives removing a common driver — the first-order check before
+  // reaching for CCM). One aggregation pass collects all nine int64
+  // co-moments + n over the shared hour spine; the three pairwise
+  // Pearsons and the partial formula
+  //   r_xy.z = (r_xy − r_xz·r_zy) / √((1−r_xz²)(1−r_zy²))
+  // are built as expression TEXT shared verbatim by both engines
+  // (int64-born doubles, identical operation order — the evt_granger
+  // technique). The per-corpus relation is ONE row of sums: driver-side
+  // cost is constant at any corpus size.
+  // -------------------------------------------------------------------
+  private val PcorrZType = "view"
+
+  /** Pairwise-Pearson + partial-correlation expression text over the
+    * co-moment columns (n, sx, sy, sz, sxx, syy, szz, sxy, sxz, syz),
+    * shared verbatim by Spark `expr()` and the DuckDB oracle.
+    */
+  private val partialCorrExprs: Seq[(String, String)] = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    def r(sa: String, sb: String, sab: String, saa: String, sbb: String) =
+      s"((${d("n")}*${d(sab)} - ${d(sa)}*${d(sb)}) / sqrt((${d("n")}*${d(saa)} - ${d(sa)}*${d(sa)}) * (${d("n")}*${d(sbb)} - ${d(sb)}*${d(sb)})))"
+    val rxy = r("sx", "sy", "sxy", "sxx", "syy")
+    val rxz = r("sx", "sz", "sxz", "sxx", "szz")
+    val rzy = r("sz", "sy", "syz", "szz", "syy")
+    val part = s"(($rxy - $rxz*$rzy) / sqrt((1.0 - $rxz*$rxz) * (1.0 - $rzy*$rzy)))"
+    Seq("r_xy" -> rxy, "r_xz" -> rxz, "r_zy" -> rzy, "r_xy_given_z" -> part)
+  }
+
+  private def partialCorr(s: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(s, dir)
+      .groupBy(expr(s"tus div $HourUs").as("hr"))
+      .agg(
+        sum(when(col("event_type") === CcfXType, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === CcfYType, 1L).otherwise(0L)).as("y"),
+        sum(when(col("event_type") === PcorrZType, 1L).otherwise(0L)).as("z")
+      )
+    val spine = hourly
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(hourly, Seq("hr"), "left")
+      .select(
+        coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"),
+        coalesce(col("z"), lit(0L)).as("z")
+      )
+    val sums = spine.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"),
+      sum("y").as("sy"),
+      sum("z").as("sz"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz")
+    )
+    partialCorrExprs
+      .foldLeft(sums) { case (df, (name, e)) => df.withColumn(name, round(expr(e), 6) + 0.0) }
+      .select(
+        (Seq(col("n").as("n_hours")) ++ partialCorrExprs.map { case (name, _) => col(name) }): _*
+      )
+  }
+
+  private val partialCorrSql: String = {
+    val outs = partialCorrExprs.map { case (name, e) => s"round($e, 6) + 0.0 AS $name" }.mkString(",\n       ")
+    s"""WITH hourly3 AS (
+       |  SELECT epoch_us(ts) // $HourUs AS hr,
+       |         CAST(sum(CASE WHEN event_type = '$CcfXType' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |         CAST(sum(CASE WHEN event_type = '$CcfYType' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+       |         CAST(sum(CASE WHEN event_type = '$PcorrZType' THEN 1 ELSE 0 END) AS BIGINT) AS z
+       |  FROM events GROUP BY 1
+       |), spine3 AS (
+       |  SELECT unnest(generate_series((SELECT min(hr) FROM hourly3),
+       |                                (SELECT max(hr) FROM hourly3))) AS hr
+       |), f3 AS (
+       |  SELECT COALESCE(h.x, 0) AS x, COALESCE(h.y, 0) AS y, COALESCE(h.z, 0) AS z
+       |  FROM spine3 s LEFT JOIN hourly3 h ON s.hr = h.hr
+       |), sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(z) AS BIGINT) AS sz,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+       |         CAST(sum(z * z) AS BIGINT) AS szz,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * z) AS BIGINT) AS sxz,
+       |         CAST(sum(y * z) AS BIGINT) AS syz
+       |  FROM f3
+       |)
+       |SELECT n AS n_hours,
+       |       $outs
+       |FROM sums""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_partial_corr" -> partialCorr,
     "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
     "evt_ntile" -> ntileStats,
@@ -2544,6 +2642,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_partial_corr" -> partialCorrSql,
     "evt_interpolate" -> interpolateSql,
     "evt_gapfill" -> gapfillSql,
     "evt_ntile" -> ntileStatsSql,

@@ -1122,7 +1122,63 @@ object TextQueries {
        |QUALIFY rank <= $BpeTopK
        |ORDER BY rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // text_hashing_trick — FEATURE-HASHING vectorization (Weinberger et
+  // al. 2009, the sklearn HashingVectorizer / Vowpal Wabbit front-end):
+  // token → dimension polyHash(t) mod D with a SIGN drawn from the next
+  // hash bit so colliding tokens cancel in expectation instead of
+  // stacking — the fixed-width, vocabulary-free featurizer a streaming
+  // trainer uses when a fitted vocabulary is impossible. All weights are
+  // signed integer counts (no floats anywhere); the per-doc output pins
+  // the entire sparse vector through three exact aggregates (nnz after
+  // cancellation, L1 mass, the dim-weighted checksum) so the result
+  // stays ~|docs| rows while hash-checking every vector component.
+  // -------------------------------------------------------------------
+  private val HashDims = 64L
+
+  private def textHashingTrick(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.ccm.DetHash.polyHashCol(col("tok"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(
+        col("doc_id"),
+        pmod(h, lit(HashDims)).as("dim"),
+        when(pmod(expr(s"(${graft.ccm.DetHash.polyHashSparkSql("tok")}) div $HashDims"), lit(2L)) === 0L, 1L)
+          .otherwise(-1L)
+          .as("sgn")
+      )
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("sgn")).as("w"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("w") =!= 0L, 1L).otherwise(0L)).as("nnz"),
+        sum(abs(col("w"))).as("l1"),
+        sum(col("dim") * col("w")).as("checksum")
+      )
+      .transform(Norm.ordered(_, col("doc_id")))
+  }
+
+  private val textHashingTrickSql: String = {
+    val h = graft.ccm.DetHash.polyHashSql("tok")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), hashed AS (
+       |  SELECT doc_id,
+       |         (($h) % $HashDims + $HashDims) % $HashDims AS dim,
+       |         CASE WHEN (($h) // $HashDims) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM toks
+       |), vec AS (
+       |  SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS w FROM hashed GROUP BY 1, 2
+       |)
+       |SELECT doc_id,
+       |       CAST(sum(CASE WHEN w <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+       |       CAST(sum(abs(w)) AS BIGINT) AS l1,
+       |       CAST(sum(dim * w) AS BIGINT) AS checksum
+       |FROM vec GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hashing_trick" -> textHashingTrick,
     "text_inverted_index" -> invertedIndex,
     "text_phrase_search" -> phraseSearch,
     "text_collocations" -> collocations,
@@ -1365,6 +1421,7 @@ object TextQueries {
        |FROM mom ORDER BY 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "text_hashing_trick" -> textHashingTrickSql,
     "text_zipf" -> textZipfSql,
     "text_para_dedup" -> paraDedupSql,
     "text_vocab_coverage" -> vocabCoverageSql,

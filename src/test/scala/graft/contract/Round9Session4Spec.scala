@@ -122,6 +122,40 @@ class Round9Session4Spec extends SparkTestBase {
     assert(rows.forall(_.getAs[Long]("bucket") >= 0L))
   }
 
+  test("evt_partial_corr: all correlations 1-bounded and the partial formula reconciles from the raw pairwise r's") {
+    val r = q("evt_partial_corr").collect().head
+    val (rxy, rxz, rzy, part) = (
+      r.getAs[Double]("r_xy"),
+      r.getAs[Double]("r_xz"),
+      r.getAs[Double]("r_zy"),
+      r.getAs[Double]("r_xy_given_z")
+    )
+    Seq(rxy, rxz, rzy, part).foreach(v => assert(math.abs(v) <= 1.0 + 1e-9))
+    val expect = (rxy - rxz * rzy) / math.sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy))
+    assert(math.abs(part - expect) < 1e-4, s"partial $part vs recomputed $expect")
+    assert(r.getAs[Long]("n_hours") > 0L)
+  }
+
+  test("text_hashing_trick: one vector per doc; nnz bounded by dims; L1 bounded by token count") {
+    val rows = q("text_hashing_trick").collect()
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    assert(rows.length.toLong == docs.count(), "every doc gets a hashed vector")
+    import org.apache.spark.sql.functions.{col, size, split}
+    val toks = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    rows.foreach { r =>
+      val nnz = r.getAs[Long]("nnz")
+      val l1 = r.getAs[Long]("l1")
+      val id = r.getAs[Long]("doc_id")
+      assert(nnz <= 64L, "nnz cannot exceed the hash width")
+      assert(l1 <= toks(id), "L1 mass cannot exceed the token count (signs only cancel)")
+      assert(nnz <= l1)
+    }
+  }
+
   test("sample_repeat plan: map-only after the weights broadcast — no shuffle-join, no window") {
     val p = plan("sample_repeat")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), "weights must attach by broadcast")
