@@ -1132,18 +1132,20 @@ object TextQueries {
   // signed integer counts (no floats anywhere); the per-doc output pins
   // the entire sparse vector through three exact aggregates (nnz after
   // cancellation, L1 mass, the dim-weighted checksum) so the result
-  // stays ~|docs| rows while hash-checking every vector component.
+  // stays ~|docs| rows while hash-checking every vector component. The
+  // token hashes ride the native graft_wordhashes scan (one compiled pass
+  // per doc) instead of the interpreted per-character HOF fold.
   // -------------------------------------------------------------------
   private val HashDims = 64L
 
   private def textHashingTrick(s: SparkSession, dir: String): DataFrame = {
-    val h = graft.ccm.DetHash.polyHashCol(col("tok"))
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), explode(expr("graft_wordhashes(text)")).as("h"))
       .select(
         col("doc_id"),
-        pmod(h, lit(HashDims)).as("dim"),
-        when(pmod(expr(s"(${graft.ccm.DetHash.polyHashSparkSql("tok")}) div $HashDims"), lit(2L)) === 0L, 1L)
+        pmod(col("h"), lit(HashDims)).as("dim"),
+        when(pmod(expr(s"(h div $HashDims)"), lit(2L)) === 0L, 1L)
           .otherwise(-1L)
           .as("sgn")
       )
