@@ -1628,7 +1628,7 @@ object CcmQueries {
   private val MiMaxTau = 6
   private val MiBins = 8
 
-  private def miTau(s: SparkSession, dir: String): DataFrame = {
+  private def miTauRaw(s: SparkSession, dir: String): DataFrame = {
     import graft.ccm.MiTau
     val mi = MiTau
       .miCurve(ev(s, dir), Seq("user_id"), Seq(col("ts")), col("value"), MiMaxTau, MiBins)
@@ -1654,8 +1654,10 @@ object CcmQueries {
         ).cast("int")
       )
       .select(col("user_id"), col("tau"), col("mi"), col("best_tau"))
-      .transform(Norm.ordered(_, col("user_id"), col("tau")))
   }
+
+  private def miTau(s: SparkSession, dir: String): DataFrame =
+    miTauRaw(s, dir).transform(Norm.ordered(_, col("user_id"), col("tau")))
 
   private val miTauSql: String = {
     val leadCols = (1 to MiMaxTau).map(t => s"lead(value, $t) OVER w AS y$t").mkString(", ")
@@ -1708,7 +1710,7 @@ object CcmQueries {
   private val FnnRTol = 15.0
   private val FnnFrac = 0.01
 
-  private def fnnDim(s: SparkSession, dir: String): DataFrame = {
+  private def fnnDimRaw(s: SparkSession, dir: String): DataFrame = {
     import graft.ccm.FnnDim
     val curve = FnnDim.fnnCurve(ev(s, dir), Seq("user_id"), Seq(col("ts")), col("value"), FnnMaxE, 1, FnnRTol)
     // best-E selection as a WINDOW aggregate (identical values to
@@ -1731,8 +1733,10 @@ object CcmQueries {
         Norm.rnd(col("fnn_frac"), 6).as("fnn_frac"),
         col("best_e")
       )
-      .transform(Norm.ordered(_, col("user_id"), col("e")))
   }
+
+  private def fnnDim(s: SparkSession, dir: String): DataFrame =
+    fnnDimRaw(s, dir).transform(Norm.ordered(_, col("user_id"), col("e")))
 
   private val fnnDimSql: String = {
     val leadCols = (1 to FnnMaxE).map(t => s"lead(value, $t) OVER w AS e$t").mkString(", ")
@@ -1776,6 +1780,46 @@ object CcmQueries {
        |FROM agg a JOIN best b ON a.user_id = b.user_id
        |ORDER BY 1, 2""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // ccm_auto_params — the AUTO-EDM parameter panel: one row per series
+  // with the data-driven (tau, E) recommendation an EDM practitioner
+  // derives before running CCM — tau* from the first local minimum of
+  // the mutual-information curve (ccm_mi_tau's selection) and E* from
+  // the first Kennel false-nearest-neighbor fraction under 1%
+  // (ccm_fnn_dim's selection), each carried with its diagnostic value at
+  // the pick. The reference hardcodes tau=1/E=2 defaults
+  // (`lib/ccm.ex:20-30`) and its README points at MI/FNN as the way to
+  // choose them; this panel is that workflow as one query — the output
+  // feeds CcmSpec directly. Spark side composes the two existing
+  // pipelines and keeps only each curve's selected row; the oracle
+  // nests the two generated SQL bodies as CTEs (locally-scoped WITH,
+  // so their internal names cannot collide).
+  // -------------------------------------------------------------------
+  private def autoParams(s: SparkSession, dir: String): DataFrame = {
+    // the RAW (unordered) diagnostic forms: composing the public queries
+    // would drag each one's repartition(1) final-ordering shuffle into
+    // the middle of the joined plan (measured 4.2 s vs 2.6 s at sf0.1)
+    val mi = miTauRaw(s, dir)
+      .filter(col("tau") === col("best_tau"))
+      .select(col("user_id"), col("best_tau"), col("mi").as("mi_at_best"))
+    val fnn = fnnDimRaw(s, dir)
+      .filter(col("e") === col("best_e"))
+      .select(col("user_id"), col("best_e"), col("fnn_frac").as("fnn_at_best"))
+    mi.join(fnn, Seq("user_id"))
+      .transform(Norm.ordered(_, col("user_id")))
+  }
+
+  private val autoParamsSql: String =
+    s"""WITH mi_full AS (
+       |$miTauSql
+       |), fnn_full AS (
+       |$fnnDimSql
+       |)
+       |SELECT m.user_id, m.best_tau, m.mi AS mi_at_best, f.best_e, f.fnn_frac AS fnn_at_best
+       |FROM mi_full m JOIN fnn_full f ON m.user_id = f.user_id
+       |WHERE m.tau = m.best_tau AND f.e = f.best_e
+       |ORDER BY m.user_id""".stripMargin
 
   // ccm_gen_coupled — G2/G4: all four canned coupled-series cases. The
   // observation noise is the DetHash uniform (streams 1/2 scaled to [0,1)),
@@ -2044,6 +2088,7 @@ object CcmQueries {
     "ccm_gen_logistic" -> genLogistic,
     "ccm_gen_coupled" -> genCoupled,
     "ccm_mi_tau" -> miTau,
+    "ccm_auto_params" -> autoParams,
     "ccm_smap" -> smap,
     "ccm_smap_coeffs" -> smapCoeffs,
     "ccm_smap_e3" -> smapE3,
@@ -2082,6 +2127,7 @@ object CcmQueries {
     "ccm_gen_logistic" -> genLogisticSql,
     "ccm_gen_coupled" -> genCoupledSql,
     "ccm_mi_tau" -> miTauSql,
+    "ccm_auto_params" -> autoParamsSql,
     "ccm_smap" -> smapSql,
     "ccm_smap_coeffs" -> smapCoeffsSql,
     "ccm_smap_e3" -> smapE3Sql,

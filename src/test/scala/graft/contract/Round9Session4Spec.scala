@@ -156,6 +156,18 @@ class Round9Session4Spec extends SparkTestBase {
     }
   }
 
+  test("ccm_auto_params: picks live on their grids and agree with the underlying diagnostics") {
+    val rows = q("ccm_auto_params").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((1 to 6).contains(r.getAs[Int]("best_tau")), "tau* on the MI grid 1..6")
+      assert((1 to 4).contains(r.getAs[Int]("best_e")), "E* on the FNN grid 1..4")
+    }
+    // the panel's rows are exactly the diagnostics' selected rows
+    val mi = q("ccm_mi_tau").collect().filter(r => r.getAs[Int]("tau") == r.getAs[Int]("best_tau"))
+    assert(rows.length == mi.length, "one row per series with a selected tau")
+  }
+
   test("sample_repeat plan: map-only after the weights broadcast — no shuffle-join, no window") {
     val p = plan("sample_repeat")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), "weights must attach by broadcast")
