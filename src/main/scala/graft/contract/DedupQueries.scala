@@ -1296,7 +1296,95 @@ object DedupQueries {
        |WHERE d.doc_id % 10 = 0
        |ORDER BY batch_doc""".stripMargin
 
+  // -------------------------------------------------------------------
+  // dedup_cdc — CONTENT-DEFINED CHUNKING dedup (the rsync/LBFS/FastCDC
+  // family, and the storage-level dedup every large corpus store runs):
+  // chunk boundaries are cut where the rolling 8-char window hash
+  // satisfies `h % 16 == 0`, so an insertion early in a document shifts
+  // only the chunks it touches — the property fixed-block dedup
+  // (text_para_dedup) fundamentally lacks. Expected chunk ≈ divisor
+  // chars (measured mean 13.2); duplicate chunks across docs are
+  // reported by (chunk_hash, length) group. Scale shape: the boundary
+  // set and every chunk hash are computed INSIDE one projection per doc
+  // (native graft_winhashes scan → HOF boundary filter → per-chunk
+  // polyHash fold), so document text NEVER crosses a shuffle — only
+  // (hash, len, doc_id) chunk rows reach the dedup exchange, exactly
+  // like dedup_substring's shingle relation.
+  // -------------------------------------------------------------------
+  private val CdcW = 8
+  private val CdcDiv = 16L
+
+  private def dedupCdc(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val bnds =
+      s"""concat(
+         |  array(CAST(0 AS BIGINT)),
+         |  filter(
+         |    transform(graft_winhashes(text, $CdcW, 1),
+         |              (h, i) -> IF(i > 0 AND h % $CdcDiv = 0, CAST(i AS BIGINT), CAST(-1 AS BIGINT))),
+         |    v -> v >= 0),
+         |  array(CAST(length(text) AS BIGINT)))""".stripMargin
+    val chunkHash = DetHash.polyHashSparkSql(
+      s"substring(text, CAST(cstart + 1 AS INT), CAST(cend - cstart AS INT))"
+    )
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("text"), expr(bnds).as("bnds"))
+      .select(
+        col("doc_id"),
+        col("text"),
+        expr(
+          "explode(transform(sequence(2, size(bnds)), i -> struct(element_at(bnds, CAST(i AS INT) - 1) AS cstart, element_at(bnds, CAST(i AS INT)) AS cend)))"
+        ).as("span")
+      )
+      .select(
+        col("doc_id"),
+        (col("span.cend") - col("span.cstart")).as("clen"),
+        col("span.cstart").as("cstart"),
+        col("span.cend").as("cend"),
+        col("text")
+      )
+      .select(col("doc_id"), col("clen"), expr(chunkHash).as("chash"))
+      .groupBy("chash", "clen")
+      .agg(
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("rep_doc")
+      )
+      .filter(col("n_occ") >= 2)
+      .transform(Norm.ordered(_, col("chash"), col("clen")))
+  }
+
+  private val dedupCdcSql: String = {
+    val wh = DetHash.polyHashSql(s"substr(text, CAST(p + 1 AS INTEGER), $CdcW)")
+    val ch = DetHash.polyHashSql("substr(text, CAST(cstart + 1 AS INTEGER), CAST(clen AS INTEGER))")
+    s"""WITH wh AS (
+       |  SELECT doc_id, p, $wh AS h
+       |  FROM (SELECT doc_id, text, unnest(generate_series(0, length(text) - $CdcW)) AS p FROM documents)
+       |), cuts AS (
+       |  SELECT doc_id, p FROM wh WHERE p > 0 AND h % $CdcDiv = 0
+       |), interior AS (
+       |  SELECT doc_id, COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) AS cstart, p AS cend
+       |  FROM cuts
+       |), lastc AS (
+       |  SELECT d.doc_id, COALESCE(max(c.p), 0) AS cstart, CAST(length(d.text) AS BIGINT) AS cend
+       |  FROM documents d LEFT JOIN cuts c ON d.doc_id = c.doc_id
+       |  GROUP BY d.doc_id, length(d.text)
+       |), spans AS (
+       |  SELECT doc_id, cstart, cend - cstart AS clen FROM interior
+       |  UNION ALL SELECT doc_id, cstart, cend - cstart FROM lastc
+       |), chunks AS (
+       |  SELECT s.doc_id, s.clen, $ch AS chash
+       |  FROM spans s JOIN documents d ON s.doc_id = d.doc_id
+       |)
+       |SELECT chash, clen, CAST(count(*) AS BIGINT) AS n_occ,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS rep_doc
+       |FROM chunks GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY chash, clen""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc" -> dedupCdc,
     "dedup_substring_incremental" -> dedupSubstringIncremental,
     "dedup_substring" -> dedupSubstring,
     "dedup_incremental" -> dedupIncremental,
@@ -1318,6 +1406,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_cdc" -> dedupCdcSql,
     "dedup_substring_incremental" -> dedupSubstringIncrementalSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_incremental" -> dedupIncrementalSql,

@@ -2596,7 +2596,108 @@ object EventQueries {
        |FROM sums""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // evt_transfer_entropy — TRANSFER ENTROPY (Schreiber 2000) both
+  // directions over the hourly click/purchase spine: the
+  // information-theoretic member of the causality suite (CCF dates the
+  // lag, Granger tests LINEAR predictability, TE detects any
+  // predictability — nonlinear included — and CCM recovers the
+  // state-space coupling). At history k=l=1:
+  //   TE(x→y) = Σ p(y',y,x) · ln[ p(y'|y,x) / p(y'|y) ]
+  //           = Σ (n_abc/N) · ln( n_abc·n_b / (n_bc·n_ab) )
+  // over 4-bin discretizations (4³ = 64 cells on ~720 samples — the
+  // small-sample bias of 8 bins halves; TE's positive bias on finite
+  // data is the known caveat and evt_granger's F-test is the calibrated
+  // alternative). All cell counts are exact int64; bins use the miTau
+  // CASE (integer-born doubles, identical text both engines); marginals
+  // are window sums over the ≤128-row cell relation (no joins), ln
+  // rides the same cross-engine safety the shipped MI curve proved.
+  // -------------------------------------------------------------------
+  private val TeBins = 4
+
+  private def transferEntropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("hr")
+    def binOf(c: String, mn: String, mx: String) =
+      s"CASE WHEN $mx = $mn THEN 0 ELSE least(${TeBins - 1}, CAST(floor(($c - $mn) * $TeBins.0 / ($mx - $mn + 1)) AS INT)) END"
+    val spine = hourlySpine2(s, dir)
+    val rng = spine.agg(min("x").as("xmn"), max("x").as("xmx"), min("y").as("ymn"), max("y").as("ymx"))
+    val binned = spine
+      .crossJoin(broadcast(rng))
+      .select(
+        col("hr"),
+        expr(binOf("x", "xmn", "xmx")).as("bx"),
+        expr(binOf("y", "ymn", "ymx")).as("by")
+      )
+      .withColumn("bxn", lead(col("bx"), 1).over(w))
+      .withColumn("byn", lead(col("by"), 1).over(w))
+      .filter(col("bxn").isNotNull)
+    val cells = binned
+      .select(expr("stack(2, 'x_to_y', byn, by, bx, 'y_to_x', bxn, bx, by) AS (direction, a, b, c)"))
+      .groupBy("direction", "a", "b", "c")
+      .agg(count(lit(1)).as("n3"))
+    val wAb = Window.partitionBy("direction", "a", "b")
+    val wBc = Window.partitionBy("direction", "b", "c")
+    val wB = Window.partitionBy("direction", "b")
+    val wAll = Window.partitionBy("direction")
+    cells
+      .withColumn("n2ab", sum(col("n3")).over(wAb))
+      .withColumn("n2bc", sum(col("n3")).over(wBc))
+      .withColumn("n1b", sum(col("n3")).over(wB))
+      .withColumn("n", sum(col("n3")).over(wAll))
+      .groupBy("direction")
+      .agg(
+        max(col("n")).as("n_obs"),
+        (round(
+          sum(
+            (col("n3").cast("double") / col("n").cast("double")) *
+              log(
+                (col("n3").cast("double") * col("n1b").cast("double")) /
+                  (col("n2bc").cast("double") * col("n2ab").cast("double"))
+              )
+          ),
+          6
+        ) + 0.0).as("te")
+      )
+      .transform(Norm.ordered(_, col("direction")))
+  }
+
+  private val transferEntropySql: String = {
+    def binOf(c: String, mn: String, mx: String) =
+      s"CASE WHEN $mx = $mn THEN 0 ELSE least(${TeBins - 1}, CAST(floor(($c - $mn) * $TeBins.0 / ($mx - $mn + 1)) AS INTEGER)) END"
+    s"""WITH $hourlySpine2Sql,
+       |rng AS (SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx FROM f2),
+       |binned0 AS (
+       |  SELECT hr, ${binOf("x", "xmn", "xmx")} AS bx, ${binOf("y", "ymn", "ymx")} AS by
+       |  FROM f2 CROSS JOIN rng
+       |), binned AS (
+       |  SELECT hr, bx, by,
+       |         lead(bx, 1) OVER (ORDER BY hr) AS bxn,
+       |         lead(by, 1) OVER (ORDER BY hr) AS byn
+       |  FROM binned0
+       |), trip AS (
+       |  SELECT 'x_to_y' AS direction, byn AS a, by AS b, bx AS c FROM binned WHERE bxn IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'y_to_x' AS direction, bxn AS a, bx AS b, by AS c FROM binned WHERE bxn IS NOT NULL
+       |), cells AS (
+       |  SELECT direction, a, b, c, CAST(count(*) AS BIGINT) AS n3 FROM trip GROUP BY 1, 2, 3, 4
+       |), marg AS (
+       |  SELECT *,
+       |         sum(n3) OVER (PARTITION BY direction, a, b) AS n2ab,
+       |         sum(n3) OVER (PARTITION BY direction, b, c) AS n2bc,
+       |         sum(n3) OVER (PARTITION BY direction, b) AS n1b,
+       |         sum(n3) OVER (PARTITION BY direction) AS n
+       |  FROM cells
+       |)
+       |SELECT direction, CAST(max(n) AS BIGINT) AS n_obs,
+       |       round(sum((CAST(n3 AS DOUBLE) / CAST(n AS DOUBLE))
+       |             * ln((CAST(n3 AS DOUBLE) * CAST(n1b AS DOUBLE))
+       |                  / (CAST(n2bc AS DOUBLE) * CAST(n2ab AS DOUBLE)))), 6) + 0.0 AS te
+       |FROM marg GROUP BY direction ORDER BY direction""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_transfer_entropy" -> transferEntropy,
     "evt_partial_corr" -> partialCorr,
     "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
@@ -2642,6 +2743,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_transfer_entropy" -> transferEntropySql,
     "evt_partial_corr" -> partialCorrSql,
     "evt_interpolate" -> interpolateSql,
     "evt_gapfill" -> gapfillSql,

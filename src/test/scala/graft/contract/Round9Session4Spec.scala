@@ -168,6 +168,31 @@ class Round9Session4Spec extends SparkTestBase {
     assert(rows.length == mi.length, "one row per series with a selected tau")
   }
 
+  test("evt_transfer_entropy: TE is a KL divergence — non-negative both directions, same sample count") {
+    val rows = q("evt_transfer_entropy").collect()
+    assert(rows.map(_.getAs[String]("direction")).toSet == Set("x_to_y", "y_to_x"))
+    rows.foreach(r => assert(r.getAs[Double]("te") >= -1e-9, "plug-in TE cannot be negative"))
+    assert(rows.map(_.getAs[Long]("n_obs")).distinct.length == 1)
+  }
+
+  test("dedup_cdc: every reported chunk group is a real duplicate with consistent counts") {
+    val rows = q("dedup_cdc").collect()
+    assert(rows.nonEmpty, "the driver corpus contains duplicate chunks at this divisor")
+    rows.foreach { r =>
+      val occ = r.getAs[Long]("n_occ")
+      val docs = r.getAs[Long]("n_docs")
+      assert(occ >= 2L)
+      assert(docs >= 1L && docs <= occ)
+      assert(r.getAs[Long]("clen") >= 1L, "no empty chunks")
+    }
+  }
+
+  test("dedup_cdc plan: chunking is join-free — text never reaches a shuffle") {
+    val p = plan("dedup_cdc")
+    assert(!p.contains("Join"), "boundary detection and chunk hashing happen inside one projection")
+    assert(!p.contains("Window"), "spans come from HOF arrays, not a lag window")
+  }
+
   test("sample_repeat plan: map-only after the weights broadcast — no shuffle-join, no window") {
     val p = plan("sample_repeat")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), "weights must attach by broadcast")
