@@ -168,6 +168,22 @@ class Round9Session4Spec extends SparkTestBase {
     assert(rows.length == mi.length, "one row per series with a selected tau")
   }
 
+  test("text_bpe_train: merges shrink the corpus monotonically and counts stay consistent") {
+    val rows = q("text_bpe_train").collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 3)
+    val totals = rows.map(_.getAs[Long]("symbols_after"))
+    assert(totals.zip(totals.tail).forall { case (a, b) => b < a }, "each merge must reduce total symbols")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pair_count") >= 1L)
+      // non-overlapping greedy merges collapse at most pair_count occurrences
+      assert(r.getAs[String]("merge_left").nonEmpty && r.getAs[String]("merge_right").nonEmpty)
+    }
+    // counts when chosen are non-increasing across rounds (the argmax can
+    // only fall as pairs get consumed or stay untouched)
+    val cnts = rows.map(_.getAs[Long]("pair_count"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => b <= a })
+  }
+
   test("evt_transfer_entropy: TE is a KL divergence — non-negative both directions, same sample count") {
     val rows = q("evt_transfer_entropy").collect()
     assert(rows.map(_.getAs[String]("direction")).toSet == Set("x_to_y", "y_to_x"))
