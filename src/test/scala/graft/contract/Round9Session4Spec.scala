@@ -168,6 +168,19 @@ class Round9Session4Spec extends SparkTestBase {
     assert(rows.length == mi.length, "one row per series with a selected tau")
   }
 
+  test("pack_ffd: bin counts respect the lower bound and waste reconciles exactly") {
+    val rows = q("pack_ffd").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bins = r.getAs[Long]("n_bins")
+      val lb = r.getAs[Long]("bins_lower_bound")
+      val tot = r.getAs[Long]("total_tokens")
+      assert(bins >= lb, "cannot beat the volume lower bound")
+      assert(r.getAs[Long]("padding_waste") == bins * 512L - tot)
+      assert(bins <= r.getAs[Long]("n_docs"), "FFD never opens more bins than docs")
+    }
+  }
+
   test("text_bpe_train: merges shrink the corpus monotonically and counts stay consistent") {
     val rows = q("text_bpe_train").collect().sortBy(_.getAs[Long]("rank"))
     assert(rows.length == 3)
