@@ -2366,12 +2366,21 @@ object EventQueries {
       .select(
         col("lag"),
         col("m").as("n_pairs"),
+        // zero-variance guard (a constant series would divide by √0 —
+        // NaN/Inf bytes are not cross-engine-stable): r defined as 0.0,
+        // the C9 correlation-guard convention; identical CASE both sides
         (round(
-          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt(
-              (col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
-                (col("m") * col("syy") - col("sy") * col("sy")).cast("double")
-            ),
+          when(
+            (col("m") * col("sxx") - col("sx") * col("sx")) <= 0L ||
+              (col("m") * col("syy") - col("sy") * col("sy")) <= 0L,
+            lit(0.0)
+          ).otherwise(
+            (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt(
+                (col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                  (col("m") * col("syy") - col("sy") * col("sy")).cast("double")
+              )
+          ),
           6
         ) + 0.0).as("r")
       )
@@ -2392,8 +2401,10 @@ object EventQueries {
        |  FROM pairs_k GROUP BY 1
        |)
        |SELECT lag, m AS n_pairs,
-       |       round(CAST(m * sxy - sx * sy AS DOUBLE)
-       |             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)), 6) + 0.0 AS r
+       |       round(CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0 THEN 0.0
+       |                  ELSE CAST(m * sxy - sx * sy AS DOUBLE)
+       |                       / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE))
+       |             END, 6) + 0.0 AS r
        |FROM agg ORDER BY lag""".stripMargin
 
   // -------------------------------------------------------------------
@@ -2437,7 +2448,13 @@ object EventQueries {
     val c1 = s"(($n*$sty - $st*$sy1)/$detR)"
     val rssR = s"($stt - ($c0*$st + $c1*$sty))"
     val f = s"(($rssR - $rssU) / ($rssU / ($n - 3.0)))"
-    Seq("beta_const" -> b0, "beta_ar" -> b1, "beta_cross" -> b2, "rss_r" -> rssR, "rss_u" -> rssU, "f_stat" -> f)
+    // degenerate guards (identical CASE text both engines): a constant
+    // series makes det/detR exactly 0 (they are int64-born doubles), a
+    // perfect fit makes RSS_u 0 — in each case the statistic is defined
+    // as 0.0 instead of letting NaN/Inf bytes reach the hash compare
+    def g(e: String) = s"(CASE WHEN $det = 0.0 OR $detR = 0.0 THEN 0.0 ELSE $e END)"
+    val fg = s"(CASE WHEN $det = 0.0 OR $detR = 0.0 OR $rssU <= 0.0 THEN 0.0 ELSE $f END)"
+    Seq("beta_const" -> g(b0), "beta_ar" -> g(b1), "beta_cross" -> g(b2), "rss_r" -> g(rssR), "rss_u" -> g(rssU), "f_stat" -> fg)
   }
 
   private def granger(s: SparkSession, dir: String): DataFrame = {
@@ -2523,12 +2540,19 @@ object EventQueries {
     */
   private val partialCorrExprs: Seq[(String, String)] = {
     def d(c: String) = s"CAST($c AS DOUBLE)"
+    // integer-exact zero-variance guard per variable (identical text both
+    // engines): a constant series' co-moment determinant is exactly 0
+    def dz(sa: String, saa: String) = s"n * $saa - $sa * $sa <= 0"
     def r(sa: String, sb: String, sab: String, saa: String, sbb: String) =
-      s"((${d("n")}*${d(sab)} - ${d(sa)}*${d(sb)}) / sqrt((${d("n")}*${d(saa)} - ${d(sa)}*${d(sa)}) * (${d("n")}*${d(sbb)} - ${d(sb)}*${d(sb)})))"
+      s"(CASE WHEN ${dz(sa, saa)} OR ${dz(sb, sbb)} THEN 0.0 ELSE " +
+        s"(${d("n")}*${d(sab)} - ${d(sa)}*${d(sb)}) / sqrt((${d("n")}*${d(saa)} - ${d(sa)}*${d(sa)}) * (${d("n")}*${d(sbb)} - ${d(sb)}*${d(sb)})) END)"
     val rxy = r("sx", "sy", "sxy", "sxx", "syy")
     val rxz = r("sx", "sz", "sxz", "sxx", "szz")
     val rzy = r("sz", "sy", "syz", "szz", "syy")
-    val part = s"(($rxy - $rxz*$rzy) / sqrt((1.0 - $rxz*$rxz) * (1.0 - $rzy*$rzy)))"
+    // |r| = 1 against the confounder leaves no residual variance to
+    // correlate — the partial is defined as 0.0 there
+    val part = s"(CASE WHEN $rxz*$rxz >= 1.0 OR $rzy*$rzy >= 1.0 THEN 0.0 ELSE " +
+      s"($rxy - $rxz*$rzy) / sqrt((1.0 - $rxz*$rxz) * (1.0 - $rzy*$rzy)) END)"
     Seq("r_xy" -> rxy, "r_xz" -> rxz, "r_zy" -> rzy, "r_xy_given_z" -> part)
   }
 
