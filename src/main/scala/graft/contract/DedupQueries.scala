@@ -1383,7 +1383,105 @@ object DedupQueries {
        |ORDER BY chash, clen""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // dedup_lsh_curve — the BANDING S-CURVE calibration, the third leg of
+  // the LSH evaluation stack (dedup_minhash_est calibrates signatures,
+  // dedup_lsh_quality measures end-to-end precision/recall; this one
+  // checks the (b, r) DESIGN): per true-Jaccard decile over the sampled
+  // panel pairs, the empirical candidate-detection rate beside the
+  // textbook analytic curve P(s) = 1 − (1 − s^r)^b at the bucket
+  // midpoint — b = 4 bands, r = 2 rows, so the powers are INTEGER and
+  // the curve is plain repeated multiplication (no libm pow — the known
+  // cross-engine trap). The analytic curve assumes random permutations;
+  // the shipped DetHash permutations are 8 fixed ones, and how far the
+  // empirical rate strays from the curve at each decile IS the finding
+  // (more perms → tighter concentration — the dedup_minhash_est story
+  // at the banding level). Truth pairs come from the SAMPLED panel
+  // machinery (Σ df_panel·df, the 100-TB-safe term).
+  // -------------------------------------------------------------------
+  private def dedupLshCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withSets = shingled(s, dir)
+      .select(col("doc_id"), expr("array_distinct(shh)").as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+      .localCheckpoint()
+    val tokens = withSets.select(col("doc_id"), explode(col("sh")).as("h"))
+    val qtokens =
+      tokens.filter(col("doc_id") % SampleStride === 0 && col("doc_id") < SamplePanelCap)
+    val jp = qtokens
+      .as("a")
+      .join(tokens.as("b"), col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")
+      )
+      .distinct()
+      .join(withSets.select(col("doc_id").as("doc_a"), col("sh").as("sha"), col("sz").as("sza")), "doc_a")
+      .join(withSets.select(col("doc_id").as("doc_b"), col("sh").as("shb"), col("sz").as("szb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        Norm.rnd(col("n_common") / (col("sza") + col("szb") - col("n_common")).cast("double"), 6)
+          .as("j")
+      )
+    val cands = lshPairsRaw(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_cand"))
+    val b = NumPerms / BandRows
+    val mid = "(CAST(bucket AS DOUBLE) * 0.1 + 0.05)"
+    val sr = (1 to BandRows).map(_ => mid).mkString(" * ")
+    val q = s"(1.0 - $sr)"
+    val analytic = s"round(1.0 - ${(1 to b).map(_ => q).mkString(" * ")}, 6) + 0.0"
+    jp.join(cands, Seq("doc_a", "doc_b"), "left")
+      .select(expr("least(CAST(9 AS BIGINT), CAST(floor(j * 10.0) AS BIGINT))").as("bucket"), coalesce(col("is_cand"), lit(0L)).as("det"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("det")).as("n_detected"))
+      .select(
+        col("bucket"),
+        col("n_pairs"),
+        col("n_detected"),
+        Norm.rnd(col("n_detected") / col("n_pairs").cast("double"), 6).as("emp_rate"),
+        expr(analytic).as("analytic_rate")
+      )
+      .transform(Norm.ordered(_, col("bucket")))
+  }
+
+  private val dedupLshCurveSql: String = {
+    val b = NumPerms / BandRows
+    val mid = "(CAST(bucket AS DOUBLE) * 0.1 + 0.05)"
+    val sr = (1 to BandRows).map(_ => mid).mkString(" * ")
+    val q = s"(1.0 - $sr)"
+    val analytic = s"round(1.0 - ${(1 to b).map(_ => q).mkString(" * ")}, 6) + 0.0"
+    s"""WITH $bandsCteSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |dsq AS (SELECT doc_id, list_distinct($shingleFromWhDuck) AS sh FROM dw),
+       |jp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(len(list_intersect(a.sh, b.sh))
+       |          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) + 0.0 AS j
+       |  FROM dsq a JOIN dsq b ON a.doc_id < b.doc_id
+       |    AND ((a.doc_id % $SampleStride = 0 AND a.doc_id < $SamplePanelCap)
+       |      OR (b.doc_id % $SampleStride = 0 AND b.doc_id < $SamplePanelCap))
+       |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+       |),
+       |flagged AS (
+       |  SELECT least(CAST(9 AS BIGINT), CAST(floor(j.j * 10.0) AS BIGINT)) AS bucket,
+       |         CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS det
+       |  FROM jp j LEFT JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+       |)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(det) AS BIGINT) AS n_detected,
+       |       round(sum(det) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS emp_rate,
+       |       $analytic AS analytic_rate
+       |FROM flagged GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_curve" -> dedupLshCurve,
     "dedup_cdc" -> dedupCdc,
     "dedup_substring_incremental" -> dedupSubstringIncremental,
     "dedup_substring" -> dedupSubstring,
@@ -1406,6 +1504,7 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_lsh_curve" -> dedupLshCurveSql,
     "dedup_cdc" -> dedupCdcSql,
     "dedup_substring_incremental" -> dedupSubstringIncrementalSql,
     "dedup_substring" -> dedupSubstringSql,

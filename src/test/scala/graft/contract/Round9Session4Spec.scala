@@ -168,6 +168,20 @@ class Round9Session4Spec extends SparkTestBase {
     assert(rows.length == mi.length, "one row per series with a selected tau")
   }
 
+  test("dedup_lsh_curve: rates are probabilities and the analytic curve is the exact (b=4, r=2) polynomial") {
+    val rows = q("dedup_lsh_curve").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bucket = r.getAs[Long]("bucket")
+      val emp = r.getAs[Double]("emp_rate")
+      assert(emp >= 0.0 && emp <= 1.0)
+      val mid = bucket * 0.1 + 0.05
+      val expect = math.floor((1.0 - math.pow(1.0 - mid * mid, 4)) * 1e6 + 0.5) / 1e6
+      assert(math.abs(r.getAs[Double]("analytic_rate") - expect) < 2e-6, s"bucket $bucket analytic mismatch")
+      assert(r.getAs[Long]("n_detected") <= r.getAs[Long]("n_pairs"))
+    }
+  }
+
   test("pack_ffd: bin counts respect the lower bound and waste reconciles exactly") {
     val rows = q("pack_ffd").collect()
     assert(rows.nonEmpty)
