@@ -288,11 +288,116 @@ object MultimodalQueries {
        |  AND abs(fsum - prev_sum) > $CutThreshold
        |ORDER BY doc_id, cut_at_frame""".stripMargin
 
+  // -------------------------------------------------------------------
+  // mm_audio_vad — VOICE-ACTIVITY-DETECTION segmentation over the stub
+  // decode (the step before any ASR/transcription pass): per full
+  // frame, the integer energy L·Σb² − (Σb)² (the variance numerator —
+  // a real codec swaps byte codes for PCM samples), thresholded at
+  // ~p75 of the measured distribution; ACTIVE runs merge into segments
+  // by gaps-and-islands (frame_id − row_number over active frames, the
+  // evt_sessionize shape) and each segment reports its span and energy
+  // mass. All arithmetic is exact int64 (64 bytes of ≤127 codes keep
+  // L·Σb² < 7e7); the ragged last frame is excluded as in
+  // mm_scene_cuts. Scale shape: bounded frame fan-out, doc-partitioned
+  // windows, blobs never shuffle — only (doc, frame, two int sums).
+  // -------------------------------------------------------------------
+  private val VadThreshold = 3800000L
+
+  private def mmAudioVad(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        expr(s"CAST((length(text) + ${FrameBytes - 1}) div $FrameBytes AS BIGINT)").as("n_frames")
+      )
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(
+          when(col("n_frames") > 0, sequence(lit(0L), col("n_frames") - 1))
+            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+        ).as("frame_id")
+      )
+      .select(
+        col("doc_id"),
+        col("frame_id"),
+        expr(s"substring(text, CAST(frame_id * $FrameBytes + 1 AS INT), $FrameBytes)").as("fr")
+      )
+      .select(
+        col("doc_id"),
+        col("frame_id"),
+        length(col("fr")).cast("long").as("flen"),
+        expr(
+          "aggregate(sequence(1, length(fr)), CAST(0 AS BIGINT), (acc, i) -> acc + CAST(ascii(substring(fr, CAST(i AS INT), 1)) AS BIGINT))"
+        ).as("s1"),
+        expr(
+          "aggregate(sequence(1, length(fr)), CAST(0 AS BIGINT), (acc, i) -> acc + CAST(ascii(substring(fr, CAST(i AS INT), 1)) AS BIGINT) * CAST(ascii(substring(fr, CAST(i AS INT), 1)) AS BIGINT))"
+        ).as("s2")
+      )
+      .filter(col("flen") === FrameBytes)
+      // materialization barrier: without it CollapseProject inlines the
+      // two per-char folds into the energy filter AND the segment
+      // aggregate — the fold evaluated 3× per frame (measured 5.9 →
+      // 1.3 s at sf0.1). The pinned relation is (doc, frame, 3 int64s),
+      // frame-count-sized, never the blobs.
+      .localCheckpoint()
+      .withColumn("energy", col("flen") * col("s2") - col("s1") * col("s1"))
+      .filter(col("energy") > VadThreshold)
+    val w = Window.partitionBy("doc_id").orderBy("frame_id")
+    frames
+      .withColumn("isl", col("frame_id") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(
+        min(col("frame_id")).as("seg_start"),
+        max(col("frame_id")).as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("energy_sum")
+      )
+      .select(col("doc_id"), col("seg_start"), col("seg_end"), col("n_frames"), col("energy_sum"))
+      .transform(Norm.ordered(_, col("doc_id"), col("seg_start")))
+  }
+
+  private val mmAudioVadSql: String =
+    s"""WITH meta AS (
+       |  SELECT doc_id, text,
+       |         CAST((length(text) + ${FrameBytes - 1}) // $FrameBytes AS BIGINT) AS n_frames
+       |  FROM documents
+       |), fr AS (
+       |  SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_id, text FROM meta
+       |), feat AS (
+       |  SELECT doc_id, frame_id,
+       |         substr(text, CAST(frame_id * $FrameBytes + 1 AS INTEGER), $FrameBytes) AS f
+       |  FROM fr
+       |), en AS (
+       |  SELECT doc_id, frame_id, CAST(length(f) AS BIGINT) AS flen,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(f) + 1),
+       |        i -> CAST(ord(substr(f, CAST(i AS INTEGER), 1)) AS BIGINT))), (a, b) -> a + b) AS s1,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(f) + 1),
+       |        i -> CAST(ord(substr(f, CAST(i AS INTEGER), 1)) AS BIGINT)
+       |             * CAST(ord(substr(f, CAST(i AS INTEGER), 1)) AS BIGINT))), (a, b) -> a + b) AS s2
+       |  FROM feat WHERE length(f) = $FrameBytes
+       |), active AS (
+       |  SELECT doc_id, frame_id, flen * s2 - s1 * s1 AS energy
+       |  FROM en WHERE flen * s2 - s1 * s1 > $VadThreshold
+       |), isl AS (
+       |  SELECT doc_id, frame_id, energy,
+       |         frame_id - row_number() OVER (PARTITION BY doc_id ORDER BY frame_id) AS g
+       |  FROM active
+       |)
+       |SELECT doc_id, min(frame_id) AS seg_start, max(frame_id) AS seg_end,
+       |       CAST(count(*) AS BIGINT) AS n_frames, CAST(sum(energy) AS BIGINT) AS energy_sum
+       |FROM isl GROUP BY doc_id, g
+       |ORDER BY doc_id, seg_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_frames" -> mmMeta,
     "mm_resize" -> mmResize,
     "mm_phash" -> mmPhash,
-    "mm_scene_cuts" -> mmSceneCuts
+    "mm_scene_cuts" -> mmSceneCuts,
+    "mm_audio_vad" -> mmAudioVad
   )
 
   // mm_features oracle — the decode STUB's byte statistics are exactly
@@ -333,6 +438,7 @@ object MultimodalQueries {
     "mm_resize" -> mmResizeSql,
     "mm_phash" -> mmPhashSql,
     "mm_features" -> mmFeaturesSql,
-    "mm_scene_cuts" -> mmSceneCutsSql
+    "mm_scene_cuts" -> mmSceneCutsSql,
+    "mm_audio_vad" -> mmAudioVadSql
   )
 }

@@ -168,6 +168,18 @@ class Round9Session4Spec extends SparkTestBase {
     assert(rows.length == mi.length, "one row per series with a selected tau")
   }
 
+  test("mm_audio_vad: segments are well-formed runs whose frame counts match their spans") {
+    val rows = q("mm_audio_vad").collect()
+    assert(rows.nonEmpty, "driver corpus contains active segments at the chosen threshold")
+    rows.foreach { r =>
+      val a = r.getAs[Long]("seg_start")
+      val b = r.getAs[Long]("seg_end")
+      assert(a <= b)
+      assert(r.getAs[Long]("n_frames") == b - a + 1, "a segment is a CONTIGUOUS run of active frames")
+      assert(r.getAs[Long]("energy_sum") > (b - a + 1) * 3800000L, "every member frame cleared the threshold")
+    }
+  }
+
   test("dedup_lsh_curve: rates are probabilities and the analytic curve is the exact (b=4, r=2) polynomial") {
     val rows = q("dedup_lsh_curve").collect()
     assert(rows.nonEmpty)
