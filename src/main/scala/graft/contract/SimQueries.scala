@@ -2022,7 +2022,154 @@ object SimQueries {
        |FROM hardest ORDER BY anchor_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ann_ivf_probe_curve — the IVF TUNING curve (the sizing-rule eval
+  // family: sketch_cms_error sizes widths, sketch_hll_error registers,
+  // dedup_lsh_curve bands — this sizes nProbe): recall@5 against the
+  // exact brute-force truth AND the scanned-corpus fraction at
+  // nprobe ∈ {1, 2, 4, 8}, one row per setting — the measured
+  // recall-vs-cost frontier an operator reads before fixing the serving
+  // parameter. A neighbor's home list is unique, so each (query,
+  // neighbor) candidate has exactly ONE entry rank (the probe position
+  // that admits it) and the per-level candidate sets are nested —
+  // entry_rank <= p IS membership at level p; the four levels rank in
+  // one stacked window pass. All counts exact int64; recall and scan
+  // fraction are single divisions.
+  // -------------------------------------------------------------------
+  private val ProbeLevels = Seq(1, 2, 4, 8)
+
+  private def annIvfProbeCurve(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e
+      .filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val dotVC = expr(dotSpark.format("v", "cv"))
+    val maxProbe = ProbeLevels.max
+    val assignW = Window.partitionBy("vec_id").orderBy((dotVC / (col("nrm") * col("cnrm"))).desc, col("cid").asc)
+    val assigned = e
+      .crossJoin(broadcast(cents))
+      .withColumn("crank", row_number().over(assignW))
+      .filter(col("crank") <= maxProbe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"), col("crank"))
+      .localCheckpoint()
+    val lists = assigned.filter(col("crank") === 1).select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    val probes = assigned
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"), col("cid").as("probe_cid"), col("crank").as("entry_rank"))
+    val dotQN = expr(dotSpark.format("q.qv", "n.v"))
+    val cand = probes
+      .as("q")
+      .join(lists.as("n"), col("q.probe_cid") === col("n.cid") && col("q.qid") =!= col("n.vec_id"))
+      .select(
+        col("q.qid").as("query_id"),
+        col("n.vec_id").as("neighbor_id"),
+        col("q.entry_rank").as("entry_rank"),
+        (dotQN / (col("q.qnrm") * col("n.nrm"))).as("cos_sim")
+      )
+      .localCheckpoint()
+    // exact truth: brute top-k per panel query
+    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val dotQT = expr(dotSpark.format("q.v", "n.v"))
+    val wT = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val truth = q
+      .as("q")
+      .join(e.as("n"), col("q.vec_id") =!= col("n.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("n.vec_id").as("neighbor_id"),
+        (dotQT / (col("q.nrm") * col("n.nrm"))).as("cos_sim")
+      )
+      .withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    import s.implicits._
+    val levels = ProbeLevels.toDF("nprobe")
+    val leveled = cand
+      .crossJoin(broadcast(levels))
+      .filter(col("entry_rank") <= col("nprobe"))
+    val wL = Window.partitionBy("nprobe", "query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val topAtLevel = leveled
+      .withColumn("rk", row_number().over(wL))
+      .filter(col("rk") <= TopK)
+    val hits = topAtLevel
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_hits"))
+    val scanned = leveled.groupBy("nprobe").agg(count(lit(1)).as("n_scanned"))
+    val nQ = truth.select(col("query_id")).distinct().count()
+    val nCorpus = e.count()
+    levels
+      .join(hits, Seq("nprobe"), "left")
+      .join(scanned, Seq("nprobe"), "left")
+      .select(
+        col("nprobe").cast("long").as("nprobe"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_scanned"), lit(0L)).as("n_scanned"),
+        Norm.rnd(coalesce(col("n_hits"), lit(0L)) / lit(nQ * TopK).cast("double"), 6).as("recall"),
+        Norm.rnd(coalesce(col("n_scanned"), lit(0L)) / lit(nQ * (nCorpus - 1)).cast("double"), 6)
+          .as("scan_frac")
+      )
+      .transform(Norm.ordered(_, col("nprobe")))
+  }
+
+  private val annIvfProbeCurveSql: String = {
+    val cosVC = s"${dotDuck("e.v", "c.cv")} / (e.nrm * c.cnrm)"
+    val cosQN = s"${dotDuck("q.qv", "n.v")} / (q.qnrm * n.nrm)"
+    val cosQT = s"${dotDuck("q.v", "n.v")} / (q.nrm * n.nrm)"
+    val maxProbe = ProbeLevels.max
+    val levelValues = ProbeLevels.map(p => s"($p)").mkString(", ")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, sqrt(${dotDuck("e0.v", "e0.v")}) AS nrm FROM e0),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id % $CentroidStride = 0),
+       |assigned AS (
+       |  SELECT e.vec_id, e.v, e.nrm, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosVC DESC, c.cid) AS crank
+       |  FROM e CROSS JOIN c
+       |), lists AS (SELECT vec_id, v, nrm, cid FROM assigned WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS probe_cid, crank AS entry_rank
+       |  FROM assigned WHERE crank <= $maxProbe AND vec_id % $QueryStride = 0
+       |), cand AS (
+       |  SELECT q.qid AS query_id, n.vec_id AS neighbor_id, q.entry_rank, $cosQN AS cos_sim
+       |  FROM probes q JOIN lists n ON q.probe_cid = n.cid AND q.qid <> n.vec_id
+       |), qs AS (SELECT * FROM e WHERE vec_id % $QueryStride = 0),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosQT DESC, n.vec_id) AS rank
+       |    FROM qs q JOIN e n ON q.vec_id <> n.vec_id
+       |  ) WHERE rank <= $TopK
+       |), lv(nprobe) AS (VALUES $levelValues),
+       |leveled AS (
+       |  SELECT lv.nprobe, c.query_id, c.neighbor_id, c.cos_sim
+       |  FROM cand c CROSS JOIN lv WHERE c.entry_rank <= lv.nprobe
+       |), top_at AS (
+       |  SELECT nprobe, query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+       |                                 ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM leveled
+       |  ) WHERE rk <= $TopK
+       |), hits AS (
+       |  SELECT t.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM top_at t JOIN truth x ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+       |  GROUP BY 1
+       |), sc AS (
+       |  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_scanned FROM leveled GROUP BY 1
+       |), nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e)
+       |SELECT CAST(lv.nprobe AS BIGINT) AS nprobe,
+       |       COALESCE(h.n_hits, 0) AS n_hits,
+       |       COALESCE(sc.n_scanned, 0) AS n_scanned,
+       |       round(COALESCE(h.n_hits, 0) / CAST((SELECT n FROM nq) * $TopK AS DOUBLE), 6) + 0.0 AS recall,
+       |       round(COALESCE(sc.n_scanned, 0) / CAST((SELECT n FROM nq) * ((SELECT n FROM nc) - 1) AS DOUBLE), 6) + 0.0 AS scan_frac
+       |FROM lv LEFT JOIN hits h ON lv.nprobe = h.nprobe
+       |LEFT JOIN sc ON lv.nprobe = sc.nprobe
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_probe_curve" -> annIvfProbeCurve,
     "vec_hard_negatives" -> vecHardNegatives,
     "ann_recall_eval" -> annRecallEval,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
@@ -2049,6 +2196,7 @@ object SimQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ann_ivf_probe_curve" -> annIvfProbeCurveSql,
     "vec_hard_negatives" -> vecHardNegativesSql,
     "ann_recall_eval" -> annRecallEvalSql,
     "ann_lsh_multiprobe" -> annLshMultiprobeSql,

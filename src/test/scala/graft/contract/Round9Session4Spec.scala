@@ -168,6 +168,16 @@ class Round9Session4Spec extends SparkTestBase {
     assert(rows.length == mi.length, "one row per series with a selected tau")
   }
 
+  test("ann_ivf_probe_curve: recall and scan fraction are monotone in nprobe (nested candidate sets)") {
+    val rows = q("ann_ivf_probe_curve").collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    val scans = rows.map(_.getAs[Double]("scan_frac"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 1e-9 }, "more probes cannot lose truth hits")
+    assert(scans.zip(scans.tail).forall { case (a, b) => b > a }, "more probes scan strictly more")
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("mm_audio_vad: segments are well-formed runs whose frame counts match their spans") {
     val rows = q("mm_audio_vad").collect()
     assert(rows.nonEmpty, "driver corpus contains active segments at the chosen threshold")
