@@ -422,7 +422,93 @@ object SinkQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sink_scd2 — SLOWLY-CHANGING-DIMENSION TYPE 2 history build, the
+  // versioned-dimension sibling of sink_upsert_overwrite's SCD1
+  // restatement: three deterministic change batches against the
+  // customer dimension (batch d revises the balance of keys with
+  // c_custkey % 11 == d), folded into validity-interval versions the
+  // SET-BASED way — one window pass derives (valid_from, valid_to,
+  // is_current) from the change log, the form that scales (a row-by-row
+  // MERGE per batch re-reads the dimension B times; the window form is
+  // one shuffle on the key regardless of batch count). The versioned
+  // table is WRITTEN to parquet partitioned by is_current — serving
+  // reads (`is_current=1`) prune to the current-snapshot directory,
+  // history queries scan the closed versions — and the gate hashes the
+  // READ-BACK, so the partitioned round trip is inside the check.
+  // -------------------------------------------------------------------
+  private val Scd2Batches = 3
+  private val Scd2KeyMod = 11L
+
+  private def scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables
+      .customer(s, dir)
+      .select(col("c_custkey").as("key"), round(col("c_acctbal") * 100.0).cast("long").as("bal_cents"))
+    val base = cust.withColumn("t", lit(0L))
+    val updates = (1 to Scd2Batches)
+      .map(d =>
+        cust
+          .filter(col("key") % Scd2KeyMod === d.toLong)
+          .select(col("key"), (col("bal_cents") + d * 1000L).as("bal_cents"), lit(d.toLong).as("t"))
+      )
+      .reduce(_.unionAll(_))
+    val w = Window.partitionBy("key").orderBy("t")
+    val versions = base
+      .unionAll(updates)
+      .withColumn("valid_to", lead(col("t"), 1).over(w))
+      .select(
+        col("key"),
+        col("t").as("valid_from"),
+        col("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"),
+        col("bal_cents")
+      )
+    val tmp = Files.createTempDirectory(s"scd2_${ctr.incrementAndGet()}_").toString
+    versions.write.mode("overwrite").partitionBy("is_current").parquet(tmp)
+    val back = s.read
+      .parquet(tmp)
+      .select(
+        col("key"),
+        col("valid_from"),
+        col("valid_to"),
+        col("is_current").cast("long").as("is_current"),
+        col("bal_cents")
+      )
+      .transform(Norm.ordered(_, col("key"), col("valid_from")))
+    graft.GateResult.materialize(back)(
+      graft.GateResult.deleteRecursively(java.nio.file.Paths.get(tmp))
+    )
+  }
+
+  private val scd2Sql: String = {
+    val batches = (1 to Scd2Batches)
+      .map(d =>
+        s"""SELECT c_custkey AS key,
+           |       CAST(round(c_acctbal * 100.0) AS BIGINT) + $d * 1000 AS bal_cents,
+           |       CAST($d AS BIGINT) AS t
+           |FROM customer WHERE c_custkey % $Scd2KeyMod = $d""".stripMargin
+      )
+      .mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT c_custkey AS key, CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents,
+       |         CAST(0 AS BIGINT) AS t
+       |  FROM customer
+       |), allv AS (
+       |  SELECT * FROM base
+       |  UNION ALL
+       |  $batches
+       |)
+       |SELECT key, t AS valid_from,
+       |       lead(t, 1) OVER (PARTITION BY key ORDER BY t) AS valid_to,
+       |       CASE WHEN lead(t, 1) OVER (PARTITION BY key ORDER BY t) IS NULL
+       |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_current,
+       |       bal_cents
+       |FROM allv ORDER BY key, valid_from""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_scd2" -> scd2,
     "sink_bucketed_join" -> bucketedJoin,
     "sink_partition_prune" -> partitionPrune,
     "sink_upsert_overwrite" -> upsertOverwrite,
@@ -431,6 +517,7 @@ object SinkQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sink_scd2" -> scd2Sql,
     "sink_bucketed_join" -> bucketedJoinSql,
     "sink_partition_prune" -> partitionPruneSql,
     "sink_upsert_overwrite" -> upsertOverwriteSql,

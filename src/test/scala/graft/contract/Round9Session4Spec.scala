@@ -168,6 +168,19 @@ class Round9Session4Spec extends SparkTestBase {
     assert(rows.length == mi.length, "one row per series with a selected tau")
   }
 
+  test("sink_scd2: exactly one current version per key and contiguous validity intervals") {
+    val rows = q("sink_scd2").collect()
+    val byKey = rows.groupBy(_.getAs[Long]("key"))
+    byKey.foreach { case (key, vs) =>
+      assert(vs.count(_.getAs[Long]("is_current") == 1L) == 1, s"key $key must have ONE current version")
+      val sorted = vs.sortBy(_.getAs[Long]("valid_from"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"), s"key $key intervals must chain")
+      }
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to")), "the current version is open-ended")
+    }
+  }
+
   test("ann_ivf_probe_curve: recall and scan fraction are monotone in nprobe (nested candidate sets)") {
     val rows = q("ann_ivf_probe_curve").collect().sortBy(_.getAs[Long]("nprobe"))
     assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
