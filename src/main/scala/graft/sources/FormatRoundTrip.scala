@@ -132,7 +132,69 @@ object FormatRoundTrip {
       |               THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS score_sum
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------------
+  // src_seriesv2_roundtrip — the CUSTOM DataSource V2 under the hash
+  // gate ([[SeriesV2]]): per-user (skey, ord, x, y=lag(x)) series derived
+  // from events, written as header CSV, read back through
+  // `format("graft.sources.SeriesV2")` with BOTH scan contracts active —
+  // the skey range predicate pushes into the reader (rows of other
+  // series are rejected after parsing ONE long) and the `ord` column is
+  // pruned out of the parse entirely. The aggregate pins value transport
+  // exactly (integer cents of round-trippable doubles); SeriesV2Spec
+  // additionally pins the pruned read schema, the pushed-filter
+  // evaluation, and the malformed-line skip contract.
+  // -------------------------------------------------------------------
+  private val SvKeyLo = 10L
+  private val SvKeyHi = 750L
+
+  private def seriesV2RoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = Files.createTempDirectory(s"graft-sv2-${ctr.incrementAndGet()}")
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .select(
+        col("user_id").as("skey"),
+        (row_number().over(w) - 1).cast("long").as("ord"),
+        col("value").as("x"),
+        lag(col("value"), 1).over(w).as("y")
+      )
+      .filter(col("y").isNotNull)
+      .write
+      .option("header", "true")
+      .csv(s"$tmp/series_csv")
+    val back = s.read
+      .format("graft.sources.SeriesV2")
+      .load(s"$tmp/series_csv")
+      .filter(col("skey") > SvKeyLo && col("skey") <= SvKeyHi)
+      .select("skey", "x", "y")
+      .groupBy("skey")
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(round(col("x") * 100.0).cast("long")).as("x_cents"),
+        sum(round(col("y") * 100.0).cast("long")).as("y_cents")
+      )
+      .transform(Norm.ordered(_, col("skey")))
+    graft.GateResult.materialize(back)(graft.GateResult.deleteRecursively(tmp))
+  }
+
+  private val seriesV2RoundTripSql: String =
+    s"""WITH ser AS (
+       |  SELECT user_id AS skey,
+       |         value AS x,
+       |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS y
+       |  FROM events
+       |)
+       |SELECT skey, CAST(count(*) AS BIGINT) AS n_points,
+       |       CAST(sum(CAST(round(x * 100.0) AS BIGINT)) AS BIGINT) AS x_cents,
+       |       CAST(sum(CAST(round(y * 100.0) AS BIGINT)) AS BIGINT) AS y_cents
+       |FROM ser
+       |WHERE y IS NOT NULL AND skey > $SvKeyLo AND skey <= $SvKeyHi
+       |GROUP BY 1 ORDER BY skey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_seriesv2_roundtrip" -> seriesV2RoundTrip,
     "src_csv_roundtrip" -> csvRoundTrip,
     "src_orc_roundtrip" -> orcRoundTrip,
     "src_json_roundtrip" -> jsonRoundTrip,
@@ -140,6 +202,7 @@ object FormatRoundTrip {
   )
 
   val oracle: Map[String, String] = Map(
+    "src_seriesv2_roundtrip" -> seriesV2RoundTripSql,
     "src_csv_roundtrip" -> aggSql,
     "src_orc_roundtrip" -> aggSql,
     "src_json_roundtrip" -> aggSql,
