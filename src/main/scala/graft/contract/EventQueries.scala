@@ -270,6 +270,35 @@ object EventQueries {
       |ORDER BY e.event_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // evt_asof_native — the SAME backward strict as-of as evt_asof_purchase
+  // through the engine's CUSTOM CATALYST OPERATOR
+  // ([[graft.plans.AsOfJoinPlan]] → AsOfJoinStrategy → AsOfJoinExec): a
+  // co-partitioned partition-local merge with O(1) state instead of the
+  // window form's union-shuffle running argmax. THREE independent as-of
+  // implementations now meet at one oracle hash — the window form, this
+  // merge operator, and DuckDB's native ASOF JOIN — which is the
+  // strongest correctness statement the gate can make about a custom
+  // physical operator. Tie semantics fall out of the merge's required
+  // right ordering (time asc, event_id asc + overwrite ≡ the struct
+  // argmax); no pre-dedup relation is needed.
+  // -------------------------------------------------------------------
+  private def asofNative(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_id"), col("user_id"), col("tus"))
+    val p = ev(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("tus").as("p_tus"), col("event_id").as("p_event_id"))
+    graft.plans.AsOf
+      .backwardStrict(e, p, "user_id", "tus", "p_user", "p_tus", "p_event_id")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("p_event_id").as("last_purchase_id"),
+        (col("tus") - col("p_tus")).as("us_since_purchase")
+      )
+      .transform(Norm.ordered(_, col("event_id")))
+  }
+
+  // -------------------------------------------------------------------
   // evt_asof_next — the FORWARD as-of join: for every event, the
   // earliest STRICTLY LATER 'purchase' of the same user ("time to next
   // conversion" — the attribution counterpart of evt_asof_purchase's
@@ -2741,6 +2770,7 @@ object EventQueries {
     "evt_sessionize" -> sessionize,
     "evt_rollup" -> rollup,
     "evt_asof_purchase" -> asofPurchase,
+    "evt_asof_native" -> asofNative,
     "evt_asof_next" -> asofNext,
     "evt_attribution" -> attribution,
     "evt_seasonal_decompose" -> seasonalDecompose,
@@ -2787,6 +2817,7 @@ object EventQueries {
     "evt_sessionize" -> sessionizeSql,
     "evt_rollup" -> rollupSql,
     "evt_asof_purchase" -> asofPurchaseSql,
+    "evt_asof_native" -> asofPurchaseSql,
     "evt_asof_next" -> asofNextSql,
     "evt_attribution" -> attributionSql,
     "evt_seasonal_decompose" -> seasonalDecomposeSql,
