@@ -49,6 +49,7 @@ object SparkEntry {
       SketchQueries.queries ++
       StreamQueries.queries ++
       SinkQueries.queries ++
+      ModelQueries.queries ++
       graft.sources.FormatRoundTrip.queries ++
       graft.multimodal.Multimodal.queries
 
@@ -70,5 +71,6 @@ object SparkEntry {
       SketchQueries.oracle ++
       StreamQueries.oracle ++
       SinkQueries.oracle ++
+      ModelQueries.oracle ++
       graft.sources.FormatRoundTrip.oracle
 }

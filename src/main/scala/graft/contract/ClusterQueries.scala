@@ -306,17 +306,107 @@ object ClusterQueries {
        |       round(CAST(sum(micro) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE), 6) + 0.0 AS mean_sil
        |FROM sil GROUP BY cid ORDER BY cid""".stripMargin
 
+  // -------------------------------------------------------------------
+  // select_kcenter — Gonzalez farthest-point (k-center greedy) coreset
+  // selection over the embedding corpus: the standard diversity-coverage
+  // picker for training-data curation (choose K exemplars s.t. every
+  // point is close to some exemplar; the selection radii ARE the
+  // coverage-vs-K curve). Scale design: the textbook O(K²·n) "recompute
+  // distance to the whole selected set each round" is replaced by the
+  // dmin-carry form — each round touches every point ONCE against the
+  // single new center (a broadcast 1-row cross join inside one codegen
+  // stage), so total work is O(K·n·dim) and shuffle volume per round is
+  // one argmax partial per partition. Superseded per-round checkpoints
+  // are freed via [[graft.operators.Checkpoints]] pins, so storage is
+  // O(n), not O(K·n). Selection compares RAW doubles: both engines
+  // compute dmin with the identical left-fold ([[d2Spark]]/[[d2Duck]]),
+  // so the argmax (dmin DESC, vec_id ASC) agrees bit-exactly without
+  // rounding anywhere in the recursion; radii are rounded only on output.
+  // -------------------------------------------------------------------
+  private val KcK = 8 // centers selected (seed + 7 greedy picks)
+
+  private def selectKcenter(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Checkpoints
+    val e = VecOps.vecs(s, dir).select(col("vec_id"), col("v"))
+    // seed: the minimum vec_id (deterministic; mirrors ORDER BY vec_id LIMIT 1)
+    val seed = e
+      .agg(min(struct(col("vec_id"), col("v"))).as("m"))
+      .select(col("m.vec_id").as("cid"), col("m.v").as("cv"))
+      .localCheckpoint()
+    var (pts, pin) = Checkpoints.tracked(
+      e.crossJoin(broadcast(seed))
+        .withColumn("dmin", expr(d2Spark.format("v", "cv")))
+        .select(col("vec_id"), col("v"), col("dmin"))
+    )
+    var rows = Seq(seed.select(lit(1L).as("rank"), col("cid").as("center_id"), lit(0.0).as("radius")))
+    for (r <- 2 to KcK) {
+      // argmax by (dmin DESC, vec_id ASC): min over (−dmin, vec_id, …) —
+      // vec_id is unique, so the array field is never compared
+      val pick = pts
+        .agg(min(struct(negate(col("dmin")).as("nd"), col("vec_id").as("cid"),
+          col("v").as("cv"), col("dmin").as("radius"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.cv").as("cv"), col("m.radius").as("radius"))
+        .localCheckpoint()
+      rows :+= pick.select(lit(r.toLong).as("rank"), col("cid").as("center_id"),
+        Norm.rnd(col("radius"), 6).as("radius"))
+      if (r < KcK) {
+        val (next, nextPin) = Checkpoints.tracked(
+          pts.crossJoin(broadcast(pick.select(col("cv"))))
+            .withColumn("dmin", least(col("dmin"), expr(d2Spark.format("v", "cv"))))
+            .select(col("vec_id"), col("v"), col("dmin"))
+        )
+        Checkpoints.free(pin)
+        pts = next
+        pin = nextPin
+      } else Checkpoints.free(pin)
+    }
+    rows.reduce(_ union _).transform(Norm.ordered(_, col("rank")))
+  }
+
+  private val selectKcenterSql: String = {
+    val rounds = (1 until KcK)
+      .map { r =>
+        val pNext =
+          if (r < KcK - 1)
+            s""",
+               |p$r AS MATERIALIZED (
+               |  SELECT p.vec_id, p.v, least(p.dmin, ${d2Duck("p.v", "c.cv")}) AS dmin
+               |  FROM p${r - 1} p CROSS JOIN pick$r c
+               |)""".stripMargin
+          else ""
+        s"""pick$r AS MATERIALIZED (
+           |  SELECT vec_id AS cid, v AS cv, dmin AS radius FROM p${r - 1}
+           |  ORDER BY dmin DESC, vec_id LIMIT 1
+           |)$pNext""".stripMargin
+      }
+      .mkString(",\n")
+    val picks = (1 until KcK)
+      .map(r => s"SELECT CAST(${r + 1} AS BIGINT) AS rank, cid AS center_id, round(radius, 6) + 0.0 AS radius FROM pick$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |seed AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 1),
+       |p0 AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, ${d2Duck("e.v", "c.cv")} AS dmin FROM e CROSS JOIN seed c
+       |),
+       |$rounds
+       |SELECT CAST(1 AS BIGINT) AS rank, cid AS center_id, 0.0 AS radius FROM seed
+       |UNION ALL $picks
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_kmeans" -> vecKmeans,
     "dedup_semantic" -> dedupSemantic,
     "ann_ivf_kmeans" -> annIvfKmeans,
-    "vec_silhouette" -> vecSilhouette
+    "vec_silhouette" -> vecSilhouette,
+    "select_kcenter" -> selectKcenter
   )
 
   val oracle: Map[String, String] = Map(
     "vec_kmeans" -> vecKmeansSql,
     "dedup_semantic" -> dedupSemanticSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
-    "vec_silhouette" -> vecSilhouetteSql
+    "vec_silhouette" -> vecSilhouetteSql,
+    "select_kcenter" -> selectKcenterSql
   )
 }

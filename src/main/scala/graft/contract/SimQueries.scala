@@ -2168,7 +2168,121 @@ object SimQueries {
        |ORDER BY nprobe""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // vec_mmr — maximal-marginal-relevance re-ranking (Carbonell &
+  // Goldstein 1998): the standard diversity pass a retrieval pipeline
+  // runs AFTER the ANN index returns candidates, so near-duplicate
+  // neighbors don't crowd the result list. For each query: take the
+  // top-MmrCand exact-cosine candidates, then greedily pick MmrK of them
+  // maximizing  λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
+  //
+  // Scale shape: the candidate generator is the same brute top-k scan as
+  // `ann_topk` (in production it's any of the ANN indexes above — MMR
+  // only sees the candidate list); the MMR recursion itself touches only
+  // queries×MmrCand rows per round, joined per query against the ≤MmrK−1
+  // already-selected rows — bounded relations, K−1 rounds. Both engines
+  // compute rel/sim with the identical left-fold, so every argmax agrees
+  // on RAW doubles (ties → neighbor_id); scores are rounded on output
+  // only. λ literals are CAST AS DOUBLE on both sides.
+  // -------------------------------------------------------------------
+  private val MmrCand = 20
+  private val MmrK = 5
+
+  private def vecMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") % QueryStride === 0)
+    val dotQN = expr(dotSpark.format("q.v", "n.v"))
+    val wCand = Window.partitionBy("qid").orderBy(col("rel").desc, col("nid").asc)
+    val cand = q
+      .as("q")
+      .join(e.as("n"), col("q.vec_id") =!= col("n.vec_id"))
+      .select(
+        col("q.vec_id").as("qid"),
+        col("n.vec_id").as("nid"),
+        (dotQN / (col("q.nrm") * col("n.nrm"))).as("rel"),
+        col("n.v").as("nv"),
+        col("n.nrm").as("nnrm")
+      )
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= MmrCand)
+      .drop("crank")
+      .localCheckpoint()
+    // rank 1: pure relevance (no diversity penalty yet); score = λ·rel
+    var sel = cand
+      .groupBy("qid")
+      .agg(min(struct(negate(col("rel")).as("ns"), col("nid").as("nid"),
+        col("nv").as("nv"), col("nnrm").as("nnrm"), col("rel").as("rel"))).as("m"))
+      .select(col("qid"), col("m.nid").as("nid"), col("m.nv").as("nv"),
+        col("m.nnrm").as("nnrm"), lit(1L).as("rank"), (lit(0.7) * col("m.rel")).as("score"))
+      .localCheckpoint()
+    for (r <- 2 to MmrK) {
+      val simCS = expr(dotSpark.format("c.nv", "s.nv")) / (col("c.nnrm") * col("s.nnrm"))
+      val pick = cand
+        .as("c")
+        .join(sel.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+        .as("c")
+        .join(sel.as("s"), col("c.qid") === col("s.qid"))
+        .groupBy(col("c.qid").as("qid"), col("c.nid").as("nid"),
+          col("c.nv").as("nv"), col("c.nnrm").as("nnrm"), col("c.rel").as("rel"))
+        .agg(max(simCS).as("ms"))
+        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("ms"))
+        .groupBy("qid")
+        .agg(min(struct(negate(col("score")).as("ns"), col("nid").as("nid"),
+          col("nv").as("nv"), col("nnrm").as("nnrm"), col("score").as("score"))).as("m"))
+        .select(col("qid"), col("m.nid").as("nid"), col("m.nv").as("nv"),
+          col("m.nnrm").as("nnrm"), lit(r.toLong).as("rank"), col("m.score").as("score"))
+        .localCheckpoint()
+      sel = sel.union(pick)
+    }
+    sel
+      .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor_id"),
+        Norm.rnd(col("score"), 6).as("score"))
+      .transform(Norm.ordered(_, col("query_id"), col("rank")))
+  }
+
+  private val vecMmrSql: String = {
+    val simCS = s"${dotDuck("c.nv", "s.nv")} / (c.nnrm * s.nnrm)"
+    val rounds = (2 to MmrK)
+      .map { r =>
+        s"""sc$r AS MATERIALIZED (
+           |  SELECT c.qid, c.nid, c.nv, c.nnrm,
+           |         CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * max($simCS) AS score
+           |  FROM cand c JOIN sel${r - 1} s ON c.qid = s.qid
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x WHERE x.qid = c.qid AND x.nid = c.nid)
+           |  GROUP BY c.qid, c.nid, c.nv, c.nnrm, c.rel
+           |),
+           |pick$r AS MATERIALIZED (
+           |  SELECT qid, nid, nv, nnrm, CAST($r AS BIGINT) AS rank, score
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn FROM sc$r)
+           |  WHERE rn = 1
+           |),
+           |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, sqrt(${dotDuck("e0.v", "e0.v")}) AS nrm FROM e0),
+       |q AS (SELECT * FROM e WHERE vec_id % $QueryStride = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT qid, nid, rel, nv, nnrm FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS crank
+       |    FROM (SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |                 ${dotDuck("q.v", "n.v")} / (q.nrm * n.nrm) AS rel,
+       |                 n.v AS nv, n.nrm AS nnrm
+       |          FROM q JOIN e n ON q.vec_id <> n.vec_id))
+       |  WHERE crank <= $MmrCand
+       |),
+       |sel1 AS MATERIALIZED (
+       |  SELECT qid, nid, nv, nnrm, CAST(1 AS BIGINT) AS rank, CAST(0.7 AS DOUBLE) * rel AS score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rn FROM cand)
+       |  WHERE rn = 1
+       |),
+       |$rounds
+       |SELECT qid AS query_id, rank, nid AS neighbor_id, round(score, 6) + 0.0 AS score
+       |FROM sel$MmrK ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_mmr" -> vecMmr,
     "ann_ivf_probe_curve" -> annIvfProbeCurve,
     "vec_hard_negatives" -> vecHardNegatives,
     "ann_recall_eval" -> annRecallEval,
@@ -2196,6 +2310,7 @@ object SimQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "vec_mmr" -> vecMmrSql,
     "ann_ivf_probe_curve" -> annIvfProbeCurveSql,
     "vec_hard_negatives" -> vecHardNegativesSql,
     "ann_recall_eval" -> annRecallEvalSql,
