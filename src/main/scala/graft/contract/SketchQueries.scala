@@ -678,7 +678,100 @@ object SketchQueries {
        |ORDER BY e.l_returnflag, e.m""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // sketch_quantile_kmv — mergeable bottom-m quantile sketch vs exact
+  // rank selection, per event_type. The sample is the m=256 events with
+  // the SMALLEST DetHash(event_id) per group — the KMV bottom-m set,
+  // whose defining property is associative mergeability:
+  // bottom-m(A ∪ B) = bottom-m(bottom-m(A) ∪ bottom-m(B)), so at 100 TB
+  // every partition/day/shard keeps its own 256-row sketch and merges
+  // are union + re-truncate (the same property the rank≤m plan exploits:
+  // Spark rewrites the filtered window to WindowGroupLimit, truncating
+  // to m rows per group ON THE MAP SIDE before the shuffle — shuffle
+  // volume is groups·m rows, independent of input size).
+  //
+  // Quantiles use DETERMINISTIC ELEMENT SELECTION (the value at rank
+  // ceil(q·k) ordered by (value, event_id)) — an existing data value,
+  // never an interpolation, so cross-engine parity is exact element
+  // identity with zero float arithmetic. The exact arm applies the same
+  // rule to the full group (a per-group sort — the eval's truth side,
+  // same role as ann_recall_eval's brute force); the sketch arm is the
+  // scale path. Output reports both plus absolute errors.
+  // -------------------------------------------------------------------
+  private val QkM = 256
+  private val QkSeed = 77L
+  private def qkRank(q: String): String =
+    s"CAST(ceil(k * CAST($q AS DOUBLE)) AS BIGINT)"
+
+  private def sketchQuantileKmv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("event_id"), col("value"))
+    val wS = Window.partitionBy("event_type").orderBy(col("h").asc, col("event_id").asc)
+    val sample = ev
+      .withColumn("h", DetHash.rankHashCol(col("event_id"), lit(0L), lit(0L), QkSeed))
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= QkM) // -> WindowGroupLimit: map-side truncation
+    def quantiles(rows: DataFrame, kName: String, p50: String, p90: String): DataFrame = {
+      val wV = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+      rows
+        .withColumn("vrank", row_number().over(wV).cast("long"))
+        .withColumn("k", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(
+          max(col("k")).as(kName),
+          min(when(col("vrank") === expr(qkRank("0.5")), col("value"))).as(p50),
+          min(when(col("vrank") === expr(qkRank("0.9")), col("value"))).as(p90)
+        )
+    }
+    val est = quantiles(sample, "sample_k", "est_p50", "est_p90")
+    val truth = quantiles(ev, "n_events", "true_p50", "true_p90")
+    est
+      .join(truth, Seq("event_type"))
+      .select(
+        col("event_type"), col("n_events"), col("sample_k"),
+        Norm.rnd(col("est_p50"), 6).as("est_p50"),
+        Norm.rnd(col("true_p50"), 6).as("true_p50"),
+        Norm.rnd(abs(col("est_p50") - col("true_p50")), 6).as("err_p50"),
+        Norm.rnd(col("est_p90"), 6).as("est_p90"),
+        Norm.rnd(col("true_p90"), 6).as("true_p90"),
+        Norm.rnd(abs(col("est_p90") - col("true_p90")), 6).as("err_p90")
+      )
+      .transform(Norm.ordered(_, col("event_type")))
+  }
+
+  private val sketchQuantileKmvSql: String = {
+    def quantileCte(src: String, kName: String, p50: String, p90: String): String =
+      s"""SELECT event_type, max(k) AS $kName,
+         |       min(CASE WHEN vrank = ${qkRank("0.5")} THEN value END) AS $p50,
+         |       min(CASE WHEN vrank = ${qkRank("0.9")} THEN value END) AS $p90
+         |FROM (SELECT event_type, value,
+         |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS vrank,
+         |             count(*) OVER (PARTITION BY event_type) AS k
+         |      FROM $src)
+         |GROUP BY event_type""".stripMargin
+    s"""WITH ev AS (SELECT event_type, event_id, value FROM events),
+       |smp AS (
+       |  SELECT event_type, event_id, value FROM (
+       |    SELECT ev.*, row_number() OVER (
+       |      PARTITION BY event_type
+       |      ORDER BY ${DetHash.rankHashSql("event_id", "0", "0", QkSeed)}, event_id) AS srank
+       |    FROM ev)
+       |  WHERE srank <= $QkM
+       |),
+       |est AS (${quantileCte("smp", "sample_k", "est_p50", "est_p90")}),
+       |tru AS (${quantileCte("ev", "n_events", "true_p50", "true_p90")})
+       |SELECT e.event_type, t.n_events, e.sample_k,
+       |       round(e.est_p50, 6) + 0.0 AS est_p50,
+       |       round(t.true_p50, 6) + 0.0 AS true_p50,
+       |       round(abs(e.est_p50 - t.true_p50), 6) + 0.0 AS err_p50,
+       |       round(e.est_p90, 6) + 0.0 AS est_p90,
+       |       round(t.true_p90, 6) + 0.0 AS true_p90,
+       |       round(abs(e.est_p90 - t.true_p90), 6) + 0.0 AS err_p90
+       |FROM est e JOIN tru t ON e.event_type = t.event_type
+       |ORDER BY e.event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_quantile_kmv" -> sketchQuantileKmv,
     "sketch_hll" -> sketchHll,
     "sketch_hll_error" -> sketchHllError,
     "sketch_cms_topk" -> sketchCmsTopk,
@@ -688,6 +781,7 @@ object SketchQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sketch_quantile_kmv" -> sketchQuantileKmvSql,
     "sketch_hll" -> sketchHllSql,
     "sketch_hll_error" -> sketchHllErrorSql,
     "sketch_cms_topk" -> sketchCmsTopkSql,

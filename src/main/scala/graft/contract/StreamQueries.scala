@@ -812,6 +812,92 @@ object StreamQueries {
        |GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin
 
   // -------------------------------------------------------------------
+  // stream_scd2_join — Streams.enrichWithScd2: streaming events enriched
+  // against an SCD2 (type-2) dimension by TEMPORAL validity, not just key
+  // equality — each event joins the dimension version valid AT ITS EVENT
+  // TIME. The dim is built from the batch table: every purchase starts a
+  // new version carrying the user's running purchase count (valid until
+  // the next purchase; a base version 0 covers each user's pre-purchase
+  // history, open-ended Long.MaxValue for the current version). Versions
+  // PARTITION each user's timeline, so the inner join is lossless —
+  // n_events sums to the full event count, which the oracle hash checks
+  // implicitly. Stream-static joins keep no state and re-plan the static
+  // side per micro-batch — exactly the SCD2 operational contract (new
+  // versions visible to the next batch). Duplicate purchase timestamps
+  // produce empty [t, t) intervals that match nothing, identically on
+  // both engines (same (ts, event_id) lead ordering).
+  // -------------------------------------------------------------------
+  private val Scd2MaxUs = Long.MaxValue
+
+  private def streamScd2Join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purch = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_id"))
+    val pw = Window.partitionBy("user_id").orderBy(col("tus").asc, col("event_id").asc)
+    val versions = purch
+      .withColumn("n_purch", row_number().over(pw).cast("long"))
+      .withColumn("valid_to_us", coalesce(lead(col("tus"), 1).over(pw), lit(Scd2MaxUs)))
+      .select(col("user_id").as("dim_user"), col("n_purch"), col("tus").as("valid_from_us"), col("valid_to_us"))
+    val base = ev
+      .select(col("user_id")).distinct()
+      .join(purch.groupBy("user_id").agg(min(col("tus")).as("first_tus")), Seq("user_id"), "left")
+      .select(
+        col("user_id").as("dim_user"),
+        lit(0L).as("n_purch"),
+        lit(-1L).as("valid_from_us"),
+        coalesce(col("first_tus"), lit(Scd2MaxUs)).as("valid_to_us")
+      )
+    val dim = base.union(versions)
+    val stream = evStream(s, dir).withColumn("tsUs", expr("unix_micros(ts)"))
+    val enriched = Streams.enrichWithScd2(stream, dim, "userId", "dim_user", "tsUs")
+    val agg = enriched
+      .groupBy(col("eventType"), col("n_purch"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100.0).cast("long")).as("cents")
+      )
+    val out = StreamHarness.runAvailableNow(agg, "complete")
+    out
+      .select(
+        col("eventType").as("event_type"),
+        col("n_purch"),
+        col("n_events"),
+        Norm.rnd(col("cents") / 100.0, 2).as("sum_value")
+      )
+      .transform(Norm.ordered(_, col("event_type"), col("n_purch")))
+  }
+
+  private val streamScd2JoinSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events WHERE event_type = 'purchase'
+       |),
+       |v AS (
+       |  SELECT user_id AS dim_user, CAST(row_number() OVER w AS BIGINT) AS n_purch,
+       |         tus AS valid_from_us,
+       |         COALESCE(lead(tus, 1) OVER w, ${Scd2MaxUs}) AS valid_to_us
+       |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |),
+       |b AS (
+       |  SELECT u.user_id AS dim_user, CAST(0 AS BIGINT) AS n_purch,
+       |         CAST(-1 AS BIGINT) AS valid_from_us,
+       |         COALESCE(f.first_tus, ${Scd2MaxUs}) AS valid_to_us
+       |  FROM (SELECT DISTINCT user_id FROM events) u
+       |  LEFT JOIN (SELECT user_id, min(tus) AS first_tus FROM p GROUP BY 1) f
+       |    ON u.user_id = f.user_id
+       |),
+       |dim AS (SELECT * FROM b UNION ALL SELECT * FROM v),
+       |j AS (
+       |  SELECT e.event_type, d.n_purch, e.value
+       |  FROM events e JOIN dim d
+       |    ON e.user_id = d.dim_user
+       |   AND epoch_us(e.ts) >= d.valid_from_us AND epoch_us(e.ts) < d.valid_to_us
+       |)
+       |SELECT event_type, n_purch, CAST(count(*) AS BIGINT) AS n_events,
+       |       round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) + 0.0 AS sum_value
+       |FROM j GROUP BY 1, 2 ORDER BY event_type, n_purch""".stripMargin
+
+  // -------------------------------------------------------------------
   // stream_ccm — Streams.streamingCcm: the sliding-window bidirectional
   // CCM re-estimator, replayed over the events table as per-user series
   // points. y cannot be a lag window (streams reject non-time windows),
@@ -1101,6 +1187,7 @@ object StreamQueries {
     "stream_session_builtin" -> streamSessionBuiltin,
     "stream_late_data" -> streamLateData,
     "stream_enrich" -> streamEnrich,
+    "stream_scd2_join" -> streamScd2Join,
     "stream_ccm" -> streamCcm
   )
 
@@ -1122,6 +1209,7 @@ object StreamQueries {
     "stream_session_builtin" -> streamSessionBuiltinSql,
     "stream_late_data" -> streamLateDataSql,
     "stream_enrich" -> streamEnrichSql,
+    "stream_scd2_join" -> streamScd2JoinSql,
     "stream_ccm" -> streamCcmSql
   )
 }

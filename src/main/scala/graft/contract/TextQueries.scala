@@ -1199,6 +1199,119 @@ object TextQueries {
       .transform(Norm.ordered(_, col("rank")))
   }
 
+  // -------------------------------------------------------------------
+  // text_bpe_encode — ENCODE the corpus with the tokenizer text_bpe_train
+  // produces: re-run the 3 merge rounds with the WORD key carried through
+  // (same argmax pairs, same greedy fold — the train query's oracle pins
+  // those), then tokenize every document by joining its words against the
+  // merged vocabulary (word → post-merge token count). This is the
+  // production tokenize step's shape: the corpus-sized relation only ever
+  // carries (doc_id, word); all symbol-array work happens on the
+  // VOCABULARY relation, and the doc join is a plain hash join on the
+  // word — at 100 TB the vocab side is the small one (broadcast or
+  // bucket), and per-doc token counts come from one map-side-combined
+  // aggregation. Output: per-doc whitespace words vs BPE tokens plus
+  // chars-per-token (the compression-ratio curve a tokenizer report
+  // shows).
+  // -------------------------------------------------------------------
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    var vocab = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("wcnt"))
+      .select(col("w"), expr("split(w, '')").as("syms"), col("wcnt"))
+      .localCheckpoint()
+    for (_ <- 1 to BpeTrainRounds) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(
+          col("wcnt"),
+          explode(
+            expr(
+              "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, CAST(i AS INT)) AS l, element_at(syms, CAST(i AS INT) + 1) AS r))"
+            )
+          ).as("p")
+        )
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()(0)
+      val (l, r) = (top.getString(0), top.getString(1))
+      val merged = l + r
+      val mergeExpr =
+        s"""aggregate(
+           |  slice(syms, 2, size(syms) - 1),
+           |  array(element_at(syms, 1)),
+           |  (acc, s2) -> IF(element_at(acc, -1) = '${esc(l)}' AND s2 = '${esc(r)}',
+           |                  concat(slice(acc, 1, size(acc) - 1), array('${esc(merged)}')),
+           |                  concat(acc, array(s2))))""".stripMargin
+      vocab = vocab.withColumn("syms", expr(mergeExpr)).localCheckpoint()
+    }
+    val toklen = vocab.select(col("w"), size(col("syms")).cast("long").as("tlen"))
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        explode(split(col("text"), " ")).as("w")
+      )
+      .join(toklen, Seq("w"))
+      .groupBy("doc_id")
+      .agg(
+        max(col("n_chars")).as("n_chars"),
+        count(lit(1)).as("n_words"),
+        sum(col("tlen")).as("n_tokens_bpe")
+      )
+      .select(
+        col("doc_id"), col("n_chars"), col("n_words"), col("n_tokens_bpe"),
+        Norm.rnd(col("n_chars").cast("double") / col("n_tokens_bpe").cast("double"), 6).as("chars_per_token")
+      )
+      .transform(Norm.ordered(_, col("doc_id")))
+  }
+
+  private val bpeEncodeSql: String = {
+    def pairsOf(w: String) =
+      s"""SELECT (p).l AS l, (p).r AS r, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+         |    SELECT wcnt, unnest(list_transform(range(1, len(syms)),
+         |                  i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p
+         |    FROM $w) GROUP BY 1, 2""".stripMargin
+    def round(i: Int) = {
+      val prev = s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  ${pairsOf(prev)}
+         |), t$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w,
+         |         list_reduce(
+         |           list_prepend([syms[1]], list_transform(syms[2:], s2 -> [s2])),
+         |           (acc, e) -> CASE WHEN acc[-1] = t.l AND e[1] = t.r
+         |                            THEN list_concat(acc[1:len(acc) - 1], [t.l || t.r])
+         |                            ELSE list_concat(acc, e) END) AS syms,
+         |         wcnt
+         |  FROM $prev CROSS JOIN t$i t
+         |)""".stripMargin
+    }
+    val rounds = (1 to BpeTrainRounds).map(round).mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, string_split(w, '') AS syms, CAST(count(*) AS BIGINT) AS wcnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w
+       |),
+       |$rounds,
+       |tok AS (SELECT w, CAST(len(syms) AS BIGINT) AS tlen FROM w$BpeTrainRounds)
+       |SELECT d.doc_id, max(d.n_chars) AS n_chars,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(t.tlen) AS BIGINT) AS n_tokens_bpe,
+       |       round(CAST(max(d.n_chars) AS DOUBLE) / CAST(sum(t.tlen) AS DOUBLE), 6) + 0.0 AS chars_per_token
+       |FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       |             unnest(string_split(text, ' ')) AS w
+       |      FROM documents) d
+       |JOIN tok t ON d.w = t.w
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private val bpeTrainSql: String = {
     def pairsOf(w: String) =
       s"""SELECT (p).l AS l, (p).r AS r, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
@@ -1296,6 +1409,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_hashing_trick" -> textHashingTrick,
     "text_bpe_train" -> bpeTrain,
+    "text_bpe_encode" -> bpeEncode,
     "text_inverted_index" -> invertedIndex,
     "text_phrase_search" -> phraseSearch,
     "text_collocations" -> collocations,
@@ -1540,6 +1654,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "text_hashing_trick" -> textHashingTrickSql,
     "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_encode" -> bpeEncodeSql,
     "text_zipf" -> textZipfSql,
     "text_para_dedup" -> paraDedupSql,
     "text_vocab_coverage" -> vocabCoverageSql,

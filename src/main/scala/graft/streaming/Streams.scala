@@ -62,6 +62,37 @@ object Streams {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(dim, Seq(key), "left")
 
+  /** Stream-static TEMPORAL join against an SCD2 (type-2 slowly-changing)
+    * dimension: each event is matched to the dimension VERSION whose
+    * validity interval contains the event time
+    * (`valid_from_us <= t < valid_to_us`). Dimension versions partition
+    * each key's timeline (current version open-ended at Long.MaxValue),
+    * so every event matches exactly one version and the inner join is
+    * lossless.
+    *
+    * Scale/operational notes: a stream-static join keeps NO state — the
+    * static side is re-planned every micro-batch, which is precisely the
+    * behavior an SCD2 dim wants (a version row appended between batches
+    * is visible to the next batch without restarting the query). The
+    * non-equi validity predicate rides on the key equi-join, so the
+    * dimension shuffles/broadcasts on the key exactly like
+    * [[enrichWithDim]]; per-event work is the version-interval probe
+    * within one key's versions.
+    */
+  def enrichWithScd2(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String,
+      eventTimeUs: String
+  ): DataFrame =
+    events.join(
+      dim,
+      events(eventKey) === dim(dimKey) &&
+        events(eventTimeUs) >= dim("valid_from_us") && events(eventTimeUs) < dim("valid_to_us"),
+      "inner"
+    )
+
   /** Stream-STREAM inner join: each purchase matched to the same user's
     * clicks in the `maxLag` window before it (click attribution — the
     * canonical two-firehose join). Both sides carry watermarks and the

@@ -75,4 +75,39 @@ class Round9Session5Spec extends SparkTestBase {
     assert(p.contains("HashAggregate"), "sufficient statistics must hash-aggregate")
     assert(!p.contains("rangepartitioning"), s"no global sort may appear:\n$p")
   }
+
+  test("sketch_quantile_kmv: sample bounded by m, estimates bracketed by the group's value range") {
+    val rows = q("sketch_quantile_kmv").collect()
+    rows.foreach { r =>
+      val k = r.getAs[Long]("sample_k")
+      val n = r.getAs[Long]("n_events")
+      assert(k == math.min(256L, n), s"sample_k must be min(m, n), got $k for n=$n")
+      assert(r.getAs[Double]("est_p50") <= r.getAs[Double]("est_p90") + 1e-9, "p50 <= p90 within the sample")
+      assert(r.getAs[Double]("true_p50") <= r.getAs[Double]("true_p90") + 1e-9, "p50 <= p90 in truth")
+      assert(r.getAs[Double]("err_p50") >= 0.0 && r.getAs[Double]("err_p90") >= 0.0)
+    }
+  }
+
+  test("sketch_quantile_kmv plan: the bottom-m filter rewrites to WindowGroupLimit (map-side truncation)") {
+    val p = plan("sketch_quantile_kmv")
+    assert(p.contains("WindowGroupLimit"), s"rank<=m must push down as WindowGroupLimit:\n$p")
+  }
+
+  test("stream_scd2_join: the temporal join is lossless — n_events sums to the full event count") {
+    val total = q("stream_scd2_join").collect().map(_.getAs[Long]("n_events")).sum
+    val expected = spark.read.parquet(s"$SfDir/events.parquet").count()
+    assert(total == expected, s"version intervals must partition each user's timeline ($total != $expected)")
+  }
+
+  test("text_bpe_encode: BPE tokens never exceed chars and never undercut whitespace words") {
+    q("text_bpe_encode").collect().foreach { r =>
+      val words = r.getAs[Long]("n_words")
+      val toks = r.getAs[Long]("n_tokens_bpe")
+      val chars = r.getAs[Long]("n_chars")
+      assert(toks >= words, "merges only combine WITHIN words; tokens >= word count")
+      // chars counts include inter-word spaces, so chars >= tokens strictly
+      assert(toks <= chars, "a token is at least one char")
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+    }
+  }
 }
