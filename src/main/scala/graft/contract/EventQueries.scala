@@ -997,6 +997,44 @@ object EventQueries {
       |FROM d GROUP BY 1, 2 ORDER BY event_type, decile""".stripMargin
 
   // -------------------------------------------------------------------
+  // evt_rank_stats — the remaining SQL ranking functions (rank,
+  // dense_rank, percent_rank, cume_dist) per event type over the VALUE
+  // order alone — deliberately NOT a total order: with ties, these four
+  // are the functions whose semantics stay deterministic (equal values
+  // get equal ranks; row_number would not be well-defined and is
+  // excluded). percent_rank = (rank−1)/(n−1) and cume_dist = peers/n are
+  // ratios of exact integers, so the doubles agree bit-exactly before
+  // the cosmetic rounding. The full-partition window computes every
+  // rank; the OUTPUT keeps a fixed id-stride panel so the result stays
+  // small while the hash still pins the whole partition's rank layout
+  // (any rank shift upstream of a panel row changes its rank).
+  // -------------------------------------------------------------------
+  private def rankStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"))
+    ev(s, dir)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prank", Norm.rnd(percent_rank().over(w), 6))
+      .withColumn("cdist", Norm.rnd(cume_dist().over(w), 6))
+      .filter(col("event_id") % 97 === 0)
+      .select(col("event_type"), col("event_id"), col("rnk"), col("drnk"), col("prank"), col("cdist"))
+      .transform(Norm.ordered(_, col("event_type"), col("event_id")))
+  }
+
+  private val rankStatsSql: String =
+    """WITH r AS (
+      |  SELECT event_type, event_id,
+      |         CAST(rank() OVER w AS BIGINT) AS rnk,
+      |         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |         round(percent_rank() OVER w, 6) + 0.0 AS prank,
+      |         round(cume_dist() OVER w, 6) + 0.0 AS cdist
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY value)
+      |)
+      |SELECT event_type, event_id, rnk, drnk, prank, cdist
+      |FROM r WHERE event_id % 97 = 0 ORDER BY event_type, event_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // evt_interpolate — resampling with LINEAR interpolation: per sampled
   // user, the hourly mean-value series densified to every hour in the
   // user's span (sequence + explode, the gapfill pattern — fan-out stays
@@ -2755,6 +2793,7 @@ object EventQueries {
     "evt_interpolate" -> interpolate,
     "evt_gapfill" -> gapfill,
     "evt_ntile" -> ntileStats,
+    "evt_rank_stats" -> rankStats,
     "evt_transitions" -> transitions,
     "evt_pii_scrub" -> piiScrub,
     "evt_anomaly" -> anomaly,
@@ -2802,6 +2841,7 @@ object EventQueries {
     "evt_interpolate" -> interpolateSql,
     "evt_gapfill" -> gapfillSql,
     "evt_ntile" -> ntileStatsSql,
+    "evt_rank_stats" -> rankStatsSql,
     "evt_transitions" -> transitionsSql,
     "evt_pii_scrub" -> piiScrubSql,
     "evt_anomaly" -> anomalySql,

@@ -173,6 +173,106 @@ object GraphQueries {
       .transform(Norm.ordered(_, col("doc_id")))
   }
 
+  // -------------------------------------------------------------------
+  // graph_betweenness — k-bounded Brandes betweenness centrality from a
+  // seed panel ([[graft.operators.Betweenness]]) on the SYMMETRIZED
+  // supplier↔customer graph (the LSH doc graph is near-clique-only at
+  // the gate SF — every component has radius 1, so betweenness there is
+  // trivially zero; the order graph has genuine multi-hop structure).
+  // Supplier and customer key spaces overlap as integers, so vertices
+  // are disambiguated arithmetically: supplier k → 2k, customer k →
+  // 2k+1 (both engines, exact). Which vertices BRIDGE shortest paths is
+  // the broker diagnostic (a high-bc customer connects otherwise-distant
+  // supplier neighborhoods). Forward σ-counting BFS, predecessor DAG by
+  // one 3-way join, backward δ-accumulation in exact integer micro-units
+  // (the term expression is ONE string shared with this oracle — parity
+  // by construction; σ is exact BIGINT path counts). The oracle unrolls
+  // both sweeps as MATERIALIZED CTE chains. Output drops zero-centrality
+  // vertices; bc is the micro sum's single double division.
+  // -------------------------------------------------------------------
+  private val BcDepth = 4
+  private val BcSeedStride = 50 // even vertices only (suppliers with key % 25 == 0)
+  // FIXED panel size: seed-panel betweenness costs O(seeds·E·depth), so a
+  // stride alone lets the panel GROW with the key space (40 seeds at
+  // sf0.1 measured 39 s — the work multiplier must be a constant, not a
+  // fraction). The panel is the smallest `BcSeedPanel` eligible vertices —
+  // deterministic, and present at every SF.
+  private val BcSeedPanel = 4
+
+  private def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint the DIRECTED list before symmetrizing: the union dups the
+    // lineitem⋈orders+distinct subtree, which measured as the query's
+    // single largest phase when executed twice
+    val directed = suppCustEdges(s, dir)
+      .select((col("src") * 2).as("src"), (col("dst") * 2 + 1).as("dst"))
+      .localCheckpoint()
+    val sym = directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = sym
+      .select(col("src").as("vertex"))
+      .distinct()
+      .filter(col("vertex") % BcSeedStride === 0)
+      .orderBy(col("vertex"))
+      .limit(BcSeedPanel)
+    graft.operators.Betweenness
+      .centrality(sym, seeds, BcDepth)
+      .select(
+        col("vertex"),
+        expr("round(CAST(bc_micro AS DOUBLE) / 1000000.0, 6) + 0.0").as("bc")
+      )
+      .transform(Norm.ordered(_, col("vertex")))
+  }
+
+  private val graphBetweennessSql: String = {
+    val fRounds = (1 to BcDepth)
+      .map { i =>
+        s"""f$i AS MATERIALIZED (
+           |  SELECT f.seed, y.d AS v, $i AS dep, CAST(sum(f.sigma) AS BIGINT) AS sigma
+           |  FROM f${i - 1} f JOIN sym y ON y.s = f.v
+           |  WHERE NOT EXISTS (SELECT 1 FROM vis${i - 1} x WHERE x.seed = f.seed AND x.v = y.d)
+           |  GROUP BY 1, 2
+           |),
+           |vis$i AS MATERIALIZED (SELECT * FROM vis${i - 1} UNION ALL SELECT seed, v, dep, sigma FROM f$i)""".stripMargin
+      }
+      .mkString(",\n")
+    val term = graft.operators.Betweenness.termSql("p.su", "p.sw", "COALESCE(dw.dm, 0)")
+    val bRounds = ((BcDepth - 1) to 1 by -1)
+      .map { d =>
+        s"""dl$d AS MATERIALIZED (
+           |  SELECT p.seed, p.uv AS v, CAST(sum($term) AS BIGINT) AS dm
+           |  FROM preds p LEFT JOIN dl${d + 1} dw ON dw.seed = p.seed AND dw.v = p.wv
+           |  WHERE p.wdep = ${d + 1}
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+      }
+      .mkString(",\n")
+    val levelUnion = ((BcDepth - 1) to 1 by -1).map(d => s"SELECT * FROM dl$d").mkString(" UNION ALL ")
+    s"""WITH sc AS MATERIALIZED (
+       |  SELECT DISTINCT l.l_suppkey * 2 AS src, o.o_custkey * 2 + 1 AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |),
+       |sym AS (SELECT src AS s, dst AS d FROM sc UNION ALL SELECT dst, src FROM sc),
+       |seeds AS (SELECT DISTINCT s AS v FROM sym WHERE s % $BcSeedStride = 0
+       |          ORDER BY v LIMIT $BcSeedPanel),
+       |f0 AS (SELECT v AS seed, v, 0 AS dep, CAST(1 AS BIGINT) AS sigma FROM seeds),
+       |vis0 AS (SELECT * FROM f0),
+       |$fRounds,
+       |preds AS MATERIALIZED (
+       |  SELECT u.seed, u.v AS uv, u.sigma AS su, w.v AS wv, w.dep AS wdep, w.sigma AS sw
+       |  FROM (SELECT * FROM vis$BcDepth WHERE dep < $BcDepth) u
+       |  JOIN sym y ON y.s = u.v
+       |  JOIN vis$BcDepth w ON w.v = y.d AND w.seed = u.seed AND w.dep = u.dep + 1
+       |),
+       |dl$BcDepth AS (SELECT seed, v, CAST(0 AS BIGINT) AS dm FROM vis$BcDepth WHERE dep = $BcDepth),
+       |$bRounds,
+       |bc AS (
+       |  SELECT v, CAST(sum(dm) AS BIGINT) AS bc_micro
+       |  FROM ($levelUnion) WHERE v <> seed
+       |  GROUP BY v HAVING CAST(sum(dm) AS BIGINT) > 0
+       |)
+       |SELECT v AS vertex, round(CAST(bc_micro AS DOUBLE) / 1000000.0, 6) + 0.0 AS bc
+       |FROM bc ORDER BY vertex""".stripMargin
+  }
+
   private val graphBfsSql: String =
     s"""WITH RECURSIVE ${DedupQueries.bandsCteSql},
        |$pairsCteSql,
@@ -752,6 +852,7 @@ object GraphQueries {
     "graph_triangles" -> graphTriangles,
     "graph_pagerank" -> graphPagerank,
     "graph_bfs" -> graphBfs,
+    "graph_betweenness" -> graphBetweenness,
     "graph_kcore" -> graphKcore,
     "graph_cluster_coeff" -> graphClusterCoeff,
     "graph_jaccard" -> graphJaccard,
@@ -767,6 +868,7 @@ object GraphQueries {
     "graph_triangles" -> graphTrianglesSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_bfs" -> graphBfsSql,
+    "graph_betweenness" -> graphBetweennessSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_cluster_coeff" -> graphClusterCoeffSql,
     "graph_jaccard" -> graphJaccardSql,
