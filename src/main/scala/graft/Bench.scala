@@ -30,7 +30,12 @@ import java.nio.file.{Files, Paths}
   *     MaxRetryWindows times — stopping early if a QUIET window (both
   *     adjacent canaries < QuietFactor x base) still lands above the bar,
   *     which is evidence of a real regression rather than noise; such
-  *     queries are listed in "above_bar_quiet".
+  *     queries are listed in "above_bar_quiet";
+  *   - END-OF-RUN REQUEUE (VERDICT r9 item 1): if the whole run saw canary
+  *     drift > 2x, every query still above its bar RAW gets one fresh
+  *     bracketed min-of-3 window at the end of the run; the reading joins
+  *     the query's verdict AND ships verbatim under "requeue", so a
+  *     drift-contaminated artifact carries its own quiet re-measurement.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -91,41 +96,45 @@ object Bench {
 
     var failed = List.empty[String]
     var aboveBarQuiet = List.empty[String]
+    // only SUCCESSFUL runs may contribute a timing: a run that dies fast
+    // must not win the min and masquerade as a fast query (it is still
+    // recorded by name in "failed")
+    def onceFor(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          if (!failed.contains(name)) failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
+      }
+    }
+    // one bracketed window = canary, N query runs, canary. Keeps the
+    // raw adjacent canaries so verdicts can be recomputed against the
+    // run-wide canary min at the end.
+    def windowFor(
+        name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        runs: Int
+    ): (Option[Double], Double, Double) = {
+      val cB = canary()
+      val times = (1 to runs).flatMap(_ => onceFor(name, fn))
+      val withExtra =
+        if (times.nonEmpty && times.min >= ExtraRunAboveSec) times ++ onceFor(name, fn) else times
+      val cA = canary()
+      (if (withExtra.nonEmpty) Some(withExtra.min) else None, cB, cA)
+    }
     // optional comma-separated filter for local iteration (full run when unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq
       .filter(kv => only.forall(_.contains(kv._1)))
       .sortBy(_._1)
       .map { case (name, fn) =>
-      // only SUCCESSFUL runs may contribute a timing: a run that dies fast
-      // must not win the min and masquerade as a fast query (it is still
-      // recorded by name in "failed")
-      def once(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).queryExecution.toRdd.count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            if (!failed.contains(name)) failed ::= name
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            None
-        }
-      }
-      // one bracketed window = canary, N query runs, canary. Keeps the
-      // raw adjacent canaries so verdicts can be recomputed against the
-      // run-wide canary min at the end.
-      def window(runs: Int): (Option[Double], Double, Double) = {
-        val cB = canary()
-        val times = (1 to runs).flatMap(_ => once())
-        val withExtra =
-          if (times.nonEmpty && times.min >= ExtraRunAboveSec) times ++ once() else times
-        val cA = canary()
-        (if (withExtra.nonEmpty) Some(withExtra.min) else None, cB, cA)
-      }
       def quiet(w: (Option[Double], Double, Double)) =
         math.max(w._2, w._3) < QuietFactor * canaryBase
-      var windows = List(window(Runs))
+      var windows = List(windowFor(name, fn, Runs))
       val bar = BenchBaseline.mergedMinSec.get(name).map(barOf)
       def rawMin = windows.flatMap(_._1).minOption
       def sawQuietAboveBar =
@@ -134,7 +143,7 @@ object Bench {
       while (bar.isDefined && rawMin.exists(m => m > bar.get) &&
              !sawQuietAboveBar && retries < MaxRetryWindows) {
         // above the 2x bar with only noisy windows so far: re-measure
-        windows ::= window(1)
+        windows ::= windowFor(name, fn, 1)
         retries += 1
       }
       // free any localCheckpoint blocks the query pinned so 110 queries
@@ -142,6 +151,31 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       (name, windows)
     }
+
+    // ---- end-of-run requeue (VERDICT r9 item 1): the bench defends its
+    // own artifact against host drift. If the run saw canary drift > 2x,
+    // every query whose raw min is still above its floored 2x bar gets ONE
+    // fresh canary-bracketed min-of-3 window now, at the end of the run —
+    // three rounds running, per-query numbers measured mid-drift cleared in
+    // a later quiet JVM; this embeds that re-measurement in the artifact
+    // itself. Both readings ship: the requeue window joins the query's
+    // window list (so raw/norm/quiet verdicts see it) AND is reported
+    // verbatim under "requeue".
+    val RequeueDriftFactor = 2.0
+    val preRequeueDrift = canarySamples.max / canaryBase
+    val requeued = collection.mutable.LinkedHashMap.empty[String, (Option[Double], Double, Double)]
+    val resultsFinal =
+      if (preRequeueDrift <= RequeueDriftFactor) results
+      else results.map { case (name, windows) =>
+        val rawMin = windows.flatMap(_._1).minOption
+        val bar = BenchBaseline.mergedMinSec.get(name).map(barOf)
+        if (bar.exists(b => rawMin.exists(_ > b))) {
+          val w = windowFor(name, SparkEntry.queries(name), 3)
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          requeued(name) = w
+          (name, w :: windows)
+        } else (name, windows)
+      }
     // All verdicts recomputed against the FINAL run-wide canary min:
     //  - raw min: best successful run, comparable to BASELINE.md merged mins
     //  - norm: best over windows of raw/inflation, where inflation = the
@@ -150,7 +184,7 @@ object Bench {
     //  - above_bar_quiet: above the 2x bar in a window whose BOTH adjacent
     //    canaries were quiet — evidence of a real regression, not noise
     val finalBase = canaryBase
-    val summary = results.map { case (name, windows) =>
+    val summary = resultsFinal.map { case (name, windows) =>
       val rawMin = windows.flatMap(_._1).minOption
       val norm = windows.collect { case (Some(t), cB, cA) =>
         t / math.max(1.0, math.min(cB, cA) / finalBase)
@@ -178,8 +212,14 @@ object Bench {
       .map(s => s.toSeq.sorted.map("\"" + _ + "\"").mkString(",\"only\":[", ",", "]"))
       .getOrElse("")
     val metricName = if (only.isDefined) "partial_total" else "total"
+    val requeueJson = requeued.toSeq
+      .map { case (k, (t, cB, cA)) =>
+        val raw = t.map(v => f"$v%.3f").getOrElse("null")
+        "\"" + k + "\":" + f"""{"raw":$raw,"canary_before":$cB%.3f,"canary_after":$cA%.3f}"""
+      }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"$metricName","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"canary":$canaryJson,"above_bar_quiet":$aboveJson,"failed":$failedJson,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir"$onlyJson}"""
+      s"""{"metric":"$metricName","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"canary":$canaryJson,"drift":${f"$preRequeueDrift%.3f"},"requeue":$requeueJson,"above_bar_quiet":$aboveJson,"failed":$failedJson,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir"$onlyJson}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json)
     spark.stop()

@@ -401,13 +401,15 @@ object StreamQueries {
 
   private val streamKmvSql: String =
     s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
-       |h AS (SELECT event_type, user_id,
+       |h0 AS (SELECT event_type, user_id,
        |        ${DetHash.rankHashSql("user_id", "0", "0", StreamKmvSeed)} AS h
        |      FROM d),
+       |h AS (SELECT event_type, h, min(user_id) AS user_id
+       |      FROM h0 GROUP BY 1, 2),
        |sk AS (
        |  SELECT event_type, h FROM (
        |    SELECT event_type, h,
-       |           row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+       |           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
        |    FROM h) WHERE rn <= $StreamKmvK
        |),
        |st AS (

@@ -112,19 +112,29 @@ final case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
+      // a NULL key or time would unbox to 0L in Scala and silently join as
+      // key 0 — fail loudly instead (the constructor documents non-null)
+      @inline def evalLong(e: Expression, row: InternalRow, what: String): Long = {
+        val v = e.eval(row)
+        if (v == null)
+          throw new IllegalStateException(
+            s"as-of join: NULL $what — key/time columns must be non-null (a null would unbox to 0)"
+          )
+        v.asInstanceOf[Long]
+      }
       // the O(1) merge state: the best strictly-prior right row for the
       // key currently being scanned (rows arrive time-asc, tie-asc, so a
       // plain overwrite IS the max(struct(time, tie)) argmax)
       var candKey = 0L
       var cand: InternalRow = null
       lIter.map { lRow =>
-        val k = lk.eval(lRow).asInstanceOf[Long]
-        val t = lt.eval(lRow).asInstanceOf[Long]
+        val k = evalLong(lk, lRow, "left key")
+        val t = evalLong(lt, lRow, "left time")
         var advance = true
         while (advance && rBuf.hasNext) {
           val head = rBuf.head
-          val hk = rk.eval(head).asInstanceOf[Long]
-          if (hk < k || (hk == k && rt.eval(head).asInstanceOf[Long] < t)) {
+          val hk = evalLong(rk, head, "right key")
+          if (hk < k || (hk == k && evalLong(rt, head, "right time") < t)) {
             if (hk == k) { cand = head.copy(); candKey = hk }
             rBuf.next()
           } else advance = false
@@ -160,11 +170,28 @@ object AsOf {
     if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
       s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsOfJoinStrategy
     val l = leftDf.queryExecution.analyzed
-    val r = rightDf.queryExecution.analyzed
-    def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output
+    val r0 = rightDf.queryExecution.analyzed
+    // When both sides derive from the SAME base relation, left and right can
+    // share expression IDs; BindReferences over leftOutput ++ rightOutput
+    // would then silently bind right-side expressions to LEFT ordinals.
+    // Fresh-alias the whole right output in that case.
+    val r: LogicalPlan =
+      if (l.outputSet.intersect(r0.outputSet).isEmpty) r0
+      else
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          r0.output.map(a => org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+          r0
+        )
+    def attr(plan: LogicalPlan, name: String): Attribute = {
+      val a = plan.output
         .find(_.name == name)
         .getOrElse(throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+      require(
+        a.dataType == org.apache.spark.sql.types.LongType,
+        s"as-of join column $name must be LONG (epoch-micros/id convention), got ${a.dataType}"
+      )
+      a
+    }
     org.apache.spark.sql.graft.GraftPlanApi.ofRows(
       s,
       AsOfJoinPlan(l, r, attr(l, leftKey), attr(l, leftTime), attr(r, rightKey), attr(r, rightTime), attr(r, rightTie))

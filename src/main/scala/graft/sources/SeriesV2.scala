@@ -100,9 +100,15 @@ object SeriesV2 {
       s"graft_series path=$path, ReadColumns=[${required.fieldNames.mkString(",")}], " +
         s"PushedSkeyFilters=[${pushed.mkString(",")}]"
 
+    // the SESSION's Hadoop configuration (spark.hadoop.* credentials, fs
+    // implementations, defaultFS) — a fresh `new Configuration()` works
+    // for local paths but breaks the source on any configured filesystem
+    private def sessionHadoopConf(): Configuration =
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
     override def planInputPartitions(): Array[InputPartition] = {
       val p = new Path(path)
-      val fs = FileSystem.get(p.toUri, new Configuration())
+      val fs = p.getFileSystem(sessionHadoopConf())
       val status = fs.getFileStatus(p)
       val files =
         if (status.isDirectory)
@@ -114,7 +120,11 @@ object SeriesV2 {
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new SeriesReaderFactory(required.fieldNames, pushed.map(FilterSpec.of))
+      new SeriesReaderFactory(
+        required.fieldNames,
+        pushed.map(FilterSpec.of),
+        new org.apache.spark.util.SerializableConfiguration(sessionHadoopConf())
+      )
   }
 
   private[sources] case class SeriesInputPartition(file: String) extends InputPartition
@@ -147,10 +157,18 @@ object SeriesV2 {
     }
   }
 
-  private[sources] class SeriesReaderFactory(columns: Array[String], filters: Array[FilterSpec])
-      extends PartitionReaderFactory {
+  private[sources] class SeriesReaderFactory(
+      columns: Array[String],
+      filters: Array[FilterSpec],
+      hadoopConf: org.apache.spark.util.SerializableConfiguration
+  ) extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-      new SeriesPartitionReader(partition.asInstanceOf[SeriesInputPartition].file, columns, filters)
+      new SeriesPartitionReader(
+        partition.asInstanceOf[SeriesInputPartition].file,
+        columns,
+        filters,
+        hadoopConf.value
+      )
   }
 
   /** Streams one file: header skipped, skey parsed first and tested
@@ -160,10 +178,11 @@ object SeriesV2 {
   private[sources] class SeriesPartitionReader(
       file: String,
       columns: Array[String],
-      filters: Array[FilterSpec]
+      filters: Array[FilterSpec],
+      hadoopConf: Configuration
   ) extends PartitionReader[InternalRow] {
     private val p = new Path(file)
-    private val in = FileSystem.get(p.toUri, new Configuration()).open(p)
+    private val in = p.getFileSystem(hadoopConf).open(p)
     private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
     private var headerSkipped = false
     private var current: InternalRow = _

@@ -270,12 +270,20 @@ object Streams {
               lastTs = math.max(lastTs, e.ts.getTime)
               val cents = math.round(e.value * 100.0)
               // prior-only standardization from exact integer moments —
-              // operand-for-operand the oracle's arithmetic
-              val varNum = st.n * st.sumC2 - st.sumC * st.sumC
+              // operand-for-operand the oracle's arithmetic. varNum is
+              // computed in BigInt: n*sumC2 overflows a Long once a hot key
+              // accumulates ~3e5 dollar-scale events (sumC2 ~ n*1e8), and a
+              // silently-negative varNum would pin z=0 and mute the detector
+              // forever. In the non-overflow regime BigInt.toDouble rounds
+              // identically to Long.toDouble, so oracle parity is unchanged;
+              // past it the detector now keeps alarming instead of dying.
+              // (sumC itself is safe to ~9e16 events at 100-cent magnitude.)
+              val varNum =
+                BigInt(st.n) * BigInt(st.sumC2) - BigInt(st.sumC) * BigInt(st.sumC)
               val z =
-                if (st.n >= 2 && varNum > 0) {
+                if (st.n >= 2 && varNum.signum > 0) {
                   val m = st.sumC.toDouble / st.n
-                  val sd = math.sqrt(varNum.toDouble / (st.n * (st.n - 1)).toDouble)
+                  val sd = math.sqrt(varNum.toDouble / (st.n.toDouble * (st.n - 1).toDouble))
                   (cents - m) / sd
                 } else 0.0
               val rPos = st.rPos + (z - slack)
@@ -599,9 +607,15 @@ object Streams {
         while (it.hasNext) b += it.next()
         b.result()
       }
+      // classic KMV state is the k smallest DISTINCT hash values: dedupe
+      // on h alone (min key as the deterministic representative), else two
+      // userIds colliding to one DetHash value would occupy two slots with
+      // equal h and bias the (k−1)·P/h_(k) estimator by collision count.
       val merged = (cur ++ rows.map(e => KmvEnt(graft.ccm.DetHash.rankHash(e.userId, 0L, 0L, seed), e.userId)))
-        .distinct
-        .sortBy(e => (e.h, e.key))
+        .groupBy(_.h)
+        .map { case (h, es) => KmvEnt(h, es.map(_.key).min) }
+        .toSeq
+        .sortBy(_.h)
         .take(k)
       mins.put(merged.toArray)
       Iterator.single(KmvSketch(key, merged.length.toLong, merged.last.h))

@@ -56,4 +56,46 @@ class AsOfJoinSpec extends SparkTestBase {
       s"got $out"
     )
   }
+
+  test("self-join (shared expression IDs) re-aliases the right side instead of mis-binding") {
+    import spark.implicits._
+    val base = Seq((1L, 10L, 100L), (1L, 20L, 200L)).toDF("k", "t", "v")
+    // both sides from the SAME analyzed relation, right columns renamed but
+    // sharing k/t expression IDs with the left — pre-fix, BindReferences
+    // would bind the right expressions to LEFT ordinals silently
+    val right = base.select(col("k").as("rk"), col("t").as("rt"), col("v").as("rid"))
+    val out = AsOf
+      .backwardStrict(base, right, "k", "t", "rk", "rt", "rid")
+      .select(col("t"), col("rid"))
+      .collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toSet
+    // t=10 has no strictly-prior row; t=20's latest prior is (10, 100)
+    assert(out == Set((10L, -1L), (20L, 100L)), s"got $out")
+  }
+
+  test("null key/time fails loudly instead of joining as key 0") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(10L)), (None, Some(20L))).toDF("k", "t")
+    val r = Seq((0L, 5L, 42L)).toDF("rk", "rt", "rid")
+    val ex = intercept[org.apache.spark.SparkException] {
+      AsOf.backwardStrict(l, r, "k", "t", "rk", "rt", "rid").collect()
+    }
+    def chain(e: Throwable): List[Throwable] =
+      if (e == null) Nil else e :: chain(e.getCause)
+    assert(
+      chain(ex).exists(c => Option(c.getMessage).exists(_.contains("as-of join: NULL"))),
+      s"expected the loud NULL guard, got ${ex.getMessage}"
+    )
+  }
+
+  test("non-LONG join columns are rejected at construction") {
+    import spark.implicits._
+    val l = Seq((1, 10L)).toDF("k", "t") // k is INT
+    val r = Seq((1L, 5L, 42L)).toDF("rk", "rt", "rid")
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.backwardStrict(l, r, "k", "t", "rk", "rt", "rid")
+    }
+    assert(ex.getMessage.contains("must be LONG"))
+  }
 }
