@@ -3,7 +3,7 @@ package graft.contract
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ccm.{Ccm, CcmPipeline, CcmSpec, DetHash, FftSurrogate, Generators, LagCcm, Simplex, Smap}
+import graft.ccm.{Ccm, CcmPipeline, CcmSpec, DetHash, FftLadder, FftSurrogate, Generators, LagCcm, Simplex, Smap}
 
 /** Driver-contract queries for the CCM operator family (SURVEY.md §2a),
   * each paired with ANSI/DuckDB oracle SQL over the same parquet tables.
@@ -889,7 +889,7 @@ object CcmQueries {
     * bundle, then the one-sided permutation-test p-value of the true rho
     * (k=0) against the K surrogate rhos — used by all three nulls.
     */
-  private def surrogatePvals(surr: DataFrame): DataFrame = {
+  private def surrogatePvals(surr: DataFrame, samples: Int = SurrSamples): DataFrame = {
     val rhos = Ccm
       .bidirectional(
         surr,
@@ -897,7 +897,7 @@ object CcmQueries {
         order = Seq("ts"),
         x = col("x"),
         y = col("y"),
-        spec = CcmSpec(numSamples = SurrSamples, seed = Seed),
+        spec = CcmSpec(numSamples = samples, seed = Seed),
         libSizes = Seq(SurrLib)
       )
       .select(
@@ -989,8 +989,8 @@ object CcmQueries {
   /** Shared SQL twin of [[surrogatePvals]]: CCM over the surrogate-bundle
     * relation (skey2, ts, value, y0) and the permutation-test p-value.
     */
-  private def surrogateSqlTail(surrFrom: String): String = {
-    s"""${curveSqlCommon(None, SurrSamples, Seq(SurrLib), "skey2", Seq("ts"), surrFrom, Some("y0"))},
+  private def surrogateSqlTail(surrFrom: String, samples: Int = SurrSamples): String = {
+    s"""${curveSqlCommon(None, samples, Seq(SurrLib), "skey2", Seq("ts"), surrFrom, Some("y0"))},
        |rh AS (
        |  SELECT skey // $SurrStride AS user_id, skey % $SurrStride AS k,
        |         direction, round(rho, 6) + 0.0 AS rho6
@@ -1100,6 +1100,54 @@ object CcmQueries {
          |         CASE WHEN k = 0 THEN x ELSE rx END AS value, y AS y0
          |  FROM rc)""".stripMargin
     surrogateSqlTail(surrFrom)
+  }
+
+  // -------------------------------------------------------------------
+  // ccm_surrogate_fft_wide — the FFT null COMPOSED WITH THE WIDE-SERIES
+  // REGIME (VERDICT r9 item 3): FftSurrogate's exact-arbitrary-n DFT is
+  // O(n²) in series LENGTH, so on ccm_wide's ~10× longer series it does
+  // ~100× the work (measured: see SCALE.md). This gate runs the same
+  // null through graft.ccm.FftLadder — a radix-2 butterfly ladder as
+  // 2·MaxPow declarative self-join rounds, O(n log n) per series — on
+  // power-of-two-truncated wide series (every WideFftSeriesMod-th folded
+  // series keeps the bench entry's absolute cost moderate). The oracle
+  // replays the identical ladder as generated MATERIALIZED CTEs, so the
+  // whole scale path — truncation, bit-reversal, 18 butterfly rounds,
+  // conjugate-symmetric phase rotation, inverse scaling — meets the
+  // DuckDB hash like every other gate.
+  // -------------------------------------------------------------------
+  private val WideFftSeriesMod = 16
+  // 2 samples (vs the boot regime's 4): the wide gate's job is the ladder
+  // scale path; rho averaged over 2 library draws keeps the CCM tail at
+  // half the pair volume without touching the p-value's 7-surrogate rank
+  private val WideFftSamples = 2
+
+  private def surrogateFftWide(s: SparkSession, dir: String): DataFrame =
+    surrogatePvals(
+      FftLadder.bundle(
+        wideInput(s, dir).filter(col("skey") % WideFftSeriesMod === 0),
+        skey = col("skey"),
+        order = Seq("ts", "user_id"),
+        x = col("x"),
+        y = col("y"),
+        numK = SurrK,
+        stride = SurrStride,
+        seed = FftSeed
+      ),
+      samples = WideFftSamples
+    )
+
+  private val surrogateFftWideSql: String = {
+    val baseSql =
+      s"""SELECT * FROM (
+         |  SELECT user_id % $WideMod AS skey, ts, user_id, value AS x,
+         |         lag(value) OVER (PARTITION BY user_id % $WideMod ORDER BY ts, user_id) AS y
+         |  FROM events WHERE user_id % 2 = 0 AND (user_id % $WideMod) % $WideFftSeriesMod = 0
+         |) WHERE y IS NOT NULL""".stripMargin
+    surrogateSqlTail(
+      FftLadder.bundleSql(baseSql, "ts, user_id", SurrK, SurrStride, FftSeed),
+      samples = WideFftSamples
+    )
   }
 
   // -------------------------------------------------------------------
@@ -2095,6 +2143,7 @@ object CcmQueries {
     "ccm_surrogate" -> surrogate,
     "ccm_surrogate_circ" -> surrogateCirc,
     "ccm_surrogate_fft" -> surrogateFft,
+    "ccm_surrogate_fft_wide" -> surrogateFftWide,
     "ccm_multiview" -> multiview,
     "ccm_lag_sweep" -> lagSweep,
     "ccm_fnn_dim" -> fnnDim,
@@ -2134,6 +2183,7 @@ object CcmQueries {
     "ccm_surrogate" -> surrogateSql,
     "ccm_surrogate_circ" -> surrogateCircSql,
     "ccm_surrogate_fft" -> surrogateFftSql,
+    "ccm_surrogate_fft_wide" -> surrogateFftWideSql,
     "ccm_multiview" -> multiviewSql,
     "ccm_lag_sweep" -> lagSweepSql,
     "ccm_fnn_dim" -> fnnDimSql,

@@ -581,6 +581,164 @@ object SimQueries {
   }
 
   // -------------------------------------------------------------------
+  // ann_filtered — FILTERED ANN (VERDICT r9 item 4): vector search under
+  // a metadata predicate ("nearest neighbors among docs with lang=X") —
+  // the most common production serving shape. Two predicate
+  // selectivities (same label ≈ 1/|labels| = 10%; same label parity ≈
+  // 50%) × the two composition strategies over the SAME IVF index as
+  // ann_ivf_topk:
+  //  - PRE-filter: the predicate prunes the probed lists BEFORE scoring,
+  //    so scan cost shrinks with selectivity; recall vs the filtered
+  //    truth depends only on whether the true neighbors' lists were
+  //    probed (same failure mode as unfiltered IVF);
+  //  - POST-filter: rank the probed lists unfiltered to top-k FIRST,
+  //    then apply the predicate — the cheap-to-compose form every
+  //    unfiltered index supports, but the delivered set starves as
+  //    selectivity drops (a top-5 with ~10% survivors keeps ~0.5 rows).
+  // Truth is the exact brute-force cosine top-k over the predicate
+  // SURVIVORS (the kNN contract of reference lib/ccm.ex:146-177 applied
+  // to the filtered set), panel-bounded like ann_recall_eval's truth
+  // term. One row per (regime, method): truth size, delivered size,
+  // hits, recall@k, scanned candidates — the pre-vs-post trade measured
+  // side by side, not argued. At 100 TB the scan sets stay probe-bounded
+  // (lists × nProbe), and the pre arm's n_scanned shrinking by the
+  // selectivity while recall holds is the sizing evidence.
+  // -------------------------------------------------------------------
+  private def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e
+      .filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val dotVC = expr(dotSpark.format("v", "cv"))
+    val assignW = Window.partitionBy("vec_id").orderBy((dotVC / (col("nrm") * col("cnrm"))).desc, col("cid").asc)
+    val assigned = e
+      .crossJoin(broadcast(cents))
+      .withColumn("crank", row_number().over(assignW))
+      .filter(col("crank") <= NProbe)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cid"), col("crank"))
+      .localCheckpoint()
+    val lists = assigned.filter(col("crank") === 1)
+    val probes = assigned
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid").as("probe_cid"))
+    val q = e
+      .filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val cosQN = expr(dotSpark.format("q.qv", "n.v")) / (col("q.qnrm") * col("n.nrm"))
+    // exact search space for the truth term: panel × corpus
+    val brute = q
+      .as("q")
+      .join(e.as("n"), col("q.qid") =!= col("n.vec_id"))
+      .select(col("q.qid").as("query_id"), col("q.q_label").as("q_label"),
+        col("n.label").as("n_label"), col("n.vec_id").as("neighbor_id"), cosQN.as("cos_sim"))
+      .localCheckpoint()
+    // IVF candidates: probed-list pairs, UNFILTERED (post-filter's scan set)
+    val cand = probes
+      .as("q")
+      .join(lists.as("n"), col("q.probe_cid") === col("n.cid") && col("q.qid") =!= col("n.vec_id"))
+      .select(col("q.qid").as("query_id"), col("q.q_label").as("q_label"),
+        col("n.label").as("n_label"), col("n.vec_id").as("neighbor_id"), cosQN.as("cos_sim"))
+      .distinct()
+      .localCheckpoint()
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+
+    def regimeRows(regime: String, pred: Column): DataFrame = {
+      val truthTop = brute.filter(pred).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK).select("query_id", "neighbor_id")
+      val preTop = cand.filter(pred).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK).select("query_id", "neighbor_id")
+      val postTop = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK).filter(pred).select("query_id", "neighbor_id")
+      def one(method: String, res: DataFrame, scanned: DataFrame): DataFrame =
+        truthTop.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(res.agg(count(lit(1)).as("n_results")))
+          .crossJoin(res.join(truthTop, Seq("query_id", "neighbor_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hits")))
+          .crossJoin(scanned.agg(count(lit(1)).as("n_scanned")))
+          .select(
+            lit(regime).as("regime"),
+            lit(method).as("method"),
+            col("n_truth"),
+            col("n_results"),
+            col("n_hits"),
+            when(col("n_truth") === 0, lit(0.0))
+              .otherwise(round(col("n_hits").cast("double") / col("n_truth"), 6) + 0.0)
+              .as("recall"),
+            col("n_scanned")
+          )
+      one("pre", preTop, cand.filter(pred)).unionByName(one("post", postTop, cand))
+    }
+    regimeRows("same_label", col("q_label") === col("n_label"))
+      .unionByName(regimeRows("same_parity", col("q_label") % 2 === col("n_label") % 2))
+      .transform(Norm.ordered(_, col("regime"), col("method")))
+  }
+
+  private val annFilteredSql: String = {
+    val cosVC = s"${dotDuck("e.v", "c.cv")} / (e.nrm * c.cnrm)"
+    val cosQN = s"${dotDuck("q.qv", "n.v")} / (q.qnrm * n.nrm)"
+    def regimeCtes(tag: String, pred: String) =
+      s"""t_$tag AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |  FROM brute WHERE $pred) WHERE rn <= $TopK),
+         |pre_$tag AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |  FROM cand WHERE $pred) WHERE rn <= $TopK),
+         |post_$tag AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |  FROM cand) WHERE rn <= $TopK AND $pred)""".stripMargin
+    def statsRow(regime: String, tag: String, method: String, scanPred: String) = {
+      val res = s"${method}_$tag"
+      s"""SELECT '$regime' AS regime, '$method' AS method,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM t_$tag) AS n_truth,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $res) AS n_results,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $res r JOIN t_$tag t
+         |     ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id) AS n_hits,
+         |  CASE WHEN (SELECT count(*) FROM t_$tag) = 0 THEN 0.0
+         |       ELSE round(CAST((SELECT count(*) FROM $res r JOIN t_$tag t
+         |              ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id) AS DOUBLE)
+         |            / (SELECT count(*) FROM t_$tag), 6) + 0.0 END AS recall,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand WHERE $scanPred) AS n_scanned""".stripMargin
+    }
+    val predLabel = "q_label = n_label"
+    val predParity = "q_label % 2 = n_label % 2"
+    s"""WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, label, v, sqrt(${dotDuck("e0.v", "e0.v")}) AS nrm FROM e0),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id % $CentroidStride = 0),
+       |assigned AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label, e.v, e.nrm, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosVC DESC, c.cid) AS crank
+       |  FROM e CROSS JOIN c
+       |), lists AS (SELECT vec_id, label, v, nrm, cid FROM assigned WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, label AS q_label, v AS qv, nrm AS qnrm, cid AS probe_cid
+       |  FROM assigned WHERE crank <= $NProbe AND vec_id % $QueryStride = 0
+       |),
+       |qp AS (SELECT vec_id AS qid, label AS q_label, v AS qv, nrm AS qnrm
+       |       FROM e WHERE vec_id % $QueryStride = 0),
+       |brute AS MATERIALIZED (
+       |  SELECT q.qid AS query_id, q.q_label, n.label AS n_label, n.vec_id AS neighbor_id,
+       |         $cosQN AS cos_sim
+       |  FROM qp q JOIN e n ON q.qid <> n.vec_id
+       |),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT q.qid AS query_id, q.q_label, n.label AS n_label, n.vec_id AS neighbor_id,
+       |         $cosQN AS cos_sim
+       |  FROM probes q JOIN lists n ON q.probe_cid = n.cid AND q.qid <> n.vec_id
+       |),
+       |${regimeCtes("lab", predLabel)},
+       |${regimeCtes("par", predParity)}
+       |${statsRow("same_label", "lab", "pre", predLabel)}
+       |UNION ALL
+       |${statsRow("same_label", "lab", "post", "TRUE")}
+       |UNION ALL
+       |${statsRow("same_parity", "par", "pre", predParity)}
+       |UNION ALL
+       |${statsRow("same_parity", "par", "post", "TRUE")}
+       |ORDER BY regime, method""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // vec_centroid — element-wise mean embedding per label (the vector
   // aggregate under k-means / IVF training). posexplode + hash-agg on
   // (label, pos): fully whole-stage-codegen with map-side partial
@@ -2292,6 +2450,7 @@ object SimQueries {
     "vec_normalize" -> vecNormalize,
     "vec_random_proj" -> vecRandomProj,
     "ann_topk" -> annTopk,
+    "ann_filtered" -> annFiltered,
     "ann_mips" -> annMips,
     "vec_knn_classify" -> vecKnnClassify,
     "ann_range" -> annRange,
@@ -2320,6 +2479,7 @@ object SimQueries {
     "vec_normalize" -> vecNormalizeSql,
     "vec_random_proj" -> vecRandomProjSql,
     "ann_topk" -> annTopkSql,
+    "ann_filtered" -> annFilteredSql,
     "ann_mips" -> annMipsSql,
     "vec_knn_classify" -> vecKnnClassifySql,
     "ann_range" -> annRangeSql,
