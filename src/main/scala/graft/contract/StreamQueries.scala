@@ -1090,6 +1090,76 @@ object StreamQueries {
        |ORDER BY user_id, purchase_us, click_us NULLS FIRST""".stripMargin
 
   // -------------------------------------------------------------------
+  // stream_asof_join — STREAM-STREAM AS-OF JOIN (Streams.asOfAttribution):
+  // each purchase enriched with only the LATEST click at-or-before it
+  // within the 30-minute window, the temporal analog of
+  // stream_stream_join's interval contract and the streaming counterpart
+  // of the custom batch AsOfJoin operator. Built on transformWithState +
+  // EVENT-TIME TIMERS (the one timer-driven emission path the streaming
+  // matrix lacked): an as-of argmax is only final once the watermark
+  // proves the click set below p_ts complete, so rows emit at timer
+  // expiry, and purchases above the final watermark NEVER emit — the
+  // oracle states that eviction cutoff explicitly as
+  // (max event ms − delay ms), the engine's watermark arithmetic — over
+  // the FILTERED stream (purchase ∪ click): the watermark node sits
+  // above the event-type filter, so a later-timestamped view/error row
+  // never advances it (the first cut used max over ALL events and lost
+  // exactly one purchase sitting 3.6 s above the true cutoff at sf0.01).
+  // The 900 s delay places the cutoff ≥ 45 s from every purchase at all
+  // three gate SFs (StreamJoinBoundarySpec pins the margin — delay 800
+  // sits 3.4 s from a purchase at sf0.01), so ms-floor and </<= timer
+  // strictness are unobservable. Unmatched purchases below the cutoff
+  // emit null-padded (as-of LEFT semantics).
+  // -------------------------------------------------------------------
+  private[graft] val AsOfDelaySec = 900L
+
+  private def streamAsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = evStream(s, dir)
+        .filter(col("eventType").isin("purchase", "click"))
+        .as[Streams.Event]
+      val out = StreamHarness.runAvailableNow(
+        Streams.asOfAttribution(in, ClickLagUs, s"$AsOfDelaySec seconds").toDF(),
+        "append"
+      )
+      out
+        .select(
+          col("userId").as("user_id"),
+          col("purchaseUs").as("purchase_us"),
+          Norm.rnd(col("purchaseValue"), 4).as("purchase_value"),
+          col("clickUs").as("click_us"),
+          (col("purchaseUs") - col("clickUs")).as("lag_us")
+        )
+        .transform(Norm.ordered(_, col("user_id"), col("purchase_us")))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None    => s.conf.unset(provKey)
+      }
+    }
+  }
+
+  private val streamAsOfJoinSql: String =
+    s"""WITH cutoff AS (
+       |  SELECT ((max(epoch_us(ts)) // 1000) - ${AsOfDelaySec}000) * 1000 AS w FROM events
+       |  WHERE event_type IN ('purchase', 'click')
+       |), p AS (
+       |  SELECT user_id, epoch_us(ts) AS pus, value FROM events WHERE event_type = 'purchase'
+       |), c AS (
+       |  SELECT user_id AS cu, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'
+       |)
+       |SELECT p.user_id, p.pus AS purchase_us, round(p.value, 4) + 0.0 AS purchase_value,
+       |       max(c.cus) AS click_us, p.pus - max(c.cus) AS lag_us
+       |FROM p LEFT JOIN c ON c.cu = p.user_id AND c.cus <= p.pus AND p.pus - c.cus <= $ClickLagUs
+       |WHERE p.pus < (SELECT w FROM cutoff)
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
   // stream_upsert — streaming ingestion INTO the year-partitioned table
   // (VERDICT r7 item 5): the restatement updates arrive as a FILE STREAM
   // of micro-batches (maxFilesPerTrigger=1 -> one batch per staged file)
@@ -1175,6 +1245,7 @@ object StreamQueries {
     "stream_upsert" -> streamUpsert,
     "stream_stream_left_join" -> streamStreamLeftJoin,
     "stream_stream_join" -> streamStreamJoin,
+    "stream_asof_join" -> streamAsOfJoin,
     "stream_window_stats" -> windowStats,
     "stream_window_stats_sink" -> windowStatsSink,
     "stream_dedup" -> streamDedup,
@@ -1197,6 +1268,7 @@ object StreamQueries {
     "stream_upsert" -> SinkQueries.upsertOverwriteSql,
     "stream_stream_left_join" -> streamStreamLeftJoinSql,
     "stream_stream_join" -> streamStreamJoinSql,
+    "stream_asof_join" -> streamAsOfJoinSql,
     "stream_window_stats" -> windowStatsSql,
     "stream_window_stats_sink" -> windowStatsSinkSql,
     "stream_dedup" -> streamDedupSql,

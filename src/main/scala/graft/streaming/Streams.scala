@@ -727,6 +727,141 @@ object Streams {
       )
   }
 
+  /** A buffered click timestamp (epoch micros); NOT private (the [[Tot]]
+    * encoder-codegen lesson).
+    */
+  final case class ClickStamp(tsUs: Long)
+
+  /** A purchase awaiting its watermark-proof emission. */
+  final case class PendingPurchase(tsUs: Long, value: Double)
+
+  /** One as-of attribution: the LATEST click at-or-before the purchase
+    * within the lag window, or null-padded when none exists.
+    */
+  final case class AsOfRow(userId: Long, purchaseUs: Long, purchaseValue: Double, clickUs: Option[Long])
+
+  /** STREAM-STREAM AS-OF JOIN via `transformWithState` + EVENT-TIME
+    * TIMERS — the temporal analog of [[attributedClicks]]: instead of
+    * every click in the window (the interval-join contract), each
+    * purchase is enriched with only the LATEST click at-or-before it
+    * (the as-of contract, `plans/AsOfJoin.scala`'s batch semantics
+    * carried onto two live streams).
+    *
+    * Why this cannot be the built-in stream-stream join: "latest per
+    * purchase" is an argmax across ALL matching clicks — including ones
+    * that arrive out-of-order AFTER the purchase row — so a correct
+    * answer may only be emitted once the watermark PROVES the click set
+    * below `p_ts` is complete. The processor therefore buffers both
+    * sides per user and registers an event-time timer at each purchase's
+    * timestamp: when the watermark passes it, every eligible click has
+    * either arrived or is late-beyond-watermark by definition, the
+    * argmax is final, and the row emits (append semantics). Purchases
+    * above the stream's final watermark never emit — the eviction cutoff
+    * an oracle must state explicitly.
+    *
+    * State is watermark-bounded on both cells: pending purchases drain
+    * at their own timers, and buffered clicks below
+    * `watermark − maxLag` can no longer win any future argmax (any
+    * later-arriving purchase that survives the late filter has
+    * `p_ts ≥ watermark`) and are pruned on every timer pass —
+    * O(users · lag-window density) live state at 100 TB/day, the same
+    * bound the symmetric-hash interval join carries.
+    */
+  private class AsOfClickProcessor(maxLagUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, AsOfRow] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var clicks: org.apache.spark.sql.streaming.ListState[ClickStamp] = _
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[PendingPurchase] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      clicks = getHandle.getListState[ClickStamp]("clicks", E.product[ClickStamp], TTLConfig.NONE)
+      pending = getHandle.getListState[PendingPurchase]("pending", E.product[PendingPurchase], TTLConfig.NONE)
+    }
+
+    private def tsUs(t: Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues
+    ): Iterator[AsOfRow] = {
+      var timers: Set[Long] = {
+        val it = getHandle.listTimers(); val b = Set.newBuilder[Long]
+        while (it.hasNext) b += it.next().asInstanceOf[Long]
+        b.result()
+      }
+      rows.foreach { e =>
+        val us = tsUs(e.ts)
+        if (e.eventType == "purchase") {
+          pending.appendValue(PendingPurchase(us, e.value))
+          // fire strictly after the purchase's micros: wm(ms) >= expiry
+          // implies wm(us) > p_us, so the drain below is complete
+          val expiry = us / 1000L + 1L
+          if (!timers.contains(expiry)) { getHandle.registerTimer(expiry); timers += expiry }
+        } else {
+          clicks.appendValue(ClickStamp(us))
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo
+    ): Iterator[AsOfRow] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val pend = {
+        val it = pending.get(); val b = Vector.newBuilder[PendingPurchase]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      val (ripe, rest) = pend.partition(_.tsUs < wmUs)
+      if (ripe.isEmpty) return Iterator.empty
+      val cs = {
+        val it = clicks.get(); val b = Vector.newBuilder[ClickStamp]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      if (rest.isEmpty) pending.clear() else pending.put(rest.toArray)
+      // clicks below wm − lag can no longer win any argmax: prune
+      val keep = cs.filter(_.tsUs >= wmUs - maxLagUs)
+      if (keep.length != cs.length) {
+        if (keep.isEmpty) clicks.clear() else clicks.put(keep.toArray)
+      }
+      ripe.sortBy(_.tsUs).iterator.map { p =>
+        var best = Long.MinValue
+        cs.foreach { c =>
+          if (c.tsUs <= p.tsUs && p.tsUs - c.tsUs <= maxLagUs && c.tsUs > best) best = c.tsUs
+        }
+        AsOfRow(key, p.tsUs, p.value, if (best == Long.MinValue) None else Some(best))
+      }
+    }
+  }
+
+  /** As-of click attribution over a MIXED purchase+click event stream
+    * (see [[AsOfClickProcessor]]): event-time watermark `watermarkDelay`,
+    * RocksDB store required as for every `transformWithState` operator.
+    */
+  def asOfAttribution(
+      events: Dataset[Event],
+      maxLagUs: Long,
+      watermarkDelay: String
+  ): Dataset[AsOfRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .transformWithState(
+        new AsOfClickProcessor(maxLagUs),
+        TimeMode.EventTime(),
+        OutputMode.Append()
+      )
+  }
+
   /** Pearson r of (x_t, x_{t-1}) with the reference's degenerate-path
     * contract: < 2 pairs or zero variance -> 0.0 (`lib/ccm.ex:187-213`).
     */

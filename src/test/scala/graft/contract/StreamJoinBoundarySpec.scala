@@ -45,4 +45,32 @@ class StreamJoinBoundarySpec extends SparkTestBase {
       )
     }
   }
+
+  test("no purchase sits within 30s of the as-of join's eviction cutoff") {
+    // stream_asof_join emits EVERY purchase below the watermark cutoff
+    // via a timer, so every purchase (matched or not) must sit clear of
+    // the cutoff for the oracle's ms-floor arithmetic and the engine's
+    // timer strictness to be unobservable. The cutoff derives from the
+    // FILTERED stream's max event time (purchase ∪ click — the watermark
+    // node sits above the type filter), and delay 900 was CHOSEN by this
+    // margin: 800 sits 3.4 s from a purchase at sf0.01.
+    for (dir <- SfDirs) {
+      val e = Tables
+        .events(spark, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(expr("ts div 1000").as("t"), col("event_type"))
+      val maxT = e.agg(max("t")).head().getLong(0)
+      val cutoff = (maxT / 1000L - StreamQueries.AsOfDelaySec * 1000L) * 1000L
+      val nearest = e
+        .filter(col("event_type") === "purchase")
+        .select(abs(col("t") - cutoff).as("d"))
+        .agg(min("d"))
+        .head()
+        .getLong(0)
+      assert(
+        nearest >= 30L * 1000 * 1000,
+        s"$dir: a purchase sits ${nearest}us from the as-of eviction cutoff"
+      )
+    }
+  }
 }

@@ -339,4 +339,58 @@ class StreamsSpec extends SparkTestBase {
     assert(Streams.lagCorr(Seq(1.0, 2.0)) == 0.0) // < 2 pairs
     assert(Streams.lagCorr(Seq(5.0, 5.0, 5.0, 5.0)) == 0.0) // zero variance
   }
+
+  test("asOfAttribution matches cross-batch, waits for the watermark, and picks the latest eligible click") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf
+      .set(provKey, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = Streams
+      .asOfAttribution(input.toDS(), maxLagUs = 30L * 1000000, watermarkDelay = "5 seconds")
+      .toDF()
+      .writeStream.format("memory").queryName("asof_stream").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two clicks — buffered, nothing emits
+      input.addData(Event(ts(10), 1L, "click", 0.0), Event(ts(20), 1L, "click", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("asof_stream").count() == 0L)
+      // batch 2: the purchase (cross-batch vs the buffered clicks).
+      // Watermark is still 20-5=15 < 25, so the as-of answer is NOT yet
+      // provable and nothing may emit — this is the defining difference
+      // from the interval join, which emits matches immediately.
+      input.addData(Event(ts(25), 1L, "purchase", 9.99))
+      q.processAllAvailable()
+      assert(spark.table("asof_stream").count() == 0L)
+      // batch 3: an out-of-order click at t=22 (after the purchase ROW,
+      // before the purchase TIME — it must win the argmax over t=20),
+      // plus a heartbeat on another user pushing the watermark past 25
+      // so the purchase's timer fires.
+      input.addData(Event(ts(22), 1L, "click", 0.0), Event(ts(60), 2L, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1) / 1000000L, Option(r.get(3)).map(_.asInstanceOf[Long] / 1000000L)))
+        .toSeq
+      assert(rows == Seq((1L, 25L, Some(22L))), s"got $rows")
+      // batch 4: a purchase with NO click within the 30s window emits a
+      // null-padded row once the watermark passes it
+      input.addData(Event(ts(100), 3L, "purchase", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(ts(200), 2L, "click", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("asof_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1) / 1000000L, Option(r.get(3)).map(_.asInstanceOf[Long] / 1000000L)))
+        .toSet
+      assert(all == Set((1L, 25L, Some(22L)), (3L, 100L, None)), s"got $all")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
