@@ -199,20 +199,33 @@ object GraphQueries {
   // deterministic, and present at every SF.
   private val BcSeedPanel = 4
 
-  private def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
+  /** The SHIPPED seed-panel derivation, package-visible so
+    * ScaleDesignPinSpec can pin its defining scale property — the panel
+    * is a FIXED size at every SF (a stride-only panel grows with the key
+    * space; 40 seeds measured 39 s at sf0.1 before the panel cap).
+    */
+  private[graft] def bcSeedPanel(sym: DataFrame): DataFrame =
+    sym
+      .select(col("src").as("vertex"))
+      .distinct()
+      .filter(col("vertex") % BcSeedStride === 0)
+      .orderBy(col("vertex"))
+      .limit(BcSeedPanel)
+
+  /** The symmetrized, vertex-disambiguated order graph (shipped path). */
+  private[graft] def bcGraph(s: SparkSession, dir: String): DataFrame = {
     // checkpoint the DIRECTED list before symmetrizing: the union dups the
     // lineitem⋈orders+distinct subtree, which measured as the query's
     // single largest phase when executed twice
     val directed = suppCustEdges(s, dir)
       .select((col("src") * 2).as("src"), (col("dst") * 2 + 1).as("dst"))
       .localCheckpoint()
-    val sym = directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
-    val seeds = sym
-      .select(col("src").as("vertex"))
-      .distinct()
-      .filter(col("vertex") % BcSeedStride === 0)
-      .orderBy(col("vertex"))
-      .limit(BcSeedPanel)
+    directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val sym = bcGraph(s, dir)
+    val seeds = bcSeedPanel(sym)
     graft.operators.Betweenness
       .centrality(sym, seeds, BcDepth)
       .select(

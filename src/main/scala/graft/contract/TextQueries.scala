@@ -1145,20 +1145,46 @@ object TextQueries {
   // -------------------------------------------------------------------
   private val BpeTrainRounds = 3
 
+  /** The WORD-FREQUENCY table BPE training folds over — package-visible
+    * so ScaleDesignPinSpec can pin the scale lever structurally: this is
+    * the ONLY corpus-sized pass in the trainer (one explode + one
+    * vocabulary groupBy), and every later round runs over it.
+    */
+  private[graft] def bpeWords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("wcnt"))
+      .select(expr("split(w, '')").as("syms"), col("wcnt"))
+
+  private[graft] def bpeEsc(x: String): String =
+    x.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** One greedy merge rewrite round over the vocabulary relation —
+    * package-visible so ScaleDesignPinSpec can pin that a round is
+    * MAP-ONLY (no Exchange, no Join: the fold rides the vocabulary
+    * rows; nothing corpus-sized ever shuffles inside the loop).
+    */
+  private[graft] def bpeMergeRound(words: DataFrame, l: String, r: String): DataFrame = {
+    val merged = l + r
+    val mergeExpr =
+      s"""aggregate(
+         |  slice(syms, 2, size(syms) - 1),
+         |  array(element_at(syms, 1)),
+         |  (acc, s2) -> IF(element_at(acc, -1) = '${bpeEsc(l)}' AND s2 = '${bpeEsc(r)}',
+         |                  concat(slice(acc, 1, size(acc) - 1), array('${bpeEsc(merged)}')),
+         |                  concat(acc, array(s2))))""".stripMargin
+    words.select(expr(mergeExpr).as("syms"), col("wcnt"))
+  }
+
   private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
     // the WORD-FREQUENCY table, not raw occurrences — textbook BPE
     // training shape, and the scale lever: every per-round fold and pair
     // count runs over the VOCABULARY (count-weighted), not the corpus
     // (measured 5.45 → 1.50 s at sf0.1; merged words stay distinct, so
     // no re-grouping is ever needed)
-    var words = docs(s, dir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .groupBy("w")
-      .agg(count(lit(1)).as("wcnt"))
-      .select(expr("split(w, '')").as("syms"), col("wcnt"))
-      .localCheckpoint()
+    var words = bpeWords(s, dir).localCheckpoint()
     val rows = Seq.newBuilder[(Long, String, String, Long, Long)]
     for (round <- 1 to BpeTrainRounds) {
       val top = words
@@ -1179,15 +1205,7 @@ object TextQueries {
         .limit(1)
         .collect()(0)
       val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      val merged = l + r
-      val mergeExpr =
-        s"""aggregate(
-           |  slice(syms, 2, size(syms) - 1),
-           |  array(element_at(syms, 1)),
-           |  (acc, s2) -> IF(element_at(acc, -1) = '${esc(l)}' AND s2 = '${esc(r)}',
-           |                  concat(slice(acc, 1, size(acc) - 1), array('${esc(merged)}')),
-           |                  concat(acc, array(s2))))""".stripMargin
-      val next = words.select(expr(mergeExpr).as("syms"), col("wcnt")).localCheckpoint()
+      val next = bpeMergeRound(words, l, r).localCheckpoint()
       val symsAfter =
         next.agg(sum(size(col("syms")).cast("long") * col("wcnt")).cast("long")).collect()(0).getLong(0)
       rows += ((round.toLong, l, r, cnt, symsAfter))

@@ -41,6 +41,21 @@ object Betweenness {
     s"CAST(round(CAST($su AS DOUBLE) / CAST($sw AS DOUBLE) * " +
       s"(1.0 + CAST($wdm AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT)"
 
+  /** One forward σ-BFS round: the (seed,vertex)-keyed edge join, the
+    * map-side-combined σ sum, and the visited anti-join. Package-visible
+    * so ScaleDesignPinSpec can pin the round's plan shape (one edge join,
+    * partial+final HashAggregate, LeftAnti — the O(seeds·E) per-round
+    * contract) against the SHIPPED code path, not a spec-local copy.
+    */
+  private[graft] def forwardRound(frontier: DataFrame, e: DataFrame, vis: DataFrame, d: Int): DataFrame =
+    frontier
+      .join(e, frontier("v") === e("src"))
+      .select(col("seed"), e("dst").as("v"), col("sigma"))
+      .groupBy("seed", "v")
+      .agg(sum(col("sigma")).as("sigma"))
+      .join(vis.select("seed", "v"), Seq("seed", "v"), "left_anti")
+      .select(col("seed"), col("v"), lit(d).as("dep"), col("sigma"))
+
   /** @param edges symmetric (src, dst) edge list (both orientations)
     * @param seeds single-column seed vertex ids
     * @param maxDepth shortest paths longer than this are ignored
@@ -66,15 +81,7 @@ object Betweenness {
     val pins = Seq.newBuilder[Checkpoints.Pin]
     pins += f0Pin
     for (d <- 1 to maxDepth) {
-      val (cand, candPin) = tracked(
-        frontier
-          .join(e, frontier("v") === e("src"))
-          .select(col("seed"), e("dst").as("v"), col("sigma"))
-          .groupBy("seed", "v")
-          .agg(sum(col("sigma")).as("sigma"))
-          .join(vis.select("seed", "v"), Seq("seed", "v"), "left_anti")
-          .select(col("seed"), col("v"), lit(d).as("dep"), col("sigma"))
-      )
+      val (cand, candPin) = tracked(forwardRound(frontier, e, vis, d))
       pins += candPin
       frontier = cand
       frontierPin = candPin
