@@ -2787,7 +2787,131 @@ object EventQueries {
        |FROM marg GROUP BY direction ORDER BY direction""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // evt_motif — z-NORMALIZED MOTIF SEARCH over the hourly per-type count
+  // series ("where else does this shape occur?" — the matrix-profile
+  // question, answered for ONE query window declaratively): the query
+  // pattern is the LAST MotifLen hours of the purchase series; every
+  // window of every type's series is scored by normalized cross-
+  // correlation r (z-normalized Euclidean distance is the monotone twin
+  // d² = 2m(1−r)) and the top-K windows return, excluding candidates
+  // overlapping the query itself. Estimator per candidate t from exact
+  // int64 co-moments (the evt_acf discipline): r = (m·Dxq − Sx·Sq) /
+  // (√(m·Qx − Sx²)·√(m·Qq − Sq²)) with ONE sqrt/div expression shared
+  // textually with the oracle (sqrt is IEEE-exact; the two-√ form keeps
+  // the den product out of int64 overflow). Zero-variance (flat)
+  // windows have no z-normal form and are excluded exactly (denx = 0 is
+  // an integer test). Scale shape: the only data-sized pass is the
+  // hour×type rollup; the co-moment build is a |q|-row broadcast
+  // crossing the BOUNDED spine (hours×types, fixed by the time range —
+  // it does not grow with event volume), so the whole search after the
+  // rollup is corpus-size-free. A full self-join matrix profile (every
+  // window as query) would be the spine² version of the same plan.
+  // -------------------------------------------------------------------
+  private val MotifLen = 24
+  private val MotifK = 10
+  private val MotifQueryType = "purchase"
+
+  private def evtMotif(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = ev(s, dir)
+      .groupBy(expr(s"tus div $HourUs").as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = hourly.agg(min("hr").as("h0"), max("hr").as("h1"))
+    val types = hourly.select("event_type").distinct()
+    val spine = bounds
+      .select(col("h0"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .crossJoin(types)
+      .join(hourly, Seq("hr", "event_type"), "left")
+      .select(col("event_type"), (col("hr") - col("h0")).as("t"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint() // feeds q, the scalar aggs, and the co-moment build
+    val nRel = spine.agg((max(col("t")) + 1L).as("n"))
+    val q = spine
+      .crossJoin(nRel)
+      .filter(col("event_type") === MotifQueryType && col("t") >= col("n") - MotifLen)
+      .select((col("t") - (col("n") - MotifLen)).as("j"), col("x").as("qj"))
+    val qs = q.agg(sum(col("qj")).as("sq"), sum(col("qj") * col("qj")).as("qq"))
+    spine
+      .crossJoin(broadcast(q))
+      .crossJoin(nRel)
+      .withColumn("t0", col("t") - col("j"))
+      .filter(col("t0") >= 0 && col("t0") <= col("n") - MotifLen)
+      .groupBy("event_type", "t0", "n")
+      .agg(
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("qx"),
+        sum(col("x") * col("qj")).as("dxq")
+      )
+      .crossJoin(qs)
+      .filter(!(col("event_type") === MotifQueryType && col("t0") >= col("n") - 2 * MotifLen + 1))
+      .withColumn("num", lit(MotifLen) * col("dxq") - col("sx") * col("sq"))
+      .withColumn("denx", lit(MotifLen) * col("qx") - col("sx") * col("sx"))
+      .withColumn("denq", lit(MotifLen) * col("qq") - col("sq") * col("sq"))
+      .filter(col("denx") > 0)
+      .withColumn(
+        "r",
+        expr("CAST(num AS DOUBLE) / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(denq AS DOUBLE)))")
+      )
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("r").desc, col("event_type").asc, col("t0").asc)).cast("long")
+      )
+      .filter(col("rank") <= MotifK)
+      .crossJoin(bounds.select(col("h0")))
+      .select(
+        col("rank"),
+        col("event_type"),
+        ((col("h0") + col("t0")) * HourUs).as("start_us"),
+        Norm.rnd(col("r"), 6).as("ncc")
+      )
+      .transform(Norm.ordered(_, col("rank")))
+  }
+
+  private val evtMotifSql: String =
+    s"""WITH hourly AS (
+       |  SELECT epoch_us(ts) // $HourUs AS hr, event_type, CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2
+       |), b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hourly),
+       |types AS (SELECT DISTINCT event_type FROM hourly),
+       |spine AS MATERIALIZED (
+       |  SELECT ty.event_type, s.hr - (SELECT h0 FROM b) AS t, COALESCE(h.x, 0) AS x
+       |  FROM (SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b))) AS hr) s
+       |  CROSS JOIN types ty
+       |  LEFT JOIN hourly h ON h.hr = s.hr AND h.event_type = ty.event_type
+       |), nn AS (SELECT max(t) + 1 AS n FROM spine),
+       |q AS MATERIALIZED (
+       |  SELECT t - ((SELECT n FROM nn) - $MotifLen) AS j, x AS qj
+       |  FROM spine WHERE event_type = '$MotifQueryType' AND t >= (SELECT n FROM nn) - $MotifLen
+       |), qs AS (SELECT CAST(sum(qj) AS BIGINT) AS sq, CAST(sum(qj * qj) AS BIGINT) AS qq FROM q),
+       |cand AS (
+       |  SELECT sp.event_type, sp.t - q.j AS t0,
+       |         CAST(sum(sp.x) AS BIGINT) AS sx,
+       |         CAST(sum(sp.x * sp.x) AS BIGINT) AS qx,
+       |         CAST(sum(sp.x * q.qj) AS BIGINT) AS dxq
+       |  FROM spine sp CROSS JOIN q
+       |  WHERE sp.t - q.j >= 0 AND sp.t - q.j <= (SELECT n FROM nn) - $MotifLen
+       |  GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT c.*,
+       |         $MotifLen * c.dxq - c.sx * (SELECT sq FROM qs) AS num,
+       |         $MotifLen * c.qx - c.sx * c.sx AS denx,
+       |         $MotifLen * (SELECT qq FROM qs) - (SELECT sq FROM qs) * (SELECT sq FROM qs) AS denq
+       |  FROM cand c
+       |  WHERE NOT (c.event_type = '$MotifQueryType' AND c.t0 >= (SELECT n FROM nn) - ${2 * MotifLen} + 1)
+       |), scored AS (
+       |  SELECT *, CAST(num AS DOUBLE) / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(denq AS DOUBLE))) AS r
+       |  FROM sc WHERE denx > 0
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY r DESC, event_type, t0) AS BIGINT) AS rank,
+       |       event_type,
+       |       ((SELECT h0 FROM b) + t0) * $HourUs AS start_us,
+       |       round(r, 6) + 0.0 AS ncc
+       |FROM scored
+       |QUALIFY rank <= $MotifK
+       |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_motif" -> evtMotif,
     "evt_transfer_entropy" -> transferEntropy,
     "evt_partial_corr" -> partialCorr,
     "evt_interpolate" -> interpolate,
@@ -2836,6 +2960,7 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "evt_motif" -> evtMotifSql,
     "evt_transfer_entropy" -> transferEntropySql,
     "evt_partial_corr" -> partialCorrSql,
     "evt_interpolate" -> interpolateSql,

@@ -858,7 +858,108 @@ object GraphQueries {
        |FROM lp$LpaRounds GROUP BY 1 ORDER BY community""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // graph_ktruss — k-TRUSS PEELING over the candidate graph: an edge
+  // survives iff it participates in >= k−2 triangles among SURVIVING
+  // edges, iterated to the truss fixed point (the standard cohesion
+  // subgraph between "connected component" (too loose) and "clique"
+  // (too strict) — for dedup clusters it isolates the genuinely
+  // mutually-similar cores from chains glued by one accidental band
+  // collision). KtrussRounds synchronous peel rounds (the LPA/star
+  // round-structure discipline); per round one triangle enumeration
+  // (the id-ordered 3-way self-join the oracle replays; the deg-ordered
+  // orientation graph_triangles ships is the skew-safe production form
+  // of the same count) and one 3-projection support aggregate. Driver
+  // state is 4 audit scalars per round (the k-means-centroid license).
+  // Output: the per-round peel audit — triangles, edges before/after,
+  // surviving-edge checksum — which converging rounds pin exactly.
+  // -------------------------------------------------------------------
+  private val KtrussK = 3
+  private val KtrussRounds = 3
+
+  private def graphKtruss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var e = pairsOf(s, dir).localCheckpoint()
+    val rows = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+    for (round <- 1 to KtrussRounds) {
+      val tri = e
+        .as("e1")
+        .join(e.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
+        .join(
+          e.as("e3"),
+          col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b")
+        )
+        .select(col("e1.doc_a").as("va"), col("e1.doc_b").as("vb"), col("e2.doc_b").as("vc"))
+        .localCheckpoint() // feeds the census count and three projections
+      val sup = tri
+        .select(
+          explode(
+            array(
+              struct(col("va").as("doc_a"), col("vb").as("doc_b")),
+              struct(col("vb").as("doc_a"), col("vc").as("doc_b")),
+              struct(col("va").as("doc_a"), col("vc").as("doc_b"))
+            )
+          ).as("p")
+        )
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= KtrussK - 2)
+      val next = e.join(sup.select("doc_a", "doc_b"), Seq("doc_a", "doc_b")).localCheckpoint()
+      val nTri = tri.count()
+      val before = e.count()
+      val after = next.count()
+      val checksum = next
+        .agg(coalesce(sum(col("doc_a") * 100003L + col("doc_b")), lit(0L)))
+        .collect()(0)
+        .getLong(0)
+      rows += ((round.toLong, nTri, before, after, checksum))
+      e = next
+    }
+    rows
+      .result()
+      .toDF("round", "n_triangles", "edges_before", "edges_after", "edge_checksum")
+      .transform(Norm.ordered(_, col("round")))
+  }
+
+  private val graphKtrussSql: String = {
+    val rounds = (1 to KtrussRounds)
+      .map { i =>
+        s"""tri$i AS MATERIALIZED (
+           |  SELECT e1.doc_a AS va, e1.doc_b AS vb, e2.doc_b AS vc
+           |  FROM es${i - 1} e1
+           |  JOIN es${i - 1} e2 ON e2.doc_a = e1.doc_b
+           |  JOIN es${i - 1} e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+           |), sup$i AS (
+           |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS sup
+           |  FROM (SELECT va AS doc_a, vb AS doc_b FROM tri$i
+           |        UNION ALL SELECT vb, vc FROM tri$i
+           |        UNION ALL SELECT va, vc FROM tri$i)
+           |  GROUP BY 1, 2
+           |), es$i AS MATERIALIZED (
+           |  SELECT e.doc_a, e.doc_b
+           |  FROM es${i - 1} e JOIN sup$i s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+           |  WHERE s.sup >= ${KtrussK - 2}
+           |)""".stripMargin
+      }
+      .mkString(",\n")
+    val stats = (1 to KtrussRounds)
+      .map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM tri$i) AS n_triangles,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM es${i - 1}) AS edges_before,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM es$i) AS edges_after,
+           |  (SELECT CAST(COALESCE(sum(doc_a * 100003 + doc_b), 0) AS BIGINT) FROM es$i) AS edge_checksum""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${DedupQueries.bandsCteSql},
+       |$pairsCteSql,
+       |es0 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+       |$rounds
+       |SELECT * FROM ($stats) ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_ktruss" -> graphKtruss,
     "graph_label_prop" -> graphLabelProp,
     "graph_hits" -> graphHits,
     "graph_degree" -> graphDegree,
@@ -875,6 +976,7 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "graph_ktruss" -> graphKtrussSql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_hits" -> graphHitsSql,
     "graph_degree" -> graphDegreeSql,

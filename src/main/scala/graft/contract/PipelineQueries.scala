@@ -794,7 +794,66 @@ object PipelineQueries {
        |FROM agg ORDER BY source""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // sample_weighted — weight-proportional sampling WITHOUT replacement
+  // (priority / sequential-Poisson sampling: Ohlsson's scheme, the form
+  // Duffield et al. analyze as priority sampling): each doc draws
+  // u ~ Uniform(0,1] from the seeded DetHash and gets priority w/u; the
+  // top-K priorities per source are the sample. Unlike
+  // sample_temperature's expected-count reweighting, this is the
+  // production "pick exactly K docs, longer docs proportionally more
+  // often" corpus draw. Scale shape: the priority is MAP-ONLY
+  // arithmetic and the per-source top-K plans as WindowGroupLimit
+  // (partial top-K map-side before the exchange — no full sort, no
+  // data-proportional state; ScaleDesignPinSpec-style pin in
+  // NewQueryPlanSpec). Parity: u = (h+1)/P with h exact int64, so
+  // priority = (w·P)/(h+1) is ONE exact-int-derived IEEE division —
+  // bit-identical ordering in both engines. The textbook exponential
+  // key -ln(u)/w would be libm-dependent (the measured pow/ln trap);
+  // w/u is monotone-equivalent to it rank-wise and needs no
+  // transcendental. The output itself carries integers only.
+  // -------------------------------------------------------------------
+  private val WSampleK = 100
+  private val WSampleSeed = 577L
+
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("pri").desc, col("doc_id").asc)
+    docs(s, dir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        DetHash.rankHashCol(col("doc_id"), lit(0L), lit(0L), WSampleSeed).as("h")
+      )
+      .withColumn("pri", (col("n_tokens") * lit(DetHash.P)).cast("double") / (col("h") + 1))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= WSampleK)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_tokens"), col("h"))
+      .transform(Norm.ordered(_, col("source"), col("rk")))
+  }
+
+  private val sampleWeightedSql: String = {
+    val h = DetHash.rankHashSql("doc_id", "0", "0", WSampleSeed)
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         $h AS h
+       |  FROM documents
+       |), r AS (
+       |  SELECT source, doc_id, n_tokens, h,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY source
+       |           ORDER BY CAST(n_tokens * ${DetHash.P} AS DOUBLE) / (h + 1) DESC, doc_id
+       |         ) AS BIGINT) AS rk
+       |  FROM d
+       |)
+       |SELECT source, rk, doc_id, n_tokens, h FROM r
+       |WHERE rk <= $WSampleK
+       |ORDER BY source, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted" -> sampleWeighted,
     "pack_ffd" -> packFfd,
     "sample_repeat" -> sampleRepeat,
     "contam_check" -> contamCheck,
@@ -809,6 +868,7 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sample_weighted" -> sampleWeightedSql,
     "pack_ffd" -> packFfdSql,
     "sample_repeat" -> sampleRepeatSql,
     "contam_check" -> contamCheckSql,

@@ -1437,6 +1437,7 @@ object TextQueries {
     "text_bigram_lm" -> bigramLm,
     "text_vocab_coverage" -> vocabCoverage,
     "text_para_dedup" -> paraDedup,
+    "text_boilerplate" -> textBoilerplate,
     "text_zipf" -> textZipf,
     "text_lm_score" -> lmScore,
     "text_repetition" -> textRepetition,
@@ -1595,6 +1596,100 @@ object TextQueries {
        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // text_boilerplate — corpus-frequency boilerplate removal: a 16-token
+  // block whose text appears in >= BoilerDf DISTINCT documents is
+  // boilerplate (headers, footers, navigation chrome, license
+  // blurbs — the Common-Crawl cleaning step), and EVERY instance is
+  // dropped, including the first. That ALL-instances contract is the
+  // deliberate contrast with text_para_dedup's keep-first global dedup:
+  // dedup preserves one copy of repeated content, boilerplate removal
+  // preserves none. Scale shape: the block relation shuffles once on
+  // the block hash (the text_para_dedup exchange), the df side
+  // aggregates to the distinct-block relation (vocabulary-sized, like
+  // every text fold here), and the verdict returns by one hash join on
+  // bh — no all-pairs term at any corpus size. Output: the per-source
+  // removal audit a cleaning job emits.
+  // -------------------------------------------------------------------
+  private val BoilerDf = 2
+
+  private def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val blocks = docs(s, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(
+          expr(
+            s"transform(sequence(0, (size(toks) - 1) div $ParaTokens), i -> array_join(slice(toks, i * $ParaTokens + 1, $ParaTokens), ' '))"
+          )
+        ).as("btxt")
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        expr(DetHash.polyHashSparkSql("btxt")).as("bh"),
+        size(split(col("btxt"), " ")).cast("long").as("n_toks")
+      )
+      .localCheckpoint() // feeds the df aggregate AND the verdict join
+    val boiler = blocks
+      .groupBy("bh", "doc_id")
+      .agg(count(lit(1)).as("m"))
+      .groupBy("bh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerDf)
+      .select(col("bh"), lit(1L).as("is_boiler"))
+    blocks
+      .join(boiler, Seq("bh"), "left")
+      .withColumn("rm", coalesce(col("is_boiler"), lit(0L)))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("rm")).as("blocks_removed"),
+        countDistinct(when(col("rm") === 1L, col("doc_id"))).as("docs_touched"),
+        sum(when(col("rm") === 1L, col("n_toks")).otherwise(0L)).as("tokens_removed"),
+        sum(col("n_toks")).as("tokens_total")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_blocks"),
+        col("blocks_removed"),
+        col("docs_touched"),
+        col("tokens_removed"),
+        Norm.rnd(col("tokens_removed").cast("double") / col("tokens_total"), 6).as("removed_frac")
+      )
+      .transform(Norm.ordered(_, col("source")))
+  }
+
+  private val textBoilerplateSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+       |), blocks AS (
+       |  SELECT doc_id, source,
+       |         ${DetHash.polyHashSql("u")} AS bh,
+       |         CAST(len(string_split(u, ' ')) AS BIGINT) AS n_toks
+       |  FROM (
+       |    SELECT doc_id, source, unnest(list_transform(range((len(toks) - 1) // $ParaTokens + 1),
+       |             i -> array_to_string(list_slice(toks, i * $ParaTokens + 1, i * $ParaTokens + $ParaTokens), ' '))) AS u
+       |  FROM t)
+       |), boiler AS (
+       |  SELECT bh FROM (SELECT bh, doc_id FROM blocks GROUP BY 1, 2)
+       |  GROUP BY bh HAVING count(*) >= $BoilerDf
+       |), marked AS (
+       |  SELECT b.*, CASE WHEN x.bh IS NULL THEN 0 ELSE 1 END AS rm
+       |  FROM blocks b LEFT JOIN boiler x ON b.bh = x.bh
+       |)
+       |SELECT source,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(rm) AS BIGINT) AS blocks_removed,
+       |  CAST(count(DISTINCT CASE WHEN rm = 1 THEN doc_id END) AS BIGINT) AS docs_touched,
+       |  CAST(sum(CASE WHEN rm = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_removed,
+       |  round(CAST(sum(CASE WHEN rm = 1 THEN n_toks ELSE 0 END) AS DOUBLE) / sum(n_toks), 6) + 0.0 AS removed_frac
+       |FROM marked GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
   // text_zipf — corpus-naturalness diagnostic: weighted log-log OLS fit
   // of the term frequency distribution against Zipf's law (natural text
   // has slope ≈ −1; synthetic, templated or spammy corpora deviate — a
@@ -1675,6 +1770,7 @@ object TextQueries {
     "text_bpe_encode" -> bpeEncodeSql,
     "text_zipf" -> textZipfSql,
     "text_para_dedup" -> paraDedupSql,
+    "text_boilerplate" -> textBoilerplateSql,
     "text_vocab_coverage" -> vocabCoverageSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_phrase_search" -> phraseSearchSql,

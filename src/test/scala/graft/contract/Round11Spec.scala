@@ -1,0 +1,105 @@
+package graft.contract
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Semantic + plan pins for the round-11 additions (the
+  * Round9AnalyticsSpec discipline): each new query's defining contract,
+  * stated against live data so the DuckDB hash gate is not the only
+  * thing standing between the semantics and a silent rewrite.
+  */
+class Round11Spec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.01"
+
+  test("sample_weighted plans the per-source top-K as WindowGroupLimit, no shuffle join") {
+    val p = SparkEntry.queries("sample_weighted")(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"per-source top-K must prune map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), "priority sampling needs no join")
+  }
+
+  test("sample_weighted is weight-biased: sampled docs are longer than the corpus average") {
+    // at sf0.1 the per-source K binds (≈500 docs/source vs K=100), so a
+    // weight-proportional draw must overselect long docs
+    val d = "/root/testdata/sf0.1"
+    val sampled = SparkEntry
+      .queries("sample_weighted")(spark, d)
+      .agg(avg(col("n_tokens")))
+      .head()
+      .getDouble(0)
+    val corpus = Tables
+      .documents(spark, d)
+      .agg(avg(size(split(col("text"), " "))))
+      .head()
+      .getDouble(0)
+    assert(
+      sampled > corpus * 1.1,
+      s"sampled mean $sampled vs corpus mean $corpus — weighting had no effect"
+    )
+  }
+
+  test("text_boilerplate removes ALL instances of every block present in >= 2 docs") {
+    val out = SparkEntry.queries("text_boilerplate")(spark, dir)
+    val removed = out.agg(sum(col("blocks_removed"))).head().getLong(0)
+    // independent recomputation on block TEXT (the query works on the
+    // polyHash): instances whose 16-token block occurs in >= 2 docs
+    val blocks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            "transform(sequence(0, (size(toks) - 1) div 16), i -> array_join(slice(toks, i * 16 + 1, 16), ' '))"
+          )
+        ).as("btxt")
+      )
+    val boiler = blocks
+      .groupBy("btxt")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("btxt")
+    val expected = blocks.join(boiler, Seq("btxt")).count()
+    assert(removed == expected, s"blocks_removed=$removed, expected $expected (all instances, df>=2)")
+    assert(removed > 0, "gate corpus must actually contain boilerplate for the pin to bite")
+  }
+
+  test("evt_motif: scores are valid NCC, ranked descending, and never overlap the query window") {
+    val rows = SparkEntry
+      .queries("evt_motif")(spark, dir)
+      .orderBy("rank")
+      .collect()
+    assert(rows.length == 10)
+    val nccs = rows.map(_.getDouble(3))
+    assert(nccs.forall(v => v <= 1.000001 && v >= -1.000001), s"NCC out of range: ${nccs.toSeq}")
+    assert(nccs.zip(nccs.tail).forall { case (a, b) => a >= b }, "rank order must follow NCC desc")
+    // query window = last 24 hours of the purchase series: no returned
+    // purchase window may overlap it
+    val hourUs = 3600L * 1000 * 1000
+    val ev = Tables.events(spark, dir).select(expr("ts div 1000").as("tus"))
+    val h0 = ev.agg(min(expr(s"tus div $hourUs"))).head().getLong(0)
+    val h1 = ev.agg(max(expr(s"tus div $hourUs"))).head().getLong(0)
+    val queryStartUs = (h1 - 24 + 1) * hourUs
+    rows.filter(_.getString(1) == "purchase").foreach { r =>
+      val startUs = r.getLong(2)
+      assert(
+        startUs + 24 * hourUs <= queryStartUs,
+        s"purchase candidate at $startUs overlaps the query window starting $queryStartUs (h0=$h0)"
+      )
+    }
+  }
+
+  test("graph_ktruss peel rounds chain: edges monotone non-increasing, stable once converged") {
+    val rows = SparkEntry
+      .queries("graph_ktruss")(spark, dir)
+      .orderBy("round")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.foreach { case (_, before, after, _) => assert(after <= before) }
+    rows.zip(rows.tail).foreach { case ((_, _, after1, ck1), (_, before2, after2, ck2)) =>
+      assert(before2 == after1, "round r+1 must start from round r's survivors")
+      if (before2 == after2) assert(ck1 == ck2 || after1 != after2, "converged rounds must carry the same edge set")
+    }
+    assert(rows.head._3 < rows.head._2, "round 1 must actually peel at the gate SF")
+  }
+}
