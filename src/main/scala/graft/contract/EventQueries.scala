@@ -2352,6 +2352,102 @@ object EventQueries {
   }
 
   // -------------------------------------------------------------------
+  // evt_kalman — LOCAL-LEVEL KALMAN FILTER per user over the gap-filled
+  // daily-cents series: the adaptive-gain counterpart of
+  // evt_ses_forecast's fixed-α EWMA (steady-state Kalman IS SES; the
+  // filter additionally carries the state variance P, so the gain
+  // K = (P+Q)/(P+Q+R) adapts — high after gaps/starts, settling as
+  // evidence accrues — and the innovation stream gives a whiteness/fit
+  // diagnostic). Recurrence per day (predict-then-update, random-walk
+  // state, observation noise R, process noise Q):
+  //   K = (P+Q)/(P+Q+R);  x̂ ← x̂ + K(x − x̂);  P ← (1−K)(P+Q)
+  // Genuinely sequential, so it runs as the declarative ARRAY FOLD
+  // (the evt_holt technique) with state (x̂, P, Σv²) — the gain
+  // expression is written ONCE as the same text in both engines (the
+  // two algebraic forms of P's update differ in float; only textual
+  // identity is parity), DuckDB carries state as a 3-double LIST (the
+  // measured struct_pack contamination workaround), and outputs ship
+  // UNROUNDED (+0.0) except the rms, which is one exact division + one
+  // IEEE sqrt of identical doubles. One shuffle on user, fold
+  // partition-local — the evt_holt scale shape.
+  // -------------------------------------------------------------------
+  private val KalQ = 100.0
+  private val KalR = 10000.0
+
+  private def evtKalman(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .withColumn("cents", round(col("value") * 100.0).cast("long"))
+      .groupBy(col("user_id"), expr(s"tus div $DayUs").as("day"))
+      .agg(sum(col("cents")).as("cents"))
+    val spine = daily
+      .groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("cents"), lit(0L)).cast("double").as("x"))
+    val gain = s"((acc.p + $KalQ) / (acc.p + $KalQ + $KalR))"
+    spine
+      .groupBy("user_id")
+      .agg(expr("array_sort(collect_list(struct(day, x)))").as("sx"))
+      .withColumn("xs", expr("transform(sx, p -> p.x)"))
+      .filter(size(col("xs")) >= 3)
+      .withColumn(
+        "st",
+        expr(
+          s"""aggregate(
+             |  slice(xs, 2, size(xs) - 1),
+             |  named_struct('x', element_at(xs, 1), 'p', CAST($KalR AS DOUBLE), 's', CAST(0.0 AS DOUBLE)),
+             |  (acc, x) -> named_struct(
+             |    'x', acc.x + $gain * (x - acc.x),
+             |    'p', (1.0 - $gain) * (acc.p + $KalQ),
+             |    's', acc.s + (x - acc.x) * (x - acc.x)))""".stripMargin
+        )
+      )
+      .select(
+        col("user_id"),
+        size(col("xs")).cast("long").as("n_days"),
+        (col("st.x") + 0.0).as("level"),
+        (col("st.p") + 0.0).as("p_var"),
+        (expr("sqrt(st.s / (size(xs) - 1))") + 0.0).as("innovation_rms")
+      )
+      .transform(Norm.ordered(_, col("user_id")))
+  }
+
+  private val evtKalmanSql: String = {
+    val gain = s"((acc[2] + $KalQ) / (acc[2] + $KalQ + $KalR))"
+    s"""WITH daily AS (
+       |  SELECT user_id, epoch_us(ts) // $DayUs AS day,
+       |         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2
+       |), rng AS (
+       |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+       |), days AS (
+       |  SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM rng
+       |), spine AS (
+       |  SELECT dy.user_id, dy.day, CAST(COALESCE(d.cents, 0) AS DOUBLE) AS x
+       |  FROM days dy LEFT JOIN daily d ON d.user_id = dy.user_id AND d.day = dy.day
+       |), arrs AS (
+       |  SELECT user_id, list(x ORDER BY day) AS xs FROM spine GROUP BY 1
+       |), ok AS (SELECT * FROM arrs WHERE len(xs) >= 3),
+       |folded AS (
+       |  SELECT user_id, CAST(len(xs) AS BIGINT) AS n_days,
+       |    list_reduce(
+       |      list_prepend([xs[1], $KalR, 0.0e0],
+       |                   list_transform(xs[2:], v -> [v, 0.0e0, 0.0e0])),
+       |      (acc, e) -> [
+       |        acc[1] + $gain * (e[1] - acc[1]),
+       |        (1.0 - $gain) * (acc[2] + $KalQ),
+       |        acc[3] + (e[1] - acc[1]) * (e[1] - acc[1])]) AS st,
+       |    len(xs) AS n
+       |  FROM ok
+       |)
+       |SELECT user_id, n_days,
+       |       st[1] + 0.0 AS level, st[2] + 0.0 AS p_var,
+       |       sqrt(st[3] / (n - 1)) + 0.0 AS innovation_rms
+       |FROM folded ORDER BY user_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // evt_cross_corr — sample CROSS-correlation between the hourly CLICK
   // count (x) and the hourly PURCHASE count (y) at lags −CcfMaxLag..
   // +CcfMaxLag over the gap-filled hour spine: the classical lead–lag
@@ -2912,6 +3008,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_motif" -> evtMotif,
+    "evt_kalman" -> evtKalman,
     "evt_transfer_entropy" -> transferEntropy,
     "evt_partial_corr" -> partialCorr,
     "evt_interpolate" -> interpolate,
@@ -2961,6 +3058,7 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "evt_motif" -> evtMotifSql,
+    "evt_kalman" -> evtKalmanSql,
     "evt_transfer_entropy" -> transferEntropySql,
     "evt_partial_corr" -> partialCorrSql,
     "evt_interpolate" -> interpolateSql,

