@@ -2352,6 +2352,166 @@ object EventQueries {
   }
 
   // -------------------------------------------------------------------
+  // evt_hurst — RESCALED-RANGE (R/S) LONG-MEMORY estimate per event
+  // type over the gap-filled hourly count series: the Hurst exponent H
+  // from the slope of ln(R/S) vs ln(w) across window sizes w ∈ {8, 16,
+  // 32, 64} — the long-memory diagnostic beside evt_acf's short-lag
+  // view (H ≈ 0.5 = memoryless, > 0.5 = persistent trends: burstiness/
+  // self-similarity is the standard traffic-series question). Per
+  // non-overlapping window: cumulative deviations are kept EXACT by
+  // scaling with w — D_k = w·Σ_{i≤k}x_i − k·S is int64 — so
+  // R/S = (maxD − minD)/√(w·Q − S²) is one division of int64-born
+  // doubles (zero-variance windows excluded by the exact w·Q = S² test).
+  // Per (type, w) the window R/S values are averaged in integer
+  // MICRO-UNITS (round → exact sum → one rounded mean — the measured
+  // ccm_boot_ci recipe; a plain avg() over doubles flips 6-dp
+  // boundaries under aggregation order). The 4-point log-log OLS runs
+  // as an ORDERED FOLD over the sorted (w, rs) array (Σ of 4 doubles is
+  // aggregation-order-sensitive; a sequential fold is not), ln() being
+  // the text_zipf empirical-parity precedent. Scale shape: the hour
+  // rollup is the only data-sized pass; everything after runs on the
+  // BOUNDED spine.
+  // -------------------------------------------------------------------
+  private val HurstWins = Seq(8, 16, 32, 64)
+
+  private def evtHurst(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hourly = ev(s, dir)
+      .groupBy(expr(s"tus div $HourUs").as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val types = hourly.select("event_type").distinct()
+    val spine = hourly
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hr"), col("h0"))
+      .crossJoin(types)
+      .join(hourly, Seq("hr", "event_type"), "left")
+      .select(col("event_type"), (col("hr") - col("h0")).as("t"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint()
+    val wsizes = HurstWins.toDF("w")
+    val chunked = spine
+      .crossJoin(broadcast(wsizes))
+      .withColumn("chunk", expr("t div w"))
+      .withColumn("k", expr("t % w + 1"))
+    val wRun = Window
+      .partitionBy("event_type", "w", "chunk")
+      .orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sums = chunked
+      .groupBy("event_type", "w", "chunk")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("x") * col("x")).as("qx"))
+    val devs = chunked
+      .withColumn("run", sum(col("x")).over(wRun))
+      .join(sums, Seq("event_type", "w", "chunk"))
+      .filter(col("n") === col("w")) // complete windows only
+      .withColumn("d", col("w") * col("run") - col("k") * col("sx"))
+      .groupBy("event_type", "w", "chunk", "sx", "qx")
+      .agg(max(col("d")).as("maxd"), min(col("d")).as("mind"))
+      .filter(col("w") * col("qx") - col("sx") * col("sx") > 0)
+      .withColumn(
+        "rs_micro",
+        expr(
+          "CAST(round(CAST(maxd - mind AS DOUBLE) / sqrt(CAST(w * qx - sx * sx AS DOUBLE)) * 1000000.0) AS BIGINT)"
+        )
+      )
+    val perW = devs
+      .groupBy("event_type", "w")
+      .agg(count(lit(1)).as("nw"), sum(col("rs_micro")).as("smicro"))
+      .withColumn("rs", expr("CAST(round(CAST(smicro AS DOUBLE) / nw) AS BIGINT) / 1000000.0"))
+    perW
+      .groupBy("event_type")
+      .agg(expr("array_sort(collect_list(struct(w, rs)))").as("pts"))
+      .withColumn(
+        "mom",
+        expr(
+          """aggregate(
+            |  pts,
+            |  named_struct('n', CAST(0.0 AS DOUBLE), 'sx', CAST(0.0 AS DOUBLE), 'sy', CAST(0.0 AS DOUBLE),
+            |               'sxy', CAST(0.0 AS DOUBLE), 'sxx', CAST(0.0 AS DOUBLE)),
+            |  (acc, p) -> named_struct(
+            |    'n', acc.n + 1.0,
+            |    'sx', acc.sx + ln(CAST(p.w AS DOUBLE)),
+            |    'sy', acc.sy + ln(p.rs),
+            |    'sxy', acc.sxy + ln(CAST(p.w AS DOUBLE)) * ln(p.rs),
+            |    'sxx', acc.sxx + ln(CAST(p.w AS DOUBLE)) * ln(CAST(p.w AS DOUBLE))))""".stripMargin
+        )
+      )
+      .select(
+        col("event_type"),
+        expr("element_at(transform(filter(pts, p -> p.w = 8), p -> p.rs), 1)").as("rs8"),
+        expr("element_at(transform(filter(pts, p -> p.w = 16), p -> p.rs), 1)").as("rs16"),
+        expr("element_at(transform(filter(pts, p -> p.w = 32), p -> p.rs), 1)").as("rs32"),
+        expr("element_at(transform(filter(pts, p -> p.w = 64), p -> p.rs), 1)").as("rs64"),
+        Norm.rnd(
+          expr("(mom.n * mom.sxy - mom.sx * mom.sy) / (mom.n * mom.sxx - mom.sx * mom.sx)"),
+          6
+        ).as("hurst")
+      )
+      .transform(Norm.ordered(_, col("event_type")))
+  }
+
+  private val evtHurstSql: String = {
+    val wlist = HurstWins.mkString(", ")
+    s"""WITH hourly AS (
+       |  SELECT epoch_us(ts) // $HourUs AS hr, event_type, CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2
+       |), b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hourly),
+       |types AS (SELECT DISTINCT event_type FROM hourly),
+       |spine AS MATERIALIZED (
+       |  SELECT ty.event_type, s.hr - (SELECT h0 FROM b) AS t, COALESCE(h.x, 0) AS x
+       |  FROM (SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b))) AS hr) s
+       |  CROSS JOIN types ty
+       |  LEFT JOIN hourly h ON h.hr = s.hr AND h.event_type = ty.event_type
+       |), chunked AS (
+       |  SELECT sp.event_type, ws.w, sp.t // ws.w AS chunk, sp.t % ws.w + 1 AS k, sp.t, sp.x
+       |  FROM spine sp CROSS JOIN (SELECT unnest([$wlist]) AS w) ws
+       |), runs AS (
+       |  SELECT *, sum(x) OVER (PARTITION BY event_type, w, chunk ORDER BY t
+       |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+       |  FROM chunked
+       |), sums AS (
+       |  SELECT event_type, w, chunk, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS qx
+       |  FROM chunked GROUP BY 1, 2, 3
+       |), devs AS (
+       |  SELECT r.event_type, r.w, r.chunk, s.sx, s.qx,
+       |         max(r.w * r.run - r.k * s.sx) AS maxd, min(r.w * r.run - r.k * s.sx) AS mind
+       |  FROM runs r JOIN sums s ON s.event_type = r.event_type AND s.w = r.w AND s.chunk = r.chunk
+       |  WHERE s.n = r.w
+       |  GROUP BY 1, 2, 3, 4, 5
+       |), rsw AS (
+       |  SELECT event_type, w,
+       |         CAST(count(*) AS BIGINT) AS nw,
+       |         CAST(sum(CAST(round(CAST(maxd - mind AS DOUBLE) / sqrt(CAST(w * qx - sx * sx AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS smicro
+       |  FROM devs WHERE w * qx - sx * sx > 0 GROUP BY 1, 2
+       |), rsv AS (
+       |  SELECT event_type, w, CAST(round(CAST(smicro AS DOUBLE) / nw) AS BIGINT) / 1000000.0 AS rs
+       |  FROM rsw
+       |), pts AS (
+       |  SELECT event_type, list([CAST(w AS DOUBLE), rs] ORDER BY w) AS pl FROM rsv GROUP BY 1
+       |), mom AS (
+       |  SELECT event_type, pl,
+       |    list_reduce(
+       |      list_prepend([0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0],
+       |                   list_transform(pl, p -> [p[1], p[2], 0.0e0, 0.0e0, 0.0e0])),
+       |      (acc, e) -> [
+       |        acc[1] + 1.0,
+       |        acc[2] + ln(e[1]),
+       |        acc[3] + ln(e[2]),
+       |        acc[4] + ln(e[1]) * ln(e[2]),
+       |        acc[5] + ln(e[1]) * ln(e[1])]) AS m
+       |  FROM pts
+       |)
+       |SELECT event_type,
+       |  (SELECT rs FROM rsv r WHERE r.event_type = mom.event_type AND r.w = 8) AS rs8,
+       |  (SELECT rs FROM rsv r WHERE r.event_type = mom.event_type AND r.w = 16) AS rs16,
+       |  (SELECT rs FROM rsv r WHERE r.event_type = mom.event_type AND r.w = 32) AS rs32,
+       |  (SELECT rs FROM rsv r WHERE r.event_type = mom.event_type AND r.w = 64) AS rs64,
+       |  round((m[1] * m[4] - m[2] * m[3]) / (m[1] * m[5] - m[2] * m[2]), 6) + 0.0 AS hurst
+       |FROM mom ORDER BY event_type""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // evt_kalman — LOCAL-LEVEL KALMAN FILTER per user over the gap-filled
   // daily-cents series: the adaptive-gain counterpart of
   // evt_ses_forecast's fixed-α EWMA (steady-state Kalman IS SES; the
@@ -3009,6 +3169,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_motif" -> evtMotif,
     "evt_kalman" -> evtKalman,
+    "evt_hurst" -> evtHurst,
     "evt_transfer_entropy" -> transferEntropy,
     "evt_partial_corr" -> partialCorr,
     "evt_interpolate" -> interpolate,
@@ -3059,6 +3220,7 @@ object EventQueries {
   val oracle: Map[String, String] = Map(
     "evt_motif" -> evtMotifSql,
     "evt_kalman" -> evtKalmanSql,
+    "evt_hurst" -> evtHurstSql,
     "evt_transfer_entropy" -> transferEntropySql,
     "evt_partial_corr" -> partialCorrSql,
     "evt_interpolate" -> interpolateSql,

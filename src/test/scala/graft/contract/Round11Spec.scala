@@ -108,6 +108,17 @@ class Round11Spec extends SparkTestBase {
     assert(spine.count() > 0)
   }
 
+  test("evt_hurst: R/S grows with window size and H lands in the open unit interval") {
+    val rows = SparkEntry.queries("evt_hurst")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rs = (1 to 4).map(i => r.getDecimal(i).doubleValue())
+      assert(rs.zip(rs.tail).forall { case (a, b) => b > a }, s"R/S must grow with w: $rs")
+      val h = r.getDouble(5)
+      assert(h > 0.0 && h < 1.0, s"Hurst exponent $h escaped (0, 1)")
+    }
+  }
+
   test("graph_ktruss peel rounds chain: edges monotone non-increasing, stable once converged") {
     val rows = SparkEntry
       .queries("graph_ktruss")(spark, dir)
