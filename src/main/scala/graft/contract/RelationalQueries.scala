@@ -1163,7 +1163,130 @@ object RelationalQueries {
        |GROUP BY 1, 2, 3
        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  // -------------------------------------------------------------------
+  // profile_drift — COLUMN-LEVEL DISTRIBUTION-DRIFT MONITOR between two
+  // table partitions (orders year 1995 vs 1996): the data-quality gate
+  // a production pipeline runs before accepting a new partition.
+  // Metrics per profiled column:
+  //  - categorical columns: L1 distance between the normalized category
+  //    histograms, computed EXACTLY as Σ|c_a·n_b − c_b·n_a| in int64
+  //    with ONE final double division by n_a·n_b (no per-category float
+  //    ratios to order-sum);
+  //  - numeric columns: the same exact-L1 over fixed price deciles
+  //    (cents div 5e6) plus the absolute mean shift in dollars (exact
+  //    integer cent sums, two exact divisions, one subtraction).
+  // Every count relation is a tiny per-category aggregate after ONE scan
+  // of the two partitions (year pruning pushes to the parquet reader);
+  // at 100 TB the profile cost is the scan, the drift algebra is
+  // constant-size. The c·n products bound: both factors ≤ the partition
+  // row count, exact to ~3e9 rows per partition.
+  // -------------------------------------------------------------------
+  private val DriftYearA = 1995
+  private val DriftYearB = 1996
+  private val DriftL1Threshold = 0.05
+  private val DriftMeanThreshold = 1.0 // dollars
+
+  private def profileDrift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderstatus"),
+        col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("cents")
+      )
+      .filter(col("yr").isin(DriftYearA.toLong, DriftYearB.toLong))
+      .localCheckpoint() // one scan feeds every per-column profile
+    val ns = o.agg(
+      sum(when(col("yr") === DriftYearA, 1L).otherwise(0L)).as("na"),
+      sum(when(col("yr") === DriftYearB, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("yr") === DriftYearA, col("cents")).otherwise(0L)).as("sa"),
+      sum(when(col("yr") === DriftYearB, col("cents")).otherwise(0L)).as("sb")
+    )
+    def l1Of(catCol: org.apache.spark.sql.Column, name: String): DataFrame =
+      o.groupBy(catCol.as("cat"))
+        .agg(
+          sum(when(col("yr") === DriftYearA, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("yr") === DriftYearB, 1L).otherwise(0L)).as("cb")
+        )
+        .crossJoin(ns)
+        .agg(
+          first(col("na")).as("n_a"),
+          first(col("nb")).as("n_b"),
+          sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("l1raw")
+        )
+        .select(
+          lit(name).as("column"),
+          lit("hist_l1").as("metric"),
+          col("n_a"),
+          col("n_b"),
+          Norm.rnd(
+            expr("CAST(l1raw AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"),
+            6
+          ).as("value")
+        )
+    val meanShift = ns.select(
+      lit("o_totalprice").as("column"),
+      lit("mean_shift").as("metric"),
+      col("na").as("n_a"),
+      col("nb").as("n_b"),
+      Norm.rnd(
+        expr("abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / 100.0"),
+        6
+      ).as("value")
+    )
+    l1Of(col("o_orderstatus"), "o_orderstatus")
+      .unionByName(l1Of(col("o_orderpriority"), "o_orderpriority"))
+      .unionByName(l1Of(expr("cents div 5000000"), "o_totalprice_decile"))
+      .unionByName(meanShift)
+      .withColumn(
+        "drifted",
+        when(col("metric") === "hist_l1", col("value") > DriftL1Threshold)
+          .otherwise(col("value") > DriftMeanThreshold)
+      )
+      .transform(Norm.ordered(_, col("column"), col("metric")))
+  }
+
+  private val profileDriftSql: String = {
+    def l1Of(cat: String, name: String) =
+      s"""SELECT '$name' AS "column", 'hist_l1' AS metric, n_a, n_b,
+         |  round(CAST(l1raw AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) + 0.0 AS value
+         |FROM (
+         |  SELECT first(ns.na) AS n_a, first(ns.nb) AS n_b,
+         |         CAST(sum(abs(c.ca * ns.nb - c.cb * ns.na)) AS BIGINT) AS l1raw
+         |  FROM (SELECT $cat AS cat,
+         |               CAST(sum(CASE WHEN yr = $DriftYearA THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |               CAST(sum(CASE WHEN yr = $DriftYearB THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |        FROM o GROUP BY 1) c CROSS JOIN ns
+         |)""".stripMargin
+    s"""WITH o AS MATERIALIZED (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus, o_orderpriority,
+       |         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+       |  FROM orders
+       |  WHERE CAST(year(o_orderdate) AS BIGINT) IN ($DriftYearA, $DriftYearB)
+       |), ns AS (
+       |  SELECT CAST(sum(CASE WHEN yr = $DriftYearA THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |         CAST(sum(CASE WHEN yr = $DriftYearB THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |         CAST(sum(CASE WHEN yr = $DriftYearA THEN cents ELSE 0 END) AS BIGINT) AS sa,
+       |         CAST(sum(CASE WHEN yr = $DriftYearB THEN cents ELSE 0 END) AS BIGINT) AS sb
+       |  FROM o
+       |), base AS (
+       |${l1Of("o_orderstatus", "o_orderstatus")}
+       |UNION ALL
+       |${l1Of("o_orderpriority", "o_orderpriority")}
+       |UNION ALL
+       |${l1Of("cents // 5000000", "o_totalprice_decile")}
+       |UNION ALL
+       |SELECT 'o_totalprice' AS "column", 'mean_shift' AS metric, na AS n_a, nb AS n_b,
+       |       round(abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / 100.0, 6) + 0.0 AS value
+       |FROM ns
+       |)
+       |SELECT *, CASE WHEN metric = 'hist_l1' THEN value > $DriftL1Threshold
+       |               ELSE value > $DriftMeanThreshold END AS drifted
+       |FROM base ORDER BY "column", metric""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_drift" -> profileDrift,
     "q8_marketshare" -> q8Marketshare,
     "q11_stock" -> q11Stock,
     "q12_shipmode" -> q12Shipmode,
@@ -1193,6 +1316,7 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "profile_drift" -> profileDriftSql,
     "q8_marketshare" -> q8MarketshareSql,
     "q11_stock" -> q11StockSql,
     "q12_shipmode" -> q12ShipmodeSql,

@@ -108,6 +108,16 @@ class Round11Spec extends SparkTestBase {
     assert(spine.count() > 0)
   }
 
+  test("profile_drift: exact-integer L1 lands in [0, 2] and the monitor separates the columns") {
+    val rows = SparkEntry.queries("profile_drift")(spark, dir).collect()
+    val l1s = rows.filter(_.getString(1) == "hist_l1").map(r => (r.getString(0), r.getDouble(4)))
+    assert(l1s.forall { case (_, v) => v >= 0.0 && v <= 2.0 }, s"L1 out of range: ${l1s.toSeq}")
+    // the gate data's REAL signal: numeric drift fires, categoricals hold
+    val byCol = rows.map(r => (r.getString(0) + "/" + r.getString(1), r.getBoolean(5))).toMap
+    assert(!byCol("o_orderstatus/hist_l1"), "status histogram is stable on this data")
+    assert(byCol("o_totalprice/mean_shift"), "the totalprice mean shift is the planted signal")
+  }
+
   test("evt_hurst: R/S grows with window size and H lands in the open unit interval") {
     val rows = SparkEntry.queries("evt_hurst")(spark, dir).collect()
     assert(rows.nonEmpty)
