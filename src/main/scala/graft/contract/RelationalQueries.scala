@@ -1285,7 +1285,51 @@ object RelationalQueries {
        |FROM base ORDER BY "column", metric""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // obs_metrics — Dataset.observe / CollectMetrics under the hash gate:
+  // the production OBSERVABILITY path (row counters and quality gauges
+  // that ride an existing query plan for free — one CollectMetrics node
+  // over the scan, accumulator-style partial merge, published to the
+  // listener bus per query / per micro-batch). The gate drives the
+  // observed plan once and returns the observed metric row itself, so
+  // the oracle pins that the piggy-backed counters equal the ground
+  // truth a separate aggregation query would compute: count, exact cent
+  // sums, a predicate counter, and a max watermark-style timestamp.
+  // At 100 TB this is how a pipeline audits every stage WITHOUT running
+  // a second pass over the data.
+  // -------------------------------------------------------------------
+  private def obsMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables
+      .lineitem(s, dir)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_shipdate"), col("l_returnflag"))
+    val observed = li.observe(
+      "graft_obs",
+      count(lit(1)).as("n_rows"),
+      sum(expr("CAST(round(l_quantity * 100.0) AS BIGINT)")).as("qty_cents"),
+      sum(expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)")).as("price_cents"),
+      sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+      // l_shipdate surfaces as TIMESTAMP_NTZ; the UTC session makes the
+      // cast shift-free and epoch_us(l_shipdate) in DuckDB matches
+      max(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))")).as("max_ship_us")
+    )
+    val qe = observed.queryExecution
+    qe.toRdd.count() // drive THIS QueryExecution; the metrics land on it
+    val row = qe.observedMetrics("graft_obs")
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)))
+      .toDF("n_rows", "qty_cents", "price_cents", "n_returned", "max_ship_us")
+  }
+
+  private val obsMetricsSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents,
+       |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS price_cents,
+       |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       |  max(epoch_us(l_shipdate)) AS max_ship_us
+       |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "obs_metrics" -> obsMetrics,
     "profile_drift" -> profileDrift,
     "q8_marketshare" -> q8Marketshare,
     "q11_stock" -> q11Stock,
@@ -1316,6 +1360,7 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "obs_metrics" -> obsMetricsSql,
     "profile_drift" -> profileDriftSql,
     "q8_marketshare" -> q8MarketshareSql,
     "q11_stock" -> q11StockSql,

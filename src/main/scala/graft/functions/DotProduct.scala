@@ -166,16 +166,21 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` — injects the
-  * engine's native functions at session build time (the deployment path;
-  * [[GraftFunctions.register]] is the programmatic equivalent). Both paths
-  * iterate the same [[GraftFunctions.fns]] registry, so names, builders
-  * (incl. arity checks) and ExpressionInfo can never diverge.
+  * engine's native functions AND the as-of join planner strategy at
+  * session build time (the deployment path; [[GraftFunctions.register]] /
+  * `AsOfJoin.ensureRegistered` are the programmatic equivalents). Both
+  * paths iterate the same [[GraftFunctions.fns]] registry and the same
+  * strategy object, so names, builders (incl. arity checks),
+  * ExpressionInfo and planner behavior can never diverge between a
+  * config-built session and a programmatic one.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.fns.foreach { case (name, cls, builder, usage) =>
       e.injectFunction(
         (FunctionIdentifier(name), GraftFunctions.info(cls, name, usage), builder)
       )
     }
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
