@@ -507,7 +507,64 @@ object SinkQueries {
        |FROM allv ORDER BY key, valid_from""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // sink_ivm — INCREMENTAL VIEW MAINTENANCE of an aggregate: a
+  // materialized (year, status) sales summary is updated with a new
+  // year's delta by MERGING PARTIAL AGGREGATES — sum-of-counts and
+  // sum-of-cent-sums — instead of recomputing over the base table, and
+  // the oracle IS the full recompute, so the hash gate proves
+  // merge-equals-recompute. The non-mergeable average is rebuilt
+  // algebraically from the merged sufficient statistics (the reason
+  // production IVM stores sums+counts, never averages). The
+  // "materialized" state is a real parquet round-trip (written, read
+  // back), so the merge consumes the view as a downstream job would.
+  // Scale shape: the refresh touches O(|delta| + |view|) rows — the
+  // view is GROUPS-sized, the delta is one partition — never the base
+  // table; this is Spark's own partial/final aggregate contract applied
+  // across job boundaries.
+  // -------------------------------------------------------------------
+  private val IvmDeltaYear = 2001L
+
+  private def sinkIvm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderstatus").as("status"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("cents")
+      )
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("yr", "status").agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    val viewDir = Files.createTempDirectory("graft-ivm").toString
+    // materialize the pre-delta view as a REAL parquet round trip
+    partial(o.filter(col("yr") =!= IvmDeltaYear)).write.mode("overwrite").parquet(viewDir)
+    val view = s.read.parquet(viewDir)
+    val merged = view
+      .unionByName(partial(o.filter(col("yr") === IvmDeltaYear)))
+      .groupBy("yr", "status")
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+      .select(
+        col("yr"),
+        col("status"),
+        col("n"),
+        col("sum_cents"),
+        Norm.rnd(expr("CAST(sum_cents AS DOUBLE) / n / 100.0"), 4).as("avg_price")
+      )
+      .transform(Norm.ordered(_, col("yr"), col("status")))
+    graft.GateResult.materialize(merged) {
+      graft.GateResult.deleteRecursively(java.nio.file.Paths.get(viewDir))
+    }
+  }
+
+  private val sinkIvmSql: String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus AS status,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       |  round(CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+       |        / count(*) / 100.0, 4) + 0.0 AS avg_price
+       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_ivm" -> sinkIvm,
     "sink_scd2" -> scd2,
     "sink_bucketed_join" -> bucketedJoin,
     "sink_partition_prune" -> partitionPrune,
@@ -517,6 +574,7 @@ object SinkQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sink_ivm" -> sinkIvmSql,
     "sink_scd2" -> scd2Sql,
     "sink_bucketed_join" -> bucketedJoinSql,
     "sink_partition_prune" -> partitionPruneSql,
