@@ -877,8 +877,11 @@ object GraphQueries {
   private val KtrussK = 3
   private val KtrussRounds = 3
 
-  private def graphKtruss(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Runs the peel loop; returns (per-round audits, final surviving edge
+    * set). Package-visible so graph_truss_quality can score the
+    * survivors against exact Jaccard without re-deriving the rounds.
+    */
+  private[contract] def trussPeel(s: SparkSession, dir: String): (Seq[(Long, Long, Long, Long, Long)], DataFrame) = {
     var e = pairsOf(s, dir).localCheckpoint()
     val rows = Seq.newBuilder[(Long, Long, Long, Long, Long)]
     for (round <- 1 to KtrussRounds) {
@@ -915,13 +918,20 @@ object GraphQueries {
       rows += ((round.toLong, nTri, before, after, checksum))
       e = next
     }
-    rows
-      .result()
+    (rows.result(), e)
+  }
+
+  private def graphKtruss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trussPeel(s, dir)._1
       .toDF("round", "n_triangles", "edges_before", "edges_after", "edge_checksum")
       .transform(Norm.ordered(_, col("round")))
   }
 
-  private val graphKtrussSql: String = {
+  /** The peel rounds as a CTE chain (pairs → es0 → tri/sup/es per round),
+    * shared by the ktruss oracle and the truss-quality oracle.
+    */
+  private val trussRoundsCteSql: String = {
     val rounds = (1 to KtrussRounds)
       .map { i =>
         s"""tri$i AS MATERIALIZED (
@@ -942,6 +952,12 @@ object GraphQueries {
            |)""".stripMargin
       }
       .mkString(",\n")
+    s"""$pairsCteSql,
+       |es0 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+       |$rounds""".stripMargin
+  }
+
+  private val graphKtrussSql: String = {
     val stats = (1 to KtrussRounds)
       .map { i =>
         s"""SELECT CAST($i AS BIGINT) AS round,
@@ -952,14 +968,79 @@ object GraphQueries {
       }
       .mkString("\nUNION ALL\n")
     s"""WITH ${DedupQueries.bandsCteSql},
-       |$pairsCteSql,
-       |es0 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
-       |$rounds
+       |$trussRoundsCteSql
        |SELECT * FROM ($stats) ORDER BY round""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // graph_truss_quality — DOES THE PEELING EARN ITS KEEP for dedup?
+  // Every LSH candidate pair is scored by EXACT shingle Jaccard and
+  // grouped by whether the truss kept it — the eval-layer pattern
+  // (dedup_lsh_quality, ann_recall_eval) applied to the graph operator.
+  // MEASURED FINDING (the opposite of the naive expectation, which is
+  // exactly why the eval exists): at the gate SF the PEELED pairs mean
+  // 0.460 Jaccard vs the survivors' 0.115 — because real duplicates
+  // arrive as 2-DOC PAIRS, and an isolated edge has zero triangle
+  // support, so k-truss discards precisely the highest-similarity
+  // duplicate pairs while keeping the looser multi-doc near-clique
+  // cores. Consequence, encoded here as a reading instead of prose:
+  // k-truss is a COMMUNITY-COHESION tool (its graph_ktruss role), NOT a
+  // dedup pair filter — a dedup pipeline must treat triangle support as
+  // evidence ABOUT CLUSTERS, never as a pair-level similarity gate.
+  // Jaccard means accumulate in integer micro-units (exact sums, one
+  // rounded mean — the ccm_boot_ci recipe). Scale: the pair relation is
+  // the LSH-bounded candidate set; the per-pair intersection is bounded
+  // by doc length; no term scales with corpus².
+  // -------------------------------------------------------------------
+  private def graphTrussQuality(s: SparkSession, dir: String): DataFrame = {
+    val (_, survivors) = trussPeel(s, dir)
+    val pairs = pairsOf(s, dir)
+    val sets = DedupQueries
+      .shingled(s, dir)
+      .select(col("doc_id"), expr("array_distinct(shh)").as("sh"))
+      .localCheckpoint() // joined twice (doc_a and doc_b sides)
+    pairs
+      .join(survivors.withColumn("survived", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .withColumn("survived", coalesce(col("survived"), lit(0L)))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_union", size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("n_common"))
+      .withColumn(
+        "jmicro",
+        expr("CAST(round(CAST(n_common AS DOUBLE) / n_union * 1000000.0) AS BIGINT)")
+      )
+      .groupBy("survived")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jmicro")).as("sj"))
+      .select(
+        col("survived"),
+        col("n_pairs"),
+        expr("CAST(round(CAST(sj AS DOUBLE) / n_pairs) AS BIGINT) / 1000000.0").as("mean_jaccard")
+      )
+      .transform(Norm.ordered(_, col("survived")))
+  }
+
+  private val graphTrussQualitySql: String =
+    s"""WITH ${DedupQueries.bandsCteSql},
+       |$trussRoundsCteSql,
+       |sets AS (SELECT doc_id, list_distinct(shh) AS sh FROM ds),
+       |fl AS (
+       |  SELECT CASE WHEN s.doc_a IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS survived,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+       |         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+       |  FROM pairs p
+       |  LEFT JOIN es$KtrussRounds s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+       |  JOIN sets a ON a.doc_id = p.doc_a
+       |  JOIN sets b ON b.doc_id = p.doc_b
+       |)
+       |SELECT survived, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(round(CAST(sum(CAST(round(CAST(n_common AS DOUBLE) / n_union * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |             / count(*)) AS BIGINT) / 1000000.0 AS mean_jaccard
+       |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_ktruss" -> graphKtruss,
+    "graph_truss_quality" -> graphTrussQuality,
     "graph_label_prop" -> graphLabelProp,
     "graph_hits" -> graphHits,
     "graph_degree" -> graphDegree,
@@ -977,6 +1058,7 @@ object GraphQueries {
 
   val oracle: Map[String, String] = Map(
     "graph_ktruss" -> graphKtrussSql,
+    "graph_truss_quality" -> graphTrussQualitySql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_hits" -> graphHitsSql,
     "graph_degree" -> graphDegreeSql,

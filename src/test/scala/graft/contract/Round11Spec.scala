@@ -118,6 +118,24 @@ class Round11Spec extends SparkTestBase {
     assert(byCol("o_totalprice/mean_shift"), "the totalprice mean shift is the planted signal")
   }
 
+  test("graph_truss_quality pins the measured inversion: peeled pairs are MORE similar") {
+    // duplicates arrive as 2-doc pairs -> isolated edges -> zero triangle
+    // support -> peeled; if this flips, either the corpus or the peel
+    // semantics changed and the scaladoc's finding must be re-measured
+    val rows = SparkEntry
+      .queries("graph_truss_quality")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue()))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L))
+    val (peeled, survived) = (rows(0), rows(1))
+    assert(
+      peeled._3 > survived._3,
+      s"peeled mean ${peeled._3} vs survived ${survived._3} — the 2-doc-duplicate finding flipped"
+    )
+    assert(peeled._2 > 0 && survived._2 > 0)
+  }
+
   test("evt_hurst: R/S grows with window size and H lands in the open unit interval") {
     val rows = SparkEntry.queries("evt_hurst")(spark, dir).collect()
     assert(rows.nonEmpty)
