@@ -2512,6 +2512,162 @@ object EventQueries {
   }
 
   // -------------------------------------------------------------------
+  // evt_discord — the FULL MATRIX-PROFILE sweep evt_motif is one column
+  // of: for EVERY window of every type's hourly series, the nearest
+  // OTHER window's NCC (exclusion zone |t−s| >= m, the standard
+  // trivial-match guard), and the top-3 DISCORDS per type — the windows
+  // whose best match is worst, i.e. the hours that look like nothing
+  // else in the series (anomaly detection by similarity, not by
+  // threshold). The all-pairs dot products use the DIAGONAL trick: for
+  // a pair (t, s) every aligned term x_{t+j}·y_{s+j} lies on the fixed
+  // diagonal d = t−s, so ONE self-join on (type, d) builds every
+  // product exactly once and ONE m-row window frame per (type, d)
+  // yields Σ_j x·y for every t simultaneously — O(n²) pairs for an
+  // n-point spine, built relationally with no per-pair recomputation.
+  // All co-moments exact int64 (the evt_motif discipline), the same
+  // textual r formula, zero-variance windows excluded exactly. Scale:
+  // n is the BOUNDED spine length (hours×types — fixed by the time
+  // range, not the corpus), so the quadratic term is corpus-size-free;
+  // the event→hour rollup remains the only data-sized pass.
+  // -------------------------------------------------------------------
+  private val DiscordK = 3
+
+  private def evtDiscord(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = MotifLen
+    val hourly = ev(s, dir)
+      .groupBy(expr(s"tus div $HourUs").as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val bounds = hourly.agg(min("hr").as("h0"), max("hr").as("h1"))
+    val types = hourly.select("event_type").distinct()
+    val spine = bounds
+      .select(col("h0"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .crossJoin(types)
+      .join(hourly, Seq("hr", "event_type"), "left")
+      .select(col("event_type"), (col("hr") - col("h0")).as("t"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint() // feeds the per-window stats AND the diagonal self-join
+    val wFrame = Window
+      .partitionBy("event_type")
+      .orderBy("t")
+      .rowsBetween(Window.currentRow, m - 1)
+    val stats = spine
+      .withColumn("sx", sum(col("x")).over(wFrame))
+      .withColumn("qx", sum(col("x") * col("x")).over(wFrame))
+      .withColumn("cnt", count(lit(1)).over(wFrame))
+      .filter(col("cnt") === m)
+      .withColumn("den", lit(m) * col("qx") - col("sx") * col("sx"))
+      .filter(col("den") > 0)
+      .select(col("event_type"), col("t"), col("sx"), col("den"))
+      .localCheckpoint() // joined twice (t and s sides)
+    val wDiag = Window
+      .partitionBy("event_type", "d")
+      .orderBy("t")
+      .rowsBetween(Window.currentRow, m - 1)
+    val dots = spine
+      .as("a")
+      .join(
+        spine.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          // exclusion zone: |t-s| = |d| >= m; build each unordered pair
+          // once via d > 0 (r is symmetric)
+          col("b.t") <= col("a.t") - m
+      )
+      .select(
+        col("a.event_type").as("event_type"),
+        (col("a.t") - col("b.t")).as("d"),
+        col("a.t").as("t"),
+        (col("a.x") * col("b.x")).as("xy")
+      )
+      .withColumn("dxy", sum(col("xy")).over(wDiag))
+      .withColumn("cnt", count(lit(1)).over(wDiag))
+      .filter(col("cnt") === m)
+      .select(col("event_type"), col("t"), (col("t") - col("d")).as("s"), col("dxy"))
+    val scored = dots
+      .join(stats.select(col("event_type"), col("t"), col("sx").as("sxa"), col("den").as("dena")), Seq("event_type", "t"))
+      .join(
+        stats.select(col("event_type"), col("t").as("s"), col("sx").as("sxb"), col("den").as("denb")),
+        Seq("event_type", "s")
+      )
+      .withColumn("num", lit(m) * col("dxy") - col("sxa") * col("sxb"))
+      .withColumn(
+        "r",
+        expr("CAST(num AS DOUBLE) / (sqrt(CAST(dena AS DOUBLE)) * sqrt(CAST(denb AS DOUBLE)))")
+      )
+    // fold the symmetric pair back onto BOTH endpoints, then per window
+    // keep its best match; discords = worst best-match per type
+    val best = scored
+      .select(col("event_type"), col("t"), col("r"))
+      .unionByName(scored.select(col("event_type"), col("s").as("t"), col("r")))
+      .groupBy("event_type", "t")
+      .agg(max(col("r")).as("best_ncc"))
+    val wRank = Window.partitionBy("event_type").orderBy(col("best_ncc").asc, col("t").asc)
+    best
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= DiscordK)
+      .crossJoin(bounds.select(col("h0")))
+      .select(
+        col("event_type"),
+        col("rank"),
+        ((col("h0") + col("t")) * HourUs).as("start_us"),
+        Norm.rnd(col("best_ncc"), 6).as("best_ncc")
+      )
+      .transform(Norm.ordered(_, col("event_type"), col("rank")))
+  }
+
+  // lazy: MotifLen is declared LOWER in the file — an eager val here
+  // silently bakes m = 0 into the SQL (the measured r9 init-order trap)
+  private lazy val evtDiscordSql: String = {
+    val m = MotifLen
+    s"""WITH hourly AS (
+       |  SELECT epoch_us(ts) // $HourUs AS hr, event_type, CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2
+       |), b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hourly),
+       |types AS (SELECT DISTINCT event_type FROM hourly),
+       |spine AS MATERIALIZED (
+       |  SELECT ty.event_type, s.hr - (SELECT h0 FROM b) AS t, COALESCE(h.x, 0) AS x
+       |  FROM (SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b))) AS hr) s
+       |  CROSS JOIN types ty
+       |  LEFT JOIN hourly h ON h.hr = s.hr AND h.event_type = ty.event_type
+       |), stats AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT event_type, t,
+       |      sum(x) OVER w AS sx, sum(x * x) OVER w AS qx, count(*) OVER w AS cnt
+       |    FROM spine
+       |    WINDOW w AS (PARTITION BY event_type ORDER BY t ROWS BETWEEN CURRENT ROW AND ${m - 1} FOLLOWING)
+       |  ) WHERE cnt = $m AND $m * qx - sx * sx > 0
+       |), dots AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT event_type, d, t, t - d AS s,
+       |      sum(xy) OVER w AS dxy, count(*) OVER w AS cnt
+       |    FROM (
+       |      SELECT a.event_type, a.t - bb.t AS d, a.t, a.x * bb.x AS xy
+       |      FROM spine a JOIN spine bb
+       |        ON bb.event_type = a.event_type AND bb.t <= a.t - $m
+       |    )
+       |    WINDOW w AS (PARTITION BY event_type, d ORDER BY t ROWS BETWEEN CURRENT ROW AND ${m - 1} FOLLOWING)
+       |  ) WHERE cnt = $m
+       |), scored AS (
+       |  SELECT d.event_type, d.t, d.s,
+       |    CAST($m * d.dxy - sa.sx * sb.sx AS DOUBLE)
+       |      / (sqrt(CAST($m * sa.qx - sa.sx * sa.sx AS DOUBLE)) * sqrt(CAST($m * sb.qx - sb.sx * sb.sx AS DOUBLE))) AS r
+       |  FROM dots d
+       |  JOIN stats sa ON sa.event_type = d.event_type AND sa.t = d.t
+       |  JOIN stats sb ON sb.event_type = d.event_type AND sb.t = d.s
+       |), best AS (
+       |  SELECT event_type, t, max(r) AS best_ncc
+       |  FROM (SELECT event_type, t, r FROM scored UNION ALL SELECT event_type, s, r FROM scored)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT event_type,
+       |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY best_ncc, t) AS BIGINT) AS rank,
+       |  ((SELECT h0 FROM b) + t) * $HourUs AS start_us,
+       |  round(best_ncc, 6) + 0.0 AS best_ncc
+       |FROM best
+       |QUALIFY rank <= $DiscordK
+       |ORDER BY event_type, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // evt_kalman — LOCAL-LEVEL KALMAN FILTER per user over the gap-filled
   // daily-cents series: the adaptive-gain counterpart of
   // evt_ses_forecast's fixed-α EWMA (steady-state Kalman IS SES; the
@@ -3170,6 +3326,7 @@ object EventQueries {
     "evt_motif" -> evtMotif,
     "evt_kalman" -> evtKalman,
     "evt_hurst" -> evtHurst,
+    "evt_discord" -> evtDiscord,
     "evt_transfer_entropy" -> transferEntropy,
     "evt_partial_corr" -> partialCorr,
     "evt_interpolate" -> interpolate,
@@ -3221,6 +3378,7 @@ object EventQueries {
     "evt_motif" -> evtMotifSql,
     "evt_kalman" -> evtKalmanSql,
     "evt_hurst" -> evtHurstSql,
+    "evt_discord" -> evtDiscordSql,
     "evt_transfer_entropy" -> transferEntropySql,
     "evt_partial_corr" -> partialCorrSql,
     "evt_interpolate" -> interpolateSql,

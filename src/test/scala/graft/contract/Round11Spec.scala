@@ -136,6 +136,19 @@ class Round11Spec extends SparkTestBase {
     assert(peeled._2 > 0 && survived._2 > 0)
   }
 
+  test("evt_discord: discords rank by worst best-match, NCC valid, exclusion zone respected") {
+    val rows = SparkEntry.queries("evt_discord")(spark, dir).orderBy("event_type", "rank").collect()
+    assert(rows.length == 15) // 3 per type x 5 types
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val nccs = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(nccs.zip(nccs.tail).forall { case (a, b) => a <= b }, s"discord rank must be ASC best_ncc: ${nccs.toSeq}")
+      assert(nccs.forall(v => v >= -1.000001 && v <= 1.000001))
+    }
+    // a discord's best match is still a REAL match: no NCC may be the
+    // degenerate -1/NaN of an empty candidate set
+    assert(rows.forall(r => !r.getDouble(3).isNaN))
+  }
+
   test("evt_hurst: R/S grows with window size and H lands in the open unit interval") {
     val rows = SparkEntry.queries("evt_hurst")(spark, dir).collect()
     assert(rows.nonEmpty)
