@@ -2363,14 +2363,21 @@ object EventQueries {
   // R/S = (maxD − minD)/√(w·Q − S²) is one division of int64-born
   // doubles (zero-variance windows excluded by the exact w·Q = S² test).
   // Per (type, w) the window R/S values are averaged in integer
-  // MICRO-UNITS (round → exact sum → one rounded mean — the measured
-  // ccm_boot_ci recipe; a plain avg() over doubles flips 6-dp
-  // boundaries under aggregation order). The 4-point log-log OLS runs
-  // as an ORDERED FOLD over the sorted (w, rs) array (Σ of 4 doubles is
-  // aggregation-order-sensitive; a sequential fold is not), ln() being
-  // the text_zipf empirical-parity precedent. Scale shape: the hour
-  // rollup is the only data-sized pass; everything after runs on the
-  // BOUNDED spine.
+  // MICRO-UNITS: deterministic floor(x+0.5) half-up (round(DOUBLE) is
+  // engine-divergent on shortest-decimal ties — the evt_mad_outliers
+  // measurement), exact int64 sum, then an INTEGER half-up mean
+  // (2·s+n) div (2·n) — no double round anywhere. The 4-point log-log
+  // OLS runs as an ORDERED FOLD over the sorted points (Σ of 4 doubles
+  // is aggregation-order-sensitive; a sequential fold is not), with
+  // ln(w) replaced by the EXACT dyadic exponent j = log2(w) ∈ {3..6}
+  // (hurst = slope_j / ln2, LN2 a spliced literal) and ln(rs) computed
+  // by the engine-shared IEEE-only series in ExactLn — round 11
+  // measured the libm ln() here hash-red on the driver while matching
+  // locally, so libm never touches the hashed path anymore. hurst is
+  // published UNROUNDED (+0.0): every operand is engine-identical by
+  // construction, while a 6-dp round() is itself a divergence site.
+  // Scale shape: the hour rollup is the only data-sized pass;
+  // everything after runs on the BOUNDED spine.
   // -------------------------------------------------------------------
   private val HurstWins = Seq(8, 16, 32, 64)
 
@@ -2411,29 +2418,30 @@ object EventQueries {
       .withColumn(
         "rs_micro",
         expr(
-          "CAST(round(CAST(maxd - mind AS DOUBLE) / sqrt(CAST(w * qx - sx * sx AS DOUBLE)) * 1000000.0) AS BIGINT)"
+          "CAST(floor(((CAST(maxd - mind AS DOUBLE) / sqrt(CAST(w * qx - sx * sx AS DOUBLE))) * 1000000.0D) + 0.5D) AS BIGINT)"
         )
       )
     val perW = devs
       .groupBy("event_type", "w")
       .agg(count(lit(1)).as("nw"), sum(col("rs_micro")).as("smicro"))
-      .withColumn("rs", expr("CAST(round(CAST(smicro AS DOUBLE) / nw) AS BIGINT) / 1000000.0"))
+      .withColumn("rs", expr("((2L * smicro + nw) DIV (2L * nw)) / 1000000.0D"))
+      .withColumn("j", expr("CASE w WHEN 8 THEN 3.0D WHEN 16 THEN 4.0D WHEN 32 THEN 5.0D ELSE 6.0D END"))
+      .withColumn("lrs", expr(ExactLn.spark("rs")))
     perW
       .groupBy("event_type")
-      .agg(expr("array_sort(collect_list(struct(w, rs)))").as("pts"))
+      .agg(expr("array_sort(collect_list(struct(w, rs, j, lrs)))").as("pts"))
       .withColumn(
         "mom",
         expr(
           """aggregate(
             |  pts,
-            |  named_struct('n', CAST(0.0 AS DOUBLE), 'sx', CAST(0.0 AS DOUBLE), 'sy', CAST(0.0 AS DOUBLE),
-            |               'sxy', CAST(0.0 AS DOUBLE), 'sxx', CAST(0.0 AS DOUBLE)),
+            |  named_struct('n', 0.0D, 'sx', 0.0D, 'sy', 0.0D, 'sxy', 0.0D, 'sxx', 0.0D),
             |  (acc, p) -> named_struct(
-            |    'n', acc.n + 1.0,
-            |    'sx', acc.sx + ln(CAST(p.w AS DOUBLE)),
-            |    'sy', acc.sy + ln(p.rs),
-            |    'sxy', acc.sxy + ln(CAST(p.w AS DOUBLE)) * ln(p.rs),
-            |    'sxx', acc.sxx + ln(CAST(p.w AS DOUBLE)) * ln(CAST(p.w AS DOUBLE))))""".stripMargin
+            |    'n', acc.n + 1.0D,
+            |    'sx', acc.sx + p.j,
+            |    'sy', acc.sy + p.lrs,
+            |    'sxy', acc.sxy + (p.j * p.lrs),
+            |    'sxx', acc.sxx + (p.j * p.j)))""".stripMargin
         )
       )
       .select(
@@ -2442,9 +2450,8 @@ object EventQueries {
         expr("element_at(transform(filter(pts, p -> p.w = 16), p -> p.rs), 1)").as("rs16"),
         expr("element_at(transform(filter(pts, p -> p.w = 32), p -> p.rs), 1)").as("rs32"),
         expr("element_at(transform(filter(pts, p -> p.w = 64), p -> p.rs), 1)").as("rs64"),
-        Norm.rnd(
-          expr("(mom.n * mom.sxy - mom.sx * mom.sy) / (mom.n * mom.sxx - mom.sx * mom.sx)"),
-          6
+        expr(
+          s"((((mom.n * mom.sxy) - (mom.sx * mom.sy)) / ((mom.n * mom.sxx) - (mom.sx * mom.sx))) / ${ExactLn.Ln2}D) + 0.0D"
         ).as("hurst")
       )
       .transform(Norm.ordered(_, col("event_type")))
@@ -2482,32 +2489,35 @@ object EventQueries {
        |), rsw AS (
        |  SELECT event_type, w,
        |         CAST(count(*) AS BIGINT) AS nw,
-       |         CAST(sum(CAST(round(CAST(maxd - mind AS DOUBLE) / sqrt(CAST(w * qx - sx * sx AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS smicro
+       |         CAST(sum(CAST(floor(((CAST(maxd - mind AS DOUBLE) / sqrt(CAST(w * qx - sx * sx AS DOUBLE))) * 1000000.0e0) + 0.5e0) AS BIGINT)) AS BIGINT) AS smicro
        |  FROM devs WHERE w * qx - sx * sx > 0 GROUP BY 1, 2
        |), rsv AS (
-       |  SELECT event_type, w, CAST(round(CAST(smicro AS DOUBLE) / nw) AS BIGINT) / 1000000.0 AS rs
+       |  SELECT event_type, w, ((2 * smicro + nw) // (2 * nw)) / 1000000.0e0 AS rs,
+       |         CASE w WHEN 8 THEN 3.0e0 WHEN 16 THEN 4.0e0 WHEN 32 THEN 5.0e0 ELSE 6.0e0 END AS j
        |  FROM rsw
+       |), rsl AS (
+       |  SELECT event_type, w, rs, j, ${ExactLn.duck("rs")} AS lrs FROM rsv
        |), pts AS (
-       |  SELECT event_type, list([CAST(w AS DOUBLE), rs] ORDER BY w) AS pl FROM rsv GROUP BY 1
+       |  SELECT event_type, list([j, lrs] ORDER BY w) AS pl FROM rsl GROUP BY 1
        |), mom AS (
        |  SELECT event_type, pl,
        |    list_reduce(
        |      list_prepend([0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0],
        |                   list_transform(pl, p -> [p[1], p[2], 0.0e0, 0.0e0, 0.0e0])),
        |      (acc, e) -> [
-       |        acc[1] + 1.0,
-       |        acc[2] + ln(e[1]),
-       |        acc[3] + ln(e[2]),
-       |        acc[4] + ln(e[1]) * ln(e[2]),
-       |        acc[5] + ln(e[1]) * ln(e[1])]) AS m
+       |        acc[1] + 1.0e0,
+       |        acc[2] + e[1],
+       |        acc[3] + e[2],
+       |        acc[4] + (e[1] * e[2]),
+       |        acc[5] + (e[1] * e[1])]) AS m
        |  FROM pts
        |)
        |SELECT event_type,
-       |  (SELECT rs FROM rsv r WHERE r.event_type = mom.event_type AND r.w = 8) AS rs8,
-       |  (SELECT rs FROM rsv r WHERE r.event_type = mom.event_type AND r.w = 16) AS rs16,
-       |  (SELECT rs FROM rsv r WHERE r.event_type = mom.event_type AND r.w = 32) AS rs32,
-       |  (SELECT rs FROM rsv r WHERE r.event_type = mom.event_type AND r.w = 64) AS rs64,
-       |  round((m[1] * m[4] - m[2] * m[3]) / (m[1] * m[5] - m[2] * m[2]), 6) + 0.0 AS hurst
+       |  (SELECT rs FROM rsl r WHERE r.event_type = mom.event_type AND r.w = 8) AS rs8,
+       |  (SELECT rs FROM rsl r WHERE r.event_type = mom.event_type AND r.w = 16) AS rs16,
+       |  (SELECT rs FROM rsl r WHERE r.event_type = mom.event_type AND r.w = 32) AS rs32,
+       |  (SELECT rs FROM rsl r WHERE r.event_type = mom.event_type AND r.w = 64) AS rs64,
+       |  ((((m[1] * m[4]) - (m[2] * m[3])) / ((m[1] * m[5]) - (m[2] * m[2]))) / ${ExactLn.Ln2}e0) + 0.0e0 AS hurst
        |FROM mom ORDER BY event_type""".stripMargin
   }
 

@@ -988,9 +988,12 @@ object GraphQueries {
   // dedup pair filter — a dedup pipeline must treat triangle support as
   // evidence ABOUT CLUSTERS, never as a pair-level similarity gate.
   // Jaccard means accumulate in integer micro-units (exact sums, one
-  // rounded mean — the ccm_boot_ci recipe). Scale: the pair relation is
-  // the LSH-bounded candidate set; the per-pair intersection is bounded
-  // by doc length; no term scales with corpus².
+  // rounded mean — the ccm_boot_ci recipe). Both roundings are pure
+  // int64 round-half-up, (2a+b) div (2b): round() on DOUBLE is
+  // engine/build-sensitive at decimal boundaries (the r11 driver hash
+  // flip), so no double ever touches the hashed path. Scale: the pair
+  // relation is the LSH-bounded candidate set; the per-pair
+  // intersection is bounded by doc length; no term scales with corpus².
   // -------------------------------------------------------------------
   private def graphTrussQuality(s: SparkSession, dir: String): DataFrame = {
     val (_, survivors) = trussPeel(s, dir)
@@ -1008,14 +1011,14 @@ object GraphQueries {
       .withColumn("n_union", size(col("sa")).cast("long") + size(col("sb")).cast("long") - col("n_common"))
       .withColumn(
         "jmicro",
-        expr("CAST(round(CAST(n_common AS DOUBLE) / n_union * 1000000.0) AS BIGINT)")
+        expr("(2L * n_common * 1000000L + n_union) DIV (2L * n_union)")
       )
       .groupBy("survived")
       .agg(count(lit(1)).as("n_pairs"), sum(col("jmicro")).as("sj"))
       .select(
         col("survived"),
         col("n_pairs"),
-        expr("CAST(round(CAST(sj AS DOUBLE) / n_pairs) AS BIGINT) / 1000000.0").as("mean_jaccard")
+        expr("((2L * sj + n_pairs) DIV (2L * n_pairs)) / 1000000.0").as("mean_jaccard")
       )
       .transform(Norm.ordered(_, col("survived")))
   }
@@ -1034,8 +1037,8 @@ object GraphQueries {
        |  JOIN sets b ON b.doc_id = p.doc_b
        |)
        |SELECT survived, CAST(count(*) AS BIGINT) AS n_pairs,
-       |  CAST(round(CAST(sum(CAST(round(CAST(n_common AS DOUBLE) / n_union * 1000000.0) AS BIGINT)) AS DOUBLE)
-       |             / count(*)) AS BIGINT) / 1000000.0 AS mean_jaccard
+       |  ((2 * sum((2 * n_common * 1000000 + n_union) // (2 * n_union)) + count(*))
+       |     // (2 * count(*))) / 1000000.0 AS mean_jaccard
        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -153,7 +153,7 @@ class Round11Spec extends SparkTestBase {
     val rows = SparkEntry.queries("evt_hurst")(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val rs = (1 to 4).map(i => r.getDecimal(i).doubleValue())
+      val rs = (1 to 4).map(i => r.getDouble(i))
       assert(rs.zip(rs.tail).forall { case (a, b) => b > a }, s"R/S must grow with w: $rs")
       val h = r.getDouble(5)
       assert(h > 0.0 && h < 1.0, s"Hurst exponent $h escaped (0, 1)")
