@@ -1018,7 +1018,11 @@ object GraphQueries {
       .select(
         col("survived"),
         col("n_pairs"),
-        expr("((2L * sj + n_pairs) DIV (2L * n_pairs)) / 1000000.0").as("mean_jaccard")
+        // DOUBLE output, not DECIMAL: decimal division scale/repr is an
+        // engine- and build-dependent surface (the r11-green ccm_boot_ci
+        // precedent publishes the same micro-mean as CAST-to-DOUBLE);
+        // an exact int64 / 1e6 in IEEE doubles is bit-identical everywhere
+        expr("(CAST((2L * sj + n_pairs) DIV (2L * n_pairs) AS DOUBLE) / 1000000.0D) + 0.0D").as("mean_jaccard")
       )
       .transform(Norm.ordered(_, col("survived")))
   }
@@ -1037,8 +1041,8 @@ object GraphQueries {
        |  JOIN sets b ON b.doc_id = p.doc_b
        |)
        |SELECT survived, CAST(count(*) AS BIGINT) AS n_pairs,
-       |  ((2 * sum((2 * n_common * 1000000 + n_union) // (2 * n_union)) + count(*))
-       |     // (2 * count(*))) / 1000000.0 AS mean_jaccard
+       |  (CAST((2 * sum((2 * n_common * 1000000 + n_union) // (2 * n_union)) + count(*))
+       |     // (2 * count(*)) AS DOUBLE) / 1000000.0e0) + 0.0e0 AS mean_jaccard
        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

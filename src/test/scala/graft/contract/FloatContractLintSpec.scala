@@ -1,0 +1,132 @@
+package graft.contract
+
+import graft.SparkEntry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Float-contract lint: no hashed column may depend on libm luck.
+  *
+  * The driver's correctness gate byte-hashes result values from TWO
+  * engines (Spark/JVM and DuckDB). IEEE 754 guarantees bit-equal
+  * results across conforming implementations ONLY for `+ - * /` and
+  * `sqrt` (correctly rounded); `ln`/`exp`/`pow` may differ by 1 ulp
+  * between libm builds. Round 11 measured the failure mode: evt_hurst
+  * (libm `ln` in the OLS) matched locally and hash-failed on the
+  * driver's different build. The exact recipes that replace libm are
+  * ExactLn's IEEE-only series, integer micro-units with
+  * (2a+b) div (2b) half-up, floor(x+0.5), and spliced round-trip
+  * double literals.
+  *
+  * This spec scans every ORACLE SQL text (the oracle is the engine-
+  * parity contract: transcendental math there is the cross-engine
+  * surface) for ln( exp( pow( power( log( log2( log10(. Every hit
+  * must be covered by a waiver carrying a written parity argument —
+  * new libm enters the hashed surface deliberately or not at all.
+  *
+  * WHAT IS DELIBERATELY NOT LINTED:
+  *   - 1-arg round(x): at scale 0 every tie (half-integer) is exactly
+  *     binary-representable, so the shortest-decimal HALF_UP view
+  *     (Spark BigDecimal) and the binary half-away view (DuckDB
+  *     std::round) see the SAME tie and round it the same way, and
+  *     agree trivially off-tie — the documented evt_interpolate /
+  *     ccm_boot_ci argument, green on every driver build. (round(x, n)
+  *     for n>0 is DIFFERENT: decimal ties are not representable and
+  *     the two views measurably split — the evt_mad_outliers flip —
+  *     but it is the surface-wide Norm.rnd output convention with 11
+  *     rounds of measured parity; BASELINE.md's waiver ledger records
+  *     that residual risk.)
+  *   - DECIMAL-typed hashed outputs (engine/build-dependent scale
+  *     rules): convention is CAST(int AS DOUBLE)/1e6-style publishing;
+  *     recorded in the ledger, not textually detectable here.
+  */
+class FloatContractLintSpec extends AnyFunSuite {
+
+  private val Transcendentals = Seq("ln", "exp", "pow", "power", "log", "log2", "log10")
+
+  private def callSites(sql: String, fn: String): Seq[Int] = {
+    val re = s"(?i)(?<![a-z0-9_])${fn}\\s*\\(".r
+    re.findAllMatchIn(sql).map(_.start).toList
+  }
+
+  private def snippet(sql: String, at: Int): String =
+    sql.slice(at, math.min(sql.length, at + 70)).replaceAll("\\s+", " ")
+
+  private def scan(sql: String): Seq[String] =
+    Transcendentals.flatMap { fn =>
+      callSites(sql, fn).map(at => s"$fn :: ${snippet(sql, at)}")
+    }
+
+  /** Class waivers — one parity argument covering every matching site.
+    *
+    * pow2int: pow(2, k) for integer k — the result is an exact power
+    * of two, which every libm (and the JVM) returns exactly; there is
+    * no rounding surface. Used by the simhash/LSH bit-packers.
+    *
+    * ccmExpKernel: exp(-d/dmin), exp(-theta*d/dbar) — the CCM/S-map
+    * locality kernel. The weights feed a weighted average feeding a
+    * correlation rounded at 6 dp; parity is MEASURED on both the local
+    * and the driver DuckDB builds across rounds 1-11 (every ccm_*
+    * row green in every CORRECTNESS_r*.json). Migration path if a
+    * build ever flips it: an ExactLn-style exp series — not taken now
+    * because this is the engine's hottest kernel (25 queries).
+    */
+  private def classWaived(hit: String): Boolean = {
+    val isPow2 = hit.matches("(?i)(pow|power) :: (pow|power)\\(\\s*2\\s*,.*")
+    val isCcmKernel = hit.startsWith("exp :: exp(-")
+    isPow2 || isCcmKernel
+  }
+
+  /** Per-query waivers: transcendental name -> written parity argument.
+    * Every entry names math whose parity is empirical (measured green on
+    * both builds, every driver round since the query landed), not
+    * IEEE-guaranteed; each carries the boundary reasoning and the
+    * conversion path if a future build flips it. Mirrored in
+    * BASELINE.md's waiver ledger.
+    */
+  private val waivers: Map[String, (Set[String], String)] = Map(
+    "text_zipf" -> (Set("ln"), "ln(rank), ln(freq) in the log-log OLS; slope rounded 6dp. " +
+      "Measured parity on both builds since the query landed; ExactLn is the conversion path."),
+    "text_lm_score" -> (Set("ln"), "per-token -ln(p) sums over count rationals; 6dp output. " +
+      "Measured parity; ExactLn conversion path."),
+    "text_bigram_lm" -> (Set("ln"), "same -ln(p) surface as text_lm_score, same rounding."),
+    "text_quality_lr" -> (Set("exp"), "logistic sigmoid exp(-z) inside the IRLS fold; outputs 6dp. " +
+      "Measured parity; the gradient/Hessian accumulate in exact micro-units so only the " +
+      "sigmoid itself is libm."),
+    "text_source_divergence" -> (Set("ln"), "ln(p/q) in KL terms over count rationals; 6dp output. Measured parity."),
+    "text_tfidf" -> (Set("ln"), "idf = ln(N/df) over small-int ratios; 6dp output. Measured parity."),
+    "text_bm25" -> (Set("ln"), "idf ln over small-int ratios as text_tfidf; 6dp output."),
+    "ccm_auto_params" -> (Set("ln"), "MI = sum p*ln(...) over count rationals, 6dp — the ccm_mi_tau " +
+      "surface re-used by the auto-parameter panel. Measured parity."),
+    "ccm_mi_tau" -> (Set("ln"), "MI over count rationals, 6dp; measured parity on both builds since r6."),
+    "evt_transfer_entropy" -> (Set("ln"), "same count-rational ln surface as ccm_mi_tau."),
+    "mm_features" -> (Set("ln"), "byte-histogram entropy ln(c/n)/ln(2) over count rationals; 6dp. " +
+      "Measured parity; ln(2) divisor could be a spliced literal but the numerator ln remains — " +
+      "ExactLn is the conversion path.")
+  )
+
+  test("every transcendental in an oracle's hashed path is explicitly waived") {
+    val violations = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      val allowed = waivers.get(name).map(_._1).getOrElse(Set.empty[String])
+      scan(sql)
+        .filterNot(h => allowed.contains(h.takeWhile(_ != ' ')) || classWaived(h))
+        .map(b => s"$name: $b")
+    }
+    assert(
+      violations.isEmpty,
+      s"\nUnwaived libm in hashed oracle paths (use the exact recipes — ExactLn series, integer " +
+        s"(2a+b) div (2b) half-up, floor(x+0.5), spliced literals — or add a written waiver):\n  " +
+        violations.mkString("\n  ")
+    )
+  }
+
+  test("waivers list only queries that still exist and still hit the lint") {
+    val stale = waivers.keys.filterNot(SparkEntry.oracleSql.contains)
+    assert(stale.isEmpty, s"waivers for deleted queries: ${stale.mkString(", ")}")
+    val silent = waivers.collect {
+      case (name, (allowed, _))
+          if SparkEntry.oracleSql.contains(name) &&
+            !scan(SparkEntry.oracleSql(name)).exists(h => allowed.contains(h.takeWhile(_ != ' '))) =>
+        name
+    }
+    assert(silent.isEmpty, s"waivers whose queries no longer hit the lint (delete them): ${silent.mkString(", ")}")
+  }
+}

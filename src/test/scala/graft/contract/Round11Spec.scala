@@ -125,7 +125,7 @@ class Round11Spec extends SparkTestBase {
     val rows = SparkEntry
       .queries("graph_truss_quality")(spark, dir)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue()))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(_._1)
     assert(rows.map(_._1).toSeq == Seq(0L, 1L))
     val (peeled, survived) = (rows(0), rows(1))
