@@ -31,11 +31,14 @@ import java.nio.file.{Files, Paths}
   *     adjacent canaries < QuietFactor x base) still lands above the bar,
   *     which is evidence of a real regression rather than noise; such
   *     queries are listed in "above_bar_quiet";
-  *   - END-OF-RUN REQUEUE (VERDICT r9 item 1): if the whole run saw canary
-  *     drift > 2x, every query still above its bar RAW gets one fresh
-  *     bracketed min-of-3 window at the end of the run; the reading joins
-  *     the query's verdict AND ships verbatim under "requeue", so a
-  *     drift-contaminated artifact carries its own quiet re-measurement.
+  *   - END-OF-RUN REQUEUE (VERDICT r9 item 1, hardened r12 per VERDICT r11
+  *     item 4): if the whole run saw canary drift > 2x, every query still
+  *     above its bar RAW gets fresh bracketed min-of-3 windows at the end
+  *     of the run, RETRIED until a window's own bracketing canaries are
+  *     quiet or its raw reading lands under the bar (cap RequeueMaxTries);
+  *     all tries join the query's verdict and the quietest ships verbatim
+  *     under "requeue" with its try count and a settled flag, so a
+  *     still-noisy requeue can never masquerade as a quiet defense.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -162,18 +165,38 @@ object Bench {
     // window list (so raw/norm/quiet verdicts see it) AND is reported
     // verbatim under "requeue".
     val RequeueDriftFactor = 2.0
+    // VERDICT r11 item 4: a single requeue window measured during the same
+    // noise burst it is defending against proves nothing (the r11 requeue
+    // windows were themselves noisy). Retry until the window's OWN
+    // bracketing canaries are quiet (< QuietFactor x base) or the query's
+    // raw reading lands under its bar (noise only inflates, so an
+    // under-bar reading resolves the alarm even mid-burst), up to
+    // RequeueMaxTries windows. Every try joins the verdict windows; the
+    // artifact records the try count and whether quiet was reached, so a
+    // still-noisy requeue can never silently pass as a quiet defense.
+    val RequeueMaxTries = 4
     val preRequeueDrift = canarySamples.max / canaryBase
-    val requeued = collection.mutable.LinkedHashMap.empty[String, (Option[Double], Double, Double)]
+    val requeued =
+      collection.mutable.LinkedHashMap.empty[String, (Option[Double], Double, Double, Int, Boolean)]
     val resultsFinal =
       if (preRequeueDrift <= RequeueDriftFactor) results
       else results.map { case (name, windows) =>
         val rawMin = windows.flatMap(_._1).minOption
         val bar = BenchBaseline.mergedMinSec.get(name).map(barOf)
         if (bar.exists(b => rawMin.exists(_ > b))) {
-          val w = windowFor(name, SparkEntry.queries(name), 3)
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-          requeued(name) = w
-          (name, w :: windows)
+          var tries = List.empty[(Option[Double], Double, Double)]
+          var settled = false
+          while (!settled && tries.size < RequeueMaxTries) {
+            val w = windowFor(name, SparkEntry.queries(name), 3)
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+            tries ::= w
+            val quietWindow = math.max(w._2, w._3) < QuietFactor * canaryBase
+            val underBar = w._1.exists(_ <= bar.get)
+            settled = quietWindow || underBar
+          }
+          val best = tries.minBy(w => math.max(w._2, w._3)) // quietest try ships verbatim
+          requeued(name) = (best._1, best._2, best._3, tries.size, settled)
+          (name, tries ++ windows)
         } else (name, windows)
       }
     // All verdicts recomputed against the FINAL run-wide canary min:
@@ -213,9 +236,9 @@ object Bench {
       .getOrElse("")
     val metricName = if (only.isDefined) "partial_total" else "total"
     val requeueJson = requeued.toSeq
-      .map { case (k, (t, cB, cA)) =>
+      .map { case (k, (t, cB, cA, tries, settled)) =>
         val raw = t.map(v => f"$v%.3f").getOrElse("null")
-        "\"" + k + "\":" + f"""{"raw":$raw,"canary_before":$cB%.3f,"canary_after":$cA%.3f}"""
+        "\"" + k + "\":" + f"""{"raw":$raw,"canary_before":$cB%.3f,"canary_after":$cA%.3f,"tries":$tries,"settled":$settled}"""
       }
       .mkString("{", ",", "}")
     val json =
