@@ -1,0 +1,43 @@
+package graft.contract
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Semantic pins for the round-12 additions. */
+class Round12Spec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.01"
+
+  test("ccm_pairwise_screen: gate covers all pairs, CCM runs ONLY on survivors, both directions") {
+    val rows = SparkEntry.queries("ccm_pairwise_screen")(spark, dir).collect()
+    val gate = rows.filter(_.getString(2) == "gate")
+    val ccm = rows.filterNot(_.getString(2) == "gate")
+    // 12-series panel -> C(12,2) = 66 gated pairs, every one exactly once
+    assert(gate.length == 66, s"expected 66 gate rows, got ${gate.length}")
+    assert(gate.map(r => (r.getLong(0), r.getLong(1))).distinct.length == 66)
+    // the screen's whole point: the expensive stage runs on a strict subset
+    val survivors = gate.filter(_.getLong(5) == 1L).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(survivors.nonEmpty && survivors.size < 66, s"degenerate split: ${survivors.size}/66")
+    assert(survivors.size == 16, s"measured survivor count moved: ${survivors.size} (threshold drift?)")
+    assert(ccm.length == survivors.size * 2, "exactly two direction rows per survivor")
+    ccm.foreach { r =>
+      assert(survivors.contains((r.getLong(0), r.getLong(1))), "CCM ran on a gated-out pair")
+      assert(Set("x_causes_y", "y_causes_x").contains(r.getString(2)))
+      assert(!r.isNullAt(6), "survivor CCM row must carry rho")
+    }
+    gate.foreach { r =>
+      assert(r.isNullAt(6), "gate rows must not carry rho")
+      val ccf = r.getDouble(4)
+      assert(math.abs(ccf) <= 1.0 + 1e-9, s"ccf $ccf escaped [-1,1]")
+      val survived = r.getLong(5) == 1L
+      assert(survived == (math.abs(ccf) >= 0.4 - 1e-9), s"threshold mismatch at ccf=$ccf")
+    }
+  }
+
+  test("ccm_pairwise_screen prunes most of the expensive work (the S² control)") {
+    val rows = SparkEntry.queries("ccm_pairwise_screen")(spark, dir).collect()
+    val gate = rows.filter(_.getString(2) == "gate")
+    val pruned = gate.count(_.getLong(5) == 0L).toDouble / gate.length
+    assert(pruned >= 0.5, f"only $pruned%.2f of pairs pruned — the gate is not earning its keep")
+  }
+}
