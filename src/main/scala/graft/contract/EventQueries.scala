@@ -2542,13 +2542,44 @@ object EventQueries {
   // -------------------------------------------------------------------
   private val DiscordK = 3
 
-  private def evtDiscord(s: SparkSession, dir: String): DataFrame = {
+  /** Loud O(spine²) guard (VERDICT r11 item 6): the matrix-profile
+    * diagonal self-join is quadratic in the SPINE length — bounded by
+    * the TIME RANGE, not constant. 8192 hours (~1 year hourly) caps the
+    * pair relation at ~34M rows/type; past that the full profile is the
+    * wrong tool and the query must fail loudly instead of melting the
+    * cluster. The banded twin (evt_discord_banded, O(spine·band)) is
+    * the scale path. assert_true evaluates on the 1-row bounds relation
+    * (filter keeps the row via IS NULL when the guard holds), so the
+    * check is free and cannot be pruned away.
+    */
+  private val MaxSpineHours = 8192L
+  private val DiscordBand = 168L // one week of hourly diagonals
+
+  private[contract] def guardSpine(bounds: DataFrame, who: String): DataFrame =
+    bounds.filter(
+      expr(
+        s"assert_true(h1 - h0 + 1 <= $MaxSpineHours, " +
+          s"'$who: hour spine exceeds MaxSpineHours=$MaxSpineHours and the diagonal " +
+          s"self-join is O(spine^2) — use evt_discord_banded (O(spine*band)) or narrow " +
+          s"the time range') IS NULL"
+      )
+    )
+
+  private def evtDiscord(s: SparkSession, dir: String): DataFrame =
+    evtDiscordWith(s, dir, None)
+
+  private def evtDiscordBanded(s: SparkSession, dir: String): DataFrame =
+    evtDiscordWith(s, dir, Some(DiscordBand))
+
+  private def evtDiscordWith(s: SparkSession, dir: String, band: Option[Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = MotifLen
     val hourly = ev(s, dir)
       .groupBy(expr(s"tus div $HourUs").as("hr"), col("event_type"))
       .agg(count(lit(1)).as("x"))
-    val bounds = hourly.agg(min("hr").as("h0"), max("hr").as("h1"))
+    val bounds0 = hourly.agg(min("hr").as("h0"), max("hr").as("h1"))
+    // the banded variant is O(spine·band) and needs no guard
+    val bounds = if (band.isEmpty) guardSpine(bounds0, "evt_discord") else bounds0
     val types = hourly.select("event_type").distinct()
     val spine = bounds
       .select(col("h0"), explode(sequence(col("h0"), col("h1"))).as("hr"))
@@ -2579,8 +2610,11 @@ object EventQueries {
         spine.as("b"),
         col("a.event_type") === col("b.event_type") &&
           // exclusion zone: |t-s| = |d| >= m; build each unordered pair
-          // once via d > 0 (r is symmetric)
-          col("b.t") <= col("a.t") - m
+          // once via d > 0 (r is symmetric). Banded: only diagonals
+          // d in [m, m+band) — nearest neighbor WITHIN the band, the
+          // SCRIMP-style O(spine·band) scale path.
+          col("b.t") <= col("a.t") - m &&
+          band.map(bd => col("b.t") >= col("a.t") - lit(m + bd - 1)).getOrElse(lit(true))
       )
       .select(
         col("a.event_type").as("event_type"),
@@ -2626,8 +2660,12 @@ object EventQueries {
 
   // lazy: MotifLen is declared LOWER in the file — an eager val here
   // silently bakes m = 0 into the SQL (the measured r9 init-order trap)
-  private lazy val evtDiscordSql: String = {
+  private lazy val evtDiscordSql: String = evtDiscordSqlWith(None)
+  private lazy val evtDiscordBandedSql: String = evtDiscordSqlWith(Some(DiscordBand))
+
+  private def evtDiscordSqlWith(band: Option[Long]): String = {
     val m = MotifLen
+    val bandPred = band.map(bd => s" AND bb.t >= a.t - ${m + bd - 1}").getOrElse("")
     s"""WITH hourly AS (
        |  SELECT epoch_us(ts) // $HourUs AS hr, event_type, CAST(count(*) AS BIGINT) AS x
        |  FROM events GROUP BY 1, 2
@@ -2652,7 +2690,7 @@ object EventQueries {
        |    FROM (
        |      SELECT a.event_type, a.t - bb.t AS d, a.t, a.x * bb.x AS xy
        |      FROM spine a JOIN spine bb
-       |        ON bb.event_type = a.event_type AND bb.t <= a.t - $m
+       |        ON bb.event_type = a.event_type AND bb.t <= a.t - $m$bandPred
        |    )
        |    WINDOW w AS (PARTITION BY event_type, d ORDER BY t ROWS BETWEEN CURRENT ROW AND ${m - 1} FOLLOWING)
        |  ) WHERE cnt = $m
@@ -3239,7 +3277,8 @@ object EventQueries {
     val hourly = ev(s, dir)
       .groupBy(expr(s"tus div $HourUs").as("hr"), col("event_type"))
       .agg(count(lit(1)).as("x"))
-    val bounds = hourly.agg(min("hr").as("h0"), max("hr").as("h1"))
+    // same O(spine²) co-moment structure as evt_discord -> same loud guard
+    val bounds = guardSpine(hourly.agg(min("hr").as("h0"), max("hr").as("h1")), "evt_motif")
     val types = hourly.select("event_type").distinct()
     val spine = bounds
       .select(col("h0"), explode(sequence(col("h0"), col("h1"))).as("hr"))
@@ -3337,6 +3376,7 @@ object EventQueries {
     "evt_kalman" -> evtKalman,
     "evt_hurst" -> evtHurst,
     "evt_discord" -> evtDiscord,
+    "evt_discord_banded" -> evtDiscordBanded,
     "evt_transfer_entropy" -> transferEntropy,
     "evt_partial_corr" -> partialCorr,
     "evt_interpolate" -> interpolate,
@@ -3389,6 +3429,7 @@ object EventQueries {
     "evt_kalman" -> evtKalmanSql,
     "evt_hurst" -> evtHurstSql,
     "evt_discord" -> evtDiscordSql,
+    "evt_discord_banded" -> evtDiscordBandedSql,
     "evt_transfer_entropy" -> transferEntropySql,
     "evt_partial_corr" -> partialCorrSql,
     "evt_interpolate" -> interpolateSql,

@@ -34,6 +34,34 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("evt_discord_banded: an in-band best match can only be <= the full profile's") {
+    val full = SparkEntry
+      .queries("evt_discord")(spark, dir)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    val banded = SparkEntry
+      .queries("evt_discord_banded")(spark, dir)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(2)), r.getDouble(3)))
+    assert(banded.length == 15)
+    val common = banded.filter(kv => full.contains(kv._1))
+    common.foreach { case (k, bNcc) =>
+      assert(bNcc <= full(k) + 1e-9, s"banded best $bNcc > full best ${full(k)} at $k")
+    }
+  }
+
+  test("the O(spine²) guard fires loudly past MaxSpineHours and is silent under it") {
+    import spark.implicits._
+    val ok = Seq((0L, 700L)).toDF("h0", "h1")
+    assert(EventQueries.guardSpine(ok, "test").collect().length == 1)
+    val tooLong = Seq((0L, 9000L)).toDF("h0", "h1")
+    val e = intercept[Exception](EventQueries.guardSpine(tooLong, "test").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("O(spine^2)")), s"guard error not loud: ${msgs(e)}")
+  }
+
   test("ccm_pairwise_screen prunes most of the expensive work (the S² control)") {
     val rows = SparkEntry.queries("ccm_pairwise_screen")(spark, dir).collect()
     val gate = rows.filter(_.getString(2) == "gate")
