@@ -1148,15 +1148,20 @@ object StreamQueries {
        |  SELECT ((max(epoch_us(ts)) // 1000) - ${AsOfDelaySec}000) * 1000 AS w FROM events
        |  WHERE event_type IN ('purchase', 'click')
        |), p AS (
-       |  SELECT user_id, epoch_us(ts) AS pus, value FROM events WHERE event_type = 'purchase'
+       |  SELECT event_id, user_id, epoch_us(ts) AS pus, value FROM events WHERE event_type = 'purchase'
        |), c AS (
        |  SELECT user_id AS cu, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'
        |)
+       |-- keyed PER PURCHASE EVENT (ADVICE r11): grouping by the display
+       |-- columns alone would collapse two purchases sharing (user, ts,
+       |-- value) into one row while the streaming processor emits one
+       |-- AsOfRow per purchase event; event_id restores 1:1 parity (it is
+       |-- grouped on, not projected, so the output schema is unchanged)
        |SELECT p.user_id, p.pus AS purchase_us, round(p.value, 4) + 0.0 AS purchase_value,
        |       max(c.cus) AS click_us, p.pus - max(c.cus) AS lag_us
        |FROM p LEFT JOIN c ON c.cu = p.user_id AND c.cus <= p.pus AND p.pus - c.cus <= $ClickLagUs
        |WHERE p.pus < (SELECT w FROM cutoff)
-       |GROUP BY 1, 2, 3
+       |GROUP BY p.event_id, p.user_id, p.pus, p.value
        |ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------
