@@ -563,8 +563,79 @@ object SinkQueries {
        |        / count(*) / 100.0, 4) + 0.0 AS avg_price
        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // sink_ivm_join — INCREMENTAL MAINTENANCE OF A JOIN VIEW (VERDICT r11
+  // stretch 7): the materialized view is customer ⋈ orders aggregated to
+  // (mktsegment, year), and BOTH base relations receive deltas — late
+  // orders (the 2001 arrivals) and late customers (custkey % 10 = 0).
+  // The refresh applies the classic join-view delta algebra
+  //   ΔV = agg(C_old ⋈ ΔO) ∪ agg(ΔC ⋈ O_old) ∪ agg(ΔC ⋈ ΔO)
+  // (disjoint because each side is partitioned old/new), merging the
+  // three delta partials into the materialized partials — never
+  // rejoining the old sides. The oracle IS the full recompute
+  // customer ⋈ orders, so the hash gate proves delta-algebra =
+  // recompute, including the cross term ΔC ⋈ ΔO that naive one-sided
+  // maintenance drops. The view state is a real parquet round trip.
+  // Scale shape: each delta term is delta-sized on one side (at scale
+  // both bases bucketed by custkey make every term a co-located join);
+  // the final merge touches O(|Δterms| + |view|) rows, never the bases.
+  // -------------------------------------------------------------------
+  private val IvmJoinDeltaYear = 2001L
+  private val IvmJoinCustMod = 10L
+
+  private def sinkIvmJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val o = Tables
+      .orders(s, dir)
+      .select(
+        col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("cents")
+      )
+    val cOld = c.filter(col("c_custkey") % IvmJoinCustMod =!= 0)
+    val cNew = c.filter(col("c_custkey") % IvmJoinCustMod === 0)
+    val oOld = o.filter(col("yr") =!= IvmJoinDeltaYear)
+    val oNew = o.filter(col("yr") === IvmJoinDeltaYear)
+    def partial(cs: DataFrame, os: DataFrame): DataFrame =
+      cs.join(os, cs("c_custkey") === os("o_custkey"))
+        .groupBy("segment", "yr")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    val viewDir = Files.createTempDirectory("graft-ivmj").toString
+    partial(cOld, oOld).write.mode("overwrite").parquet(viewDir)
+    val view = s.read.parquet(viewDir)
+    val merged = view
+      .unionByName(partial(cOld, oNew))
+      .unionByName(partial(cNew, oOld))
+      .unionByName(partial(cNew, oNew))
+      .groupBy("segment", "yr")
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+      .select(
+        col("segment"),
+        col("yr"),
+        col("n"),
+        col("sum_cents"),
+        Norm.rnd(expr("CAST(sum_cents AS DOUBLE) / n / 100.0"), 4).as("avg_price")
+      )
+      .transform(Norm.ordered(_, col("segment"), col("yr")))
+    graft.GateResult.materialize(merged) {
+      graft.GateResult.deleteRecursively(java.nio.file.Paths.get(viewDir))
+    }
+  }
+
+  private val sinkIvmJoinSql: String =
+    s"""SELECT c.c_mktsegment AS segment, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       |  round(CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+       |        / count(*) / 100.0, 4) + 0.0 AS avg_price
+       |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_ivm" -> sinkIvm,
+    "sink_ivm_join" -> sinkIvmJoin,
     "sink_scd2" -> scd2,
     "sink_bucketed_join" -> bucketedJoin,
     "sink_partition_prune" -> partitionPrune,
@@ -575,6 +646,7 @@ object SinkQueries {
 
   val oracle: Map[String, String] = Map(
     "sink_ivm" -> sinkIvmSql,
+    "sink_ivm_join" -> sinkIvmJoinSql,
     "sink_scd2" -> scd2Sql,
     "sink_bucketed_join" -> bucketedJoinSql,
     "sink_partition_prune" -> partitionPruneSql,

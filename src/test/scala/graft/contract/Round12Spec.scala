@@ -62,6 +62,22 @@ class Round12Spec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("O(spine^2)")), s"guard error not loud: ${msgs(e)}")
   }
 
+  test("sink_ivm_join: every delta-algebra term is live at the gate (incl. the cross term)") {
+    // if any of C_old⋈ΔO / ΔC⋈O_old / ΔC⋈ΔO were empty here, the hash gate
+    // would vacuously pass a refresh that drops that term — pin them nonempty
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables
+      .orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+    def n(cMod: Boolean, dYear: Boolean): Long =
+      c.filter(if (cMod) col("c_custkey") % 10 === 0 else col("c_custkey") % 10 =!= 0)
+        .join(o.filter(if (dYear) col("yr") === 2001L else col("yr") =!= 2001L), c("c_custkey") === o("o_custkey"))
+        .count()
+    assert(n(cMod = false, dYear = true) > 0, "C_old ⋈ ΔO is empty — delta year has no old-customer orders")
+    assert(n(cMod = true, dYear = false) > 0, "ΔC ⋈ O_old is empty — late customers have no old orders")
+    assert(n(cMod = true, dYear = true) > 0, "ΔC ⋈ ΔO is empty — the cross term is untested")
+  }
+
   test("ccm_pairwise_screen prunes most of the expensive work (the S² control)") {
     val rows = SparkEntry.queries("ccm_pairwise_screen")(spark, dir).collect()
     val gate = rows.filter(_.getString(2) == "gate")
