@@ -28,9 +28,11 @@ import java.nio.file.{Files, Paths}
   *     (BenchBaseline, regenerated each round from BASELINE.md's latest
   *     merged-min table) is AUTO-RERUN with a fresh bracketed window, up to
   *     MaxRetryWindows times — stopping early if a QUIET window (both
-  *     adjacent canaries < QuietFactor x base) still lands above the bar,
-  *     which is evidence of a real regression rather than noise; such
-  *     queries are listed in "above_bar_quiet";
+  *     adjacent canaries < QuietFactor x base AND the run's base itself at
+  *     the recorded quiet-host level, AbsQuietBaseSec — a uniformly
+  *     degraded host must not certify its own inflated readings) still
+  *     lands above the bar, which is evidence of a real regression rather
+  *     than noise; such queries are listed in "above_bar_quiet";
   *   - END-OF-RUN REQUEUE (VERDICT r9 item 1, hardened r12 per VERDICT r11
   *     item 4): if the whole run saw canary drift > 2x, every query still
   *     above its bar RAW gets fresh bracketed min-of-3 windows at the end
@@ -83,6 +85,15 @@ object Bench {
 
     val CanaryBaseRuns = 5
     val QuietFactor = 1.3
+    // ABSOLUTE quiet ceiling (round 12): QuietFactor alone is RELATIVE to
+    // this run's canary min, so a uniformly degraded host (measured: base
+    // 0.135-0.153 vs the recorded quiet-gate 0.071-0.075) calls its own
+    // windows "quiet" and flags 2x-inflated readings as real regressions.
+    // A window may carry an above_bar_quiet verdict only when the run's
+    // canary base itself is at the recorded quiet-host level — the same
+    // absolute criterion merge_baseline.py applies to re-seeding (base
+    // <= 0.12 s), so verdicts and baselines share one definition of quiet.
+    val AbsQuietBaseSec = 0.12
     val MaxRetryWindows = 4
     val Runs = 3
     val ExtraRunAboveSec = 2.0
@@ -136,7 +147,7 @@ object Bench {
       .sortBy(_._1)
       .map { case (name, fn) =>
       def quiet(w: (Option[Double], Double, Double)) =
-        math.max(w._2, w._3) < QuietFactor * canaryBase
+        math.max(w._2, w._3) < QuietFactor * canaryBase && canaryBase <= AbsQuietBaseSec
       var windows = List(windowFor(name, fn, Runs))
       val bar = BenchBaseline.mergedMinSec.get(name).map(barOf)
       def rawMin = windows.flatMap(_._1).minOption
@@ -190,7 +201,8 @@ object Bench {
             val w = windowFor(name, SparkEntry.queries(name), 3)
             spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
             tries ::= w
-            val quietWindow = math.max(w._2, w._3) < QuietFactor * canaryBase
+            val quietWindow =
+              math.max(w._2, w._3) < QuietFactor * canaryBase && canaryBase <= AbsQuietBaseSec
             val underBar = w._1.exists(_ <= bar.get)
             settled = quietWindow || underBar
           }
@@ -215,7 +227,7 @@ object Bench {
       val bar = BenchBaseline.mergedMinSec.get(name).map(barOf)
       val quietAbove = bar.exists(b =>
         windows.exists { case (t, cB, cA) =>
-          math.max(cB, cA) < QuietFactor * finalBase && t.exists(_ > b)
+          math.max(cB, cA) < QuietFactor * finalBase && finalBase <= AbsQuietBaseSec && t.exists(_ > b)
         }) && rawMin.exists(m => m > bar.get)
       if (quietAbove && !aboveBarQuiet.contains(name)) aboveBarQuiet ::= name
       (name, rawMin, norm)
