@@ -2132,9 +2132,10 @@ object CcmQueries {
   // pair (best lag, ccf, survived) + two direction rows per survivor
   // (rho). Scale: the panel is the knob (the graph_betweenness seed-
   // panel precedent) — gate cost is S²·n·lags via hash joins, CCM cost
-  // is survivors only; at a real 100-TB corpus the gate itself prunes
-  // via banding (only pairs sharing a coarse signature bucket) before
-  // the CCF — documented in SCALE.md.
+  // is survivors only; the banded twin (ccm_pairwise_screen_banded)
+  // IMPLEMENTS the 100-TB gate-pruning shape — only pairs sharing a
+  // coarse deterministic signature band are gated at all, so even S²
+  // never materializes. Probes in SCALE.md.
   // -------------------------------------------------------------------
   private val ScreenPanel = 12
   private val ScreenCap = 40
@@ -2143,23 +2144,51 @@ object CcmQueries {
   private val ScreenLib = 24
   private val ScreenSamples = 2
   private val ScreenPairBase = 100000L
+  private val ScreenBandSize = 4L // banded twin: equal-size activity bands
 
-  private def pairwiseScreen(s: SparkSession, dir: String): DataFrame = {
+  private def pairwiseScreen(s: SparkSession, dir: String): DataFrame =
+    pairwiseScreenWith(s, dir, banded = false)
+
+  private def pairwiseScreenBanded(s: SparkSession, dir: String): DataFrame =
+    pairwiseScreenWith(s, dir, banded = true)
+
+  // The banded twin is the 100-TB shape the flat screen's SCALE.md story
+  // names: at S series even the CHEAP gate's S² pair relation must never
+  // materialize, so series are first keyed by a coarse deterministic
+  // SIGNATURE (here: total-activity rank bands of ScreenBandSize — the
+  // dedup-LSH banding idea applied to series) and only WITHIN-BAND pairs
+  // are gated at all. 66 pairs shrink to 3·C(4,2) = 18 before any
+  // co-moment is computed; the gate+CCM stages are shared verbatim.
+  private def pairwiseScreenWith(s: SparkSession, dir: String, banded: Boolean): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy("user_id").orderBy("ts")
-    val ps = ev(s, dir)
+    val ps0 = ev(s, dir)
       .filter(col("user_id") < ScreenPanel)
       .withColumn("idx", row_number().over(w).cast("long"))
       .filter(col("idx") <= ScreenCap)
       .withColumn("c", round(col("value") * 100.0).cast("long"))
-      .localCheckpoint() // feeds the gate twice (a/b sides) + the survivor CCM join twice
+    val ps =
+      (if (!banded) ps0.withColumn("band", lit(0L))
+       else {
+         // deterministic equal-size bands by (total activity, user_id) rank —
+         // exact int64 signature, so both engines band identically
+         val bands = ps0
+           .groupBy("user_id")
+           .agg(sum(col("c")).as("tot"))
+           .withColumn(
+             "band",
+             expr(s"(row_number() OVER (ORDER BY tot, user_id) - 1) DIV $ScreenBandSize").cast("long")
+           )
+           .select(col("user_id"), col("band"))
+         ps0.join(bands, "user_id")
+       }).localCheckpoint() // feeds the gate twice (a/b sides) + the survivor CCM join twice
     val lags = broadcast((-ScreenLags to ScreenLags).map(_.toLong).toDF("lag"))
     val pg = ps
-      .select(col("user_id").as("ua"), col("idx").as("ia"), col("c").as("ca"))
+      .select(col("user_id").as("ua"), col("idx").as("ia"), col("c").as("ca"), col("band").as("banda"))
       .crossJoin(lags)
       .join(
-        ps.select(col("user_id").as("ub"), col("idx").as("ib"), col("c").as("cb")),
-        col("ub") > col("ua") && col("ib") === col("ia") + col("lag")
+        ps.select(col("user_id").as("ub"), col("idx").as("ib"), col("c").as("cb"), col("band").as("bandb")),
+        col("ub") > col("ua") && col("bandb") === col("banda") && col("ib") === col("ia") + col("lag")
       )
       .groupBy("ua", "ub", "lag")
       .agg(
@@ -2225,13 +2254,25 @@ object CcmQueries {
       .transform(Norm.ordered(_, col("ua"), col("ub"), col("direction")))
   }
 
-  private val pairwiseScreenSql: String = {
+  private val pairwiseScreenSql: String = pairwiseScreenSqlWith(banded = false)
+  private val pairwiseScreenBandedSql: String = pairwiseScreenSqlWith(banded = true)
+
+  private def pairwiseScreenSqlWith(banded: Boolean): String = {
+    val bandCtes =
+      if (!banded) "psb AS (SELECT *, CAST(0 AS BIGINT) AS band FROM ps),"
+      else
+        s"""bnd AS (
+           |  SELECT user_id,
+           |         CAST((row_number() OVER (ORDER BY tot, user_id) - 1) // $ScreenBandSize AS BIGINT) AS band
+           |  FROM (SELECT user_id, CAST(sum(c) AS BIGINT) AS tot FROM ps GROUP BY 1)
+           |), psb AS (SELECT ps.*, bnd.band FROM ps JOIN bnd ON bnd.user_id = ps.user_id),""".stripMargin
     val gateCtes =
       s"""ps0 AS (
          |  SELECT user_id, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS idx,
          |         CAST(round(value * 100.0) AS BIGINT) AS c, value
          |  FROM events WHERE user_id < $ScreenPanel
          |), ps AS (SELECT * FROM ps0 WHERE idx <= $ScreenCap),
+         |$bandCtes
          |pg AS (
          |  SELECT a.user_id AS ua, b.user_id AS ub, l.lag,
          |         CAST(count(*) AS BIGINT) AS n,
@@ -2239,9 +2280,9 @@ object CcmQueries {
          |         CAST(sum(a.c * b.c) AS BIGINT) AS sxy,
          |         CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
          |         CAST(sum(b.c * b.c) AS BIGINT) AS syy
-         |  FROM ps a
+         |  FROM psb a
          |  CROSS JOIN (SELECT CAST(unnest(generate_series(-$ScreenLags, $ScreenLags)) AS BIGINT) AS lag) l
-         |  JOIN ps b ON b.user_id > a.user_id AND b.idx = a.idx + l.lag
+         |  JOIN psb b ON b.user_id > a.user_id AND b.band = a.band AND b.idx = a.idx + l.lag
          |  GROUP BY 1, 2, 3
          |), pr AS (
          |  SELECT ua, ub, lag,
@@ -2289,6 +2330,7 @@ object CcmQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ccm_pairwise_screen" -> pairwiseScreen,
+    "ccm_pairwise_screen_banded" -> pairwiseScreenBanded,
     "ingest_series" -> ingestSeries,
     "det_hash" -> detHash,
     "poly_hash" -> polyHash,
@@ -2330,6 +2372,7 @@ object CcmQueries {
 
   val oracle: Map[String, String] = Map(
     "ccm_pairwise_screen" -> pairwiseScreenSql,
+    "ccm_pairwise_screen_banded" -> pairwiseScreenBandedSql,
     "ingest_series" -> ingestSeriesSql,
     "det_hash" -> detHashSql,
     "poly_hash" -> polyHashSql,

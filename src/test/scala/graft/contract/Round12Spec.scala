@@ -62,6 +62,26 @@ class Round12Spec extends SparkTestBase {
     assert(msgs(e).exists(_.contains("O(spine^2)")), s"guard error not loud: ${msgs(e)}")
   }
 
+  test("ccm_pairwise_screen_banded: band-restricted gate is a strict subset with identical ccf") {
+    val flat = SparkEntry
+      .queries("ccm_pairwise_screen")(spark, dir)
+      .collect()
+      .filter(_.getString(2) == "gate")
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4)))
+      .toMap
+    val banded = SparkEntry
+      .queries("ccm_pairwise_screen_banded")(spark, dir)
+      .collect()
+      .filter(_.getString(2) == "gate")
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4)))
+    // 12 series in 3 equal activity bands of 4 -> 3 * C(4,2) = 18 gated pairs
+    assert(banded.length == 18, s"expected 18 in-band pairs, got ${banded.length}")
+    banded.foreach { case (k, ccf) =>
+      assert(flat.contains(k), s"banded pair $k missing from the flat screen")
+      assert(flat(k) == ccf, s"in-band pair $k: banded ccf $ccf != flat ${flat(k)} — banding must not change gate values")
+    }
+  }
+
   test("sink_ivm_join: every delta-algebra term is live at the gate (incl. the cross term)") {
     // if any of C_old⋈ΔO / ΔC⋈O_old / ΔC⋈ΔO were empty here, the hash gate
     // would vacuously pass a refresh that drops that term — pin them nonempty
