@@ -2522,6 +2522,95 @@ object EventQueries {
   }
 
   // -------------------------------------------------------------------
+  // evt_haar — HAAR WAVELET ENERGY-BY-SCALE per event type over the
+  // gap-filled hourly count series: the TIME-LOCALIZED counterpart of
+  // evt_periodogram's Fourier view (a burst contributes to every
+  // Fourier bin but only to the Haar scales near its duration, so the
+  // energy-by-scale profile is the burstiness spectrum). Level-ℓ detail
+  // d_ℓ(k) = Σ x·sign over block k of 2^ℓ hours with sign = +1 on the
+  // first half, −1 on the second — EXACT int64 — and the orthonormal
+  // detail energy is Σ d² / 2^ℓ. Every hashed value is a DYADIC
+  // RATIONAL (int / 2^ℓ, exactly representable), so the per-type energy
+  // sum behind energy_frac is order-independent (dyadic addition in
+  // doubles is exact below 2^53) and the whole query needs NO rounding
+  // convention, NO libm, NO waiver. Incomplete tail blocks are excluded
+  // exactly (cnt = 2^ℓ). Scale: the hour rollup is the only data-sized
+  // pass; the transform runs on spine × 9 levels.
+  // -------------------------------------------------------------------
+  private val HaarMaxLevel = 9
+
+  private def evtHaar(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hourly = ev(s, dir)
+      .groupBy(expr(s"tus div $HourUs").as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val spine = hourly
+      .agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hr"), col("h0"))
+      .crossJoin(hourly.select("event_type").distinct())
+      .join(hourly, Seq("hr", "event_type"), "left")
+      .select(col("event_type"), (col("hr") - col("h0")).as("t"), coalesce(col("x"), lit(0L)).as("x"))
+    val levels = broadcast((1 to HaarMaxLevel).map(_.toLong).toDF("lvl"))
+    spine
+      .crossJoin(levels)
+      .groupBy(col("event_type"), col("lvl"), expr("t div shiftleft(1L, CAST(lvl AS INT))").as("blk"))
+      .agg(
+        sum(expr("x * IF((t div shiftleft(1L, CAST(lvl AS INT) - 1)) % 2 = 0, 1L, -1L)")).as("d"),
+        count(lit(1)).as("cnt")
+      )
+      .filter(col("cnt") === expr("shiftleft(1L, CAST(lvl AS INT))"))
+      .groupBy("event_type", "lvl")
+      .agg(count(lit(1)).as("n_blocks"), sum(expr("d * d")).as("e_int"))
+      .select(
+        col("event_type"),
+        col("lvl").as("level"),
+        col("n_blocks"),
+        expr("CAST(e_int AS DOUBLE) / CAST(shiftleft(1L, CAST(lvl AS INT)) AS DOUBLE)").as("energy")
+      )
+      .withColumn("tot", sum(col("energy")).over(Window.partitionBy("event_type")))
+      .select(
+        col("event_type"),
+        col("level"),
+        col("n_blocks"),
+        col("energy"),
+        expr("CASE WHEN tot = 0.0D THEN 0.0D ELSE energy / tot END").as("energy_frac")
+      )
+      .transform(Norm.ordered(_, col("event_type"), col("level")))
+  }
+
+  private val evtHaarSql: String =
+    s"""WITH hourly AS (
+       |  SELECT epoch_us(ts) // $HourUs AS hr, event_type, CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2
+       |), b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM hourly),
+       |types AS (SELECT DISTINCT event_type FROM hourly),
+       |spine AS MATERIALIZED (
+       |  SELECT ty.event_type, s.hr - (SELECT h0 FROM b) AS t, COALESCE(h.x, 0) AS x
+       |  FROM (SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b))) AS hr) s
+       |  CROSS JOIN types ty
+       |  LEFT JOIN hourly h ON h.hr = s.hr AND h.event_type = ty.event_type
+       |), lv AS (SELECT CAST(unnest(generate_series(1, $HaarMaxLevel)) AS BIGINT) AS lvl),
+       |dd AS (
+       |  SELECT event_type, lvl, t // (1 << lvl) AS blk,
+       |         CAST(sum(x * (CASE WHEN (t // (1 << (lvl - 1))) % 2 = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS d,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM spine CROSS JOIN lv GROUP BY 1, 2, 3
+       |), en AS (
+       |  SELECT event_type, lvl AS level, CAST(count(*) AS BIGINT) AS n_blocks,
+       |         CAST(sum(d * d) AS BIGINT) AS e_int
+       |  FROM dd WHERE cnt = (1 << lvl) GROUP BY 1, 2
+       |), fin AS (
+       |  SELECT event_type, level, n_blocks,
+       |         CAST(e_int AS DOUBLE) / CAST((1 << level) AS DOUBLE) AS energy
+       |  FROM en
+       |)
+       |SELECT event_type, level, n_blocks, energy,
+       |  CASE WHEN sum(energy) OVER (PARTITION BY event_type) = 0.0e0 THEN 0.0e0
+       |       ELSE energy / sum(energy) OVER (PARTITION BY event_type) END AS energy_frac
+       |FROM fin ORDER BY event_type, level""".stripMargin
+
+  // -------------------------------------------------------------------
   // evt_discord — the FULL MATRIX-PROFILE sweep evt_motif is one column
   // of: for EVERY window of every type's hourly series, the nearest
   // OTHER window's NCC (exclusion zone |t−s| >= m, the standard
@@ -3375,6 +3464,7 @@ object EventQueries {
     "evt_motif" -> evtMotif,
     "evt_kalman" -> evtKalman,
     "evt_hurst" -> evtHurst,
+    "evt_haar" -> evtHaar,
     "evt_discord" -> evtDiscord,
     "evt_discord_banded" -> evtDiscordBanded,
     "evt_transfer_entropy" -> transferEntropy,
@@ -3428,6 +3518,7 @@ object EventQueries {
     "evt_motif" -> evtMotifSql,
     "evt_kalman" -> evtKalmanSql,
     "evt_hurst" -> evtHurstSql,
+    "evt_haar" -> evtHaarSql,
     "evt_discord" -> evtDiscordSql,
     "evt_discord_banded" -> evtDiscordBandedSql,
     "evt_transfer_entropy" -> transferEntropySql,

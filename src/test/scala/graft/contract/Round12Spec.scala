@@ -82,6 +82,23 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("evt_haar: full level grid, dyadic-exact energies, fractions sum to 1") {
+    val rows = SparkEntry.queries("evt_haar")(spark, dir).collect()
+    assert(rows.length == 45, s"5 types x 9 levels expected, got ${rows.length}") // 720h spine: every level has >=1 complete block
+    rows.foreach { r =>
+      val (level, nb, e) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nb >= 1 && e >= 0.0)
+      // energy must be EXACTLY e_int / 2^level (dyadic rational — the whole
+      // query's no-waiver claim rests on this)
+      val scaled = e * (1L << level).toDouble
+      assert(scaled == math.rint(scaled), s"energy $e at level $level is not dyadic-exact")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (ty, rs) =>
+      val fracSum = rs.map(_.getDouble(4)).sum
+      assert(math.abs(fracSum - 1.0) < 1e-12, s"$ty energy_frac sums to $fracSum")
+    }
+  }
+
   test("sink_ivm_join: every delta-algebra term is live at the gate (incl. the cross term)") {
     // if any of C_old⋈ΔO / ΔC⋈O_old / ΔC⋈ΔO were empty here, the hash gate
     // would vacuously pass a refresh that drops that term — pin them nonempty
