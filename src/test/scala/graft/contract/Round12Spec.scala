@@ -82,6 +82,20 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("ccm_screen_sig: the null-model audit rejects every uncoupled top pair") {
+    val rows = SparkEntry.queries("ccm_screen_sig")(spark, dir).collect()
+    assert(rows.length == 8, s"top-4 pairs x 2 directions expected, got ${rows.length}")
+    rows.foreach { r =>
+      val (nSurr, nGe, p) = (r.getLong(4), r.getLong(5), r.getDouble(6))
+      assert(nSurr == 3L)
+      assert(p == (1.0 + nGe) / 4.0, "p must be the exact dyadic (1+n_ge)/4")
+      // the synthetic corpus has NO planted cross-user coupling: if any pair
+      // ever clears the null (p < 0.5), either the generator changed or the
+      // surrogate destroys less than it should — re-measure before shipping
+      assert(p >= 0.5, s"uncoupled pair cleared the surrogate null: $r")
+    }
+  }
+
   test("evt_haar: full level grid, dyadic-exact energies, fractions sum to 1") {
     val rows = SparkEntry.queries("evt_haar")(spark, dir).collect()
     assert(rows.length == 45, s"5 types x 9 levels expected, got ${rows.length}") // 720h spine: every level has >=1 complete block
