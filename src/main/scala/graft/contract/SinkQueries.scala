@@ -547,7 +547,10 @@ object SinkQueries {
         col("status"),
         col("n"),
         col("sum_cents"),
-        Norm.rnd(expr("CAST(sum_cents AS DOUBLE) / n / 100.0"), 4).as("avg_price")
+        // 4-dp mean by INTEGER half-up — round(sum/n/100, 4) is the measured
+        // decimal-vs-binary HALF_UP split class (the ccm_boot_ci lesson):
+        // avg_price@4dp = round(sum_cents*100/n) / 1e4, computed exactly
+        expr("((2L * sum_cents * 100L + n) DIV (2L * n)) / 10000.0D + 0.0D").as("avg_price")
       )
       .transform(Norm.ordered(_, col("yr"), col("status")))
     graft.GateResult.materialize(merged) {
@@ -559,8 +562,8 @@ object SinkQueries {
     s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus AS status,
        |  CAST(count(*) AS BIGINT) AS n,
        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
-       |  round(CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
-       |        / count(*) / 100.0, 4) + 0.0 AS avg_price
+       |  ((2 * sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) * 100 + count(*))
+       |     // (2 * count(*))) / 10000.0e0 + 0.0e0 AS avg_price
        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------
@@ -616,7 +619,8 @@ object SinkQueries {
         col("yr"),
         col("n"),
         col("sum_cents"),
-        Norm.rnd(expr("CAST(sum_cents AS DOUBLE) / n / 100.0"), 4).as("avg_price")
+        // integer half-up 4-dp mean — same boundary-proof form as sink_ivm
+        expr("((2L * sum_cents * 100L + n) DIV (2L * n)) / 10000.0D + 0.0D").as("avg_price")
       )
       .transform(Norm.ordered(_, col("segment"), col("yr")))
     graft.GateResult.materialize(merged) {
@@ -628,8 +632,8 @@ object SinkQueries {
     s"""SELECT c.c_mktsegment AS segment, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
        |  CAST(count(*) AS BIGINT) AS n,
        |  CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
-       |  round(CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
-       |        / count(*) / 100.0, 4) + 0.0 AS avg_price
+       |  ((2 * sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) * 100 + count(*))
+       |     // (2 * count(*))) / 10000.0e0 + 0.0e0 AS avg_price
        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
