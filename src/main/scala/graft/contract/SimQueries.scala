@@ -581,6 +581,116 @@ object SimQueries {
   }
 
   // -------------------------------------------------------------------
+  // ann_ivf_persist — the PRODUCTION SERVING LIFECYCLE of the IVF index:
+  // build ≠ query time, and new vectors arrive after the build. The
+  // index (home-list assignments + the centroid id set) is BUILT over
+  // the old corpus only (vec_id % DeltaMod ≠ 0, centroids from old ids
+  // at the ann_ivf_topk stride), PERSISTED as a real parquet round trip,
+  // then MAINTAINED: the delta vectors (vec_id % DeltaMod = 0) are
+  // assigned against the persisted centroid set — no retrain, the IVM
+  // idea applied to an ANN index — and queries probe the persisted
+  // centroids over the merged lists. The oracle is the ONE-SHOT build
+  // over the full corpus with the same centroid protocol, so the hash
+  // gate proves incremental-build-through-disk ≡ full rebuild (true
+  // because assignment is pointwise in the centroid set; it would BREAK
+  // if the delta path retrained centroids — which is exactly the
+  // contract this query pins). Scale: assignment is a broadcast-join
+  // map pass per arriving batch; the persisted index is
+  // assignments-sized, never vectors²; centroid drift (when the delta
+  // distribution shifts) is the documented reason real systems ALSO
+  // schedule periodic full rebuilds — this gate covers the between-
+  // rebuilds regime.
+  // -------------------------------------------------------------------
+  private val PersistDeltaMod = 7
+
+  private def annIvfPersist(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val e = vecs(s, dir)
+    val cents = e
+      .filter(col("vec_id") % CentroidStride === 0 && col("vec_id") % PersistDeltaMod =!= 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    def assign(part: DataFrame, cs: DataFrame): DataFrame = {
+      val dotVC = expr(dotSpark.format("v", "cv"))
+      val w = Window
+        .partitionBy("vec_id")
+        .orderBy((dotVC / (col("nrm") * col("cnrm"))).desc, col("cid").asc)
+      part.crossJoin(broadcast(cs)).withColumn("crank", row_number().over(w))
+    }
+    val idxDir = Files.createTempDirectory("graft-ivfidx").toString
+    // BUILD on the old corpus; persist assignments + the centroid ID SET
+    // (vectors stay in the store — a real index persists ids, not copies)
+    assign(e.filter(col("vec_id") % PersistDeltaMod =!= 0), cents)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$idxDir/lists")
+    cents.select(col("cid")).write.mode("overwrite").parquet(s"$idxDir/cents")
+    // MAINTAIN: delta vectors assigned against the PERSISTED centroids
+    val persistedCents = s.read
+      .parquet(s"$idxDir/cents")
+      .join(e, col("cid") === col("vec_id"))
+      .select(col("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val deltaLists = assign(e.filter(col("vec_id") % PersistDeltaMod === 0), persistedCents)
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("cid"))
+    val lists = s.read
+      .parquet(s"$idxDir/lists")
+      .unionByName(deltaLists)
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    // QUERY: probes against the persisted centroids over the merged lists
+    val probes = assign(e.filter(col("vec_id") % QueryStride === 0), persistedCents)
+      .filter(col("crank") <= NProbe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"), col("cid").as("probe_cid"))
+    val dotQN = expr(dotSpark.format("q.qv", "n.v"))
+    val pairs = probes
+      .as("q")
+      .join(lists.as("n"), col("q.probe_cid") === col("n.cid") && col("q.qid") =!= col("n.vec_id"))
+      .select(
+        col("q.qid").as("query_id"),
+        col("n.vec_id").as("neighbor_id"),
+        (dotQN / (col("q.qnrm") * col("n.nrm"))).as("cos_sim")
+      )
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val out = pairs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), Norm.rnd(col("cos_sim"), 6).as("cos_sim"))
+      .transform(Norm.ordered(_, col("query_id"), col("rank")))
+    graft.GateResult.materialize(out) {
+      graft.GateResult.deleteRecursively(java.nio.file.Paths.get(idxDir))
+    }
+  }
+
+  private val annIvfPersistSql: String = {
+    val cosVC = s"${dotDuck("e.v", "c.cv")} / (e.nrm * c.cnrm)"
+    val cosQN = s"${dotDuck("q.qv", "n.v")} / (q.qnrm * n.nrm)"
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, sqrt(${dotDuck("e0.v", "e0.v")}) AS nrm FROM e0),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
+       |      WHERE vec_id % $CentroidStride = 0 AND vec_id % $PersistDeltaMod <> 0),
+       |assigned AS (
+       |  SELECT e.vec_id, e.v, e.nrm, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosVC DESC, c.cid) AS crank
+       |  FROM e CROSS JOIN c
+       |), lists AS (SELECT vec_id, v, nrm, cid FROM assigned WHERE crank = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, v AS qv, nrm AS qnrm, cid AS probe_cid
+       |  FROM assigned WHERE crank <= $NProbe AND vec_id % $QueryStride = 0
+       |), pairs AS (
+       |  SELECT DISTINCT q.qid AS query_id, n.vec_id AS neighbor_id, $cosQN AS cos_sim
+       |  FROM probes q JOIN lists n ON q.probe_cid = n.cid AND q.qid <> n.vec_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM pairs
+       |)
+       |SELECT query_id, rank, neighbor_id, round(cos_sim, 6) + 0.0 AS cos_sim
+       |FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // ann_filtered — FILTERED ANN (VERDICT r9 item 4): vector search under
   // a metadata predicate ("nearest neighbors among docs with lang=X") —
   // the most common production serving shape. Two predicate
@@ -2456,6 +2566,7 @@ object SimQueries {
     "ann_range" -> annRange,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
+    "ann_ivf_persist" -> annIvfPersist,
     "ann_pq_topk" -> annPqTopk,
     "ann_ivfpq_topk" -> annIvfPqTopk,
     "ann_ivfpq_rerank" -> annIvfPqRerank,
@@ -2485,6 +2596,7 @@ object SimQueries {
     "ann_range" -> annRangeSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "ann_ivf_topk" -> annIvfTopkSql,
+    "ann_ivf_persist" -> annIvfPersistSql,
     "ann_pq_topk" -> annPqTopkSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql,
     "ann_ivfpq_rerank" -> annIvfPqRerankSql,

@@ -129,6 +129,15 @@ class Round12Spec extends SparkTestBase {
     assert(n(cMod = true, dYear = true) > 0, "ΔC ⋈ ΔO is empty — the cross term is untested")
   }
 
+  test("ann_ivf_persist: the maintained index serves delta vectors as first-class neighbors") {
+    val rows = SparkEntry.queries("ann_ivf_persist")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // vec_id % 7 == 0 vectors arrived AFTER the persisted build; if none ever
+    // surfaces as a neighbor the delta-assignment path is vacuous
+    val deltaNeighbors = rows.count(_.getLong(2) % 7 == 0)
+    assert(deltaNeighbors > 0, "no delta vector surfaced as a neighbor")
+  }
+
   test("ccm_pairwise_screen prunes most of the expensive work (the S² control)") {
     val rows = SparkEntry.queries("ccm_pairwise_screen")(spark, dir).collect()
     val gate = rows.filter(_.getString(2) == "gate")
