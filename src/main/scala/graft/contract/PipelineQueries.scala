@@ -283,6 +283,106 @@ object PipelineQueries {
       .transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
   }
 
+  // -------------------------------------------------------------------
+  // split_cluster_safe — the FIX split_leakage measures the need for:
+  // key the train/val/test split on the near-dup CLUSTER id (connected
+  // components over the LSH pair graph; singletons keep their own id),
+  // so both endpoints of every near-dup pair share a cluster, hence a
+  // split, hence leaked_pairs = 0 BY CONSTRUCTION — and the oracle
+  // proves the construction through its independent recursive-CTE
+  // transitive closure. Output: per split, doc count, cluster count,
+  // and the (zero) cross-split near-dup pair count — the manifest row
+  // a pipeline records next to its eval numbers. Scale: the cluster
+  // labels are the dedup_cluster relation (O(log n) star-contraction
+  // path available); the split is one hash of the label; the audit is
+  // the split_leakage join shape.
+  // -------------------------------------------------------------------
+  private def splitClusterSafe(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries
+      .lshPairsRaw(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // feeds CC and the audit join
+    val labels = graft.operators.ConnectedComponents
+      .minLabelPropagation(pairs, 25)
+      .select(col("vertex").as("doc_id"), col("component").as("cid"))
+    val all = docs(s, dir)
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+    val bucket = DetHash.rankHashCol(col("cluster_id"), lit(1), lit(0), TextQueries.SplitSeed) % 100
+    val splits = all
+      .withColumn(
+        "split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+      )
+      .localCheckpoint() // feeds the per-split agg + both audit sides
+    val leaks = pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+    val leakPerSplit = leaks
+      .select(col("sa").as("split"))
+      .unionByName(leaks.select(col("sb").as("split")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("leaked_pairs"))
+    splits
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("cluster_id")).as("n_clusters"))
+      .join(leakPerSplit, Seq("split"), "left")
+      .select(
+        col("split"),
+        col("n_docs"),
+        col("n_clusters"),
+        coalesce(col("leaked_pairs"), lit(0L)).as("leaked_pairs")
+      )
+      .transform(Norm.ordered(_, col("split")))
+  }
+
+  private val splitClusterSafeSql: String = {
+    val bucket = s"(${DetHash.rankHashSql("cluster_id", "1", "0", TextQueries.SplitSeed)} % 100)"
+    s"""WITH RECURSIVE ${DedupQueries.bandsCteSql},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |sym AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+       |  UNION
+       |  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+       |),
+       |lbl AS (SELECT s AS doc_id, min(d) AS lid FROM reach GROUP BY 1),
+       |allc AS (
+       |  SELECT d.doc_id, COALESCE(l.lid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lbl l ON l.doc_id = d.doc_id
+       |),
+       |sp AS (
+       |  SELECT doc_id, cluster_id,
+       |    CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM allc
+       |),
+       |lk AS (
+       |  SELECT a.split AS sa, b.split AS sb
+       |  FROM pairs p JOIN sp a ON a.doc_id = p.doc_a JOIN sp b ON b.doc_id = p.doc_b
+       |  WHERE a.split <> b.split
+       |),
+       |lkc AS (
+       |  SELECT split, CAST(count(*) AS BIGINT) AS leaked_pairs
+       |  FROM (SELECT sa AS split FROM lk UNION ALL SELECT sb AS split FROM lk) GROUP BY 1
+       |),
+       |ag AS (
+       |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+       |  FROM sp GROUP BY 1
+       |)
+       |SELECT ag.split, ag.n_docs, ag.n_clusters,
+       |       COALESCE(l.leaked_pairs, CAST(0 AS BIGINT)) AS leaked_pairs
+       |FROM ag LEFT JOIN lkc l ON l.split = ag.split
+       |ORDER BY 1""".stripMargin
+  }
+
   private val splitLeakageSql: String = {
     val bucket = s"(${DetHash.rankHashSql("doc_id", "1", "0", TextQueries.SplitSeed)} % 100)"
     s"""WITH ${DedupQueries.bandsCteSql},
@@ -864,7 +964,8 @@ object PipelineQueries {
     "pack_windows" -> packWindows,
     "sample_mixture" -> sampleMixture,
     "sample_temperature" -> sampleTemperature,
-    "split_leakage" -> splitLeakage
+    "split_leakage" -> splitLeakage,
+    "split_cluster_safe" -> splitClusterSafe
   )
 
   val oracle: Map[String, String] = Map(
@@ -879,6 +980,7 @@ object PipelineQueries {
     "pack_windows" -> packWindowsSql,
     "sample_mixture" -> sampleMixtureSql,
     "sample_temperature" -> sampleTemperatureSql,
-    "split_leakage" -> splitLeakageSql
+    "split_leakage" -> splitLeakageSql,
+    "split_cluster_safe" -> splitClusterSafeSql
   )
 }

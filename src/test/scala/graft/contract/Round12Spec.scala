@@ -129,6 +129,19 @@ class Round12Spec extends SparkTestBase {
     assert(n(cMod = true, dYear = true) > 0, "ΔC ⋈ ΔO is empty — the cross term is untested")
   }
 
+  test("split_cluster_safe eliminates the leakage split_leakage measures") {
+    val leaky = SparkEntry.queries("split_leakage")(spark, dir).count()
+    assert(leaky > 0, "the doc-keyed split no longer leaks — the contrast this test pins is gone")
+    val rows = SparkEntry.queries("split_cluster_safe")(spark, dir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    rows.foreach { r =>
+      assert(r.getLong(3) == 0L, s"cluster-keyed split leaked: $r")
+      assert(r.getLong(1) >= r.getLong(2), "docs >= clusters per split")
+    }
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.documents(spark, dir).count(), "every document must land in exactly one split")
+  }
+
   test("ann_ivf_persist: the maintained index serves delta vectors as first-class neighbors") {
     val rows = SparkEntry.queries("ann_ivf_persist")(spark, dir).collect()
     assert(rows.nonEmpty)
