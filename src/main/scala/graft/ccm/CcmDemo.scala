@@ -36,6 +36,13 @@ object CcmDemo {
     }
     describe("x_causes_y", result.xCausesY)
     describe("y_causes_x", result.yCausesX)
+    // V1 convergence visualization (reference examples.livemd:80-99):
+    // terminal chart here; CcmViz.convergenceSpecJson emits the livemd's
+    // Vega-Lite document for notebook hosts
+    val pts =
+      result.xCausesY.results.map { case (l, r) => CcmViz.PlotPoint(l, r, "X → Y") } ++
+        result.yCausesX.results.map { case (l, r) => CcmViz.PlotPoint(l, r, "Y → X") }
+    println(CcmViz.asciiChart(pts))
     println("Expected: X causes Y should show convergence (skill rising with library size);")
     println("          Y causes X should not.")
     println("CCM_DEMO_DONE")

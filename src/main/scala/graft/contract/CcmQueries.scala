@@ -2344,6 +2344,43 @@ object CcmQueries {
   }
 
   // -------------------------------------------------------------------
+  // ccm_convergence_plot — the reference's V1 convergence visualization
+  // (`examples.livemd:80-99`) as a gated DATA contract: the exact
+  // plot-ready records the livemd builds — %{library_size, correlation,
+  // direction} with the "X → Y"/"Y → X" labels — for one analysis
+  // (user 0's bidirectional curve, the ccm_curve machinery filtered at
+  // the source). graft.ccm.CcmViz renders these rows as the livemd's
+  // Vega-Lite line spec (convergenceSpecJson) or a terminal ASCII chart
+  // (asciiChart, printed by CcmDemo) — the rows either renderer consumes
+  // are oracle-verified here.
+  // -------------------------------------------------------------------
+  private def ccmConvergencePlot(s: SparkSession, dir: String): DataFrame = {
+    val in = curveInput(s, dir).filter(col("user_id") === 0L)
+    Ccm
+      .bidirectional(
+        in,
+        skey = col("user_id"),
+        order = Seq("ts"),
+        x = col("x"),
+        y = col("y"),
+        spec = CcmSpec(numSamples = CurveSamples, seed = Seed),
+        libSizes = CurveLibs
+      )
+      .select(
+        col("lib_size").as("library_size"),
+        Norm.rnd(col("rho"), 6).as("correlation"),
+        expr("CASE WHEN direction = 'x_causes_y' THEN 'X → Y' ELSE 'Y → X' END").as("direction")
+      )
+      .transform(Norm.ordered(_, col("direction"), col("library_size")))
+  }
+
+  private val ccmConvergencePlotSql: String =
+    s"""${curveSqlCommon(None, CurveSamples, CurveLibs, "user_id", Seq("ts"), "(SELECT * FROM events WHERE user_id = 0)")}
+       |SELECT sk.lib_size AS library_size, round(sk.rho, 6) + 0.0 AS correlation,
+       |       CASE WHEN sk.direction = 'x_causes_y' THEN 'X → Y' ELSE 'Y → X' END AS direction
+       |FROM sk ORDER BY direction, library_size""".stripMargin
+
+  // -------------------------------------------------------------------
   // ccm_screen_sig — SURROGATE SIGNIFICANCE for the screen's top hits:
   // a high cross-map rho alone is not evidence of coupling (a smooth
   // shared trend produces one), so the top-4 surviving pairs (by gate
@@ -2459,6 +2496,7 @@ object CcmQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ccm_convergence_plot" -> ccmConvergencePlot,
     "ccm_screen_sig" -> ccmScreenSig,
     "ccm_pairwise_screen" -> pairwiseScreen,
     "ccm_pairwise_screen_banded" -> pairwiseScreenBanded,
@@ -2502,6 +2540,7 @@ object CcmQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ccm_convergence_plot" -> ccmConvergencePlotSql,
     "ccm_screen_sig" -> ccmScreenSigSql,
     "ccm_pairwise_screen" -> pairwiseScreenSql,
     "ccm_pairwise_screen_banded" -> pairwiseScreenBandedSql,
