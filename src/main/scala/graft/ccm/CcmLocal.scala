@@ -51,7 +51,7 @@ object CcmLocal {
   def weights(dists: Array[Double]): Array[Double] = {
     if (dists.isEmpty) return Array.empty
     val minDist = dists.min
-    dists.map(d => if (d < 1.0e-12) 1.0 else math.exp(-d / (minDist + 1.0e-8)))
+    dists.map(d => if (d < 1.0e-12) 1.0 else graft.functions.ExactMath.exp(-d / (minDist + 1.0e-8)))
   }
 
   /** Simplex-projection prediction for one query point

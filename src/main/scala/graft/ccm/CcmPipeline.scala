@@ -94,6 +94,7 @@ object CcmPipeline {
       fusedTopK: Boolean = false
   ): DataFrame = {
     val spark = rankedDf.sparkSession
+    graft.functions.GraftFunctions.register(spark) // graft_exp weight kernel
     import spark.implicits._
     val k = keys.map(col)
     val libs = broadcast(libSizes.toDF("lib_size"))
@@ -358,13 +359,16 @@ object CcmPipeline {
       .withColumn("nn_rank", row_number().over(wNN))
       .filter($"nn_rank" <= kLimit)
 
-    // weights (`lib/ccm.ex:246-262`) + weighted prediction (`ccm.ex:168-175`)
+    // weights (`lib/ccm.ex:246-262`) + weighted prediction (`ccm.ex:168-175`).
+    // graft_exp is the codegen'd IEEE-only exp series (ExactMath.exp) —
+    // bit-identical to the oracle's ExactExp.duck tree by construction,
+    // retiring the libm class waiver on the engine's hottest kernel.
     val wMin = Window.partitionBy((cellKeys :+ col("pred_idx")): _*)
     val weighted = nn
       .withColumn("min_dist", min($"dist").over(wMin))
       .withColumn(
         "w",
-        when($"dist" < 1e-12, 1.0).otherwise(exp(-$"dist" / ($"min_dist" + 1e-8)))
+        when($"dist" < 1e-12, 1.0).otherwise(expr("graft_exp((- dist) / (min_dist + 1e-8D))"))
       )
     weighted
       .groupBy((cellKeys ++ Seq(col("pred_idx"), col("actual"))): _*)
@@ -388,6 +392,7 @@ object CcmPipeline {
       fusedTopK: Boolean = false
   ): DataFrame = {
     val spark = rankedDf.sparkSession
+    graft.functions.GraftFunctions.register(spark) // graft_exp weight kernel
     import spark.implicits._
     val k = keys.map(col)
     skillCells(rankedDf, keys, libSizes, numSamples, e, knnBuckets, knnAutoFactor, reuseDistances, fusedTopK)
@@ -414,6 +419,7 @@ object CcmPipeline {
       fusedTopK: Boolean = false
   ): DataFrame = {
     val spark = rankedDf.sparkSession
+    graft.functions.GraftFunctions.register(spark) // graft_exp weight kernel
     import spark.implicits._
     val k = keys.map(col)
     val libs = broadcast(libSizes.toDF("lib_size"))

@@ -116,7 +116,7 @@ object FusedKnn {
         var sw = 0.0; var swt = 0.0; var i = 0
         while (i < b.n) {
           val d = b.dists(i)
-          val w = if (d < 1e-12) 1.0 else math.exp(-d / (minDist + 1e-8))
+          val w = if (d < 1e-12) 1.0 else graft.functions.ExactMath.exp(-d / (minDist + 1e-8))
           sw += w; swt += w * b.tgts(i)
           i += 1
         }

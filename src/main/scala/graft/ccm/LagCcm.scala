@@ -54,6 +54,7 @@ object LagCcm {
   ): DataFrame = {
     require(lags.nonEmpty, "lags must be non-empty")
     val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark) // graft_exp weight kernel
     import spark.implicits._
     val base =
       df.select(Seq(skey.cast("long").as("skey"), x.as("x"), y.as("y")) ++ order.map(col): _*)
@@ -92,7 +93,7 @@ object LagCcm {
         .withColumn("min_dist", min($"dist").over(wMin))
         .withColumn(
           "w",
-          when($"dist" < 1e-12, 1.0).otherwise(exp(-$"dist" / ($"min_dist" + 1e-8)))
+          when($"dist" < 1e-12, 1.0).otherwise(expr("graft_exp((- dist) / (min_dist + 1e-8D))"))
         )
         .select($"skey", $"t_idx", $"l_idx", $"w")
       // lag fan-out on the k-row neighbor relation; shifted targets come

@@ -66,6 +66,7 @@ object Multiview {
       k: Int = 3,
       topViews: Int = 3
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(series.sparkSession) // graft_exp weight kernel
     val w = Window.partitionBy("skey").orderBy(order.map(col): _*)
     val maxLag = lags.max
     val lagged = series
@@ -117,7 +118,7 @@ object Multiview {
       .withColumn("dmin", min(col("dist")).over(wq))
       .withColumn(
         "wt",
-        when(col("dist") < 1e-12, 1.0).otherwise(exp(-col("dist") / (col("dmin") + 1e-8)))
+        when(col("dist") < 1e-12, 1.0).otherwise(expr("graft_exp((- dist) / (dmin + 1e-8D))"))
       )
     val preds = weighted
       .groupBy("skey", "view", "q_idx")

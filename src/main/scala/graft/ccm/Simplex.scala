@@ -51,6 +51,7 @@ object Simplex {
       tp: Int = 1
   ): DataFrame = {
     require(maxE >= 1 && tau >= 1 && tp >= 1, "maxE, tau, tp must be >= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession) // graft_exp weight kernel
     val k = keys.map(col)
     val w = Window.partitionBy(k: _*).orderBy(order: _*)
     // one pass materializes every coordinate any E needs: e0..e{maxE-1}
@@ -94,7 +95,7 @@ object Simplex {
         .withColumn(
           "wgt",
           when(col("dist") < 1e-12, 1.0)
-            .otherwise(exp(-col("dist") / (col("min_dist") + 1e-8)))
+            .otherwise(expr("graft_exp((- dist) / (min_dist + 1e-8D))"))
         )
         .groupBy((k ++ Seq(col("t_idx"), col("actual"))): _*)
         .agg(sum(col("wgt")).as("sw"), sum(col("wgt") * col("i_f")).as("swt"))
@@ -143,6 +144,7 @@ object Simplex {
       tau: Int = 1
   ): DataFrame = {
     require(e >= 1 && tau >= 1 && maxTp >= 1, "e, tau, maxTp must be >= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession) // graft_exp weight kernel
     val k = keys.map(col)
     val w = Window.partitionBy(k: _*).orderBy(order: _*)
     val leadCols = (0 until e).map { j =>
@@ -181,7 +183,7 @@ object Simplex {
       .withColumn(
         "wgt",
         when(col("dist") < 1e-12, 1.0)
-          .otherwise(exp(-col("dist") / (col("min_dist") + 1e-8)))
+          .otherwise(expr("graft_exp((- dist) / (min_dist + 1e-8D))"))
       )
     // ONE aggregation carries every horizon as a column pair (actual via
     // group key, weighted neighbor sum via agg) ...

@@ -117,6 +117,7 @@ object Smap {
       theta: Double
   ): DataFrame = {
     val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark) // graft_exp weight kernel
     import spark.implicits._
     val base =
       df.select(Seq(skey.cast("long").as("skey"), x.as("x"), y.as("y")) ++ order.map(col): _*)
@@ -144,7 +145,7 @@ object Smap {
       val wBar = Window.partitionBy("skey", "t_idx")
       val sums = pairs
         .withColumn("dbar", avg($"d").over(wBar))
-        .withColumn("w", when($"dbar" > 0.0, exp(-lit(theta) * $"d" / $"dbar")).otherwise(1.0))
+        .withColumn("w", when($"dbar" > 0.0, expr(s"graft_exp(((- ${theta}D) * d) / dbar)")).otherwise(1.0))
         .groupBy($"skey", $"t_idx", $"ts_", $"tg")
         .agg(
           sum($"w").as("sw"),
@@ -190,6 +191,7 @@ object Smap {
   ): DataFrame = {
     require(thetas.nonEmpty, "thetas must be non-empty")
     val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark) // graft_exp weight kernel
     import spark.implicits._
     val base =
       df.select(Seq(skey.cast("long").as("skey"), x.as("x"), y.as("y")) ++ order.map(col): _*)
@@ -223,7 +225,7 @@ object Smap {
       val weighted = pairs
         .withColumn("dbar", avg($"d").over(wBar))
         .crossJoin(thetaDf)
-        .withColumn("w", when($"dbar" > 0.0, exp(-$"theta" * $"d" / $"dbar")).otherwise(1.0))
+        .withColumn("w", when($"dbar" > 0.0, expr("graft_exp(((- theta) * d) / dbar)")).otherwise(1.0))
       val sums = weighted
         .groupBy($"skey", $"theta", $"t_idx", $"ts_", $"tg")
         .agg(
@@ -327,6 +329,7 @@ object Smap {
     require(e >= 1, "embedding dimension must be >= 1")
     require(thetas.nonEmpty, "thetas must be non-empty")
     val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark) // graft_exp weight kernel
     import spark.implicits._
     val base =
       df.select(Seq(skey.cast("long").as("skey"), x.as("x"), y.as("y")) ++ order.map(col): _*)
@@ -370,7 +373,7 @@ object Smap {
       val weighted = pairs
         .withColumn("dbar", avg($"d").over(wBar))
         .crossJoin(thetaDf)
-        .withColumn("w", when($"dbar" > 0.0, exp(-$"theta" * $"d" / $"dbar")).otherwise(1.0))
+        .withColumn("w", when($"dbar" > 0.0, expr("graft_exp(((- theta) * d) / dbar)")).otherwise(1.0))
       val groupCols =
         Seq($"skey", $"theta", $"t_idx", $"tg") ++ (1 to e).map(j => col(s"tv$j"))
       val aggs = momentAggs(e)

@@ -58,7 +58,7 @@ object CcmQueries {
        |  FROM pairs
        |), nnk AS (SELECT * FROM nn WHERE nn_rank <= $k),
        |wtd AS (SELECT *, min(dist) OVER (PARTITION BY user_id, sample_id, pred_idx) AS min_dist FROM nnk),
-       |wts AS (SELECT *, CASE WHEN dist < 1e-12 THEN 1.0 ELSE exp(-dist/(min_dist + 1e-8)) END AS w FROM wtd),
+       |wts AS (SELECT *, CASE WHEN dist < 1e-12 THEN 1.0 ELSE ${ExactExp.duck("-dist/(min_dist + 1e-8)")} END AS w FROM wtd),
        |preds0 AS (
        |  SELECT user_id, sample_id, pred_idx, actual, sum(w) AS sw, sum(w*lib_tgt) AS swt
        |  FROM wts GROUP BY 1, 2, 3, 4
@@ -399,7 +399,7 @@ object CcmQueries {
        |  SELECT *, min(dist) OVER (PARTITION BY direction, skey, sample_id, lib_size, pred_idx) AS min_dist
        |  FROM nnk
        |), wts AS (
-       |  SELECT *, CASE WHEN dist < 1e-12 THEN 1.0 ELSE exp(-dist/(min_dist + 1e-8)) END AS w FROM wtd
+       |  SELECT *, CASE WHEN dist < 1e-12 THEN 1.0 ELSE ${ExactExp.duck("-dist/(min_dist + 1e-8)")} END AS w FROM wtd
        |), preds0 AS (
        |  SELECT direction, skey, sample_id, lib_size, pred_idx, actual,
        |         sum(w) AS sw, sum(w*lib_tgt) AS swt
@@ -798,7 +798,7 @@ object CcmQueries {
        |), mwt AS (
        |  SELECT skey, view, q_idx, actual, lib_x,
        |         CASE WHEN dist < 1e-12 THEN 1.0
-       |              ELSE exp(-dist / (dmin + 1e-8)) END AS wt
+       |              ELSE ${ExactExp.duck("-dist / (dmin + 1e-8)")} END AS wt
        |  FROM mw
        |), mpred AS (
        |  SELECT skey, view, q_idx, any_value(actual) AS actual,
@@ -1197,7 +1197,7 @@ object CcmQueries {
          |  SELECT *, avg(d) OVER (PARTITION BY skey, t_idx) AS dbar FROM pairs$n
          |), wt$n AS (
          |  SELECT p.*, th.theta,
-         |         CASE WHEN p.dbar > 0 THEN exp(-th.theta * p.d / p.dbar) ELSE 1.0 END AS w
+         |         CASE WHEN p.dbar > 0 THEN ${ExactExp.duck("-th.theta * p.d / p.dbar")} ELSE 1.0 END AS w
          |  FROM db$n p CROSS JOIN thetas th
          |), ag$n AS (
          |  SELECT skey, theta, t_idx, ts_, tg,
@@ -1401,7 +1401,7 @@ object CcmQueries {
          |         sum(w) AS sw, sum(w * is_) AS swx, sum(w * ig) AS swy,
          |         sum(w * is_ * is_) AS swxx, sum(w * is_ * ig) AS swxy
          |  FROM (SELECT p.*,
-         |          CASE WHEN p.dbar > 0 THEN exp(-$SmapCoeffTheta * p.d / p.dbar) ELSE 1.0 END AS w
+         |          CASE WHEN p.dbar > 0 THEN ${ExactExp.duck(s"-$SmapCoeffTheta * p.d / p.dbar")} ELSE 1.0 END AS w
          |        FROM cdb$n p)
          |  GROUP BY 1, 2, 3, 4
          |), cco$n AS (
@@ -1488,7 +1488,7 @@ object CcmQueries {
          |  SELECT *, avg(d) OVER (PARTITION BY skey, t_idx) AS dbar FROM pairs$n
          |), wt$n AS (
          |  SELECT p.*, th.theta,
-         |         CASE WHEN p.dbar > 0 THEN exp(-th.theta * p.d / p.dbar) ELSE 1.0 END AS w
+         |         CASE WHEN p.dbar > 0 THEN ${ExactExp.duck("-th.theta * p.d / p.dbar")} ELSE 1.0 END AS w
          |  FROM db$n p CROSS JOIN thetas th
          |), ag$n AS (
          |  SELECT skey, theta, t_idx, tg, $tvList,
@@ -1569,7 +1569,7 @@ object CcmQueries {
          |), nn$n AS (
          |  SELECT skey, t_idx, l_idx,
          |         CASE WHEN dist < 1e-12 THEN 1.0
-         |              ELSE exp(-dist / (min(dist) OVER (PARTITION BY skey, t_idx) + 1e-8))
+         |              ELSE ${ExactExp.duck("-dist / (min(dist) OVER (PARTITION BY skey, t_idx) + 1e-8)")}
          |         END AS w
          |  FROM (
          |    SELECT t.skey, t.idx AS t_idx, l.idx AS l_idx,
@@ -2012,7 +2012,7 @@ object CcmQueries {
            |    FROM (
            |      SELECT user_id, t_idx, actual, i_f,
            |        CASE WHEN dist < 1e-12 THEN 1.0
-           |             ELSE exp(-dist / (min(dist) OVER (PARTITION BY user_id, t_idx) + 1e-8)) END AS wgt
+           |             ELSE ${ExactExp.duck("-dist / (min(dist) OVER (PARTITION BY user_id, t_idx) + 1e-8)")} END AS wgt
            |      FROM (
            |        SELECT t.user_id AS user_id, t.idx AS t_idx, t.f$e AS actual,
            |          i.f$e AS i_f, sqrt($dist2) AS dist,
@@ -2093,7 +2093,7 @@ object CcmQueries {
        |  ) WHERE rn <= ${e + 1}
        |), weighted AS (
        |  SELECT *, CASE WHEN dist < 1e-12 THEN 1.0
-       |                 ELSE exp(-dist / (min(dist) OVER (PARTITION BY user_id, t_idx) + 1e-8)) END AS wgt
+       |                 ELSE ${ExactExp.duck("-dist / (min(dist) OVER (PARTITION BY user_id, t_idx) + 1e-8)")} END AS wgt
        |  FROM nn
        |), sums AS (
        |  SELECT user_id, t_idx, $tfNames, sum(wgt) AS sw, $swtAggs

@@ -142,6 +142,24 @@ object GraftFunctions {
         RepStats(children.head)
       },
       "graft_repstats(text) - struct(nw, dw, mw, d2, d3) repetition stats over the single-space split (codegen)"
+    ),
+    (
+      "graft_exp",
+      classOf[ExactExpExpr].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_exp expects 1 argument")
+        ExactExpExpr(children.head)
+      },
+      "graft_exp(x) - IEEE-only exp series, bit-identical to ExactExp's SQL trees (codegen)"
+    ),
+    (
+      "graft_ln",
+      classOf[ExactLnExpr].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_ln expects 1 argument")
+        ExactLnExpr(children.head)
+      },
+      "graft_ln(y) - IEEE-only ln series, bit-identical to ExactLn's SQL trees (codegen)"
     )
   )
 

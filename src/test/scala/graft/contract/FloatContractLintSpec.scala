@@ -61,19 +61,15 @@ class FloatContractLintSpec extends AnyFunSuite {
     * of two, which every libm (and the JVM) returns exactly; there is
     * no rounding surface. Used by the simhash/LSH bit-packers.
     *
-    * ccmExpKernel: exp(-d/dmin), exp(-theta*d/dbar) — the CCM/S-map
-    * locality kernel. The weights feed a weighted average feeding a
-    * correlation rounded at 6 dp; parity is MEASURED on both the local
-    * and the driver DuckDB builds across rounds 1-11 (every ccm_*
-    * row green in every CORRECTNESS_r*.json). Migration path if a
-    * build ever flips it: an ExactLn-style exp series — not taken now
-    * because this is the engine's hottest kernel (25 queries).
+    * (The former ccmExpKernel class waiver — exp(-d/dmin),
+    * exp(-theta*d/dbar) on 25 ccm_ and stream_ccm queries — was retired
+    * in round 13: the kernel now runs the IEEE-only ExactExp series on
+    * both engines (graft_exp codegen on the Spark side, ExactExp.duck
+    * on the oracle side, ExactMath.exp in the JVM twins), bit-identical
+    * by construction. ExactSeriesSpec pins the three-way equality.)
     */
-  private def classWaived(hit: String): Boolean = {
-    val isPow2 = hit.matches("(?i)(pow|power) :: (pow|power)\\(\\s*2\\s*,.*")
-    val isCcmKernel = hit.startsWith("exp :: exp(-")
-    isPow2 || isCcmKernel
-  }
+  private def classWaived(hit: String): Boolean =
+    hit.matches("(?i)(pow|power) :: (pow|power)\\(\\s*2\\s*,.*")
 
   /** Per-query waivers: transcendental name -> written parity argument.
     * Every entry names math whose parity is empirical (measured green on
