@@ -35,6 +35,7 @@ object MiTau {
       maxTau: Int,
       bins: Int
   ): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession) // graft_ln MI series
     val k = keys.map(col)
     val w = Window.partitionBy(k: _*).orderBy(order: _*)
     val wAll = Window.partitionBy(k: _*)
@@ -76,7 +77,7 @@ object MiTau {
       .withColumn("n", sum(col("c")).over(wn))
       .withColumn(
         "term",
-        (col("c") / col("n")) * log((col("c") * col("n")) / (col("cx") * col("cy")))
+        (col("c") / col("n")) * expr("graft_ln((c * n) / (cx * cy))")
       )
     terms
       .groupBy(cellKeys.map(col): _*)

@@ -1734,8 +1734,12 @@ object CcmQueries {
        |         sum(c) OVER (PARTITION BY user_id, tau, by) AS cy,
        |         sum(c) OVER (PARTITION BY user_id, tau) AS n
        |  FROM joint
-       |), mi AS (
-       |  SELECT user_id, tau, round(sum((c / n) * ln((c * n) / (cx * cy))), 6) + 0.0 AS mi
+       |), mi AS MATERIALIZED (
+       |  -- MATERIALIZED: flag references mi THREE times (mi, lag, lead);
+       |  -- DuckDB inlines non-materialized CTEs per reference, and three
+       |  -- copies of the ExactLn series expression overflow the planner
+       |  -- stack (measured segfault) — the evt_acf chain-inlining lesson
+       |  SELECT user_id, tau, round(sum((c / n) * ${ExactLn.duck("(c * n) / (cx * cy)")}), 6) + 0.0 AS mi
        |  FROM terms GROUP BY 1, 2
        |), flag AS (
        |  SELECT user_id, tau, mi,

@@ -3256,6 +3256,7 @@ object EventQueries {
   private val TeBins = 4
 
   private def transferEntropy(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // graft_ln TE series
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("hr")
     def binOf(c: String, mn: String, mx: String) =
@@ -3291,9 +3292,9 @@ object EventQueries {
         (round(
           sum(
             (col("n3").cast("double") / col("n").cast("double")) *
-              log(
-                (col("n3").cast("double") * col("n1b").cast("double")) /
-                  (col("n2bc").cast("double") * col("n2ab").cast("double"))
+              expr(
+                "graft_ln((CAST(n3 AS DOUBLE) * CAST(n1b AS DOUBLE))" +
+                  " / (CAST(n2bc AS DOUBLE) * CAST(n2ab AS DOUBLE)))"
               )
           ),
           6
@@ -3331,8 +3332,7 @@ object EventQueries {
        |)
        |SELECT direction, CAST(max(n) AS BIGINT) AS n_obs,
        |       round(sum((CAST(n3 AS DOUBLE) / CAST(n AS DOUBLE))
-       |             * ln((CAST(n3 AS DOUBLE) * CAST(n1b AS DOUBLE))
-       |                  / (CAST(n2bc AS DOUBLE) * CAST(n2ab AS DOUBLE)))), 6) + 0.0 AS te
+       |             * ${ExactLn.duck("(CAST(n3 AS DOUBLE) * CAST(n1b AS DOUBLE)) / (CAST(n2bc AS DOUBLE) * CAST(n2ab AS DOUBLE))")}), 6) + 0.0 AS te
        |FROM marg GROUP BY direction ORDER BY direction""".stripMargin
   }
 

@@ -29,8 +29,10 @@ package graft.contract
   *      subnormal floor; underflow rounds deterministically under IEEE
   *      rules — the same bits on every conforming engine.
   *
-  * Domain: x ≤ 709 (beyond that 2^k overflows); every caller here
-  * passes x ≤ 0 (the kernels are exp of a negated non-negative ratio).
+  * Domain: total. x < -745 → 0.0; x > 709 → +Infinity (true exp
+  * overflows there; the clamp keeps |k| inside the 11-bit ladder, and
+  * consumers like the logistic sigmoid 1/(1+exp(-η)) get the same 0/1
+  * limits libm produces). CCM kernels pass x ≤ 0 only.
   *
   * Literal suffixes matter (the ExactLn lesson): bare decimal literals
   * parse as DECIMAL in both Spark and DuckDB — Spark text uses the `D`
@@ -48,7 +50,8 @@ object ExactExp {
   /** Spark SQL expression text for exp(`x`). */
   def spark(x: String): String =
     s"""element_at(transform(array(CAST($x AS DOUBLE)), xx ->
-       |  CASE WHEN xx < -745.0D THEN 0.0D ELSE
+       |  CASE WHEN xx < -745.0D THEN 0.0D
+       |       WHEN xx > 709.0D THEN CAST('Infinity' AS DOUBLE) ELSE
        |  element_at(transform(array(CAST(FLOOR(xx / ${Ln2}D + 0.5D) AS DOUBLE)), kk ->
        |    element_at(transform(array(xx - kk * ${Ln2}D), r ->
        |      aggregate(sequence(1, 13),
@@ -74,7 +77,8 @@ object ExactExp {
     */
   def duck(x: String): String =
     s"""list_transform([CAST($x AS DOUBLE)], xx ->
-       |  CASE WHEN xx < -745.0e0 THEN 0.0e0 ELSE
+       |  CASE WHEN xx < -745.0e0 THEN 0.0e0
+       |       WHEN xx > 709.0e0 THEN CAST('Infinity' AS DOUBLE) ELSE
        |  list_transform([CAST(FLOOR(xx / ${Ln2}e0 + 0.5e0) AS DOUBLE)], kk ->
        |    list_transform([xx - kk * ${Ln2}e0], r ->
        |      list_reduce(

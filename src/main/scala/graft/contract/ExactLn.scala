@@ -56,7 +56,16 @@ object ExactLn {
        |        's', acc.s + (acc.p / ((2.0D * CAST(k AS DOUBLE)) + 1.0D))),
        |      acc -> (fe.e * ${Ln2}D) + (2.0D * acc.s))), 1)), 1)""".stripMargin
 
-  /** DuckDB SQL expression text for ln(`y`) — the SAME operation tree. */
+  /** DuckDB SQL expression text for ln(`y`) — the SAME operation tree.
+    *
+    * The range-reduction CASEs are ELEMENT-WISE (each list slot gets its
+    * own scalar CASE) rather than list-valued (`CASE ... THEN [..] ELSE
+    * acc END`): DuckDB 1.0.0 segfaults — measured, nondeterministically
+    * by vector boundary — when a list_reduce lambda returns the
+    * accumulator list itself from a CASE branch. Values are identical
+    * (same arithmetic per slot), so this is purely a crash fix; the
+    * Spark text keeps the struct-valued IF (no such bug there).
+    */
   def duck(y: String): String =
     s"""list_transform([
        |  list_reduce(
@@ -64,9 +73,11 @@ object ExactLn {
        |      list_reduce(
        |        list_prepend([CAST($y AS DOUBLE), 0.0e0],
        |                     list_transform(generate_series(1, 40), i -> [0.0e0, 0.0e0])),
-       |        (acc, e) -> CASE WHEN acc[1] >= 2.0e0 THEN [acc[1] * 0.5e0, acc[2] + 1.0e0] ELSE acc END),
+       |        (acc, e) -> [CASE WHEN acc[1] >= 2.0e0 THEN acc[1] * 0.5e0 ELSE acc[1] END,
+       |                     CASE WHEN acc[1] >= 2.0e0 THEN acc[2] + 1.0e0 ELSE acc[2] END]),
        |      list_transform(generate_series(1, 40), i -> [0.0e0, 0.0e0])),
-       |    (acc, e) -> CASE WHEN acc[1] < 1.0e0 THEN [acc[1] * 2.0e0, acc[2] - 1.0e0] ELSE acc END)],
+       |    (acc, e) -> [CASE WHEN acc[1] < 1.0e0 THEN acc[1] * 2.0e0 ELSE acc[1] END,
+       |                 CASE WHEN acc[1] < 1.0e0 THEN acc[2] - 1.0e0 ELSE acc[2] END])],
        |  fe -> list_transform([(fe[1] - 1.0e0) / (fe[1] + 1.0e0)],
        |    z -> (fe[2] * ${Ln2}e0) + (2.0e0 * list_reduce(
        |      list_prepend([z, 0.0e0],

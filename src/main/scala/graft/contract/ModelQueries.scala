@@ -135,13 +135,14 @@ object ModelQueries {
   }
 
   private def textQualityLr(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // graft_exp sigmoid
     val f = feats(s, dir).localCheckpoint() // one scan, Iters+1 consumers
     var beta = s.range(1).select(lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
     for (_ <- 1 to Iters) {
       val terms = f
         .crossJoin(broadcast(beta))
         .withColumn("eta", expr("b0 + b1 * x1r + b2 * x2r"))
-        .withColumn("p", expr("1.0 / (1.0 + exp(-eta))"))
+        .withColumn("p", expr("1.0 / (1.0 + graft_exp(- eta))"))
         .withColumn("w", expr("p * (1.0 - p)"))
       val sums = terms.agg(
         sum(expr(TermExprs.head._2)).as(TermExprs.head._1),
@@ -178,7 +179,7 @@ object ModelQueries {
         s"""s$t AS MATERIALIZED (
            |  SELECT $sumList FROM (
            |    SELECT y, x1r, x2r, p, p * (1.0 - p) AS w FROM (
-           |      SELECT y, x1r, x2r, 1.0 / (1.0 + exp(-eta)) AS p FROM (
+           |      SELECT y, x1r, x2r, 1.0 / (1.0 + ${ExactExp.duck("-eta")}) AS p FROM (
            |        SELECT f.y, f.x1r, f.x2r, b.b0 + b.b1 * f.x1r + b.b2 * f.x2r AS eta
            |        FROM feats f CROSS JOIN b${t - 1} b)))
            |),

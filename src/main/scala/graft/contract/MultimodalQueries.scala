@@ -422,7 +422,7 @@ object MultimodalQueries {
        |  SELECT h.doc_id,
        |    sum(h.b * (h.c / CAST(greatest(1, n.n_bytes) AS DOUBLE))) AS mean_byte,
        |    -sum((h.c / CAST(greatest(1, n.n_bytes) AS DOUBLE))
-       |         * ln(h.c / CAST(greatest(1, n.n_bytes) AS DOUBLE)) / ln(2)) AS ent
+       |         * ${graft.contract.ExactLn.duck("h.c / CAST(greatest(1, n.n_bytes) AS DOUBLE)")} / ${graft.contract.ExactLn.Ln2}e0) AS ent
        |  FROM hist h JOIN nb n ON h.doc_id = n.doc_id GROUP BY 1
        |)
        |SELECT n.doc_id AS id, 'text/plain' AS kind, n.n_bytes,

@@ -29,7 +29,13 @@ object TextQueries {
 
   private val Stopwords = Seq("the", "a", "value", "key", "row")
 
-  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    // every text query may reach the codegen'd graft_* functions
+    // (graft_ln idf/LM/KL series, graft_wordhashes, ...) — register once
+    // per session here, the shared entry every builder goes through
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+  }
 
   // -------------------------------------------------------------------
   // text_stats — char/token counts + average token length.
@@ -270,7 +276,7 @@ object TextQueries {
     val df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
     tf.join(df_, "term")
-      .withColumn("score", Norm.rnd(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .withColumn("score", Norm.rnd(col("tf") * expr(s"graft_ln(${nDocs.toDouble}D / df)"), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"), col("score"))
@@ -278,7 +284,7 @@ object TextQueries {
   }
 
   private val tfidfSql: String =
-    """WITH terms AS (
+    s"""WITH terms AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
       |), tf AS (
       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY 1, 2
@@ -286,7 +292,7 @@ object TextQueries {
       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1
       |), scored AS (
       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-      |         round(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfreq.df), 6) + 0.0 AS score
+      |         round(tf.tf * ${ExactLn.duck("(SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfreq.df")}, 6) + 0.0 AS score
       |  FROM tf JOIN dfreq ON tf.term = dfreq.term
       |), ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored
@@ -351,7 +357,7 @@ object TextQueries {
       .agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val score =
-      log((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+      expr(s"graft_ln((${nDocs.toDouble}D - df + 0.5D) / (df + 0.5D) + 1.0D)") *
         (col("tf") * lit(BmK1 + 1.0)) /
         (col("tf") + lit(BmK1) * (lit(1.0) - lit(BmB) + lit(BmB) * col("dl") / lit(avgdl)))
     tf.join(dfq, "term")
@@ -378,7 +384,7 @@ object TextQueries {
        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
        |), scored AS (
        |  SELECT tf.doc_id,
-       |    ln(((SELECT n FROM stats) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+       |    ${ExactLn.duck("((SELECT n FROM stats) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0")}
        |      * (tf.tf * ${BmK1 + 1.0})
        |      / (tf.tf + $BmK1 * (1.0 - $BmB + $BmB * tf.dl / ((SELECT tot FROM stats) / (SELECT n FROM stats)))) AS score
        |  FROM tf JOIN dfq ON tf.term = dfq.term
@@ -493,7 +499,7 @@ object TextQueries {
       .agg(
         count(lit(1)).as("n_tokens"),
         Norm.rnd(
-          sum(-log(coalesce(col("c"), lit(oovC)).cast("double") / lit(total.toDouble)))
+          sum(-expr(s"graft_ln(CAST(coalesce(c, ${oovC}L) AS DOUBLE) / ${total.toDouble}D)"))
             / count(lit(1)),
           6
         ).as("lm_nll")
@@ -513,8 +519,7 @@ object TextQueries {
        |  SELECT greatest((SELECT n FROM total) - sum(c), 1) AS oc FROM vocab
        |)
        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       |  round(sum(-ln(CAST(coalesce(v.c, (SELECT oc FROM oov)) AS DOUBLE)
-       |                / CAST((SELECT n FROM total) AS DOUBLE))) / count(*), 6) + 0.0 AS lm_nll
+       |  round(sum(-(${ExactLn.duck("CAST(coalesce(v.c, (SELECT oc FROM oov)) AS DOUBLE) / CAST((SELECT n FROM total) AS DOUBLE)")})) / count(*), 6) + 0.0 AS lm_nll
        |FROM toks t LEFT JOIN vocab v ON t.w = v.w
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
@@ -550,6 +555,11 @@ object TextQueries {
     val total = toks.count() // corpus token count: one scalar
     val p = lit(LmLambda) * col("c12").cast("double") / col("c1").cast("double") +
       lit(1.0 - LmLambda) * col("c2").cast("double") / lit(total.toDouble)
+    // graft_ln: IEEE-only series, bit-identical to the oracle's ExactLn tree
+    val pLn = expr(
+      s"graft_ln($LmLambda" + "D * CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) + " +
+        s"${1.0 - LmLambda}D * CAST(c2 AS DOUBLE) / ${total.toDouble}D)"
+    )
     // NO broadcast hints anywhere (VERDICT r6 item 5): bigram TYPES grow
     // near-linearly with the corpus (Heaps' law) and even unigram types
     // grow ~N^0.5± — at 100 TB of web text (typos, numbers, code) the
@@ -564,7 +574,7 @@ object TextQueries {
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        Norm.rnd(sum(-log(p)) / count(lit(1)), 6).as("bigram_nll")
+        Norm.rnd(sum(-pLn) / count(lit(1)), 6).as("bigram_nll")
       )
       .transform(Norm.ordered(_, col("doc_id")))
   }
@@ -588,8 +598,7 @@ object TextQueries {
        |  SELECT w AS w2, CAST(count(*) AS BIGINT) AS c2 FROM toks GROUP BY 1
        |), total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       |  round(sum(-ln($LmLambda * CAST(big.c12 AS DOUBLE) / CAST(starts.c1 AS DOUBLE)
-       |                + ${1.0 - LmLambda} * CAST(uni.c2 AS DOUBLE) / (SELECT n FROM total)))
+       |  round(sum(-(${ExactLn.duck(s"$LmLambda * CAST(big.c12 AS DOUBLE) / CAST(starts.c1 AS DOUBLE) + ${1.0 - LmLambda} * CAST(uni.c2 AS DOUBLE) / (SELECT n FROM total)")}))
        |        / count(*), 6) + 0.0 AS bigram_nll
        |FROM bg
        |JOIN big ON big.w = bg.w AND big.w2 = bg.w2
@@ -682,13 +691,13 @@ object TextQueries {
       .agg(
         first(col("n_s")).as("n_tokens"),
         count(lit(1)).as("vocab_size"),
-        Norm.rnd(sum(col("p") * log(col("p") / col("q"))), 6).as("kl_vs_corpus")
+        Norm.rnd(sum(col("p") * expr("graft_ln(p / q)")), 6).as("kl_vs_corpus")
       )
       .transform(Norm.ordered(_, col("source")))
   }
 
   private val sourceDivergenceSql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
       |), sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw FROM toks GROUP BY 1, 2),
       |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM toks GROUP BY 1),
@@ -696,7 +705,7 @@ object TextQueries {
       |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM toks)
       |SELECT sw.source, any_value(ns.n_s) AS n_tokens,
       |  CAST(count(*) AS BIGINT) AS vocab_size,
-      |  round(sum((CAST(c_sw AS DOUBLE) / n_s) * ln((CAST(c_sw AS DOUBLE) / n_s) / (CAST(c_w AS DOUBLE) / n_all))), 6) + 0.0 AS kl_vs_corpus
+      |  round(sum((CAST(c_sw AS DOUBLE) / n_s) * ${ExactLn.duck("(CAST(c_sw AS DOUBLE) / n_s) / (CAST(c_w AS DOUBLE) / n_all)")}), 6) + 0.0 AS kl_vs_corpus
       |FROM sw JOIN cw ON sw.w = cw.w JOIN ns ON sw.source = ns.source CROSS JOIN na
       |GROUP BY sw.source ORDER BY sw.source""".stripMargin
 
@@ -1714,8 +1723,8 @@ object TextQueries {
       .rowsBetween(Window.unboundedPreceding, -1)
     hist
       .withColumn("terms_above", coalesce(sum(col("n_terms")).over(wRun), lit(0L)))
-      .withColumn("x", log(col("terms_above") + (col("n_terms") + 1) / lit(2.0)))
-      .withColumn("y", log(col("cnt")))
+      .withColumn("x", expr("graft_ln(terms_above + (n_terms + 1) / 2.0D)"))
+      .withColumn("y", expr("graft_ln(CAST(cnt AS DOUBLE))"))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_buckets"),
@@ -1747,9 +1756,8 @@ object TextQueries {
        |  SELECT lang, cnt, CAST(count(*) AS BIGINT) AS n_terms FROM agg GROUP BY 1, 2
        |), pts AS (
        |  SELECT lang, cnt, n_terms,
-       |    ln(CAST(COALESCE(sum(n_terms) OVER (PARTITION BY lang ORDER BY cnt DESC
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + (n_terms + 1) / 2.0) AS x,
-       |    ln(cnt) AS y
+       |    ${ExactLn.duck("CAST(COALESCE(sum(n_terms) OVER (PARTITION BY lang ORDER BY cnt DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) + (n_terms + 1) / 2.0")} AS x,
+       |    ${ExactLn.duck("cnt")} AS y
        |  FROM hist
        |), mom AS (
        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_buckets,

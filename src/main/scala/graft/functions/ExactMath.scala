@@ -38,6 +38,7 @@ object ExactMath {
     */
   def exp(x: Double): Double = {
     if (x < -745.0) return 0.0
+    if (x > 709.0) return Double.PositiveInfinity
     val kk = math.floor(x / Ln2 + 0.5)
     val r = x - kk * Ln2
     var p = 1.0

@@ -56,7 +56,7 @@ object Multimodal {
     while (b < 256) {
       val p = hist(b) / n
       mean += b * p
-      if (p > 0) ent -= p * math.log(p) / math.log(2)
+      if (p > 0) ent -= p * graft.functions.ExactMath.ln(p) / graft.functions.ExactMath.Ln2
       b += 1
     }
     (mean, ent)

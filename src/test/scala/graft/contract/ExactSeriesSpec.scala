@@ -24,7 +24,8 @@ class ExactSeriesSpec extends SparkTestBase {
     0.0, -1e-12, -1e-6, -0.001, -0.03125, -0.2, -0.34657359027997264,
     -0.5, -0.6931471805599453, -1.0, -1.0000000001, -2.5, -3.999999,
     -7.77, -15.0, -42.42424242, -88.0, -123.456, -300.0, -708.0,
-    -744.999, -745.0, -746.0, -10000.0, 0.5, 1.0, 7.5, 88.125, 300.25, 709.0
+    -744.999, -745.0, -746.0, -10000.0, 0.5, 1.0, 7.5, 88.125, 300.25, 709.0,
+    709.001, 800.0, 1e18
   )
 
   private val lnArgs = Seq(

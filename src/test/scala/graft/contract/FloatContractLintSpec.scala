@@ -78,26 +78,14 @@ class FloatContractLintSpec extends AnyFunSuite {
     * conversion path if a future build flips it. Mirrored in
     * BASELINE.md's waiver ledger.
     */
-  private val waivers: Map[String, (Set[String], String)] = Map(
-    "text_zipf" -> (Set("ln"), "ln(rank), ln(freq) in the log-log OLS; slope rounded 6dp. " +
-      "Measured parity on both builds since the query landed; ExactLn is the conversion path."),
-    "text_lm_score" -> (Set("ln"), "per-token -ln(p) sums over count rationals; 6dp output. " +
-      "Measured parity; ExactLn conversion path."),
-    "text_bigram_lm" -> (Set("ln"), "same -ln(p) surface as text_lm_score, same rounding."),
-    "text_quality_lr" -> (Set("exp"), "logistic sigmoid exp(-z) inside the IRLS fold; outputs 6dp. " +
-      "Measured parity; the gradient/Hessian accumulate in exact micro-units so only the " +
-      "sigmoid itself is libm."),
-    "text_source_divergence" -> (Set("ln"), "ln(p/q) in KL terms over count rationals; 6dp output. Measured parity."),
-    "text_tfidf" -> (Set("ln"), "idf = ln(N/df) over small-int ratios; 6dp output. Measured parity."),
-    "text_bm25" -> (Set("ln"), "idf ln over small-int ratios as text_tfidf; 6dp output."),
-    "ccm_auto_params" -> (Set("ln"), "MI = sum p*ln(...) over count rationals, 6dp — the ccm_mi_tau " +
-      "surface re-used by the auto-parameter panel. Measured parity."),
-    "ccm_mi_tau" -> (Set("ln"), "MI over count rationals, 6dp; measured parity on both builds since r6."),
-    "evt_transfer_entropy" -> (Set("ln"), "same count-rational ln surface as ccm_mi_tau."),
-    "mm_features" -> (Set("ln"), "byte-histogram entropy ln(c/n)/ln(2) over count rationals; 6dp. " +
-      "Measured parity; ln(2) divisor could be a spliced literal but the numerator ln remains — " +
-      "ExactLn is the conversion path.")
-  )
+  private val waivers: Map[String, (Set[String], String)] = Map.empty
+  // Round 13 emptied the table: the eleven per-query ln/exp waivers
+  // (text_zipf, text_lm_score, text_bigram_lm, text_quality_lr,
+  // text_source_divergence, text_tfidf, text_bm25, ccm_mi_tau,
+  // ccm_auto_params, evt_transfer_entropy, mm_features) were all
+  // converted to the ExactLn/ExactExp IEEE-only series on both engines.
+  // New libm in a hashed path must either use the exact recipes or add
+  // a written waiver here.
 
   test("every transcendental in an oracle's hashed path is explicitly waived") {
     val violations = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
