@@ -206,8 +206,12 @@ object Bench {
             val underBar = w._1.exists(_ <= bar.get)
             settled = quietWindow || underBar
           }
-          val best = tries.minBy(w => math.max(w._2, w._3)) // quietest try ships verbatim
-          requeued(name) = (best._1, best._2, best._3, tries.size, settled)
+          // Ship the try that EARNED the settle (the head — the loop exits
+          // right after settling), so the recorded readings and the settled
+          // flag always describe the same window; only an unsettled requeue
+          // falls back to the quietest try as the least-noisy evidence.
+          val shipped = if (settled) tries.head else tries.minBy(w => math.max(w._2, w._3))
+          requeued(name) = (shipped._1, shipped._2, shipped._3, tries.size, settled)
           (name, tries ++ windows)
         } else (name, windows)
       }

@@ -41,9 +41,14 @@ object CcmViz {
       height: Int = 400,
       title: String = "CCM Convergence Analysis"
   ): String = {
+    // Non-finite rho (degenerate CCM output) would interpolate as the
+    // bare tokens NaN/Infinity — invalid JSON that breaks any Vega-Lite
+    // host. Emit JSON null instead; Vega-Lite skips null points.
+    def corrJson(c: Double): String =
+      if (java.lang.Double.isFinite(c)) c.toString else "null"
     val values = points
       .map(p =>
-        s"""{"library_size":${p.librarySize},"correlation":${p.correlation},"direction":"${esc(p.direction)}"}"""
+        s"""{"library_size":${p.librarySize},"correlation":${corrJson(p.correlation)},"direction":"${esc(p.direction)}"}"""
       )
       .mkString("[", ",", "]")
     s"""{
@@ -68,7 +73,10 @@ object CcmViz {
   def asciiChart(points: Seq[PlotPoint], width: Int = 64, height: Int = 16): String = {
     if (points.isEmpty) return "(no points)"
     val dirs = points.map(_.direction).distinct.sorted
-    val glyph = dirs.zip(Seq('x', 'o', '+', '#')).toMap
+    // cycle glyphs by index: a 5th+ direction reuses the palette instead
+    // of throwing NoSuchElementException from a 4-entry map
+    val glyphs = Seq('x', 'o', '+', '#')
+    val glyph = dirs.zipWithIndex.map { case (d, i) => d -> glyphs(i % glyphs.size) }.toMap
     val (loX, hiX) = (points.map(_.librarySize).min, points.map(_.librarySize).max)
     val (loY0, hiY0) = (points.map(_.correlation).min, points.map(_.correlation).max)
     val (loY, hiY) = if (hiY0 - loY0 < 1e-12) (loY0 - 0.5, hiY0 + 0.5) else (loY0, hiY0)

@@ -1134,7 +1134,13 @@ object StreamQueries {
           col("clickUs").as("click_us"),
           (col("purchaseUs") - col("clickUs")).as("lag_us")
         )
-        .transform(Norm.ordered(_, col("user_id"), col("purchase_us")))
+        // total order (ADVICE r12): two purchases sharing (user_id, ts)
+        // but differing in value would tie under (user_id, purchase_us)
+        // and sort engine-dependently — a latent hash flake; value and
+        // click_us break the tie identically on both sides
+        .transform(
+          Norm.ordered(_, col("user_id"), col("purchase_us"), col("purchase_value"), col("click_us"))
+        )
     } finally {
       prev match {
         case Some(v) => s.conf.set(provKey, v)
@@ -1162,7 +1168,7 @@ object StreamQueries {
        |FROM p LEFT JOIN c ON c.cu = p.user_id AND c.cus <= p.pus AND p.pus - c.cus <= $ClickLagUs
        |WHERE p.pus < (SELECT w FROM cutoff)
        |GROUP BY p.event_id, p.user_id, p.pus, p.value
-       |ORDER BY 1, 2""".stripMargin
+       |ORDER BY 1, 2, 3, 4""".stripMargin
 
   // -------------------------------------------------------------------
   // stream_upsert — streaming ingestion INTO the year-partitioned table

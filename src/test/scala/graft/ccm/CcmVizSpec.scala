@@ -42,4 +42,18 @@ class CcmVizSpec extends AnyFunSuite {
     val flat = Seq(CcmViz.PlotPoint(10, 0.5, "X → Y"), CcmViz.PlotPoint(20, 0.5, "X → Y"))
     assert(CcmViz.asciiChart(flat).nonEmpty)
   }
+
+  test("non-finite correlations emit JSON null, never NaN/Infinity tokens (ADVICE r12)") {
+    val bad = pts :+ CcmViz.PlotPoint(80, Double.NaN, "X → Y") :+
+      CcmViz.PlotPoint(90, Double.PositiveInfinity, "Y → X")
+    val json = CcmViz.convergenceSpecJson(bad)
+    assert(!json.contains("NaN") && !json.contains("Infinity"))
+    assert(json.contains("\"correlation\":null"))
+  }
+
+  test("a fifth direction cycles the glyph palette instead of throwing (ADVICE r12)") {
+    val five = (1 to 5).map(i => CcmViz.PlotPoint(10 * i, 0.1 * i, s"dir$i"))
+    val chart = CcmViz.asciiChart(five)
+    assert(chart.contains("x = dir1") && chart.contains("x = dir5")) // 5th reuses glyph 1
+  }
 }
