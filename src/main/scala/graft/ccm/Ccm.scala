@@ -74,7 +74,7 @@ object Ccm {
     // the hash-rank window itself runs once per consumer. At cluster
     // scale the equivalent is persisting the ranked table once.
     val rk = CcmPipeline
-      .ranked(emb, keys, spec.numSamples, spec.seed, col("skey"))
+      .ranked(emb, keys, spec.numSamples, spec.seed, col("skey"), spec.consecutive)
       .localCheckpoint()
     val sk =
       CcmPipeline.skill(

@@ -139,14 +139,20 @@ object CcmLocal {
       sampleId: Long,
       seriesKey: Long,
       seed: Long,
-      buckets: Buckets = null
+      buckets: Buckets = null,
+      consecutive: Boolean = false
   ): Double = {
     val n = embedding.length
     if (libSize >= n) return 0.0
-    val order = Array.range(0, n).map { i =>
-      (DetHash.rankHash(i.toLong, sampleId, seriesKey, seed), i)
-    }
-    java.util.Arrays.sort(order, Ordering.Tuple2(Ordering.Long, Ordering.Int))
+    // consecutive = README-parity mode ([[CcmSpec.consecutive]]): library
+    // = first libSize rows in time order, prediction = the series tail
+    val order =
+      if (consecutive) Array.range(0, n).map(i => (i.toLong, i))
+      else
+        Array.range(0, n).map { i =>
+          (DetHash.rankHash(i.toLong, sampleId, seriesKey, seed), i)
+        }
+    if (!consecutive) java.util.Arrays.sort(order, Ordering.Tuple2(Ordering.Long, Ordering.Int))
     val libIdx = order.take(libSize).map(_._2)
     val predIdx = order.drop(libSize).map(_._2)
     if (predIdx.length < 2) return 0.0
@@ -241,7 +247,7 @@ object CcmLocal {
       var sum = 0.0
       var s = 1
       while (s <= spec.numSamples) {
-        sum += crossMapSample(embedding, adjusted, l, s.toLong, seriesKey, spec.seed, buckets)
+        sum += crossMapSample(embedding, adjusted, l, s.toLong, seriesKey, spec.seed, buckets, spec.consecutive)
         s += 1
       }
       (l, sum / spec.numSamples)

@@ -65,14 +65,27 @@ object CcmPipeline {
   /** Hash-rank every embedding row within each (series, sample) cell.
     * Output adds (sample_id, rank): rows with rank <= L form the library for
     * lib size L; the complement is the prediction set.
+    *
+    * `consecutive = true` ranks by time index instead of hash — the
+    * README-parity library mode (`/root/reference/README.md:89,103`,
+    * [[CcmSpec.consecutive]]): library = first L rows, prediction set =
+    * the unshuffled series tail.
     */
-  def ranked(emb: DataFrame, keys: Seq[String], numSamples: Int, seed: Long, seriesKey: Column): DataFrame = {
+  def ranked(
+      emb: DataFrame,
+      keys: Seq[String],
+      numSamples: Int,
+      seed: Long,
+      seriesKey: Column,
+      consecutive: Boolean = false
+  ): DataFrame = {
     val spark = emb.sparkSession
     val samples = spark.range(1, numSamples + 1).select(col("id").as("sample_id"))
     val h = DetHash.rankHashCol(col("idx"), col("sample_id"), seriesKey, seed)
+    val ordering = if (consecutive) Seq(col("idx").asc) else Seq(h.asc, col("idx").asc)
     val w = Window
       .partitionBy((keys.map(col) :+ col("sample_id")): _*)
-      .orderBy(h.asc, col("idx").asc)
+      .orderBy(ordering: _*)
     emb
       .crossJoin(broadcast(samples))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -63,6 +63,18 @@ package graft.ccm
   * series with few samples (1 260-pt series — the pair relation per
   * group is large, so the saved sort + second exchange dominate).
   * Off by default; turn on for the long-series regime.
+  *
+  * `consecutive` (README-parity mode): the reference's README describes
+  * libraries as "L consecutive slices of the training set … each slice
+  * longer than the previous, increment constant"
+  * (`/root/reference/README.md:103`) with "test sets extracted from the
+  * end … we do not shuffle" (`README.md:89`), while the CODE samples
+  * random subsets (`lib/ccm.ex:117`). `consecutive = false` (default)
+  * is the code's behavior; `true` selects the README's: library for
+  * size L = the FIRST L embedding rows in time order (the lib-size
+  * ladder supplies the constant increment), prediction set = the
+  * remaining rows at the END of the series, unshuffled. Ranking is then
+  * sample-independent, so run it with `numSamples = 1`.
   */
 final case class CcmSpec(
     embeddingDim: Int = 3,
@@ -73,7 +85,8 @@ final case class CcmSpec(
     knnBuckets: Int = 0,
     knnAutoFactor: Int = 64,
     reuseDistances: Boolean = false,
-    fusedTopK: Boolean = false
+    fusedTopK: Boolean = false,
+    consecutive: Boolean = false
 ) {
   require(embeddingDim >= 1, "embeddingDim must be >= 1")
   require(tau >= 1, "tau must be >= 1")

@@ -251,6 +251,43 @@ object CcmQueries {
 
   private def curve(s: SparkSession, dir: String): DataFrame = curveWith(s, dir, 0)
 
+  // ccm_curve_slices — the README-parity library mode (VERDICT r12 missing
+  // item 1+2; /root/reference/README.md:89,103): libraries are CONSECUTIVE
+  // growing slices from the start of each series (the lib ladder is the
+  // constant increment) and the prediction set is the unshuffled series
+  // END — the behavior a user arriving from the README (and from Sugihara
+  // 2012, which uses contiguous libraries) expects, vs the code's random
+  // subsets (lib/ccm.ex:117) that every other ccm_* query mirrors.
+  // Ranking is sample-independent here, so ONE sample replaces the
+  // bootstrap; same ladder, same weights, same skill/convergence tail.
+  private def curveSlices(s: SparkSession, dir: String): DataFrame =
+    Ccm
+      .bidirectional(
+        curveInput(s, dir),
+        skey = col("user_id"),
+        order = Seq("ts"),
+        x = col("x"),
+        y = col("y"),
+        spec = CcmSpec(numSamples = 1, seed = Seed, consecutive = true),
+        libSizes = CurveLibs
+      )
+      .select(
+        col("skey").as("user_id"),
+        col("direction"),
+        col("lib_size"),
+        Norm.rnd(col("rho"), 6).as("rho"),
+        Norm.rnd(col("slope"), 6).as("slope"),
+        col("convergent")
+      )
+      .transform(Norm.ordered(_, col("user_id"), col("direction"), col("lib_size")))
+
+  private val curveSlicesSql: String =
+    s"""${curveSqlCommon(samples = 1, consecutive = true)}
+       |SELECT sk.skey AS user_id, sk.direction, sk.lib_size,
+       |       round(sk.rho, 6) + 0.0 AS rho, round(cv.slope, 6) + 0.0 AS slope, cv.convergent
+       |FROM sk JOIN cv ON sk.direction = cv.direction AND sk.skey = cv.skey
+       |ORDER BY 1, 2, 3""".stripMargin
+
   // ccm_curve_approx — the SAME workload as ccm_curve with the approximate
   // kNN flag ON (CcmSpec.knnBuckets, SURVEY §4.3) at the DEFAULT
   // knnAutoFactor: the ~65-pt per-user series sit far below the
@@ -313,7 +350,8 @@ object CcmQueries {
       ySqlOpt: Option[String] = None,
       e: Int = 3,
       knnAutoFactor: Int = 64,
-      prelude: String = "" // extra CTEs spliced BEFORE base0 (so baseFrom can reference them)
+      prelude: String = "", // extra CTEs spliced BEFORE base0 (so baseFrom can reference them)
+      consecutive: Boolean = false // README-parity mode: rank by idx, not hash (CcmSpec.consecutive)
   ): String = {
     val preludeSql = if (prelude.isEmpty) "" else s"$prelude,\n"
     val ordSql = ord.mkString(", ")
@@ -376,7 +414,8 @@ object CcmQueries {
        |rk AS (
        |  SELECT e.direction, e.skey, s.sample_id, e.idx, $rkECols, e.tgt,
        |         CAST(row_number() OVER (PARTITION BY e.direction, e.skey, s.sample_id
-       |              ORDER BY ${DetHash.rankHashSql("e.idx", "s.sample_id", "e.skey", Seed)}, e.idx) AS BIGINT) AS rank
+       |              ORDER BY ${if (consecutive) "e.idx"
+      else s"${DetHash.rankHashSql("e.idx", "s.sample_id", "e.skey", Seed)}, e.idx"}) AS BIGINT) AS rank
        |  FROM emb e CROSS JOIN samples s
        |), ${bucketCtes}libs(lib_size) AS (VALUES $libsValues),
        |pairs AS (
@@ -2513,6 +2552,7 @@ object CcmQueries {
     "ccm_knn_predict" -> knnPredict,
     "ccm_skill_corr" -> skillCorr,
     "ccm_curve" -> curve,
+    "ccm_curve_slices" -> curveSlices,
     "ccm_curve_approx" -> curveApprox,
     "ccm_curve_perseries" -> curvePerSeries,
     "ccm_wide" -> wide,
@@ -2557,6 +2597,7 @@ object CcmQueries {
     "ccm_knn_predict" -> knnPredictSql,
     "ccm_skill_corr" -> skillCorrSql,
     "ccm_curve" -> curveSql,
+    "ccm_curve_slices" -> curveSlicesSql,
     "ccm_curve_approx" -> curveApproxSql,
     "ccm_curve_perseries" -> curveSql,
     "ccm_wide" -> wideSql,
