@@ -1154,8 +1154,13 @@ object DedupQueries {
     val sh = docs(s, dir)
       .select(col("doc_id"), posexplode(expr(s"graft_winhashes(text, $SubK, 1)")).as(Seq("pos", "h")))
       .localCheckpoint()
-    val ok = sh.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") <= SubMaxBucket).select("h")
-    val shf = sh.join(ok, "h")
+    // guard INVERTED (round 13): almost every window hash survives the
+    // <= SubMaxBucket test, so joining against the survivors shuffles the
+    // whole corpus-sized relation; anti-joining against the FREQUENT set
+    // (boilerplate-only, tiny by construction) broadcasts and stays
+    // map-side. Value-identical to the ok-join the oracle spells out.
+    val bad = sh.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") > SubMaxBucket).select("h")
+    val shf = sh.join(broadcast(bad), Seq("h"), "left_anti")
     val pr = shf
       .as("a")
       .join(shf.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -1169,6 +1174,95 @@ object DedupQueries {
     val runs = pr
       .withColumn("grp", col("pa") - row_number().over(wr))
       .groupBy(col("doc_a"), col("doc_b"), (col("pa") - col("pb")).as("diag"), col("grp"))
+      .agg((count(lit(1)) + SubK - 1).as("run_len"))
+    runs
+      .filter(col("run_len") >= SubMinRun)
+      .groupBy("doc_a", "doc_b")
+      .agg(max("run_len").as("max_run"), count(lit(1)).as("n_runs"))
+      .transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
+  }
+
+  // -------------------------------------------------------------------
+  // dedup_substring_banded — the scale-safe twin of dedup_substring
+  // (VERDICT r12 item 3: the stride-1 formulation was the suite's one
+  // superlinear residual, 147x at 100x data). The pair relation is the
+  // superlinear term (measured 31M at 10x -> 824M at 100x, 2.6x above
+  // data growth, SubstrPhases): every window of every shared fragment
+  // pairs up. The band splits detection from measurement:
+  //   SEED PASS — only a-side windows at pos % 13 == 0 join (one
+  //   thirteenth of the pair term). A reported run needs
+  //   SubMinRun - SubK + 1 = 27 consecutive shared windows on one
+  //   (doc_a, doc_b, diagonal), and any 27 consecutive positions
+  //   contain >= 2 multiples of 13 — so "diagonal with >= 2 seed
+  //   matches" is a NECESSARY condition, computed by a hash aggregate
+  //   (no sort). Guarding ONE join side bounds the bucket product
+  //   (the b-match shares the a-window's hash, so its guard status is
+  //   identical).
+  //   ISLAND PASS — the exact gaps-and-islands run measurement runs
+  //   only over SURVIVOR DOCS (truth-scale: 2.6k true pairs at 10x),
+  //   restricted to survivor diagonals; dropped diagonals have < 27
+  //   consecutive windows and can contribute nothing, so the twin
+  //   shares dedup_substring's oracle VERBATIM (the evt_discord_banded
+  //   precedent).
+  //
+  // Measured negatives (round 13, kept as findings):
+  //  - doc-level banding via winnowing-minimizer candidates
+  //    (graft_minimizers) does NOT pay here: 97% of replica docs share
+  //    a single >= 39-char fragment, 87% still pair under a
+  //    two-same-diagonal-minimizers test (283k candidates vs 2.6k true
+  //    pairs) — fragment sharing is pervasive, only the diagonal count
+  //    separates true >= 50-char runs. The kernel stays registered
+  //    (MinimizersSpec) for fingerprint consumers.
+  //  - an UNSEEDED diagonal-count band (aggregate over the full 824M
+  //    pair relation) measured 645 s at 100x vs the exact twin's 332 s:
+  //    a hash aggregate over mostly-unique (pair, diag) keys spills
+  //    worse than the window sort it replaces. Banding must shrink the
+  //    relation BEFORE the aggregate; the 13-stride seed does.
+  // -------------------------------------------------------------------
+  private val SubSeedStride = 13 // 27 consecutive positions hold >= 2 multiples
+
+  private def dedupSubstringBanded(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val sh = docs(s, dir)
+      .select(col("doc_id"), posexplode(expr(s"graft_winhashes(text, $SubK, 1)")).as(Seq("pos", "h")))
+      .localCheckpoint() // feeds the guard, the seed join, and the island pass
+    val bad = sh.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") > SubMaxBucket).select("h")
+    val shf = sh.join(broadcast(bad), Seq("h"), "left_anti") // map-side guard
+    val seeds = shf.filter(col("pos") % SubSeedStride === 0)
+    val survivors = seeds
+      .as("a")
+      .hint("SHUFFLE_HASH") // build side = the 1/13 seed relation; no 213M-row sort
+      .join(shf.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (col("a.pos") - col("b.pos")).as("diag")
+      )
+      .agg(count(lit(1)).as("nseed"))
+      .filter(col("nseed") >= 2)
+      .select("doc_a", "doc_b", "diag")
+      .localCheckpoint() // truth-scale: feeds the doc filter AND the diag restriction
+    val sdocs = survivors
+      .select(col("doc_a").as("doc_id"))
+      .union(survivors.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shfS = shf.join(broadcast(sdocs), "doc_id")
+    val prS = shfS
+      .as("a")
+      .hint("SHUFFLE_HASH") // skip the SMJ sort of both survivor-doc sides
+      .join(shfS.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"),
+        col("b.pos").as("pb")
+      )
+      .withColumn("diag", col("pa") - col("pb"))
+      .join(broadcast(survivors), Seq("doc_a", "doc_b", "diag"))
+    val wr = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy("pa")
+    val runs = prS
+      .withColumn("grp", col("pa") - row_number().over(wr))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
       .agg((count(lit(1)) + SubK - 1).as("run_len"))
     runs
       .filter(col("run_len") >= SubMinRun)
@@ -1485,6 +1579,7 @@ object DedupQueries {
     "dedup_cdc" -> dedupCdc,
     "dedup_substring_incremental" -> dedupSubstringIncremental,
     "dedup_substring" -> dedupSubstring,
+    "dedup_substring_banded" -> dedupSubstringBanded,
     "dedup_incremental" -> dedupIncremental,
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_star" -> dedupClusterStar,
@@ -1508,6 +1603,7 @@ object DedupQueries {
     "dedup_cdc" -> dedupCdcSql,
     "dedup_substring_incremental" -> dedupSubstringIncrementalSql,
     "dedup_substring" -> dedupSubstringSql,
+    "dedup_substring_banded" -> dedupSubstringSql, // twin shares the exact oracle VERBATIM
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_cluster" -> dedupClusterSql,
     "dedup_cluster_star" -> dedupClusterSql,

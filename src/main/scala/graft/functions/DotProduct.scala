@@ -144,6 +144,15 @@ object GraftFunctions {
       "graft_repstats(text) - struct(nw, dw, mw, d2, d3) repetition stats over the single-space split (codegen)"
     ),
     (
+      "graft_minimizers",
+      classOf[Minimizers].getName,
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_minimizers expects (text, width, sel)")
+        Minimizers(children.head, children(1), children(2))
+      },
+      "graft_minimizers(text, w, s) - robust-winnowing minimizer hashes of stride-1 w-char windows (codegen)"
+    ),
+    (
       "graft_exp",
       classOf[ExactExpExpr].getName,
       (children: Seq[Expression]) => {

@@ -185,6 +185,139 @@ case class WindowHashes(text: Expression, width: Expression, stride: Expression)
   ): Expression = copy(text = newFirst, width = newSecond, stride = newThird)
 }
 
+/** Robust-winnowing minimizer fingerprints (Schleimer et al. 2003):
+  * `graft_minimizers(text, width, w)` = struct(pos, h) of the windows
+  * selected by sliding a w-length selection window over the stride-1
+  * `width`-char window hashes and keeping each selection window's
+  * RIGHTMOST minimum. Selection density ≈ 2/(w+1) of stride-1; any
+  * shared substring of ≥ w + width - 1 chars yields a common selected
+  * hash, and one of ≥ 2w + width - 1 chars yields TWO at the same
+  * relative offset (selection depends only on window contents,
+  * identical inside the run) — the same-diagonal candidate guarantee
+  * `dedup_substring_banded` builds on. Positions are code-point offsets
+  * of the window start (0-based, matching graft_winhashes' posexplode
+  * minus 1... positions here are 0-based selected indices; only
+  * DIFFERENCES of positions are consumed, so the base cancels).
+  * EMPTY array for texts shorter than `width`; NULL only for NULL input.
+  */
+case class Minimizers(text: Expression, width: Expression, sel: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = text
+  override def second: Expression = width
+  override def third: Expression = sel
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"graft_minimizers expects a string, got ${text.dataType.sql}")
+    else if (width.dataType != IntegerType || !width.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_minimizers width must be an int literal")
+    else if (sel.dataType != IntegerType || !sel.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_minimizers selection window must be an int literal")
+    else if (width.eval() == null || width.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure("graft_minimizers width must be >= 1 and non-null")
+    else if (sel.eval() == null || sel.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure("graft_minimizers selection window must be >= 1 and non-null")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false), StructField("h", LongType, nullable = false))),
+    containsNull = false
+  )
+  override def nullable: Boolean = text.nullable
+  override def prettyName: String = "graft_minimizers"
+
+  private lazy val w: Int = width.eval().asInstanceOf[Int]
+  private lazy val sw: Int = sel.eval().asInstanceOf[Int]
+
+  override def eval(input: InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) null
+    else Minimizers.select(t.asInstanceOf[UTF8String].toString, w, sw)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tEv = text.genCode(ctx)
+    ev.copy(code = code"""
+      ${tEv.code}
+      boolean ${ev.isNull} = ${tEv.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.Minimizers.selectUtf8(${tEv.value}, $w, $sw);
+      }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression,
+      newSecond: Expression,
+      newThird: Expression
+  ): Expression = copy(text = newFirst, width = newSecond, sel = newThird)
+}
+
+object Minimizers {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  /** Hash every stride-1 window (the [[WindowHashes]] arithmetic), then
+    * mark, for each selection window of `sel` consecutive window
+    * positions, the rightmost position holding the minimum hash; emit
+    * the marked hashes in position order.
+    */
+  def select(s: String, width: Int, sel: Int): ArrayData = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < width)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val m = n - width + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < width) {
+        h = (h * 31L + cps(i + j).toLong) % graft.ccm.DetHash.P
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    val selected = new Array[Boolean](m)
+    val lastWin = math.max(0, m - sel)
+    i = 0
+    while (i <= lastWin) {
+      val end = math.min(i + sel, m)
+      var best = i
+      var j = i + 1
+      while (j < end) {
+        if (hs(j) <= hs(best)) best = j // rightmost min (robust winnowing)
+        j += 1
+      }
+      selected(best) = true
+      i += 1
+    }
+    var cnt = 0
+    i = 0
+    while (i < m) { if (selected(i)) cnt += 1; i += 1 }
+    val out = new Array[Any](cnt)
+    var k = 0
+    i = 0
+    while (i < m) {
+      if (selected(i)) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, hs(i))
+        )
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def selectUtf8(u: UTF8String, width: Int, sel: Int): ArrayData =
+    select(u.toString, width, sel)
+}
+
 object WindowHashes {
   import org.apache.spark.sql.catalyst.util.ArrayData
   import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData

@@ -61,9 +61,21 @@ object SeriesV2 {
   private[sources] class SeriesScanBuilder(path: String)
       extends ScanBuilder
       with SupportsPushDownRequiredColumns
-      with SupportsPushDownFilters {
+      with SupportsPushDownFilters
+      with SupportsPushDownLimit {
     private var required: StructType = Schema
     private var pushed: Array[Filter] = Array.empty
+    private var limit: Int = -1
+
+    /** LIMIT reaches the reader as a PER-PARTITION early stop: each file
+      * reader emits at most `limit` rows then closes, so a
+      * `.limit(10)` over a many-GB directory reads ~10 lines per file
+      * instead of scanning everything. `isPartiallyPushed` stays true
+      * (the default): with one partition per file the source cannot
+      * enforce the GLOBAL limit, so Spark keeps its Limit node above —
+      * semantics unchanged, scan cost bounded.
+      */
+    override def pushLimit(l: Int): Boolean = { limit = l; true }
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       // preserve our parse order; the returned rows must match readSchema
@@ -88,17 +100,17 @@ object SeriesV2 {
     }
     override def pushedFilters(): Array[Filter] = pushed
 
-    override def build(): Scan = new SeriesScan(path, required, pushed)
+    override def build(): Scan = new SeriesScan(path, required, pushed, limit)
   }
 
-  private[sources] class SeriesScan(path: String, required: StructType, pushed: Array[Filter])
+  private[sources] class SeriesScan(path: String, required: StructType, pushed: Array[Filter], limit: Int)
       extends Scan
       with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def description(): String =
       s"graft_series path=$path, ReadColumns=[${required.fieldNames.mkString(",")}], " +
-        s"PushedSkeyFilters=[${pushed.mkString(",")}]"
+        s"PushedSkeyFilters=[${pushed.mkString(",")}], PushedLimit=${if (limit < 0) "none" else limit}"
 
     // the SESSION's Hadoop configuration (spark.hadoop.* credentials, fs
     // implementations, defaultFS) — a fresh `new Configuration()` works
@@ -123,6 +135,7 @@ object SeriesV2 {
       new SeriesReaderFactory(
         required.fieldNames,
         pushed.map(FilterSpec.of),
+        limit,
         new org.apache.spark.util.SerializableConfiguration(sessionHadoopConf())
       )
   }
@@ -160,6 +173,7 @@ object SeriesV2 {
   private[sources] class SeriesReaderFactory(
       columns: Array[String],
       filters: Array[FilterSpec],
+      limit: Int,
       hadoopConf: org.apache.spark.util.SerializableConfiguration
   ) extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -167,6 +181,7 @@ object SeriesV2 {
         partition.asInstanceOf[SeriesInputPartition].file,
         columns,
         filters,
+        limit,
         hadoopConf.value
       )
   }
@@ -179,15 +194,18 @@ object SeriesV2 {
       file: String,
       columns: Array[String],
       filters: Array[FilterSpec],
+      limit: Int,
       hadoopConf: Configuration
   ) extends PartitionReader[InternalRow] {
     private val p = new Path(file)
     private val in = p.getFileSystem(hadoopConf).open(p)
     private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
     private var headerSkipped = false
+    private var emitted = 0L
     private var current: InternalRow = _
 
     override def next(): Boolean = {
+      if (limit >= 0 && emitted >= limit) return false // pushed per-partition limit
       var line = reader.readLine()
       if (!headerSkipped && line != null) { headerSkipped = true; line = reader.readLine() }
       while (line != null) {
@@ -210,6 +228,7 @@ object SeriesV2 {
                 i += 1
               }
               current = new GenericInternalRow(vals)
+              emitted += 1
               return true
             }
           } catch { case _: NumberFormatException => () } // malformed -> skip

@@ -67,6 +67,22 @@ class SeriesV2Spec extends SparkTestBase {
     assert(df.count() == SeriesSource.wideCsv(spark, dir).filter(col("x") > 4.0).count())
   }
 
+  test("LIMIT pushes into the scan as a per-partition early stop; global semantics unchanged") {
+    val dir = writeSample()
+    val df = spark.read.format("graft.sources.SeriesV2").load(dir).limit(7)
+    val scan = scanOf(df)
+    assert(scan.description().contains("PushedLimit=7"), scan.description())
+    assert(df.count() == 7) // Spark's global Limit stays above (isPartiallyPushed)
+    // limit composes with a pushed filter: reader stops after 2 matching rows
+    val df2 = spark.read.format("graft.sources.SeriesV2").load(dir).filter(col("skey") === 2L).limit(2)
+    assert(scanOf(df2).description().contains("PushedLimit=2"), scanOf(df2).description())
+    assert(df2.collect().map(_.getLong(0)).toSeq == Seq(2L, 2L))
+    // no-limit scans are unaffected
+    val df3 = spark.read.format("graft.sources.SeriesV2").load(dir)
+    assert(scanOf(df3).description().contains("PushedLimit=none"), scanOf(df3).description())
+    assert(df3.count() == 24)
+  }
+
   test("malformed lines are skipped, matching the wideCsv + na.drop contract") {
     val tmp = Files.createTempDirectory("sv2spec_bad").toString
     Files.writeString(
