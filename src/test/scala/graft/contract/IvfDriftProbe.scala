@@ -40,8 +40,8 @@ object IvfDriftProbe {
     val e = VecOps.vecs(spark, dir).localCheckpoint()
     val dot = VecOps.dotSpark
 
-    def centsOf(rel: DataFrame): DataFrame =
-      rel.filter(col("vec_id") % CentroidStride === 0)
+    def centsOf(rel: DataFrame, stride: Long = CentroidStride): DataFrame =
+      rel.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
 
     def top5(rel: DataFrame, joinable: DataFrame): DataFrame = {
@@ -86,13 +86,17 @@ object IvfDriftProbe {
     }
 
     val frozenCents = centsOf(e.filter(col("vec_id") < CopyBase)).localCheckpoint()
-    println("IVFDRIFT copies_merged frozen_recall@5 fresh_recall@5")
+    println("IVFDRIFT copies_merged frozen_recall@5 fresh_grown_k fresh_matched_k")
     Seq(0, 1, 2, 4, 9).foreach { k =>
       val corpus = e.filter(col("vec_id") < (k + 1) * CopyBase).localCheckpoint()
       val truth = top5(corpus, corpus.select("vec_id", "v", "nrm")).localCheckpoint()
       val frozen = recall(ivfTop5(corpus, frozenCents), truth)
       val fresh = recall(ivfTop5(corpus, centsOf(corpus)), truth)
-      println(f"IVFDRIFT $k%d $frozen%.4f $fresh%.4f")
+      // budget-matched fresh: same ~64-centroid budget as the frozen
+      // index, re-strided over the grown corpus — isolates drift
+      // ADAPTATION from the centroid-count / probe-fraction effect
+      val fresh64 = recall(ivfTop5(corpus, centsOf(corpus, CentroidStride * (k + 1).toLong)), truth)
+      println(f"IVFDRIFT $k%d $frozen%.4f $fresh%.4f $fresh64%.4f")
     }
     spark.stop()
   }
