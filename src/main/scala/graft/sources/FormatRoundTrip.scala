@@ -193,8 +193,77 @@ object FormatRoundTrip {
        |WHERE y IS NOT NULL AND skey > $SvKeyLo AND skey <= $SvKeyHi
        |GROUP BY 1 ORDER BY skey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // src_seriesv2_agg_pushdown — the V2 source's PARTIAL aggregate
+  // pushdown under the hash gate: the same derived series CSV, read back
+  // with Aggregate(Filter(Scan)) where the skey filter is fully handled
+  // by the reader and the COUNT/MIN/MAX fold happens INSIDE it — the
+  // scan emits one row per (file, series), not one per line, and Spark's
+  // merge Aggregate finalizes (SeriesV2Spec pins that the plan actually
+  // pushed: PushedAggregation=[GROUP BY skey, ...]). COUNT and long
+  // MIN/MAX are exact by construction; double MIN/MAX are exact
+  // selections of values that round-trip losslessly through the CSV
+  // text (Java shortest-repr doubles). SUM over doubles is deliberately
+  // NOT here — the source refuses it (merge order is partition-
+  // nondeterministic); the long-typed ord_sum exercises pushed SUM.
+  // At scale this is the difference between shipping O(lines) and
+  // O(series) out of a 100-TB cold-format directory.
+  // -------------------------------------------------------------------
+  private def seriesV2AggPushdown(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = Files.createTempDirectory(s"graft-sv2agg-${ctr.incrementAndGet()}")
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .select(
+        col("user_id").as("skey"),
+        (row_number().over(w) - 1).cast("long").as("ord"),
+        col("value").as("x"),
+        lag(col("value"), 1).over(w).as("y")
+      )
+      .filter(col("y").isNotNull)
+      .write
+      .option("header", "true")
+      .csv(s"$tmp/series_csv")
+    val back = s.read
+      .format("graft.sources.SeriesV2")
+      .load(s"$tmp/series_csv")
+      .filter(col("skey") > SvKeyLo && col("skey") <= SvKeyHi)
+      .groupBy("skey")
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("ord")).as("ord_min"),
+        max(col("ord")).as("ord_max"),
+        sum(col("ord")).as("ord_sum"),
+        min(col("x")).as("x_min"),
+        max(col("y")).as("y_max")
+      )
+      .transform(Norm.ordered(_, col("skey")))
+    graft.GateResult.materialize(back)(graft.GateResult.deleteRecursively(tmp))
+  }
+
+  private val seriesV2AggPushdownSql: String =
+    s"""WITH ser AS (
+       |  SELECT user_id AS skey,
+       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS ord,
+       |         value AS x,
+       |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS y
+       |  FROM events
+       |)
+       |SELECT skey, CAST(count(*) AS BIGINT) AS n_points,
+       |       CAST(min(ord) AS BIGINT) AS ord_min,
+       |       CAST(max(ord) AS BIGINT) AS ord_max,
+       |       CAST(sum(ord) AS BIGINT) AS ord_sum,
+       |       min(x) AS x_min,
+       |       max(y) AS y_max
+       |FROM ser
+       |WHERE y IS NOT NULL AND skey > $SvKeyLo AND skey <= $SvKeyHi
+       |GROUP BY 1 ORDER BY skey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_seriesv2_roundtrip" -> seriesV2RoundTrip,
+    "src_seriesv2_agg_pushdown" -> seriesV2AggPushdown,
     "src_csv_roundtrip" -> csvRoundTrip,
     "src_orc_roundtrip" -> orcRoundTrip,
     "src_json_roundtrip" -> jsonRoundTrip,
@@ -203,6 +272,7 @@ object FormatRoundTrip {
 
   val oracle: Map[String, String] = Map(
     "src_seriesv2_roundtrip" -> seriesV2RoundTripSql,
+    "src_seriesv2_agg_pushdown" -> seriesV2AggPushdownSql,
     "src_csv_roundtrip" -> aggSql,
     "src_orc_roundtrip" -> aggSql,
     "src_json_roundtrip" -> aggSql,

@@ -7,7 +7,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -26,7 +27,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    remaining fields are parsed or a row is allocated, so a
   *    single-series probe of a many-series file does one cheap long-parse
   *    per skipped line. Pushed filters are also FULLY evaluated here
-  *    (they do not need re-checking above — they are returned as handled).
+  *    (they do not need re-checking above — they are returned as handled);
+  *  - '''limit pushdown''' (`SupportsPushDownLimit`): per-partition early
+  *    stop, global Limit kept above;
+  *  - '''partial aggregate pushdown''' (`SupportsPushDownAggregates`):
+  *    COUNT/MIN/MAX (+ SUM over long columns) grouped by nothing or by
+  *    `skey` fold inside the reader — the scan ships one row per
+  *    (file, series), not one per line; Spark's merge Aggregate above
+  *    finalizes. See [[SeriesV2.SeriesScanBuilder.pushAggregation]].
   *
   * Layout-level scaling: one [[InputPartition]] per file — the standard
   * file-source parallelism contract (a 1000-file directory fans out to
@@ -62,10 +70,49 @@ object SeriesV2 {
       extends ScanBuilder
       with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters
-      with SupportsPushDownLimit {
+      with SupportsPushDownLimit
+      with SupportsPushDownAggregates {
     private var required: StructType = Schema
     private var pushed: Array[Filter] = Array.empty
     private var limit: Int = -1
+    private var agg: Option[AggSpec] = None
+
+    /** PARTIAL aggregate pushdown: each file reader folds its lines into
+      * per-group accumulators and emits one row per group seen (one row
+      * total for a global aggregate, even over zero matching lines — the
+      * empty-input contract: `count(*)` over nothing must surface a 0,
+      * not a missing row). With one partition per file the source cannot
+      * produce the GLOBAL result, so `supportCompletePushDown` stays
+      * false and Spark keeps a final merge Aggregate above (count →
+      * sum-of-partials, min → min, …) — semantics unchanged, but the
+      * scan ships one row per (file, series) instead of one per LINE.
+      *
+      * Accepted shape: group-by absent or exactly `skey` (the format's
+      * series key — the only grouping the layout makes cheap), with
+      * COUNT(*)/COUNT(col)/MIN/MAX on any column and SUM on the LONG
+      * columns only. SUM over a double column is REFUSED deliberately:
+      * the final merge adds per-file partials in nondeterministic
+      * partition order, so a pushed double sum could flip low bits
+      * run-to-run — the unpushed path keeps Spark's own (equally
+      * order-dependent but plan-visible) semantics instead of hiding
+      * the hazard inside the source. MIN/MAX over doubles are exact
+      * selections and safe. Partial-agg state is O(distinct skeys per
+      * file); series layouts keep files key-partitioned, so that is
+      * small by construction at any corpus size.
+      */
+    override def pushAggregation(aggregation: Aggregation): Boolean =
+      if (limit >= 0) false // per-partition limit applies pre-agg; composing would change results
+      else
+        AggSpec.of(aggregation) match {
+          case some @ Some(_) => agg = some; true
+          case None           => false
+        }
+
+    /** LIMIT after a pushed aggregation would early-stop the INPUT of the
+      * per-file fold, not its output — refuse (Spark never offers this
+      * for partial pushdown, since the merge Aggregate sits between; the
+      * guard makes the invariant local).
+      */
 
     /** LIMIT reaches the reader as a PER-PARTITION early stop: each file
       * reader emits at most `limit` rows then closes, so a
@@ -75,11 +122,17 @@ object SeriesV2 {
       * enforce the GLOBAL limit, so Spark keeps its Limit node above —
       * semantics unchanged, scan cost bounded.
       */
-    override def pushLimit(l: Int): Boolean = { limit = l; true }
+    override def pushLimit(l: Int): Boolean =
+      if (agg.isDefined) false
+      else { limit = l; true }
 
     override def pruneColumns(requiredSchema: StructType): Unit =
-      // preserve our parse order; the returned rows must match readSchema
-      required = StructType(Schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+      // preserve our parse order; the returned rows must match readSchema.
+      // With a pushed aggregation the relation's output is the agg
+      // columns, not base columns — the fold already parses only what
+      // the accepted aggregates reference, so pruning is a no-op there.
+      if (agg.isEmpty)
+        required = StructType(Schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
     /** Accept (and fully handle) skey comparisons; everything else stays
       * with Spark. A filter returned from here is NOT re-evaluated above,
@@ -100,17 +153,23 @@ object SeriesV2 {
     }
     override def pushedFilters(): Array[Filter] = pushed
 
-    override def build(): Scan = new SeriesScan(path, required, pushed, limit)
+    override def build(): Scan = new SeriesScan(path, required, pushed, limit, agg)
   }
 
-  private[sources] class SeriesScan(path: String, required: StructType, pushed: Array[Filter], limit: Int)
-      extends Scan
+  private[sources] class SeriesScan(
+      path: String,
+      required: StructType,
+      pushed: Array[Filter],
+      limit: Int,
+      agg: Option[AggSpec] = None
+  ) extends Scan
       with Batch {
-    override def readSchema(): StructType = required
+    override def readSchema(): StructType = agg.map(_.readSchema).getOrElse(required)
     override def toBatch: Batch = this
     override def description(): String =
       s"graft_series path=$path, ReadColumns=[${required.fieldNames.mkString(",")}], " +
-        s"PushedSkeyFilters=[${pushed.mkString(",")}], PushedLimit=${if (limit < 0) "none" else limit}"
+        s"PushedSkeyFilters=[${pushed.mkString(",")}], PushedLimit=${if (limit < 0) "none" else limit}, " +
+        s"PushedAggregation=[${agg.map(_.render).getOrElse("")}]"
 
     // the SESSION's Hadoop configuration (spark.hadoop.* credentials, fs
     // implementations, defaultFS) — a fresh `new Configuration()` works
@@ -136,11 +195,86 @@ object SeriesV2 {
         required.fieldNames,
         pushed.map(FilterSpec.of),
         limit,
+        agg,
         new org.apache.spark.util.SerializableConfiguration(sessionHadoopConf())
       )
   }
 
   private[sources] case class SeriesInputPartition(file: String) extends InputPartition
+
+  /** Serializable form of an accepted pushed aggregation: `kind` is
+    * 0=COUNT(*), 1=COUNT(col), 2=MIN, 3=MAX, 4=SUM; `col` indexes
+    * [[Schema]] (-1 for COUNT(*)). The closed algebra keeps the fold's
+    * hot loop a branch on primitives, the [[FilterSpec]] precedent.
+    */
+  private[sources] case class AggCol(kind: Int, col: Int) {
+    def isLongCol: Boolean = col >= 0 && col <= 1 // skey, ord
+    def render: String = {
+      val name = if (col < 0) "*" else Schema.fieldNames(col)
+      kind match {
+        case 0 => "COUNT(*)"
+        case 1 => s"COUNT($name)"
+        case 2 => s"MIN($name)"
+        case 3 => s"MAX($name)"
+        case 4 => s"SUM($name)"
+      }
+    }
+  }
+
+  private[sources] case class AggSpec(groupBySkey: Boolean, aggs: Array[AggCol]) {
+    /** Post-pushdown scan schema: group column(s) first, then one field
+      * per aggregate, positionally matched by Spark to the rewritten
+      * merge Aggregate. COUNT and SUM-over-long surface LongType; MIN/
+      * MAX keep their column's type. MIN/MAX/SUM are nullable (a global
+      * aggregate over zero rows has no value); counts never are.
+      */
+    def readSchema: StructType = {
+      val g = if (groupBySkey) Seq(StructField("skey", LongType, nullable = false)) else Nil
+      val a = aggs.zipWithIndex.map { case (ac, i) =>
+        ac.kind match {
+          case 0 | 1 => StructField(s"agg_$i", LongType, nullable = false)
+          case 4     => StructField(s"agg_$i", LongType, nullable = true)
+          case _     => StructField(s"agg_$i", Schema.fields(ac.col).dataType, nullable = true)
+        }
+      }
+      StructType(g ++ a)
+    }
+    def render: String =
+      (if (groupBySkey) Seq("GROUP BY skey") else Nil).++(aggs.map(_.render)).mkString(", ")
+    /** Which base columns the fold must parse (skey is always parsed —
+      * it leads the line and carries the pushed filters).
+      */
+    def needs(col: Int): Boolean = aggs.exists(a => a.col == col)
+  }
+
+  private[sources] object AggSpec {
+    private def colIdx(e: org.apache.spark.sql.connector.expressions.Expression): Int = e match {
+      case n: NamedReference if n.fieldNames.length == 1 => Schema.fieldNames.indexOf(n.fieldNames()(0))
+      case _                                             => -2
+    }
+    private def of(f: AggregateFunc): Option[AggCol] = f match {
+      case _: CountStar               => Some(AggCol(0, -1))
+      case c: Count if !c.isDistinct  => Some(colIdx(c.column)).filter(_ >= 0).map(AggCol(1, _))
+      case m: Min                     => Some(colIdx(m.column)).filter(_ >= 0).map(AggCol(2, _))
+      case m: Max                     => Some(colIdx(m.column)).filter(_ >= 0).map(AggCol(3, _))
+      // SUM: long columns only — see pushAggregation's Scaladoc
+      case s: Sum if !s.isDistinct    => Some(colIdx(s.column)).filter(i => i == 0 || i == 1).map(AggCol(4, _))
+      case _                          => None
+    }
+    def of(a: Aggregation): Option[AggSpec] = {
+      val gb = a.groupByExpressions
+      val groupOk =
+        gb.isEmpty || (gb.length == 1 && (gb(0) match {
+          case n: NamedReference => n.fieldNames.sameElements(Array("skey"))
+          case _                 => false
+        }))
+      if (!groupOk || a.aggregateExpressions.isEmpty) None
+      else {
+        val cols = a.aggregateExpressions.map(of)
+        if (cols.forall(_.isDefined)) Some(AggSpec(gb.nonEmpty, cols.map(_.get))) else None
+      }
+    }
+  }
 
   /** Serializable form of the accepted skey predicates (Filter itself is
     * serializable, but a closed algebra keeps the reader's hot loop a
@@ -174,16 +308,16 @@ object SeriesV2 {
       columns: Array[String],
       filters: Array[FilterSpec],
       limit: Int,
+      agg: Option[AggSpec],
       hadoopConf: org.apache.spark.util.SerializableConfiguration
   ) extends PartitionReaderFactory {
-    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-      new SeriesPartitionReader(
-        partition.asInstanceOf[SeriesInputPartition].file,
-        columns,
-        filters,
-        limit,
-        hadoopConf.value
-      )
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val file = partition.asInstanceOf[SeriesInputPartition].file
+      agg match {
+        case Some(spec) => new SeriesAggReader(file, filters, spec, hadoopConf.value)
+        case None       => new SeriesPartitionReader(file, columns, filters, limit, hadoopConf.value)
+      }
+    }
   }
 
   /** Streams one file: header skipped, skey parsed first and tested
@@ -236,6 +370,116 @@ object SeriesV2 {
         line = reader.readLine()
       }
       false
+    }
+    override def get(): InternalRow = current
+    override def close(): Unit = reader.close()
+  }
+
+  /** Per-group fold state for one file: one slot per aggregate. Counts
+    * and long SUM/MIN/MAX live in `longs`; double MIN/MAX in `dbls`;
+    * `seen` distinguishes "no value yet" (surfaces NULL for MIN/MAX/SUM
+    * over zero rows).
+    */
+  private[sources] final class AggAccs(n: Int) {
+    val longs = new Array[Long](n)
+    val dbls = new Array[Double](n)
+    val seen = new Array[Boolean](n)
+  }
+
+  /** The pushed-aggregation reader: streams the file once through the
+    * same parse + pushed-filter gate as the row reader, folds matching
+    * lines into per-group accumulators, and emits one row per group —
+    * or exactly one row for a global aggregate, even when nothing
+    * matched (count 0 / NULL extrema), so the merge Aggregate above
+    * always has a partial to fold. Memory is O(groups in this file),
+    * never O(lines).
+    */
+  private[sources] class SeriesAggReader(
+      file: String,
+      filters: Array[FilterSpec],
+      spec: AggSpec,
+      hadoopConf: Configuration
+  ) extends PartitionReader[InternalRow] {
+    private val p = new Path(file)
+    private val in = p.getFileSystem(hadoopConf).open(p)
+    private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+    private var it: Iterator[InternalRow] = _
+    private var current: InternalRow = _
+
+    private def fold(): Iterator[InternalRow] = {
+      val aggs = spec.aggs
+      val needOrd = spec.needs(1)
+      val needX = spec.needs(2)
+      val needY = spec.needs(3)
+      // LinkedHashMap: deterministic (file-order) partial emission
+      val groups = new java.util.LinkedHashMap[Long, AggAccs]()
+      if (!spec.groupBySkey) groups.put(0L, new AggAccs(aggs.length)) // the global row
+      var line = reader.readLine() // header
+      line = reader.readLine()
+      while (line != null) {
+        val parts = line.split(",", -1)
+        if (parts.length == 4) {
+          try {
+            val skey = java.lang.Long.parseLong(parts(0).trim)
+            if (filters.forall(_.accepts(skey))) {
+              val ord = if (needOrd) java.lang.Long.parseLong(parts(1).trim) else 0L
+              val x = if (needX) java.lang.Double.parseDouble(parts(2).trim) else 0.0
+              val y = if (needY) java.lang.Double.parseDouble(parts(3).trim) else 0.0
+              val key = if (spec.groupBySkey) skey else 0L
+              var acc = groups.get(key)
+              if (acc == null) { acc = new AggAccs(aggs.length); groups.put(key, acc) }
+              var i = 0
+              while (i < aggs.length) {
+                val a = aggs(i)
+                a.kind match {
+                  case 0 | 1 => acc.longs(i) += 1L // columns are never null post-parse
+                  case 4 =>
+                    acc.longs(i) += (if (a.col == 0) skey else ord)
+                    acc.seen(i) = true
+                  case k =>
+                    if (a.isLongCol) {
+                      val v = if (a.col == 0) skey else ord
+                      if (!acc.seen(i) || (if (k == 2) v < acc.longs(i) else v > acc.longs(i)))
+                        acc.longs(i) = v
+                    } else {
+                      val v = if (a.col == 2) x else y
+                      if (!acc.seen(i) || (if (k == 2) v < acc.dbls(i) else v > acc.dbls(i)))
+                        acc.dbls(i) = v
+                    }
+                    acc.seen(i) = true
+                }
+                i += 1
+              }
+            }
+          } catch { case _: NumberFormatException => () } // malformed -> skip
+        }
+        line = reader.readLine()
+      }
+      val off = if (spec.groupBySkey) 1 else 0
+      import scala.jdk.CollectionConverters._
+      groups.entrySet().iterator().asScala.map { e =>
+        val acc = e.getValue
+        val vals = new Array[Any](off + aggs.length)
+        if (spec.groupBySkey) vals(0) = e.getKey
+        var i = 0
+        while (i < aggs.length) {
+          val a = aggs(i)
+          vals(off + i) = a.kind match {
+            case 0 | 1                 => acc.longs(i)
+            case _ if !acc.seen(i)     => null
+            case 4                     => acc.longs(i)
+            case _ if a.isLongCol      => acc.longs(i)
+            case _                     => acc.dbls(i)
+          }
+          i += 1
+        }
+        new GenericInternalRow(vals): InternalRow
+      }
+    }
+
+    override def next(): Boolean = {
+      if (it == null) it = fold()
+      if (it.hasNext) { current = it.next(); true } else false
     }
     override def get(): InternalRow = current
     override def close(): Unit = reader.close()

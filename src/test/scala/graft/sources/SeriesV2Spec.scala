@@ -22,10 +22,22 @@ class SeriesV2Spec extends SparkTestBase {
     s"$tmp/d"
   }
 
-  private def scanOf(df: org.apache.spark.sql.DataFrame): SeriesV2.SeriesScan =
-    df.queryExecution.executedPlan
+  private def scanOf(df: org.apache.spark.sql.DataFrame): SeriesV2.SeriesScan = {
+    // agg/shuffle plans come back AQE-wrapped; materialize and unwrap
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        df.collect(); a.executedPlan
+      case p => p
+    }
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      Seq(p) ++ (p.children ++ (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      })).flatMap(allNodes)
+    allNodes(plan)
       .collectFirst { case b: BatchScanExec => b.scan.asInstanceOf[SeriesV2.SeriesScan] }
       .getOrElse(fail("no BatchScanExec in the plan"))
+  }
 
   test("reads exactly what the built-in CSV reader reads") {
     val dir = writeSample()
@@ -81,6 +93,51 @@ class SeriesV2Spec extends SparkTestBase {
     val df3 = spark.read.format("graft.sources.SeriesV2").load(dir)
     assert(scanOf(df3).description().contains("PushedLimit=none"), scanOf(df3).description())
     assert(df3.count() == 24)
+  }
+
+  test("grouped aggregates push into the scan as a per-file fold; values match the unpushed plan") {
+    val dir = writeSample()
+    def agged(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("skey") > 1L)
+        .groupBy("skey")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("ord")).as("ord_min"),
+          max(col("x")).as("x_max"),
+          sum(col("ord")).as("ord_sum")
+        )
+    val pushed = agged(spark.read.format("graft.sources.SeriesV2").load(dir))
+    val scan = scanOf(pushed)
+    assert(
+      scan.description().contains("PushedAggregation=[GROUP BY skey, COUNT(*), MIN(ord), MAX(x), SUM(ord)]"),
+      scan.description()
+    )
+    // the scan's output IS the partial-agg schema — one row per (file, skey), not per line
+    assert(scan.readSchema().fieldNames.toSeq == Seq("skey", "agg_0", "agg_1", "agg_2", "agg_3"))
+    val exp = agged(SeriesSource.wideCsv(spark, dir)).collect().map(_.toSeq).toSet
+    assert(pushed.collect().map(_.toSeq).toSet == exp)
+  }
+
+  test("a global aggregate over zero matching rows still counts 0 (empty-partition partial row)") {
+    val dir = writeSample()
+    val df = spark.read
+      .format("graft.sources.SeriesV2")
+      .load(dir)
+      .filter(col("skey") > 1000L)
+      .agg(count(lit(1)).as("n"), min(col("x")).as("x_min"))
+    assert(scanOf(df).description().contains("PushedAggregation=[COUNT(*), MIN(x)]"), scanOf(df).description())
+    val row = df.collect().head
+    assert(row.getLong(0) == 0L, "count over nothing must be 0, not a missing row")
+    assert(row.isNullAt(1), "min over nothing is NULL")
+  }
+
+  test("SUM over a double column is refused: the scan stays in row mode") {
+    val dir = writeSample()
+    val df = spark.read.format("graft.sources.SeriesV2").load(dir).groupBy("skey").agg(sum(col("x")).as("sx"))
+    val scan = scanOf(df)
+    assert(scan.description().contains("PushedAggregation=[]"), scan.description())
+    val exp = SeriesSource.wideCsv(spark, dir).groupBy("skey").agg(sum(col("x")).as("sx")).collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == exp)
   }
 
   test("malformed lines are skipped, matching the wideCsv + na.drop contract") {
