@@ -21,9 +21,18 @@ package graft.contract
   *      rounding op, exactly defined, NOT libm); r = x - k·ln2 with ln2
   *      spliced as the round-trip shortest-decimal literal (strtod is
   *      correctly rounded in both engines). |r| ≤ ln2/2 + eps.
-  *      exp(r) by 13-term Taylor fold p_j = p_{j-1}·r/j, s += p_j —
-  *      truncation < 5e-18 at |r| = 0.347, below a half-ulp of
-  *      exp(r) ∈ [0.707, 1.415].
+  *      exp(r) by 13-term Taylor fold p_j = (p_{j-1}·r)·c_j, s += p_j,
+  *      where c_j is the spliced shortest-decimal literal of 1/j —
+  *      a MULTIPLICATION, not a division by j: the fold's serial
+  *      dependency chain is p_j → p_{j+1}, and an FP divide costs
+  *      3-5x an FP multiply in that chain on every current CPU (the
+  *      codegen'd kernel runs per neighbor pair in 25 CCM queries —
+  *      measured ~6% of the family's wall-clock as a division chain).
+  *      c_j parses to the nearest double of 1/j in both engines
+  *      (strtod is correctly rounded), so each term differs from the
+  *      divide form by ≤1 ulp — truncation + rounding stays ~1e-16
+  *      relative (the spec pins 5e-13 vs libm), and parity is by
+  *      construction because BOTH engines run the same multiply.
   *   3. Scale by 2^k via square-and-multiply over k's 11 bits
   *      (bit = m - 2·floor(m/2)). Powers of two are exact down to the
   *      subnormal floor; underflow rounds deterministically under IEEE
@@ -47,6 +56,18 @@ object ExactExp {
   /** Shortest-decimal round-trip literal of Math.log(2). */
   val Ln2 = ExactLn.Ln2
 
+  /** Shortest-decimal round-trip literals of 1/j, j = 1..13 — the
+    * Taylor coefficients as ONE list shared by the Spark and DuckDB
+    * texts (and mirrored by [[graft.functions.ExactMath.ExpInvJ]]):
+    * the three emissions multiply by the same parsed double.
+    */
+  val InvJ: Seq[String] = Seq(
+    "1.0", "0.5", "0.3333333333333333", "0.25", "0.2",
+    "0.16666666666666666", "0.14285714285714285", "0.125",
+    "0.1111111111111111", "0.1", "0.09090909090909091",
+    "0.08333333333333333", "0.07692307692307693"
+  )
+
   /** Spark SQL expression text for exp(`x`). */
   def spark(x: String): String =
     s"""element_at(transform(array(CAST($x AS DOUBLE)), xx ->
@@ -54,11 +75,11 @@ object ExactExp {
        |       WHEN xx > 709.0D THEN CAST('Infinity' AS DOUBLE) ELSE
        |  element_at(transform(array(CAST(FLOOR(xx / ${Ln2}D + 0.5D) AS DOUBLE)), kk ->
        |    element_at(transform(array(xx - kk * ${Ln2}D), r ->
-       |      aggregate(sequence(1, 13),
+       |      aggregate(array(${InvJ.map(_ + "D").mkString(", ")}),
        |        named_struct('p', 1.0D, 's', 1.0D),
-       |        (acc, j) -> named_struct(
-       |          'p', (acc.p * r) / CAST(j AS DOUBLE),
-       |          's', acc.s + ((acc.p * r) / CAST(j AS DOUBLE))),
+       |        (acc, cj) -> named_struct(
+       |          'p', (acc.p * r) * cj,
+       |          's', acc.s + ((acc.p * r) * cj)),
        |        acc -> acc.s)
        |      * aggregate(sequence(1, 11),
        |          named_struct('b', IF(kk < 0.0D, 0.5D, 2.0D), 'res', 1.0D, 'm', IF(kk < 0.0D, -kk, kk)),
@@ -83,8 +104,8 @@ object ExactExp {
        |    list_transform([xx - kk * ${Ln2}e0], r ->
        |      list_reduce(
        |        list_prepend([1.0e0, 1.0e0],
-       |                     list_transform(generate_series(1, 13), j -> [CAST(j AS DOUBLE), 0.0e0])),
-       |        (acc, e) -> [(acc[1] * r) / e[1], acc[2] + ((acc[1] * r) / e[1])])[2]
+       |                     [${InvJ.map(c => s"[${c}e0, 0.0e0]").mkString(", ")}]),
+       |        (acc, e) -> [(acc[1] * r) * e[1], acc[2] + ((acc[1] * r) * e[1])])[2]
        |      * list_reduce(
        |          list_prepend([CASE WHEN kk < 0.0e0 THEN 0.5e0 ELSE 2.0e0 END, 1.0e0,
        |                        CASE WHEN kk < 0.0e0 THEN -kk ELSE kk END],

@@ -25,6 +25,26 @@ object ExactMath {
     */
   val Ln2 = 0.6931471805599453
 
+  /** 1/j, j = 1..13 (index 0 unused) — same shortest-decimal literals
+    * as `ExactExp.InvJ`; the Taylor fold MULTIPLIES by these instead of
+    * dividing by j (divide latency sits on the fold's serial p-chain).
+    */
+  private val ExpInvJ: Array[Double] = Array(
+    0.0, 1.0, 0.5, 0.3333333333333333, 0.25, 0.2,
+    0.16666666666666666, 0.14285714285714285, 0.125,
+    0.1111111111111111, 0.1, 0.09090909090909091,
+    0.08333333333333333, 0.07692307692307693
+  )
+
+  /** 1/(2k+1), k = 0..13 — same literals as `ExactLn.InvOdd`. */
+  private val LnInvOdd: Array[Double] = Array(
+    1.0, 0.3333333333333333, 0.2, 0.14285714285714285,
+    0.1111111111111111, 0.09090909090909091, 0.07692307692307693,
+    0.06666666666666667, 0.058823529411764705, 0.05263157894736842,
+    0.047619047619047616, 0.043478260869565216, 0.04,
+    0.037037037037037035
+  )
+
   /** exp(x) for x in [-745, 709]; below -745 returns 0.0 (true exp is
     * denormal there; the clamp keeps the 2^k scale inside the 11-bit
     * binary-exponentiation ladder). Identical op order to
@@ -45,7 +65,7 @@ object ExactMath {
     var s = 1.0
     var j = 1
     while (j <= 13) {
-      val pj = (p * r) / j.toDouble
+      val pj = (p * r) * ExpInvJ(j)
       s = s + pj
       p = pj
       j += 1
@@ -80,7 +100,7 @@ object ExactMath {
     var s = 0.0
     var k = 0
     while (k <= 13) {
-      s = s + (p / ((2.0 * k.toDouble) + 1.0))
+      s = s + (p * LnInvOdd(k))
       p = p * (z * z)
       k += 1
     }
