@@ -7,10 +7,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -163,13 +163,35 @@ object SeriesV2 {
       limit: Int,
       agg: Option[AggSpec] = None
   ) extends Scan
-      with Batch {
+      with Batch
+      with SupportsRuntimeFiltering {
     override def readSchema(): StructType = agg.map(_.readSchema).getOrElse(required)
     override def toBatch: Batch = this
     override def description(): String =
       s"graft_series path=$path, ReadColumns=[${required.fieldNames.mkString(",")}], " +
         s"PushedSkeyFilters=[${pushed.mkString(",")}], PushedLimit=${if (limit < 0) "none" else limit}, " +
-        s"PushedAggregation=[${agg.map(_.render).getOrElse("")}]"
+        s"PushedAggregation=[${agg.map(_.render).getOrElse("")}], RuntimeFilterable=[skey]"
+
+    /** Join-driven runtime filtering (the DataSource V2 face of dynamic
+      * partition pruning): when this scan sits under a join whose other
+      * side is small and selective, Spark executes that side first
+      * (reusing its broadcast) and calls [[filter]] with the observed
+      * key set — the reader then rejects non-member lines after the one
+      * leading long-parse, exactly like a compile-time skey predicate
+      * but with values only a runtime join could know. Best-effort is
+      * safe by construction: these filters come FROM a join, which
+      * re-checks the keys anyway, so dropping only non-members can
+      * never change results — unsupported shapes are ignored.
+      * At 100 TB this is the difference between parsing every series
+      * ever written and parsing the handful a dimension filter selects.
+      */
+    override def filterAttributes(): Array[NamedReference] =
+      Array(Expressions.column("skey"))
+
+    @volatile private var runtime: Array[FilterSpec] = Array.empty
+    override def filter(filters: Array[Filter]): Unit =
+      runtime = filters.flatMap(FilterSpec.ofRuntime)
+    private[sources] def runtimeSpecs: Array[FilterSpec] = runtime
 
     // the SESSION's Hadoop configuration (spark.hadoop.* credentials, fs
     // implementations, defaultFS) — a fresh `new Configuration()` works
@@ -190,10 +212,12 @@ object SeriesV2 {
       files.sorted.map(f => SeriesInputPartition(f): InputPartition)
     }
 
+    // called at execution time, AFTER any runtime filter() delivery —
+    // the readers see compile-time and runtime predicates as one algebra
     override def createReaderFactory(): PartitionReaderFactory =
       new SeriesReaderFactory(
         required.fieldNames,
-        pushed.map(FilterSpec.of),
+        pushed.map(FilterSpec.of) ++ runtime,
         limit,
         agg,
         new org.apache.spark.util.SerializableConfiguration(sessionHadoopConf())
@@ -278,15 +302,18 @@ object SeriesV2 {
 
   /** Serializable form of the accepted skey predicates (Filter itself is
     * serializable, but a closed algebra keeps the reader's hot loop a
-    * branch on primitives).
+    * branch on primitives). `op = 5` is runtime IN-membership: `set` is
+    * a sorted long array probed by binary search (the runtime key sets
+    * come from broadcast-sized join sides, so log2 of a small n).
     */
-  private[sources] case class FilterSpec(op: Int, v: Long) {
+  private[sources] case class FilterSpec(op: Int, v: Long, set: Array[Long] = null) {
     def accepts(skey: Long): Boolean = op match {
       case 0 => skey == v
       case 1 => skey > v
       case 2 => skey >= v
       case 3 => skey < v
       case 4 => skey <= v
+      case 5 => java.util.Arrays.binarySearch(set, skey) >= 0
     }
   }
   private[sources] object FilterSpec {
@@ -301,6 +328,24 @@ object SeriesV2 {
       case LessThan("skey", v)           => FilterSpec(3, lv(v))
       case LessThanOrEqual("skey", v)    => FilterSpec(4, lv(v))
       case other => throw new IllegalArgumentException(s"unpushable filter reached the reader: $other")
+    }
+
+    /** Runtime (join-delivered) filters are BEST-EFFORT: the join above
+      * re-checks every key, so only recognized shapes are converted and
+      * the rest are dropped — never an error, unlike the compile-time
+      * path where acceptance promised full evaluation.
+      */
+    def ofRuntime(f: Filter): Option[FilterSpec] = f match {
+      case In("skey", vs) =>
+        val arr = vs.collect {
+          case l: java.lang.Long    => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+        }
+        if (arr.length == vs.length) { java.util.Arrays.sort(arr); Some(FilterSpec(5, 0L, arr)) }
+        else None
+      case EqualTo("skey", v: java.lang.Long)    => Some(FilterSpec(0, v.longValue()))
+      case EqualTo("skey", v: java.lang.Integer) => Some(FilterSpec(0, v.longValue()))
+      case _                                     => None
     }
   }
 

@@ -140,6 +140,25 @@ class SeriesV2Spec extends SparkTestBase {
     assert(df.collect().map(_.toSeq).toSet == exp)
   }
 
+  test("a selective broadcast join delivers a runtime skey filter that the reader applies") {
+    val dir = writeSample()
+    val fact = spark.read.format("graft.sources.SeriesV2").load(dir)
+    val dim = spark.range(0, 6).toDF("skey").filter(col("skey") <= 2L)
+    val joined = fact.join(dim, "skey")
+    val rows = joined.collect()
+    assert(rows.length == 12, "skeys 0,1,2 x 4 points each")
+    val scan = scanOf(joined)
+    assert(
+      scan.runtimeSpecs.nonEmpty,
+      s"runtime filter never reached the scan: ${joined.queryExecution.executedPlan}"
+    )
+    // the delivered set is exactly the dim side's keys
+    val in = scan.runtimeSpecs.find(_.op == 5)
+    in.foreach(fs => assert(fs.set.toSeq == Seq(0L, 1L, 2L), fs.set.toSeq.toString))
+    assert(Seq(0L, 1L, 2L).forall(k => scan.runtimeSpecs.forall(_.accepts(k))))
+    assert(!scan.runtimeSpecs.forall(_.accepts(5L)), "non-member keys must be rejected in the reader")
+  }
+
   test("malformed lines are skipped, matching the wideCsv + na.drop contract") {
     val tmp = Files.createTempDirectory("sv2spec_bad").toString
     Files.writeString(
