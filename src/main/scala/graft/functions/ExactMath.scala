@@ -74,7 +74,12 @@ object ExactMath {
     var res = 1.0
     var m = if (kk < 0.0) -kk else kk
     var i = 1
-    while (i <= 11) {
+    // early exit on m == 0 is VALUE-identical to the SQL texts' fixed 11
+    // rounds: once no bits remain, res never changes again and the
+    // remaining b squarings feed nothing. Typical kernel args (|x| < 44,
+    // |k| < 64) exhaust after 6 rounds; ExactSeriesSpec's dense grid
+    // pins bit-equality against the fixed-length HOF fold.
+    while (i <= 11 && m > 0.0) {
       val h = math.floor(m * 0.5)
       if (m - 2.0 * h >= 1.0) res = res * b
       b = b * b

@@ -81,6 +81,39 @@ class ExactSeriesSpec extends SparkTestBase {
     }
   }
 
+  test("dense grid: 4096 kernel-shaped args keep HOF, codegen, and JVM exp/ln bit-identical") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // Deterministic LCG grid (no Math.random — resume/replay discipline):
+    // exp args concentrate where the weight kernels live, x in (-50, 0],
+    // with a sparse wide tail into (-740, 60); ln args span (1e-6, 1e6).
+    val u = (0 until 4096).map(i => ((i * 2654435761L + 1013904223L) & 0xffffffffL).toDouble / 4294967296.0)
+    val xs = u.zipWithIndex.map { case (f, i) =>
+      if (i % 8 == 7) -740.0 + f * 800.0 else -50.0 * f
+    }
+    val ys = u.map(f => math.max(1e-6, f * f * 1e6))
+    val expRows = xs.toDF("x")
+      .repartition(8)
+      .withColumn("hof", expr(ExactExp.spark("x")))
+      .withColumn("cg", expr("graft_exp(x)"))
+      .collect()
+    expRows.foreach { r =>
+      val (x, hof, cg) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(bits(hof) == bits(cg), s"exp($x): HOF vs codegen")
+      assert(bits(cg) == bits(ExactMath.exp(x)), s"exp($x): codegen vs JVM")
+    }
+    val lnRows = ys.toDF("y")
+      .repartition(8)
+      .withColumn("hof", expr(ExactLn.spark("y")))
+      .withColumn("cg", expr("graft_ln(y)"))
+      .collect()
+    lnRows.foreach { r =>
+      val (y, hof, cg) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(bits(hof) == bits(cg), s"ln($y): HOF vs codegen")
+      assert(bits(cg) == bits(ExactMath.ln(y)), s"ln($y): codegen vs JVM")
+    }
+  }
+
   test("exp kernel form: graft_exp(-d/(dmin+1e-8)) stays within a half-ulp of libm weights") {
     // The weight kernel's published consumers round at 6 dp; this pins
     // that swapping libm for the series moves weights by < 1e-12
