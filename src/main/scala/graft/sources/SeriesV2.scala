@@ -226,6 +226,27 @@ object SeriesV2 {
 
   private[sources] case class SeriesInputPartition(file: String) extends InputPartition
 
+  /** Fast REJECT-only predicate gate: parse the line's FIRST field and
+    * test the pushed + runtime skey predicates before paying the full
+    * `split`. Returns true only when the line parses far enough to
+    * PROVE no filter accepts it; anything uncertain (no comma, garbage
+    * first field, empty filter set) falls through to the full path,
+    * which re-checks everything — so semantics are exactly the split-
+    * first code's, minus the split on provably-rejected lines. Under a
+    * selective static or runtime (join-delivered) predicate, rejected
+    * lines ARE the scan, and this is the "one cheap long-parse per
+    * skipped line" the class contract promises.
+    */
+  private[sources] def gateRejects(line: String, filters: Array[FilterSpec]): Boolean = {
+    if (filters.isEmpty) return false
+    val c0 = line.indexOf(',')
+    if (c0 <= 0) return false
+    try {
+      val k = java.lang.Long.parseLong(line.substring(0, c0).trim)
+      !filters.forall(_.accepts(k))
+    } catch { case _: NumberFormatException => false }
+  }
+
   /** Serializable form of an accepted pushed aggregation: `kind` is
     * 0=COUNT(*), 1=COUNT(col), 2=MIN, 3=MAX, 4=SUM; `col` indexes
     * [[Schema]] (-1 for COUNT(*)). The closed algebra keeps the fold's
@@ -388,29 +409,31 @@ object SeriesV2 {
       var line = reader.readLine()
       if (!headerSkipped && line != null) { headerSkipped = true; line = reader.readLine() }
       while (line != null) {
-        val parts = line.split(",", -1)
-        if (parts.length == 4) {
-          try {
-            val skey = java.lang.Long.parseLong(parts(0).trim)
-            if (filters.forall(_.accepts(skey))) {
-              // explicit Array[Any]: a map over same-primitive columns
-              // would specialize to Array[Double] and break the cast
-              val vals = new Array[Any](columns.length)
-              var i = 0
-              while (i < columns.length) {
-                vals(i) = columns(i) match {
-                  case "skey" => skey
-                  case "ord"  => java.lang.Long.parseLong(parts(1).trim)
-                  case "x"    => java.lang.Double.parseDouble(parts(2).trim)
-                  case "y"    => java.lang.Double.parseDouble(parts(3).trim)
+        if (!gateRejects(line, filters)) {
+          val parts = line.split(",", -1)
+          if (parts.length == 4) {
+            try {
+              val skey = java.lang.Long.parseLong(parts(0).trim)
+              if (filters.forall(_.accepts(skey))) {
+                // explicit Array[Any]: a map over same-primitive columns
+                // would specialize to Array[Double] and break the cast
+                val vals = new Array[Any](columns.length)
+                var i = 0
+                while (i < columns.length) {
+                  vals(i) = columns(i) match {
+                    case "skey" => skey
+                    case "ord"  => java.lang.Long.parseLong(parts(1).trim)
+                    case "x"    => java.lang.Double.parseDouble(parts(2).trim)
+                    case "y"    => java.lang.Double.parseDouble(parts(3).trim)
+                  }
+                  i += 1
                 }
-                i += 1
+                current = new GenericInternalRow(vals)
+                emitted += 1
+                return true
               }
-              current = new GenericInternalRow(vals)
-              emitted += 1
-              return true
-            }
-          } catch { case _: NumberFormatException => () } // malformed -> skip
+            } catch { case _: NumberFormatException => () } // malformed -> skip
+          }
         }
         line = reader.readLine()
       }
@@ -419,6 +442,8 @@ object SeriesV2 {
     override def get(): InternalRow = current
     override def close(): Unit = reader.close()
   }
+
+  private val EmptyParts = new Array[String](0)
 
   /** Per-group fold state for one file: one slot per aggregate. Counts
     * and long SUM/MIN/MAX live in `longs`; double MIN/MAX in `dbls`;
@@ -462,7 +487,7 @@ object SeriesV2 {
       var line = reader.readLine() // header
       line = reader.readLine()
       while (line != null) {
-        val parts = line.split(",", -1)
+        val parts = if (gateRejects(line, filters)) EmptyParts else line.split(",", -1)
         if (parts.length == 4) {
           try {
             val skey = java.lang.Long.parseLong(parts(0).trim)
