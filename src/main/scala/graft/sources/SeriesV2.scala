@@ -164,7 +164,8 @@ object SeriesV2 {
       agg: Option[AggSpec] = None
   ) extends Scan
       with Batch
-      with SupportsRuntimeFiltering {
+      with SupportsRuntimeFiltering
+      with SupportsReportStatistics {
     override def readSchema(): StructType = agg.map(_.readSchema).getOrElse(required)
     override def toBatch: Batch = this
     override def description(): String =
@@ -199,17 +200,39 @@ object SeriesV2 {
     private def sessionHadoopConf(): Configuration =
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
-    override def planInputPartitions(): Array[InputPartition] = {
+    private def listedFiles(): Array[org.apache.hadoop.fs.FileStatus] = {
       val p = new Path(path)
       val fs = p.getFileSystem(sessionHadoopConf())
       val status = fs.getFileStatus(p)
-      val files =
-        if (status.isDirectory)
-          fs.listStatus(p)
-            .filter(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-            .map(_.getPath.toString)
-        else Array(path)
-      files.sorted.map(f => SeriesInputPartition(f): InputPartition)
+      if (status.isDirectory)
+        fs.listStatus(p)
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      else Array(status)
+    }
+
+    override def planInputPartitions(): Array[InputPartition] =
+      listedFiles().map(_.getPath.toString).sorted.map(f => SeriesInputPartition(f): InputPartition)
+
+    /** Size statistics from the file listing (`SupportsReportStatistics`):
+      * without this a V2 relation defaults to "unknown = effectively
+      * infinite" and can NEVER be auto-broadcast — every join against it
+      * shuffles, however small the series directory is. Reported size =
+      * raw CSV bytes scaled by the read-column fraction (the built-in
+      * FileScan convention for pruned reads); row count stays unknown
+      * (lines aren't counted at planning). Over-estimating only costs a
+      * missed broadcast; the scaling never under-reports below 1/4 of
+      * the raw bytes, so it cannot cause an oversized broadcast OOM.
+      */
+    override def estimateStatistics(): Statistics = {
+      val bytes =
+        try {
+          val raw = listedFiles().map(_.getLen).sum
+          java.util.OptionalLong.of(math.max(1L, raw * required.length / Schema.length))
+        } catch { case _: java.io.IOException => java.util.OptionalLong.empty() }
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = bytes
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
     }
 
     // called at execution time, AFTER any runtime filter() delivery —

@@ -159,6 +159,20 @@ class SeriesV2Spec extends SparkTestBase {
     assert(!scan.runtimeSpecs.forall(_.accepts(5L)), "non-member keys must be rejected in the reader")
   }
 
+  test("reported size statistics make a small series directory auto-broadcastable") {
+    val dir = writeSample()
+    val df = spark.read.format("graft.sources.SeriesV2").load(dir)
+    // the logical stats are the file bytes scaled by column fraction —
+    // not the "unknown = infinite" default that forbids broadcasting
+    val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats > 0 && stats < (1L << 20), s"expected file-listing-sized stats, got $stats")
+    val big = spark.range(0, 100000).withColumn("skey", col("id") % 6)
+    val joined = big.join(df, "skey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"small V2 side was not broadcast:\n$plan")
+  }
+
   test("malformed lines are skipped, matching the wideCsv + na.drop contract") {
     val tmp = Files.createTempDirectory("sv2spec_bad").toString
     Files.writeString(
