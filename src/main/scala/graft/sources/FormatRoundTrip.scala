@@ -261,9 +261,66 @@ object FormatRoundTrip {
        |WHERE y IS NOT NULL AND skey > $SvKeyLo AND skey <= $SvKeyHi
        |GROUP BY 1 ORDER BY skey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // src_seriesv2_runtime_prune — the V2 source's join-driven runtime
+  // filtering under the hash gate: the series CSV joined to a SELECTIVE
+  // scan-backed dimension (range + modulo filter — the shape that
+  // actually delivers a DynamicPruningExpression; a Seq-backed dim's
+  // Filter is folded away by ConvertToLocalRelation and never delivers,
+  // see SCALE.md "SeriesV2 connector contracts"). The dim side executes
+  // first, its observed skey set reaches the readers, and non-member
+  // lines are rejected after one long-parse; the join re-checks keys, so
+  // the gate pins VALUE equality of the whole pruned pipeline while
+  // SeriesV2Spec/SeriesV2Probe pin the delivery mechanics.
+  // -------------------------------------------------------------------
+  private def seriesV2RuntimePrune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = Files.createTempDirectory(s"graft-sv2rt-${ctr.incrementAndGet()}")
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .select(
+        col("user_id").as("skey"),
+        (row_number().over(w) - 1).cast("long").as("ord"),
+        col("value").as("x"),
+        lag(col("value"), 1).over(w).as("y")
+      )
+      .filter(col("y").isNotNull)
+      .write
+      .option("header", "true")
+      .csv(s"$tmp/series_csv")
+    val dim = s.range(0, 1000).toDF("skey").filter(col("skey") % 37 === 3)
+    val back = s.read
+      .format("graft.sources.SeriesV2")
+      .load(s"$tmp/series_csv")
+      .join(dim, "skey")
+      .groupBy("skey")
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(round(col("x") * 100.0).cast("long")).as("x_cents")
+      )
+      .transform(Norm.ordered(_, col("skey")))
+    graft.GateResult.materialize(back)(graft.GateResult.deleteRecursively(tmp))
+  }
+
+  private val seriesV2RuntimePruneSql: String =
+    """WITH ser AS (
+      |  SELECT user_id AS skey,
+      |         value AS x,
+      |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS y
+      |  FROM events
+      |), dim AS (SELECT i AS skey FROM range(0, 1000) t(i) WHERE i % 37 = 3)
+      |SELECT s.skey, CAST(count(*) AS BIGINT) AS n_points,
+      |       CAST(sum(CAST(round(s.x * 100.0) AS BIGINT)) AS BIGINT) AS x_cents
+      |FROM ser s JOIN dim d ON s.skey = d.skey
+      |WHERE s.y IS NOT NULL
+      |GROUP BY 1 ORDER BY s.skey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_seriesv2_roundtrip" -> seriesV2RoundTrip,
     "src_seriesv2_agg_pushdown" -> seriesV2AggPushdown,
+    "src_seriesv2_runtime_prune" -> seriesV2RuntimePrune,
     "src_csv_roundtrip" -> csvRoundTrip,
     "src_orc_roundtrip" -> orcRoundTrip,
     "src_json_roundtrip" -> jsonRoundTrip,
@@ -273,6 +330,7 @@ object FormatRoundTrip {
   val oracle: Map[String, String] = Map(
     "src_seriesv2_roundtrip" -> seriesV2RoundTripSql,
     "src_seriesv2_agg_pushdown" -> seriesV2AggPushdownSql,
+    "src_seriesv2_runtime_prune" -> seriesV2RuntimePruneSql,
     "src_csv_roundtrip" -> aggSql,
     "src_orc_roundtrip" -> aggSql,
     "src_json_roundtrip" -> aggSql,
