@@ -65,6 +65,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Second, PAIR-JOIN-SHAPED canary (round 13): the scan+shuffle canary
+    // above proved blind to the host dimension that inflates the CCM
+    // family — the round-13 adjudication measured the r11 BINARY at 1.65x
+    // its own recorded floors under a 0.068-quiet primary canary
+    // (BASELINE.md "Adjudication of the residual 1.18x"). This canary has
+    // that family's shape (a keyed self-join fanning ~30x into a
+    // partial+final aggregate) so a host that slows pair joins shows up
+    // as canary_pair drift in the run artifact instead of needing a
+    // three-build forensic. Sampled only at run start and end (it costs
+    // ~0.2 s; bracketing 278 windows with it would add minutes).
+    def canaryPairOnce(): Double = {
+      val t0 = System.nanoTime()
+      val r = spark.range(0L, 60000L, 1L, 16).selectExpr("id % 2000 AS k", "id AS v")
+      r.as("a").join(r.as("b"), org.apache.spark.sql.functions.expr("a.k = b.k"))
+        .selectExpr("a.k AS k", "abs(a.v - b.v) AS d")
+        .groupBy("k").agg(org.apache.spark.sql.functions.min("d"))
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryPairSamples = collection.mutable.ArrayBuffer.empty[Double]
+
     // Untimed JIT/codegen warmup on the smallest SF: the first heavy
     // window+join job otherwise pays ~20s of one-time compilation that
     // would be attributed to an arbitrary query. ccm_convergence is the
@@ -107,6 +128,8 @@ object Bench {
     // min below.
     (1 to CanaryBaseRuns).foreach(_ => canary())
     def canaryBase: Double = canarySamples.min
+    canaryPairOnce() // warm its codegen before sampling
+    (1 to CanaryBaseRuns).foreach(_ => canaryPairSamples += canaryPairOnce())
 
     var failed = List.empty[String]
     var aboveBarQuiet = List.empty[String]
@@ -243,7 +266,12 @@ object Bench {
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val aboveJson = aboveBarQuiet.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = summary.flatMap(_._2).sum
+    // end-of-run pair-canary samples: bracketing the host's pair-join
+    // capability across the whole run without per-window cost
+    (1 to 3).foreach(_ => canaryPairSamples += canaryPairOnce())
     val canaryJson = f"""{"base":$canaryBase%.3f,"samples":${canarySamples.size},"min":${canarySamples.min}%.3f,"max":${canarySamples.max}%.3f}"""
+    val canaryPairJson =
+      f"""{"min":${canaryPairSamples.min}%.3f,"max":${canaryPairSamples.max}%.3f,"samples":${canaryPairSamples.size}}"""
     // a filtered run must be distinguishable from a full suite run (ADVICE
     // r7): record the filter and rename the metric so a partial bench_out
     // can never masquerade as the round artifact
@@ -258,7 +286,7 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"$metricName","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"canary":$canaryJson,"drift":${f"$preRequeueDrift%.3f"},"requeue":$requeueJson,"above_bar_quiet":$aboveJson,"failed":$failedJson,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir"$onlyJson}"""
+      s"""{"metric":"$metricName","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"canary":$canaryJson,"canary_pair":$canaryPairJson,"drift":${f"$preRequeueDrift%.3f"},"requeue":$requeueJson,"above_bar_quiet":$aboveJson,"failed":$failedJson,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir"$onlyJson}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json)
     spark.stop()
