@@ -108,6 +108,25 @@ object SeriesV2 {
           case None           => false
         }
 
+    /** COMPLETE pushdown is claimed only when the layout makes the
+      * partial fold globally final: a single input file holds every row
+      * of every group, so the one reader's per-group rows ARE the
+      * answer and Spark drops its merge Aggregate entirely. Any other
+      * layout keeps the partial contract (a group's rows may span
+      * files). The file listing runs once, on the driver, at planning.
+      */
+    override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+      AggSpec.of(aggregation).isDefined && {
+        try {
+          val p = new Path(path)
+          val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+          val st = fs.getFileStatus(p)
+          !st.isDirectory || fs
+            .listStatus(p)
+            .count(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")) == 1
+        } catch { case _: java.io.IOException => false }
+      }
+
     /** LIMIT after a pushed aggregation would early-stop the INPUT of the
       * per-file fold, not its output — refuse (Spark never offers this
       * for partial pushdown, since the merge Aggregate sits between; the

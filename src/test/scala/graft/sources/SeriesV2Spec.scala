@@ -118,6 +118,29 @@ class SeriesV2Spec extends SparkTestBase {
     assert(pushed.collect().map(_.toSeq).toSet == exp)
   }
 
+  test("single-file layout upgrades the pushed aggregate to COMPLETE: no merge Aggregate survives") {
+    val dir = writeSample() // coalesce(1): one data file
+    val df = spark.read.format("graft.sources.SeriesV2").load(dir)
+      .groupBy("skey").agg(count(lit(1)).as("n"), max(col("x")).as("x_max"))
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), s"merge Aggregate survived a complete pushdown:\n$plan")
+    // multi-file: same query downgrades to PARTIAL (groups span files)
+    val dir2 = {
+      val tmp = Files.createTempDirectory("sv2multi").toString
+      val rows2 = (0L until 6L).flatMap(k => (0L until 4L).map(o => (k, o, k + o * 0.25, k - o * 0.5)))
+      import spark.implicits._
+      rows2.toDF("skey", "ord", "x", "y").repartition(4).write.option("header", "true").csv(s"$tmp/d")
+      s"$tmp/d"
+    }
+    val df2 = spark.read.format("graft.sources.SeriesV2").load(dir2)
+      .groupBy("skey").agg(count(lit(1)).as("n"), max(col("x")).as("x_max"))
+    assert(df2.collect().map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+    val plan2 = df2.queryExecution.executedPlan.toString
+    assert(plan2.contains("HashAggregate"), s"partial pushdown lost its merge Aggregate:\n$plan2")
+  }
+
   test("a global aggregate over zero matching rows still counts 0 (empty-partition partial row)") {
     val dir = writeSample()
     val df = spark.read
