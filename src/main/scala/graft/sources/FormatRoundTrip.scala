@@ -317,8 +317,69 @@ object FormatRoundTrip {
       |WHERE s.y IS NOT NULL
       |GROUP BY 1 ORDER BY s.skey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // src_seriesv2_topn — the V2 source's TOP-N pushdown under the hash
+  // gate: the derived series CSV read back with Limit(Sort(Filter(Scan)))
+  // where the skey filter is fully handled by the reader and the ORDER BY
+  // x DESC, skey, ord + LIMIT runs as a size-n bounded heap INSIDE each
+  // file reader — ≤ n survivors per file reach Spark's kept global
+  // Sort+Limit (the push is partial by the one-partition-per-file
+  // contract; SeriesV2Spec pins PushedTopN=[...] in the plan and value
+  // equality against the unpushed sort at both layouts). The tiebreak
+  // columns (skey, ord) make the selected row SET unique, so the hash
+  // gate is deterministic. At scale this ships O(n · files) rows out of
+  // a 100-TB directory instead of O(lines) into a global sort.
+  // -------------------------------------------------------------------
+  private def seriesV2TopN(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = Files.createTempDirectory(s"graft-sv2topn-${ctr.incrementAndGet()}")
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .select(
+        col("user_id").as("skey"),
+        (row_number().over(w) - 1).cast("long").as("ord"),
+        col("value").as("x"),
+        lag(col("value"), 1).over(w).as("y")
+      )
+      .filter(col("y").isNotNull)
+      .write
+      .option("header", "true")
+      .csv(s"$tmp/series_csv")
+    val back = s.read
+      .format("graft.sources.SeriesV2")
+      .load(s"$tmp/series_csv")
+      .filter(col("skey") > SvKeyLo && col("skey") <= SvKeyHi)
+      .orderBy(col("x").desc, col("skey"), col("ord"))
+      .limit(25)
+      .select(
+        col("skey"),
+        col("ord"),
+        round(col("x") * 100.0).cast("long").as("x_cents")
+      )
+      .transform(Norm.ordered(_, col("skey"), col("ord")))
+    graft.GateResult.materialize(back)(graft.GateResult.deleteRecursively(tmp))
+  }
+
+  private val seriesV2TopNSql: String =
+    s"""WITH ser AS (
+       |  SELECT user_id AS skey,
+       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS ord,
+       |         value AS x,
+       |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS y
+       |  FROM events
+       |), top AS (
+       |  SELECT skey, ord, x FROM ser
+       |  WHERE y IS NOT NULL AND skey > $SvKeyLo AND skey <= $SvKeyHi
+       |  ORDER BY x DESC, skey, ord LIMIT 25
+       |)
+       |SELECT skey, ord, CAST(round(x * 100.0) AS BIGINT) AS x_cents
+       |FROM top ORDER BY skey, ord""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_seriesv2_roundtrip" -> seriesV2RoundTrip,
+    "src_seriesv2_topn" -> seriesV2TopN,
     "src_seriesv2_agg_pushdown" -> seriesV2AggPushdown,
     "src_seriesv2_runtime_prune" -> seriesV2RuntimePrune,
     "src_csv_roundtrip" -> csvRoundTrip,
@@ -329,6 +390,7 @@ object FormatRoundTrip {
 
   val oracle: Map[String, String] = Map(
     "src_seriesv2_roundtrip" -> seriesV2RoundTripSql,
+    "src_seriesv2_topn" -> seriesV2TopNSql,
     "src_seriesv2_agg_pushdown" -> seriesV2AggPushdownSql,
     "src_seriesv2_runtime_prune" -> seriesV2RuntimePruneSql,
     "src_csv_roundtrip" -> aggSql,

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -30,6 +30,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    (they do not need re-checking above — they are returned as handled);
   *  - '''limit pushdown''' (`SupportsPushDownLimit`): per-partition early
   *    stop, global Limit kept above;
+  *  - '''top-N pushdown''' (`SupportsPushDownTopN`): per-partition
+  *    bounded heap over the pushed ORDER BY — ≤ n rows per file reach the
+  *    (kept) global Sort+Limit;
+  *  - '''offset pushdown''' (`SupportsPushDownOffset`): single-file
+  *    layouts only (the promise is global — Spark deletes its Offset
+  *    operator), with the judged file listing snapshotted for execution;
   *  - '''partial aggregate pushdown''' (`SupportsPushDownAggregates`):
   *    COUNT/MIN/MAX (+ SUM over long columns) grouped by nothing or by
   *    `skey` fold inside the reader — the scan ships one row per
@@ -71,11 +77,46 @@ object SeriesV2 {
       with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters
       with SupportsPushDownLimit
+      with SupportsPushDownTopN
+      with SupportsPushDownOffset
       with SupportsPushDownAggregates {
     private var required: StructType = Schema
     private var pushed: Array[Filter] = Array.empty
     private var limit: Int = -1
+    private var topN: Option[TopNSpec] = None
+    private var offset: Int = -1
     private var agg: Option[AggSpec] = None
+    // file listing captured when a layout-dependent claim (COMPLETE
+    // aggregate, pushed OFFSET) is made — see singleFileListing's Scaladoc
+    private var snapshot: Option[Array[String]] = None
+
+    // one partition per file ⇒ neither a limit nor a top-N can be global:
+    // Spark keeps its Limit / Sort+Limit above (both interfaces default to
+    // true; the explicit override reconciles the two inherited defaults)
+    override def isPartiallyPushed(): Boolean = true
+
+    /** Lists the layout ONCE and returns it only when it is a single data
+      * file. Both layout-dependent promises (COMPLETE aggregate pushdown,
+      * OFFSET pushdown) key off this, and the returned listing is CAPTURED
+      * into the Scan so `planInputPartitions` executes against the exact
+      * layout the promise was judged on — a file appearing between
+      * planning and execution can otherwise turn "one reader's rows ARE
+      * the global answer" into silently-unmerged per-file partials
+      * (classic TOCTOU between two directory listings).
+      */
+    private def singleFileListing(): Option[Array[String]] =
+      try {
+        val p = new Path(path)
+        val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+        val st = fs.getFileStatus(p)
+        val files =
+          if (st.isDirectory)
+            fs.listStatus(p)
+              .filter(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+              .map(_.getPath.toString)
+          else Array(st.getPath.toString)
+        if (files.length == 1) Some(files) else None
+      } catch { case _: java.io.IOException => None }
 
     /** PARTIAL aggregate pushdown: each file reader folds its lines into
       * per-group accumulators and emits one row per group seen (one row
@@ -101,7 +142,8 @@ object SeriesV2 {
       * small by construction at any corpus size.
       */
     override def pushAggregation(aggregation: Aggregation): Boolean =
-      if (limit >= 0) false // per-partition limit applies pre-agg; composing would change results
+      // per-partition limit/top-N/offset apply pre-agg; composing would change results
+      if (limit >= 0 || topN.isDefined || offset >= 0) false
       else
         AggSpec.of(aggregation) match {
           case some @ Some(_) => agg = some; true
@@ -113,18 +155,14 @@ object SeriesV2 {
       * of every group, so the one reader's per-group rows ARE the
       * answer and Spark drops its merge Aggregate entirely. Any other
       * layout keeps the partial contract (a group's rows may span
-      * files). The file listing runs once, on the driver, at planning.
+      * files). The file listing runs once, on the driver, at planning,
+      * and is captured so execution reuses the exact judged layout.
       */
     override def supportCompletePushDown(aggregation: Aggregation): Boolean =
       AggSpec.of(aggregation).isDefined && {
-        try {
-          val p = new Path(path)
-          val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-          val st = fs.getFileStatus(p)
-          !st.isDirectory || fs
-            .listStatus(p)
-            .count(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")) == 1
-        } catch { case _: java.io.IOException => false }
+        val files = singleFileListing()
+        if (files.isDefined) snapshot = files
+        files.isDefined
       }
 
     /** LIMIT after a pushed aggregation would early-stop the INPUT of the
@@ -144,6 +182,54 @@ object SeriesV2 {
     override def pushLimit(l: Int): Boolean =
       if (agg.isDefined) false
       else { limit = l; true }
+
+    /** TOP-N (ORDER BY + LIMIT) reaches the reader as a PER-PARTITION
+      * bounded selection: each file reader keeps a size-n heap ordered by
+      * the pushed sort and emits only its survivors, so an
+      * `orderBy(x).limit(10)` over a many-GB directory ships ~10 rows per
+      * file instead of every line — the scan-side half of what
+      * WindowGroupLimit does post-scan. `isPartiallyPushed` stays true
+      * (the default): with one partition per file the source cannot
+      * produce the GLOBAL top-n, so Spark keeps its Sort+Limit above and
+      * merely re-sorts n·files rows — semantics unchanged, scan output
+      * bounded. Heap comparisons use Spark's TOTAL double order
+      * (`java.lang.Double.compare`: NaN greatest, -0.0 < 0.0) so the
+      * survivors are exactly the rows the Sort above would have kept.
+      * Accepted orders: any list of bare column references (the columns
+      * are non-null by schema, so null ordering is vacuous).
+      */
+    override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean =
+      if (agg.isDefined || offset >= 0) false
+      else {
+        val cols = orders.map { so =>
+          so.expression() match {
+            case n: NamedReference if n.fieldNames.length == 1 =>
+              val i = Schema.fieldNames.indexOf(n.fieldNames()(0))
+              if (i >= 0) SortCol(i, so.direction() == SortDirection.DESCENDING) else null
+            case _ => null
+          }
+        }
+        if (cols.contains(null) || l <= 0) false
+        else { topN = Some(TopNSpec(cols, l)); true }
+      }
+
+    /** OFFSET pushdown is a GLOBAL promise — Spark deletes its Offset
+      * operator entirely when this returns true — so it is only claimable
+      * when one reader sees every row in a deterministic order: the
+      * single-file layout, captured as a snapshot exactly like COMPLETE
+      * aggregates. Multi-file layouts refuse (per-partition skipping
+      * would drop the wrong rows), as does any composition with an
+      * already-pushed limit/top-N/aggregate (Spark never offers those —
+      * a partially-pushed limit keeps the Offset above — but the guard
+      * makes the invariant local).
+      */
+    override def pushOffset(o: Int): Boolean =
+      if (agg.isDefined || limit >= 0 || topN.isDefined || o <= 0) false
+      else
+        singleFileListing() match {
+          case some @ Some(_) => snapshot = some; offset = o; true
+          case None           => false
+        }
 
     override def pruneColumns(requiredSchema: StructType): Unit =
       // preserve our parse order; the returned rows must match readSchema.
@@ -172,7 +258,15 @@ object SeriesV2 {
     }
     override def pushedFilters(): Array[Filter] = pushed
 
-    override def build(): Scan = new SeriesScan(path, required, pushed, limit, agg)
+    override def build(): Scan =
+      new SeriesScan(path, required, pushed, limit, agg, topN, offset, snapshot)
+  }
+
+  /** An accepted pushed TOP-N: sort columns index [[Schema]]. */
+  private[sources] case class SortCol(col: Int, descending: Boolean)
+  private[sources] case class TopNSpec(cols: Array[SortCol], n: Int) {
+    def render: String =
+      cols.map(c => s"${Schema.fieldNames(c.col)} ${if (c.descending) "DESC" else "ASC"}").mkString(", ") + s", limit $n"
   }
 
   private[sources] class SeriesScan(
@@ -180,7 +274,10 @@ object SeriesV2 {
       required: StructType,
       pushed: Array[Filter],
       limit: Int,
-      agg: Option[AggSpec] = None
+      agg: Option[AggSpec] = None,
+      topN: Option[TopNSpec] = None,
+      offset: Int = -1,
+      snapshot: Option[Array[String]] = None
   ) extends Scan
       with Batch
       with SupportsRuntimeFiltering
@@ -190,7 +287,9 @@ object SeriesV2 {
     override def description(): String =
       s"graft_series path=$path, ReadColumns=[${required.fieldNames.mkString(",")}], " +
         s"PushedSkeyFilters=[${pushed.mkString(",")}], PushedLimit=${if (limit < 0) "none" else limit}, " +
-        s"PushedAggregation=[${agg.map(_.render).getOrElse("")}], RuntimeFilterable=[skey]"
+        s"PushedTopN=[${topN.map(_.render).getOrElse("")}], PushedOffset=${if (offset < 0) "none" else offset}, " +
+        s"PushedAggregation=[${agg.map(_.render).getOrElse("")}], " +
+        s"RuntimeFilterable=[${filterAttributes().map(_.describe()).mkString(",")}]"
 
     /** Join-driven runtime filtering (the DataSource V2 face of dynamic
       * partition pruning): when this scan sits under a join whose other
@@ -204,9 +303,21 @@ object SeriesV2 {
       * never change results — unsupported shapes are ignored.
       * At 100 TB this is the difference between parsing every series
       * ever written and parsing the handful a dimension filter selects.
+      *
+      * skey is advertised ONLY when it survives into the scan's OUTPUT
+      * schema: Spark resolves every filterAttribute against the
+      * (column-pruned, possibly aggregate-rewritten) scan output and
+      * fails planning on a miss — so a `select(ord, x)` projection or a
+      * pushed global aggregate (whose output is agg columns, not base
+      * columns) must advertise nothing rather than crash valid queries.
       */
-    override def filterAttributes(): Array[NamedReference] =
-      Array(Expressions.column("skey"))
+    override def filterAttributes(): Array[NamedReference] = {
+      val skeyInOutput = agg match {
+        case Some(spec) => spec.groupBySkey
+        case None       => required.fieldNames.contains("skey")
+      }
+      if (skeyInOutput) Array(Expressions.column("skey")) else Array.empty
+    }
 
     @volatile private var runtime: Array[FilterSpec] = Array.empty
     override def filter(filters: Array[Filter]): Unit =
@@ -229,8 +340,13 @@ object SeriesV2 {
       else Array(status)
     }
 
+    // a layout-dependent promise (COMPLETE aggregate, pushed OFFSET)
+    // pins the planning-time listing; otherwise list live at execution
     override def planInputPartitions(): Array[InputPartition] =
-      listedFiles().map(_.getPath.toString).sorted.map(f => SeriesInputPartition(f): InputPartition)
+      snapshot
+        .getOrElse(listedFiles().map(_.getPath.toString))
+        .sorted
+        .map(f => SeriesInputPartition(f): InputPartition)
 
     /** Size statistics from the file listing (`SupportsReportStatistics`):
       * without this a V2 relation defaults to "unknown = effectively
@@ -239,14 +355,17 @@ object SeriesV2 {
       * raw CSV bytes scaled by the read-column fraction (the built-in
       * FileScan convention for pruned reads); row count stays unknown
       * (lines aren't counted at planning). Over-estimating only costs a
-      * missed broadcast; the scaling never under-reports below 1/4 of
-      * the raw bytes, so it cannot cause an oversized broadcast OOM.
+      * missed broadcast; the column fraction is FLOORED at one column
+      * (an existence-only scan can prune everything, and `raw * 0` would
+      * report 1 byte — auto-broadcasting an arbitrarily large directory),
+      * so the report never drops below 1/4 of the raw bytes and cannot
+      * cause an oversized broadcast OOM.
       */
     override def estimateStatistics(): Statistics = {
       val bytes =
         try {
           val raw = listedFiles().map(_.getLen).sum
-          java.util.OptionalLong.of(math.max(1L, raw * required.length / Schema.length))
+          java.util.OptionalLong.of(math.max(1L, raw * math.max(1, required.length) / Schema.length))
         } catch { case _: java.io.IOException => java.util.OptionalLong.empty() }
       new Statistics {
         override def sizeInBytes(): java.util.OptionalLong = bytes
@@ -262,6 +381,8 @@ object SeriesV2 {
         pushed.map(FilterSpec.of) ++ runtime,
         limit,
         agg,
+        topN,
+        offset,
         new org.apache.spark.util.SerializableConfiguration(sessionHadoopConf())
       )
   }
@@ -417,13 +538,16 @@ object SeriesV2 {
       filters: Array[FilterSpec],
       limit: Int,
       agg: Option[AggSpec],
+      topN: Option[TopNSpec],
+      offset: Int,
       hadoopConf: org.apache.spark.util.SerializableConfiguration
   ) extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val file = partition.asInstanceOf[SeriesInputPartition].file
-      agg match {
-        case Some(spec) => new SeriesAggReader(file, filters, spec, hadoopConf.value)
-        case None       => new SeriesPartitionReader(file, columns, filters, limit, hadoopConf.value)
+      (agg, topN) match {
+        case (Some(spec), _) => new SeriesAggReader(file, filters, spec, hadoopConf.value)
+        case (_, Some(tn))   => new SeriesTopNReader(file, columns, filters, tn, hadoopConf.value)
+        case _               => new SeriesPartitionReader(file, columns, filters, limit, offset, hadoopConf.value)
       }
     }
   }
@@ -437,6 +561,7 @@ object SeriesV2 {
       columns: Array[String],
       filters: Array[FilterSpec],
       limit: Int,
+      offset: Int,
       hadoopConf: Configuration
   ) extends PartitionReader[InternalRow] {
     private val p = new Path(file)
@@ -444,6 +569,10 @@ object SeriesV2 {
     private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
     private var headerSkipped = false
     private var emitted = 0L
+    // pushed OFFSET (single-file layout only — the builder's promise):
+    // the first `offset` MATCHED rows are dropped, exactly the rows the
+    // deleted Offset operator would have dropped from this file-order scan
+    private var toSkip = math.max(0, offset)
     private var current: InternalRow = _
 
     override def next(): Boolean = {
@@ -457,8 +586,93 @@ object SeriesV2 {
             try {
               val skey = java.lang.Long.parseLong(parts(0).trim)
               if (filters.forall(_.accepts(skey))) {
-                // explicit Array[Any]: a map over same-primitive columns
-                // would specialize to Array[Double] and break the cast
+                if (toSkip > 0) toSkip -= 1 // pushed offset: drop, keep scanning
+                else {
+                  // explicit Array[Any]: a map over same-primitive columns
+                  // would specialize to Array[Double] and break the cast
+                  val vals = new Array[Any](columns.length)
+                  var i = 0
+                  while (i < columns.length) {
+                    vals(i) = columns(i) match {
+                      case "skey" => skey
+                      case "ord"  => java.lang.Long.parseLong(parts(1).trim)
+                      case "x"    => java.lang.Double.parseDouble(parts(2).trim)
+                      case "y"    => java.lang.Double.parseDouble(parts(3).trim)
+                    }
+                    i += 1
+                  }
+                  current = new GenericInternalRow(vals)
+                  emitted += 1
+                  return true
+                }
+              }
+            } catch { case _: NumberFormatException => () } // malformed -> skip
+          }
+        }
+        line = reader.readLine()
+      }
+      false
+    }
+    override def get(): InternalRow = current
+    override def close(): Unit = reader.close()
+  }
+
+  /** The pushed TOP-N reader: streams the file once through the same
+    * parse + pushed-filter gate as the row reader, keeping a size-n
+    * bounded heap ordered by the pushed sort (heap root = current WORST
+    * survivor, evicted on overflow), and emits the survivors at EOF in
+    * arbitrary order — Spark's Sort+Limit above (kept, because the push
+    * is partial) re-orders the n·files candidates into the global answer.
+    * Memory is O(n), shipped rows are ≤ n per file regardless of file
+    * size. Double keys compare with Spark's total order
+    * (`java.lang.Double.compare`) so survivors match the unpushed plan's
+    * even with NaN / signed zeros in the data.
+    */
+  private[sources] class SeriesTopNReader(
+      file: String,
+      columns: Array[String],
+      filters: Array[FilterSpec],
+      topN: TopNSpec,
+      hadoopConf: Configuration
+  ) extends PartitionReader[InternalRow] {
+    private val p = new Path(file)
+    private val in = p.getFileSystem(hadoopConf).open(p)
+    private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+    private var it: Iterator[InternalRow] = _
+    private var current: InternalRow = _
+
+    // sort keys resolved to positions in the emitted row (the Sort above
+    // references scan-output columns, so every key is in `columns`)
+    private val keyPos: Array[Int] = topN.cols.map(c => columns.indexOf(Schema.fieldNames(c.col)))
+    private val keyIsLong: Array[Boolean] = topN.cols.map(_.col <= 1)
+    require(keyPos.forall(_ >= 0), s"pushed sort key missing from read columns ${columns.mkString(",")}")
+
+    private def cmp(a: Array[Any], b: Array[Any]): Int = {
+      var i = 0
+      while (i < keyPos.length) {
+        val c =
+          if (keyIsLong(i))
+            java.lang.Long.compare(a(keyPos(i)).asInstanceOf[Long], b(keyPos(i)).asInstanceOf[Long])
+          else
+            java.lang.Double.compare(a(keyPos(i)).asInstanceOf[Double], b(keyPos(i)).asInstanceOf[Double])
+        if (c != 0) return if (topN.cols(i).descending) -c else c
+        i += 1
+      }
+      0
+    }
+
+    private def fold(): Iterator[InternalRow] = {
+      // heap root = LARGEST under the pushed order = first to evict
+      val heap = new java.util.PriorityQueue[Array[Any]](topN.n + 1, (a, b) => cmp(b, a))
+      var line = reader.readLine() // header
+      line = reader.readLine()
+      while (line != null) {
+        if (!gateRejects(line, filters)) {
+          val parts = line.split(",", -1)
+          if (parts.length == 4) {
+            try {
+              val skey = java.lang.Long.parseLong(parts(0).trim)
+              if (filters.forall(_.accepts(skey))) {
                 val vals = new Array[Any](columns.length)
                 var i = 0
                 while (i < columns.length) {
@@ -470,16 +684,21 @@ object SeriesV2 {
                   }
                   i += 1
                 }
-                current = new GenericInternalRow(vals)
-                emitted += 1
-                return true
+                heap.add(vals)
+                if (heap.size > topN.n) heap.poll()
               }
             } catch { case _: NumberFormatException => () } // malformed -> skip
           }
         }
         line = reader.readLine()
       }
-      false
+      import scala.jdk.CollectionConverters._
+      heap.iterator().asScala.map(vals => new GenericInternalRow(vals): InternalRow)
+    }
+
+    override def next(): Boolean = {
+      if (it == null) it = fold()
+      if (it.hasNext) { current = it.next(); true } else false
     }
     override def get(): InternalRow = current
     override def close(): Unit = reader.close()
@@ -555,7 +774,13 @@ object SeriesV2 {
                         acc.longs(i) = v
                     } else {
                       val v = if (a.col == 2) x else y
-                      if (!acc.seen(i) || (if (k == 2) v < acc.dbls(i) else v > acc.dbls(i)))
+                      // TOTAL double order (NaN greatest, -0.0 < 0.0):
+                      // primitive </> would make a pushed MIN/MAX diverge
+                      // from the unpushed plan whenever NaN is present
+                      // (NaN compares false against everything), breaking
+                      // the "exact selections and safe" contract
+                      val c = java.lang.Double.compare(v, acc.dbls(i))
+                      if (!acc.seen(i) || (if (k == 2) c < 0 else c > 0))
                         acc.dbls(i) = v
                     }
                     acc.seen(i) = true

@@ -196,6 +196,116 @@ class SeriesV2Spec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"small V2 side was not broadcast:\n$plan")
   }
 
+  test("filterAttributes follows the scan output: a skey-pruned projection joins without crashing") {
+    val dir = writeSample()
+    val v2 = spark.read.format("graft.sources.SeriesV2").load(dir)
+    // regression: advertising skey unconditionally made Spark resolve it
+    // against the pruned output [ord, x] and fail planning with
+    // 'Unable to resolve skey given [ord]' on this valid query
+    val dim = spark.range(0, 2).toDF("o")
+    val joined = v2.select("ord", "x").join(dim, col("ord") === col("o"))
+    assert(joined.count() == 12, "skey-free join must plan and run")
+    assert(scanOf(joined).filterAttributes().isEmpty, "pruned skey must not be advertised")
+    // a pushed GLOBAL aggregate rewrites the output to agg columns — also no skey
+    val g = v2.agg(count(lit(1)).as("n"))
+    assert(scanOf(g).filterAttributes().isEmpty, "global-agg output has no skey to filter")
+    // but a groupBy(skey) keeps it, and so does a plain skey-bearing read
+    val gk = v2.groupBy("skey").agg(count(lit(1)).as("n"))
+    assert(scanOf(gk).filterAttributes().map(_.describe()).toSeq == Seq("skey"))
+    assert(scanOf(v2.select("skey", "x")).filterAttributes().map(_.describe()).toSeq == Seq("skey"))
+  }
+
+  test("pushed double MIN/MAX use Spark's total order: NaN is the max, not a comparison sink") {
+    val tmp = Files.createTempDirectory("sv2nan").toString
+    Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/f.csv"),
+      "skey,ord,x,y\n1,0,NaN,2.0\n1,1,5.0,NaN\n1,2,3.0,1.0\n"
+    )
+    def agged(df: org.apache.spark.sql.DataFrame) =
+      df.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"), min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    val v2 = spark.read.format("graft.sources.SeriesV2").load(s"$tmp/f.csv")
+    val pushed = agged(v2)
+    assert(scanOf(pushed).description().contains("MIN(x)"), scanOf(pushed).description())
+    val got = pushed.collect().head
+    // the UNPUSHED plan of the same source (a non-pushable ord filter
+    // stays above the scan, which vetoes aggregate pushdown): the pushed
+    // fold must agree with Spark's own min/max total order on NaN
+    val unpushed = agged(v2.filter(col("ord") >= 0L))
+    assert(scanOf(unpushed).description().contains("PushedAggregation=[]"), scanOf(unpushed).description())
+    val exp = unpushed.collect().head
+    assert(got.getDouble(0) == exp.getDouble(0) && got.getDouble(0) == 3.0, "min(x) skips NaN")
+    assert(got.getDouble(1).isNaN && exp.getDouble(1).isNaN, "max(x) is NaN (NaN > everything)")
+    assert(got.getDouble(2) == exp.getDouble(2) && got.getDouble(2) == 1.0)
+    assert(got.getDouble(3).isNaN && exp.getDouble(3).isNaN)
+  }
+
+  test("COMPLETE pushdown executes against the judged file listing, not a re-list (TOCTOU)") {
+    val dir = writeSample() // one data file → COMPLETE claimable
+    val df = spark.read.format("graft.sources.SeriesV2").load(dir)
+      .groupBy("skey").agg(count(lit(1)).as("n"))
+    df.queryExecution.optimizedPlan // forces pushdown: COMPLETE judged NOW, listing snapshotted
+    // a file landing between planning and execution must NOT become an
+    // unmerged per-file partial under the already-dropped merge Aggregate
+    val extra = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv")).head
+    Files.copy(extra.toPath, java.nio.file.Paths.get(s"$dir/late-arrival.csv"))
+    val rows = df.collect()
+    assert(rows.length == 6, s"snapshot violated: ${rows.length} rows (duplicate per-file partials?)")
+    assert(rows.map(_.getLong(1)).forall(_ == 4L), "counts must come from the judged single file")
+  }
+
+  test("sizeInBytes floors the column fraction: an all-pruned scan never reports ~1 byte") {
+    val dir = writeSample()
+    val b = new SeriesV2.SeriesScanBuilder(dir)
+    b.pruneColumns(StructType(Nil))
+    val scan = b.build().asInstanceOf[SeriesV2.SeriesScan]
+    val raw = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv")).map(_.length()).sum
+    val reported = scan.estimateStatistics().sizeInBytes()
+    assert(reported.isPresent && reported.getAsLong >= raw / 4,
+      s"reported ${reported} vs raw $raw — an under-report auto-broadcasts arbitrarily large dirs")
+  }
+
+  test("ORDER BY + LIMIT pushes as per-partition top-N; global order and values unchanged") {
+    val dir = writeSample()
+    def topq(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("skey") > 0L).orderBy(col("x").desc, col("ord")).limit(5)
+    val pushed = topq(spark.read.format("graft.sources.SeriesV2").load(dir))
+    val scan = scanOf(pushed)
+    assert(scan.description().contains("PushedTopN=[x DESC, ord ASC, limit 5]"), scan.description())
+    val exp = topq(SeriesSource.wideCsv(spark, dir)).collect().map(_.toSeq).toSeq
+    assert(pushed.collect().map(_.toSeq).toSeq == exp, "Sort above must see enough survivors")
+    // multi-file: ≤ n per file reaches the global sort, values still exact
+    val dir2 = {
+      val tmp = Files.createTempDirectory("sv2topn").toString
+      val rows2 = (0L until 6L).flatMap(k => (0L until 4L).map(o => (k, o, k + o * 0.25, k - o * 0.5)))
+      import spark.implicits._
+      rows2.toDF("skey", "ord", "x", "y").repartition(4).write.option("header", "true").csv(s"$tmp/d")
+      s"$tmp/d"
+    }
+    val pushed2 = topq(spark.read.format("graft.sources.SeriesV2").load(dir2))
+    assert(scanOf(pushed2).description().contains("PushedTopN=[x DESC, ord ASC, limit 5]"))
+    assert(pushed2.collect().map(_.toSeq).toSeq == exp)
+  }
+
+  test("OFFSET pushes only on the single-file layout, where it is globally exact") {
+    val dir = writeSample() // single file
+    val df = spark.read.format("graft.sources.SeriesV2").load(dir).offset(20)
+    val scan = scanOf(df)
+    assert(scan.description().contains("PushedOffset=20"), scan.description())
+    assert(df.count() == 4, "24 rows - 20 offset")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(5L), "the tail rows are series 5's")
+    // multi-file: refused — per-partition skipping would drop the wrong rows
+    val dir2 = {
+      val tmp = Files.createTempDirectory("sv2off").toString
+      val rows2 = (0L until 6L).flatMap(k => (0L until 4L).map(o => (k, o, k + o * 0.25, k - o * 0.5)))
+      import spark.implicits._
+      rows2.toDF("skey", "ord", "x", "y").repartition(4).write.option("header", "true").csv(s"$tmp/d")
+      s"$tmp/d"
+    }
+    val df2 = spark.read.format("graft.sources.SeriesV2").load(dir2).offset(20)
+    assert(scanOf(df2).description().contains("PushedOffset=none"), scanOf(df2).description())
+    assert(df2.count() == 4, "Spark's own Offset still applies above the scan")
+  }
+
   test("malformed lines are skipped, matching the wideCsv + na.drop contract") {
     val tmp = Files.createTempDirectory("sv2spec_bad").toString
     Files.writeString(
