@@ -106,6 +106,20 @@ object Bench {
 
     val CanaryBaseRuns = 5
     val QuietFactor = 1.3
+    // Pair-canary quiet ceiling (VERDICT r13 item 1): the pair canary was
+    // telemetry-only in r13, so a pair-shaped host term (the one that
+    // inflates the CCM family — keyed self-join fan-out into an
+    // aggregate) could neither quiet-certify nor indict a CCM reading
+    // inside one artifact. BASELINE.md's recorded quiet-host reference is
+    // canary_pair min 0.153-0.161; this ceiling is that floor x the same
+    // 1.3 allowance QuietFactor grants the primary canary. A window over
+    // a ccm_*/det-hash-family query now counts as QUIET only if at least
+    // one of its adjacent pair samples is at the quiet-host level —
+    // mirroring how AbsQuietBaseSec stops a uniformly-degraded host from
+    // certifying itself.
+    val PairQuietCeilSec = 0.21
+    def isPairFamily(name: String): Boolean =
+      name.startsWith("ccm_") || name == "det_hash" || name == "poly_hash"
     // ABSOLUTE quiet ceiling (round 12): QuietFactor alone is RELATIVE to
     // this run's canary min, so a uniformly degraded host (measured: base
     // 0.135-0.153 vs the recorded quiet-gate 0.071-0.075) calls its own
@@ -150,18 +164,41 @@ object Bench {
     }
     // one bracketed window = canary, N query runs, canary. Keeps the
     // raw adjacent canaries so verdicts can be recomputed against the
-    // run-wide canary min at the end.
+    // run-wide canary min at the end. `samplePair` additionally brackets
+    // the window with the pair-join canary (pB/pA; NaN when unsampled) —
+    // requested only on the above-bar path of pair-family queries, so
+    // the ~0.4 s cost lands on suspect windows, not all 280.
+    final case class Win(t: Option[Double], cB: Double, cA: Double, pB: Double = Double.NaN, pA: Double = Double.NaN)
     def windowFor(
         name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        runs: Int
-    ): (Option[Double], Double, Double) = {
+        runs: Int,
+        samplePair: Boolean = false
+    ): Win = {
+      def pair(): Double = {
+        val p = canaryPairOnce(); canaryPairSamples += p; p
+      }
+      val pB = if (samplePair) pair() else Double.NaN
       val cB = canary()
       val times = (1 to runs).flatMap(_ => onceFor(name, fn))
       val withExtra =
         if (times.nonEmpty && times.min >= ExtraRunAboveSec) times ++ onceFor(name, fn) else times
       val cA = canary()
-      (if (withExtra.nonEmpty) Some(withExtra.min) else None, cB, cA)
+      val pA = if (samplePair) pair() else Double.NaN
+      Win(if (withExtra.nonEmpty) Some(withExtra.min) else None, cB, cA, pB, pA)
+    }
+    // QUIET verdict for one window: both adjacent primary canaries under
+    // the relative factor, the run's base itself at the absolute
+    // quiet-host level, AND — for pair-family queries — pair-canary
+    // evidence at the quiet-host level. A pair-family window that never
+    // sampled the pair canary CANNOT be quiet (NaN comparisons are
+    // false): the initial min-of-3 windows don't sample it, so an
+    // above-bar pair-family query is forced onto the retry path, which
+    // does.
+    def quietWin(name: String, w: Win, base: Double): Boolean = {
+      val primary = math.max(w.cB, w.cA) < QuietFactor * base && base <= AbsQuietBaseSec
+      val pairOk = !isPairFamily(name) || math.min(w.pB, w.pA) <= PairQuietCeilSec
+      primary && pairOk
     }
     // optional comma-separated filter for local iteration (full run when unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -169,18 +206,18 @@ object Bench {
       .filter(kv => only.forall(_.contains(kv._1)))
       .sortBy(_._1)
       .map { case (name, fn) =>
-      def quiet(w: (Option[Double], Double, Double)) =
-        math.max(w._2, w._3) < QuietFactor * canaryBase && canaryBase <= AbsQuietBaseSec
       var windows = List(windowFor(name, fn, Runs))
       val bar = BenchBaseline.mergedMinSec.get(name).map(barOf)
-      def rawMin = windows.flatMap(_._1).minOption
+      def rawMin = windows.flatMap(_.t).minOption
       def sawQuietAboveBar =
-        bar.exists(b => windows.exists(w => quiet(w) && w._1.exists(_ > b)))
+        bar.exists(b => windows.exists(w => quietWin(name, w, canaryBase) && w.t.exists(_ > b)))
       var retries = 0
       while (bar.isDefined && rawMin.exists(m => m > bar.get) &&
              !sawQuietAboveBar && retries < MaxRetryWindows) {
         // above the 2x bar with only noisy windows so far: re-measure
-        windows ::= windowFor(name, fn, 1)
+        // (pair-family retries carry pair-canary brackets so their quiet
+        // verdicts are pair-certified)
+        windows ::= windowFor(name, fn, 1, samplePair = isPairFamily(name))
         retries += 1
       }
       // free any localCheckpoint blocks the query pinned so 110 queries
@@ -211,30 +248,31 @@ object Bench {
     val RequeueMaxTries = 4
     val preRequeueDrift = canarySamples.max / canaryBase
     val requeued =
-      collection.mutable.LinkedHashMap.empty[String, (Option[Double], Double, Double, Int, Boolean)]
+      collection.mutable.LinkedHashMap.empty[String, (Win, Int, Boolean)]
     val resultsFinal =
       if (preRequeueDrift <= RequeueDriftFactor) results
       else results.map { case (name, windows) =>
-        val rawMin = windows.flatMap(_._1).minOption
+        val rawMin = windows.flatMap(_.t).minOption
         val bar = BenchBaseline.mergedMinSec.get(name).map(barOf)
         if (bar.exists(b => rawMin.exists(_ > b))) {
-          var tries = List.empty[(Option[Double], Double, Double)]
+          var tries = List.empty[Win]
           var settled = false
           while (!settled && tries.size < RequeueMaxTries) {
-            val w = windowFor(name, SparkEntry.queries(name), 3)
+            // pair-family requeues bracket with the pair canary too: a
+            // window can only settle as quiet when the host's pair-join
+            // capability reads quiet as well (VERDICT r13 item 1)
+            val w = windowFor(name, SparkEntry.queries(name), 3, samplePair = isPairFamily(name))
             spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
             tries ::= w
-            val quietWindow =
-              math.max(w._2, w._3) < QuietFactor * canaryBase && canaryBase <= AbsQuietBaseSec
-            val underBar = w._1.exists(_ <= bar.get)
-            settled = quietWindow || underBar
+            val underBar = w.t.exists(_ <= bar.get)
+            settled = quietWin(name, w, canaryBase) || underBar
           }
           // Ship the try that EARNED the settle (the head — the loop exits
           // right after settling), so the recorded readings and the settled
           // flag always describe the same window; only an unsettled requeue
           // falls back to the quietest try as the least-noisy evidence.
-          val shipped = if (settled) tries.head else tries.minBy(w => math.max(w._2, w._3))
-          requeued(name) = (shipped._1, shipped._2, shipped._3, tries.size, settled)
+          val shipped = if (settled) tries.head else tries.minBy(w => math.max(w.cB, w.cA))
+          requeued(name) = (shipped, tries.size, settled)
           (name, tries ++ windows)
         } else (name, windows)
       }
@@ -247,15 +285,14 @@ object Bench {
     //    canaries were quiet — evidence of a real regression, not noise
     val finalBase = canaryBase
     val summary = resultsFinal.map { case (name, windows) =>
-      val rawMin = windows.flatMap(_._1).minOption
-      val norm = windows.collect { case (Some(t), cB, cA) =>
+      val rawMin = windows.flatMap(_.t).minOption
+      val norm = windows.collect { case Win(Some(t), cB, cA, _, _) =>
         t / math.max(1.0, math.min(cB, cA) / finalBase)
       }.minOption
       val bar = BenchBaseline.mergedMinSec.get(name).map(barOf)
       val quietAbove = bar.exists(b =>
-        windows.exists { case (t, cB, cA) =>
-          math.max(cB, cA) < QuietFactor * finalBase && finalBase <= AbsQuietBaseSec && t.exists(_ > b)
-        }) && rawMin.exists(m => m > bar.get)
+        windows.exists(w => quietWin(name, w, finalBase) && w.t.exists(_ > b))
+      ) && rawMin.exists(m => m > bar.get)
       if (quietAbove && !aboveBarQuiet.contains(name)) aboveBarQuiet ::= name
       (name, rawMin, norm)
     }
@@ -280,15 +317,102 @@ object Bench {
       .getOrElse("")
     val metricName = if (only.isDefined) "partial_total" else "total"
     val requeueJson = requeued.toSeq
-      .map { case (k, (t, cB, cA, tries, settled)) =>
-        val raw = t.map(v => f"$v%.3f").getOrElse("null")
-        "\"" + k + "\":" + f"""{"raw":$raw,"canary_before":$cB%.3f,"canary_after":$cA%.3f,"tries":$tries,"settled":$settled}"""
+      .map { case (k, (w, tries, settled)) =>
+        val raw = w.t.map(v => f"$v%.3f").getOrElse("null")
+        val pair =
+          if (w.pB.isNaN) ""
+          else f""","pair_before":${w.pB}%.3f,"pair_after":${w.pA}%.3f"""
+        "\"" + k + "\":" + f"""{"raw":$raw,"canary_before":${w.cB}%.3f,"canary_after":${w.cA}%.3f$pair,"tries":$tries,"settled":$settled}"""
       }
       .mkString("{", ",", "}")
+    // ---- sf1 mini-gate (VERDICT r13 item 6): a standing min-of-1 pass
+    // over the heaviest / most scale-shaped queries on a deterministic
+    // 10x replica of the run's SF dir, so per-round artifacts catch
+    // scale regressions (the substring pair term, the FFT ladder, the
+    // streaming state term) that sf0.1 cannot see. One-off SCALE.md
+    // probes measured these once; this embeds them in every round's
+    // artifact with their own baselines (BenchBaseline.sf1MinSec).
+    // Bounded: min-of-1, wall budget SPARK_GRAFT_SF1_BUDGET_SEC (default
+    // 420 s) with queries ordered so an exhausted budget drops the
+    // single heaviest (graph_betweenness) first-from-the-tail, never
+    // silently — dropped names ship under "skipped". Disable with
+    // SPARK_GRAFT_SF1=0; partial (SPARK_GRAFT_ONLY) runs skip it.
+    val Sf1Queries = Vector(
+      "dedup_substring_banded", "dedup_substring", // the twin comparison IS the signal
+      "ccm_curve", "ccm_wide", "ccm_surrogate_fft", // CCM core + the FFT ladder
+      "stream_sessionize", "stream_session_builtin", // per-key lever vs builtin state term
+      "dedup_lsh_quality", "ann_recall_eval", "vec_mmr",
+      "text_para_dedup", "pack_ffd", "evt_asof_native",
+      "graph_hits", "graph_betweenness" // heaviest last: budget cuts from the tail
+    )
+    // full runs: on unless SPARK_GRAFT_SF1=0; partial (SPARK_GRAFT_ONLY)
+    // runs: off unless SPARK_GRAFT_SF1=1 forces it (local iteration)
+    val sf1Enabled =
+      if (only.isEmpty) !sys.env.get("SPARK_GRAFT_SF1").contains("0")
+      else sys.env.get("SPARK_GRAFT_SF1").contains("1")
+    val sf1Json =
+      if (!sf1Enabled) "null"
+      else {
+        val copies = 10
+        val dst = "/tmp/graft_bench_sf1"
+        val marker = Paths.get(s"$dst/_GRAFT_SCALEGEN_OK")
+        val stamp = s"$sfDir x$copies"
+        val tGen0 = System.nanoTime()
+        if (!(Files.exists(marker) && Files.readString(marker) == stamp)) {
+          graft.tools.ScaleGen.generate(spark, sfDir, dst, copies)
+          Files.writeString(marker, stamp)
+        }
+        val genSec = (System.nanoTime() - tGen0) / 1e9
+        val budget = sys.env.get("SPARK_GRAFT_SF1_BUDGET_SEC").map(_.toDouble).getOrElse(420.0)
+        val cB = canaryOnce()
+        val t0 = System.nanoTime()
+        def elapsed = (System.nanoTime() - t0) / 1e9
+        var sf1Failed = List.empty[String]
+        var skipped = List.empty[String]
+        val timed = Sf1Queries.flatMap { name =>
+          if (elapsed > budget) { skipped ::= name; None }
+          else
+            SparkEntry.queries.get(name).flatMap { fn =>
+              val tq = System.nanoTime()
+              try {
+                fn(spark, dst).queryExecution.toRdd.count()
+                val s = (System.nanoTime() - tq) / 1e9
+                spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+                Some(name -> s)
+              } catch {
+                case e: Throwable =>
+                  sf1Failed ::= name
+                  System.err.println(s"[bench sf1] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+                  None
+              }
+            }
+        }
+        val cA = canaryOnce()
+        val qJson = timed.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+        val ratioJson = timed
+          .flatMap { case (k, v) => BenchBaseline.sf1MinSec.get(k).map(b => "\"" + k + "\":" + f"${v / b}%.2f") }
+          .mkString("{", ",", "}")
+        val skipJson = skipped.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val failJson = sf1Failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        f"""{"copies":$copies,"gen_sec":$genSec%.1f,"runs_per_query":1,"canary_before":$cB%.3f,"canary_after":$cA%.3f,"queries":$qJson,"vs_baseline":$ratioJson,"skipped":$skipJson,"failed":$failJson}"""
+      }
     val json =
-      s"""{"metric":"$metricName","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"canary":$canaryJson,"canary_pair":$canaryPairJson,"drift":${f"$preRequeueDrift%.3f"},"requeue":$requeueJson,"above_bar_quiet":$aboveJson,"failed":$failedJson,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir"$onlyJson}"""
+      s"""{"metric":"$metricName","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"canary":$canaryJson,"canary_pair":$canaryPairJson,"drift":${f"$preRequeueDrift%.3f"},"requeue":$requeueJson,"above_bar_quiet":$aboveJson,"failed":$failedJson,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir","sf1_subset":$sf1Json$onlyJson}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json)
+    // ---- compact self-describing tail line (VERDICT r13 item 8): the
+    // driver's artifact keeps only the LAST ~2000 chars of stdout and
+    // tries to parse a JSON body from it; the full line above (~14 KB
+    // of per-query maps) can never fit, which is why every BENCH_rN
+    // had "parsed": null. This line carries the verdict-bearing fields
+    // (total, canaries, drift, requeues, failures, the sf1 gate) in
+    // well under the window; per-query detail stays in the full line
+    // and in bench_out.json (committed with the repo).
+    val requeueUnsettled = requeued.toSeq.collect { case (k, (_, _, false)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val compact =
+      s"""{"metric":"$metricName","value":$total,"unit":"sec","n_queries":${summary.count(_._2.isDefined)},"canary":$canaryJson,"canary_pair":$canaryPairJson,"drift":${f"$preRequeueDrift%.3f"},"requeue_n":${requeued.size},"requeue_unsettled":$requeueUnsettled,"above_bar_quiet":$aboveJson,"failed":$failedJson,"sf":"$sfDir","sf1_subset":$sf1Json,"queries_in":"bench_out.json"}"""
+    println(compact)
     spark.stop()
   }
 }

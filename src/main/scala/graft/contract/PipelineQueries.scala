@@ -632,12 +632,28 @@ object PipelineQueries {
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(col("source")).as("n_sources")
     )
-    val wR = Window.orderBy(col("n_tokens").asc, col("doc_id").asc)
+    // Exact median via the VALUE HISTOGRAM, not a global row_number over
+    // every doc: groupBy(n_tokens) reduces the corpus to one row per
+    // distinct doc length (bounded by the max doc length, corpus-size-
+    // free), and the cumulative rank window runs over THAT — the global
+    // sort touches hundreds of rows at any SF instead of every document
+    // through one task. Rank straddle = the standard median identity:
+    // value v holds ranks [lo, hi]; the median positions are (n+1)/2 and
+    // (n+2)/2, averaged (equal when n is odd) — exactly the row_number
+    // form's avg over the middle row(s), bit-for-bit (integer inputs,
+    // one halving).
+    val wV = Window.orderBy(col("n_tokens").asc).rowsBetween(Window.unboundedPreceding, 0)
     val medTok = q
-      .withColumn("rn", row_number().over(wR).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .filter(col("rn") >= expr("(n + 1) div 2") && col("rn") <= expr("(n + 2) div 2"))
-      .agg((avg(col("n_tokens")) + 0.0).as("median_doc_tokens"))
+      .groupBy("n_tokens")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hi", sum(col("c")).over(wV))
+      .withColumn("lo", col("hi") - col("c") + 1L)
+      .crossJoin(broadcast(q.agg(count(lit(1)).as("n"))))
+      .agg(
+        ((max(when(col("lo") <= expr("(n + 1) div 2") && col("hi") >= expr("(n + 1) div 2"), col("n_tokens")))
+          + max(when(col("lo") <= expr("(n + 2) div 2") && col("hi") >= expr("(n + 2) div 2"), col("n_tokens"))))
+          .cast("double") / 2.0 + 0.0).as("median_doc_tokens")
+      )
     val dups = d
       .groupBy(DetHash.polyHashCol(col("text")).as("h"))
       .agg(count(lit(1)).as("n"))

@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Generate an ~sf1-equivalent dataset in a TEMP dir (never touches the
   * read-only /root/testdata) by deterministic 10x replication of sf0.1 —
-  * the scale-measurement input for SCALE.md (VERDICT r7 item 2). NOT part
-  * of the driver contract; run manually:
-  *   sbt "Test/runMain graft.tools.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10"
+  * the scale-measurement input for SCALE.md (VERDICT r7 item 2) and for
+  * Bench's standing sf1 mini-gate (VERDICT r13 item 6). Run manually:
+  *   sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.1 /tmp/graft_sf1 10"
   *
   * Replication is distribution-preserving per family:
   *  - events / lineitem / orders / customer: key-offset copies (user,
@@ -43,6 +43,14 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, dst, copies)
+    spark.stop()
+  }
+
+  /** Writes the replica under an EXISTING session — callable from Bench's
+    * standing sf1 mini-gate as well as the manual main above.
+    */
+  def generate(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     Files.createDirectories(Paths.get(dst))
 
     def copyDim(name: String): Unit =
@@ -156,6 +164,5 @@ object ScaleGen {
     }.repartition(8).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
     println(s"[scalegen] wrote ${copies}x $src -> $dst")
-    spark.stop()
   }
 }
