@@ -1146,6 +1146,9 @@ object DedupQueries {
   private val SubK = 24 // window width (chars)
   private val SubMinRun = 50 // report runs at least this long
   private val SubMaxBucket = 64 // corpus-wide window-frequency guard
+  // 2x the largest measured-good regime (137M windows -> 824M pairs,
+  // 332 s; ~10x that hit the r12 spill wall) — see the guard below
+  private val MaxSubstringWindows = 275000000L
 
   private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -1154,6 +1157,22 @@ object DedupQueries {
     val sh = docs(s, dir)
       .select(col("doc_id"), posexplode(expr(s"graft_winhashes(text, $SubK, 1)")).as(Seq("pos", "h")))
       .localCheckpoint()
+    // Loud scale guard (round 14, the evt_discord MaxSpineHours
+    // precedent): the stride-1 pair relation grows superlinearly in
+    // window count (measured 824M pairs at 137M windows; the r12 run at
+    // ~10x that spilled to a wall sorting ~8B pairs). Past 2x the
+    // measured-good regime this exact form is the wrong tool — fail
+    // loudly and point at the banded twin instead of melting the
+    // cluster. The count scans the already-materialized checkpoint
+    // blocks (eager localCheckpoint above), so the guard costs one
+    // cached pass, not a recompute.
+    val nWindows = sh.count()
+    if (nWindows > MaxSubstringWindows)
+      throw new IllegalStateException(
+        s"dedup_substring: $nWindows shingle windows exceed MaxSubstringWindows=$MaxSubstringWindows " +
+          s"and the stride-1 pair relation is superlinear (~6 pairs/window measured, sorted whole) — " +
+          s"use dedup_substring_banded (identical results, seed-banded aggregate) or shard the corpus"
+      )
     // guard INVERTED (round 13): almost every window hash survives the
     // <= SubMaxBucket test, so joining against the survivors shuffles the
     // whole corpus-sized relation; anti-joining against the FREQUENT set

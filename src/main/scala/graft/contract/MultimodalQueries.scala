@@ -420,7 +420,10 @@ object MultimodalQueries {
        |  WHERE ch <> '' GROUP BY 1, 2
        |), st AS (
        |  SELECT h.doc_id,
-       |    sum(h.b * (h.c / CAST(greatest(1, n.n_bytes) AS DOUBLE))) AS mean_byte,
+       |    -- exact integer sum / one division: matches the stub's
+       |    -- integerized mean bit-for-bit in any aggregation order
+       |    -- (tie-proximity fix, round 14 — see Multimodal.decodeStub)
+       |    CAST(sum(h.b * h.c) AS DOUBLE) / CAST(greatest(1, max(n.n_bytes)) AS DOUBLE) AS mean_byte,
        |    -sum((h.c / CAST(greatest(1, n.n_bytes) AS DOUBLE))
        |         * ${graft.contract.ExactLn.duck("h.c / CAST(greatest(1, n.n_bytes) AS DOUBLE)")} / ${graft.contract.ExactLn.Ln2}e0) AS ent
        |  FROM hist h JOIN nb n ON h.doc_id = n.doc_id GROUP BY 1

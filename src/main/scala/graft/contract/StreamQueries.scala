@@ -69,7 +69,14 @@ object StreamQueries {
         unix_micros(col("win_start")).as("hour_us"),
         col("eventType").as("event_type"),
         col("n_events"),
-        Norm.rnd(col("avg_value"), 4).as("avg_value")
+        // mean from the EXACT micro-unit sum, not round(avg(double), 4):
+        // the tie-proximity sweep (BASELINE.md round 14) measured this
+        // site's double avg sitting EXACTLY on a .5 boundary, where the
+        // order-dependent float sum is one ulp from flipping the hash.
+        // round(sm/n) is scale-0 over one division of bit-identical
+        // integers — the proven-safe class — then the 4-dp grid scale.
+        (round(col("sum_value_4dp").cast("double") / col("n_events"))
+          .cast("long").cast("double") / 10000.0 + 0.0).as("avg_value")
       )
       .transform(Norm.ordered(_, col("hour_us"), col("event_type")))
   }
@@ -77,7 +84,7 @@ object StreamQueries {
   private val windowStatsSql: String =
     s"""SELECT epoch_us(ts) - epoch_us(ts) % $HourUs AS hour_us, event_type,
        |  CAST(count(*) AS BIGINT) AS n_events,
-       |  round(avg(value), 4) + 0.0 AS avg_value
+       |  CAST(round(CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE) / count(*)) AS BIGINT) / 10000.0 + 0.0 AS avg_value
        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin
 
   // -------------------------------------------------------------------
@@ -107,7 +114,9 @@ object StreamQueries {
         unix_micros(col("win_start")).as("hour_us"),
         col("eventType").as("event_type"),
         col("n_events"),
-        Norm.rnd(col("avg_value"), 4).as("avg_value")
+        // exact micro-unit mean — see windowStats' tie-proximity note
+        (round(col("sum_value_4dp").cast("double") / col("n_events"))
+          .cast("long").cast("double") / 10000.0 + 0.0).as("avg_value")
       )
       .transform(Norm.ordered(_, col("hour_us"), col("event_type")))
   }
@@ -116,7 +125,7 @@ object StreamQueries {
     s"""WITH wm AS (SELECT max(epoch_us(ts)) - $SinkWatermarkUs AS w FROM events)
        |SELECT epoch_us(ts) - epoch_us(ts) % $HourUs AS hour_us, event_type,
        |  CAST(count(*) AS BIGINT) AS n_events,
-       |  round(avg(value), 4) + 0.0 AS avg_value
+       |  CAST(round(CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE) / count(*)) AS BIGINT) / 10000.0 + 0.0 AS avg_value
        |FROM events GROUP BY 1, 2
        |HAVING hour_us + $HourUs <= (SELECT w FROM wm)
        |ORDER BY hour_us, event_type""".stripMargin

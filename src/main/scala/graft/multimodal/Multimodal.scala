@@ -50,16 +50,23 @@ object Multimodal {
     var i = 0
     while (i < bytes.length) { hist(bytes(i) & 0xff) += 1; i += 1 }
     val n = math.max(1, bytes.length).toDouble
-    var mean = 0.0
+    // mean as ONE division of an exact integer sum (Σ b·hist(b) ≤ 255·len,
+    // no overflow below ~36 PB of payload), not a float fold of b·p terms:
+    // the oracle's SQL computes the same sum in ARBITRARY aggregation
+    // order, and the round-14 tie-proximity sweep measured a payload whose
+    // float-folded mean sits EXACTLY on a round(…, 6) half boundary — one
+    // reassociation ulp from a hash flake. Integer sum + single division
+    // is bit-identical on both engines, tie or no tie.
+    var sumB = 0L
     var ent = 0.0
     var b = 0
     while (b < 256) {
+      sumB += b * hist(b)
       val p = hist(b) / n
-      mean += b * p
       if (p > 0) ent -= p * graft.functions.ExactMath.ln(p) / graft.functions.ExactMath.Ln2
       b += 1
     }
-    (mean, ent)
+    (sumB / n, ent)
   }
 
   /** Batched per-partition decode: the `mapPartitions` body iterates the

@@ -33,6 +33,15 @@ object Streams {
     * counts + mean value per (10s window, event_type); late events beyond
     * the watermark are dropped by the engine.
     */
+  /** `sum_value_4dp` is the EXACT integer sum of per-row 4-dp micro-units
+    * (`round(value·10⁴)` per row is bit-identical on any engine — same
+    * input bits, one correctly-rounded multiply — and a long sum is
+    * order-free), published alongside the float `avg_value` whose
+    * partition-order-dependent double sum can land within ulps of a
+    * rounding boundary. Consumers that hash or diff results should derive
+    * their mean from the micro sum (the contract gates do); `avg_value`
+    * stays for ad-hoc use.
+    */
   def windowedEventStats(
       events: DataFrame,
       watermark: String = "30 seconds",
@@ -41,12 +50,17 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("eventType"))
-      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        avg(col("value")).as("avg_value"),
+        sum(round(col("value") * 10000.0).cast("long")).as("sum_value_4dp")
+      )
       .select(
         col("window.start").as("win_start"),
         col("eventType"),
         col("n_events"),
-        col("avg_value")
+        col("avg_value"),
+        col("sum_value_4dp")
       )
 
   /** Stream-static enrichment: join the event stream against a static

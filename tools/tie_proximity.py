@@ -128,7 +128,10 @@ def main():
                 if same:
                     continue
                 vals = [v for v in b if v is not None and not (isinstance(v, float) and math.isnan(v))]
-                if vals:
+                # a distance column is bounded in [0, 0.5] by construction;
+                # columns outside that range changed for another reason
+                # (e.g. the ORDER BY re-sorted on the replaced column)
+                if vals and min(vals) >= -1e-12 and max(vals) <= 0.5 + 1e-12:
                     m = min(vals)
                     best = m if best is None or m < best else best
             if best is not None:
