@@ -47,8 +47,12 @@ object SubstrThirdDecade {
     println(s"VOL base_windows=$nBase")
 
     for (f <- factors) {
-      val copies = spark.range(0, f.toLong).toDF("k")
-      val shf = base.crossJoin(copies)
+      // 64-way copy axis STREAMED against the broadcast base: the cross
+      // join's parallelism is the streamed side's partition count, so a
+      // 1-partition range would funnel the whole f x expansion through
+      // one task (measured: single-core, 70 GB heap, no progress)
+      val copies = spark.range(0, f.toLong, 1, 64).toDF("k")
+      val shf = copies.crossJoin(broadcast(base))
         .select(
           (col("doc_id") + col("k") * 10000000L).as("doc_id"),
           col("pos"),
