@@ -352,7 +352,7 @@ object Bench {
       else sys.env.get("SPARK_GRAFT_SF1").contains("1")
     val sf1Json =
       if (!sf1Enabled) "null"
-      else {
+      else try {
         val copies = 10
         val dst = "/tmp/graft_bench_sf1"
         val marker = Paths.get(s"$dst/_GRAFT_SCALEGEN_OK")
@@ -395,6 +395,12 @@ object Bench {
         val skipJson = skipped.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
         val failJson = sf1Failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
         f"""{"copies":$copies,"gen_sec":$genSec%.1f,"runs_per_query":1,"canary_before":$cB%.3f,"canary_after":$cA%.3f,"queries":$qJson,"vs_baseline":$ratioJson,"skipped":$skipJson,"failed":$failJson}"""
+      } catch {
+        // the sf1 gate must never take the round artifact down with it
+        // (replica generation can hit disk limits a normal run never sees)
+        case e: Throwable =>
+          System.err.println(s"[bench sf1] gate failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          "\"gate_failed\""
       }
     val json =
       s"""{"metric":"$metricName","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"canary":$canaryJson,"canary_pair":$canaryPairJson,"drift":${f"$preRequeueDrift%.3f"},"requeue":$requeueJson,"above_bar_quiet":$aboveJson,"failed":$failedJson,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir","sf1_subset":$sf1Json$onlyJson}"""
