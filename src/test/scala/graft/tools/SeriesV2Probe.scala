@@ -110,8 +110,18 @@ object SeriesV2Probe {
     delivery("range+le")(spark.range(0, nSeries).toDF("skey").filter(col("skey") <= nSeries / 100))
     delivery("range+mod")(spark.range(0, nSeries).toDF("skey").filter(col("skey") % (nSeries / 40L) === 0L))
 
+    // TOP-N pushdown (round 14): ORDER BY x DESC LIMIT 10 — the V2 reader
+    // keeps a size-10 heap per file (≤ 10 rows shipped per file), the
+    // plain CSV plan feeds every line into TakeOrderedAndProject
+    def topOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.orderBy(col("x").desc, col("skey"), col("ord")).limit(10).count()
+    topOf(v2); topOf(plain)
+    val tTv2 = timed("topn: V2 per-file heap")(topOf(v2))
+    val tTpl = timed("topn: plain CSV")(topOf(plain))
+
     println(f"PROBE summary series=$nSeries points=$nPoints " +
-      f"agg_speedup=${tPlain / tPush}%.2fx dpp_speedup=${tNo / tDpp}%.2fx static_speedup=${tSpl / tSv2}%.2fx")
+      f"agg_speedup=${tPlain / tPush}%.2fx dpp_speedup=${tNo / tDpp}%.2fx static_speedup=${tSpl / tSv2}%.2fx " +
+      f"topn_speedup=${tTpl / tTv2}%.2fx")
     graft.GateResult.deleteRecursively(java.nio.file.Paths.get(tmp))
     spark.stop()
   }
