@@ -377,9 +377,71 @@ object FormatRoundTrip {
        |SELECT skey, ord, CAST(round(x * 100.0) AS BIGINT) AS x_cents
        |FROM top ORDER BY skey, ord""".stripMargin
 
+  // -------------------------------------------------------------------
+  // src_seriesv2_file_prune — the key-ranged layout's FILE ELIMINATION
+  // under the hash gate: the derived series written via
+  // SeriesSource.writeKeyRanged (range-partitioned files + a _ranges.csv
+  // min/max sidecar — the custom-format analogue of parquet column
+  // stats), read back with a selective skey window whose sidecar check
+  // opens only the overlapping files, composed with the grouped
+  // aggregate pushdown (prune-safe: excluded groups simply don't
+  // exist). SeriesV2Spec pins the plan mechanics (pruned partition
+  // counts for static AND runtime predicates, the global-agg empty-row
+  // safety, pruned size statistics); this gate pins VALUE equality of
+  // the whole pruned pipeline. At 100 TB this is the difference between
+  // streaming every line ever written and opening the handful of files
+  // whose range can hold the probed series.
+  // -------------------------------------------------------------------
+  private def seriesV2FilePrune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = Files.createTempDirectory(s"graft-sv2fp-${ctr.incrementAndGet()}")
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val series = Tables
+      .events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .select(
+        col("user_id").as("skey"),
+        (row_number().over(w) - 1).cast("long").as("ord"),
+        col("value").as("x"),
+        lag(col("value"), 1).over(w).as("y")
+      )
+      .filter(col("y").isNotNull)
+    SeriesSource.writeKeyRanged(series, s"$tmp/series_csv", nFiles = 16)
+    val back = s.read
+      .format("graft.sources.SeriesV2")
+      .load(s"$tmp/series_csv")
+      .filter(col("skey") > SvKeyLo && col("skey") <= SvKeyHi)
+      .groupBy("skey")
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("ord")).as("ord_min"),
+        sum(col("ord")).as("ord_sum"),
+        max(col("x")).as("x_max")
+      )
+      .transform(Norm.ordered(_, col("skey")))
+    graft.GateResult.materialize(back)(graft.GateResult.deleteRecursively(tmp))
+  }
+
+  private val seriesV2FilePruneSql: String =
+    s"""WITH ser AS (
+       |  SELECT user_id AS skey,
+       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS ord,
+       |         value AS x,
+       |         lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS y
+       |  FROM events
+       |)
+       |SELECT skey, CAST(count(*) AS BIGINT) AS n_points,
+       |       CAST(min(ord) AS BIGINT) AS ord_min,
+       |       CAST(sum(ord) AS BIGINT) AS ord_sum,
+       |       max(x) AS x_max
+       |FROM ser
+       |WHERE y IS NOT NULL AND skey > $SvKeyLo AND skey <= $SvKeyHi
+       |GROUP BY 1 ORDER BY skey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_seriesv2_roundtrip" -> seriesV2RoundTrip,
     "src_seriesv2_topn" -> seriesV2TopN,
+    "src_seriesv2_file_prune" -> seriesV2FilePrune,
     "src_seriesv2_agg_pushdown" -> seriesV2AggPushdown,
     "src_seriesv2_runtime_prune" -> seriesV2RuntimePrune,
     "src_csv_roundtrip" -> csvRoundTrip,
@@ -391,6 +453,7 @@ object FormatRoundTrip {
   val oracle: Map[String, String] = Map(
     "src_seriesv2_roundtrip" -> seriesV2RoundTripSql,
     "src_seriesv2_topn" -> seriesV2TopNSql,
+    "src_seriesv2_file_prune" -> seriesV2FilePruneSql,
     "src_seriesv2_agg_pushdown" -> seriesV2AggPushdownSql,
     "src_seriesv2_runtime_prune" -> seriesV2RuntimePruneSql,
     "src_csv_roundtrip" -> aggSql,

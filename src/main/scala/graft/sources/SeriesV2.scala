@@ -321,7 +321,13 @@ object SeriesV2 {
 
     @volatile private var runtime: Array[FilterSpec] = Array.empty
     override def filter(filters: Array[Filter]): Unit =
-      runtime = filters.flatMap(FilterSpec.ofRuntime)
+      // With a pushed limit/offset a pre-limit row drop would CHANGE which
+      // rows the limit/offset selects (the join above re-checks keys, but
+      // only on the rows that survive the limit) — unreachable today
+      // (Limit/Offset nodes break the PhysicalOperation pattern Spark's
+      // runtime-filter rules match), but ignoring deliveries is always
+      // safe and keeps the invariant local.
+      if (limit < 0 && offset < 0) runtime = filters.flatMap(FilterSpec.ofRuntime)
     private[sources] def runtimeSpecs: Array[FilterSpec] = runtime
 
     // the SESSION's Hadoop configuration (spark.hadoop.* credentials, fs
@@ -340,12 +346,70 @@ object SeriesV2 {
       else Array(status)
     }
 
+    /** `_ranges.csv` sidecar ([[SeriesSource.writeKeyRanged]]): per-file
+      * exact [min, max] skey. Advisory — absent or partial sidecars just
+      * disable pruning for the missing files.
+      */
+    private def loadRanges(): Map[String, (Long, Long)] =
+      try {
+        val p = new Path(new Path(path), "_ranges.csv")
+        val fs = p.getFileSystem(sessionHadoopConf())
+        if (!fs.exists(p)) Map.empty
+        else {
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+          try
+            Iterator
+              .continually(in.readLine())
+              .takeWhile(_ != null)
+              .drop(1) // header
+              .flatMap { line =>
+                line.split(",", -1) match {
+                  case Array(f, lo, hi) =>
+                    try Some(f -> (lo.trim.toLong, hi.trim.toLong))
+                    catch { case _: NumberFormatException => None }
+                  case _ => None
+                }
+              }
+              .toMap
+          finally in.close()
+        }
+      } catch { case _: java.io.IOException => Map.empty }
+
+    /** FILE ELIMINATION on the key-ranged layout: drop files whose skey
+      * range provably cannot satisfy the conjunction of pushed static and
+      * join-delivered runtime predicates — the partition-elimination half
+      * of the pruning story (the per-line reject gate is the other). Not
+      * applied under a pushed GLOBAL aggregate: its empty-input contract
+      * emits one per-file row (count 0 / NULL extrema) and pruning every
+      * file would lose it; grouped aggregates are safe (excluded groups
+      * simply don't exist). Runtime filters are join-delivered and
+      * re-checked above, so eliminating provably-non-matching files is
+      * exactly as safe as the row-level drop.
+      */
+    private def pruneByRanges(files: Array[String], specs: Array[FilterSpec]): Array[String] = {
+      val pruneSafe = agg.isEmpty || agg.exists(_.groupBySkey)
+      if (!pruneSafe || specs.isEmpty || files.isEmpty) return files
+      val ranges = loadRanges()
+      if (ranges.isEmpty) files
+      else
+        files.filter { f =>
+          ranges.get(new Path(f).getName) match {
+            case Some((lo, hi)) => specs.forall(_.mayMatchRange(lo, hi))
+            case None           => true // unknown range: never prune
+          }
+        }
+    }
+
     // a layout-dependent promise (COMPLETE aggregate, pushed OFFSET)
-    // pins the planning-time listing; otherwise list live at execution
+    // pins the planning-time listing; otherwise list live at execution.
+    // Called AFTER any runtime filter() delivery, so sidecar pruning
+    // sees the join-observed key set too — genuine dynamic partition
+    // elimination for the custom format.
     override def planInputPartitions(): Array[InputPartition] =
-      snapshot
-        .getOrElse(listedFiles().map(_.getPath.toString))
-        .sorted
+      pruneByRanges(
+        snapshot.getOrElse(listedFiles().map(_.getPath.toString)),
+        pushed.map(FilterSpec.of) ++ runtime
+      ).sorted
         .map(f => SeriesInputPartition(f): InputPartition)
 
     /** Size statistics from the file listing (`SupportsReportStatistics`):
@@ -364,7 +428,14 @@ object SeriesV2 {
     override def estimateStatistics(): Statistics = {
       val bytes =
         try {
-          val raw = listedFiles().map(_.getLen).sum
+          // static sidecar pruning sharpens the estimate: a selective
+          // skey probe of a huge key-ranged directory reports only the
+          // bytes of files that can match — often the difference between
+          // a broadcast and a shuffle for the join above (runtime specs
+          // are not known at planning and play no part here)
+          val listed = listedFiles()
+          val kept = pruneByRanges(listed.map(_.getPath.toString), pushed.map(FilterSpec.of)).toSet
+          val raw = listed.filter(s => kept.contains(s.getPath.toString)).map(_.getLen).sum
           java.util.OptionalLong.of(math.max(1L, raw * math.max(1, required.length) / Schema.length))
         } catch { case _: java.io.IOException => java.util.OptionalLong.empty() }
       new Statistics {
@@ -498,6 +569,22 @@ object SeriesV2 {
       case 3 => skey < v
       case 4 => skey <= v
       case 5 => java.util.Arrays.binarySearch(set, skey) >= 0
+    }
+
+    /** Can ANY key in [lo, hi] satisfy this predicate? Used for
+      * sidecar-driven FILE elimination: a false here proves the file
+      * holds no matching row (ranges are exact min/max from the
+      * writer), so skipping it cannot change results.
+      */
+    def mayMatchRange(lo: Long, hi: Long): Boolean = op match {
+      case 0 => v >= lo && v <= hi
+      case 1 => hi > v
+      case 2 => hi >= v
+      case 3 => lo < v
+      case 4 => lo <= v
+      case 5 =>
+        val i = java.util.Arrays.binarySearch(set, lo)
+        i >= 0 || { val ins = -i - 1; ins < set.length && set(ins) <= hi }
     }
   }
   private[sources] object FilterSpec {

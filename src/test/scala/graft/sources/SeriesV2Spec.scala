@@ -306,6 +306,72 @@ class SeriesV2Spec extends SparkTestBase {
     assert(df2.count() == 4, "Spark's own Offset still applies above the scan")
   }
 
+  test("key-ranged layout: the sidecar eliminates whole files for selective static predicates") {
+    val tmp = Files.createTempDirectory("sv2ranged").toString
+    val rows = (0L until 64L).flatMap(k => (0L until 8L).map(o => (k, o, k + o * 0.25, k - o * 0.5)))
+    import spark.implicits._
+    SeriesSource.writeKeyRanged(rows.toDF("skey", "ord", "x", "y"), s"$tmp/d", nFiles = 8)
+    assert(Files.exists(java.nio.file.Paths.get(s"$tmp/d/_ranges.csv")), "sidecar written")
+    val all = spark.read.format("graft.sources.SeriesV2").load(s"$tmp/d")
+    assert(scanOf(all).planInputPartitions().length == 8, "no predicate: all files planned")
+    // a selective probe plans only the file(s) whose range can hold the key
+    val probe = all.filter(col("skey") === 3L)
+    val scan = scanOf(probe)
+    val planned = scan.planInputPartitions().length
+    assert(planned < 8 && planned >= 1, s"expected pruned plan, got $planned of 8 files")
+    assert(probe.collect().map(_.getLong(0)).toSet == Set(3L), "values unchanged by pruning")
+    // range predicates prune too, and keep every overlapping file
+    val range = all.filter(col("skey") >= 40L && col("skey") < 56L)
+    assert(scanOf(range).planInputPartitions().length < 8)
+    assert(range.count() == 16 * 8)
+    // pruned statistics: the selective probe reports a fraction of the bytes
+    val statAll = all.queryExecution.optimizedPlan.stats.sizeInBytes
+    val statProbe = probe.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(statProbe < statAll, s"pruned stats $statProbe !< $statAll")
+  }
+
+  test("key-ranged layout: a join-delivered runtime filter eliminates files at execution") {
+    val tmp = Files.createTempDirectory("sv2rangedrt").toString
+    val rows = (0L until 64L).flatMap(k => (0L until 8L).map(o => (k, o, k + o * 0.25, k - o * 0.5)))
+    import spark.implicits._
+    SeriesSource.writeKeyRanged(rows.toDF("skey", "ord", "x", "y"), s"$tmp/d", nFiles = 8)
+    val fact = spark.read.format("graft.sources.SeriesV2").load(s"$tmp/d")
+    val dim = spark.range(0, 64).toDF("skey").filter(col("skey") < 8L)
+    val joined = fact.join(dim, "skey")
+    assert(joined.count() == 8 * 8)
+    val scan = scanOf(joined)
+    assert(scan.runtimeSpecs.nonEmpty, "runtime filter must be delivered")
+    // the scan's execution-time plan (post-delivery) opens only matching files
+    val planned = scan.planInputPartitions().length
+    assert(planned < 8 && planned >= 1, s"runtime pruning planned $planned of 8 files")
+  }
+
+  test("file pruning never breaks the global-aggregate empty-input contract") {
+    val tmp = Files.createTempDirectory("sv2rangedagg").toString
+    val rows = (0L until 16L).flatMap(o => Seq((1L, o, o * 1.0, o * 2.0)))
+    import spark.implicits._
+    SeriesSource.writeKeyRanged(rows.toDF("skey", "ord", "x", "y"), s"$tmp/d", nFiles = 2)
+    val df = spark.read
+      .format("graft.sources.SeriesV2")
+      .load(s"$tmp/d")
+      .filter(col("skey") > 1000L) // no file can match
+      .agg(count(lit(1)).as("n"), min(col("x")).as("x_min"))
+    val row = df.collect().head
+    assert(row.getLong(0) == 0L, "count over nothing must still be 0 — pruning must not drop the partial row")
+    assert(row.isNullAt(1))
+  }
+
+  test("mayMatchRange covers every predicate shape") {
+    import SeriesV2.FilterSpec
+    assert(FilterSpec(0, 5).mayMatchRange(1, 9) && !FilterSpec(0, 10).mayMatchRange(1, 9))
+    assert(FilterSpec(1, 8).mayMatchRange(1, 9) && !FilterSpec(1, 9).mayMatchRange(1, 9))
+    assert(FilterSpec(2, 9).mayMatchRange(1, 9) && !FilterSpec(2, 10).mayMatchRange(1, 9))
+    assert(FilterSpec(3, 2).mayMatchRange(1, 9) && !FilterSpec(3, 1).mayMatchRange(1, 9))
+    assert(FilterSpec(4, 1).mayMatchRange(1, 9) && !FilterSpec(4, 0).mayMatchRange(1, 9))
+    val in = FilterSpec(5, 0L, Array(3L, 12L))
+    assert(in.mayMatchRange(1, 9) && in.mayMatchRange(10, 20) && !in.mayMatchRange(4, 9) && !in.mayMatchRange(13, 99))
+  }
+
   test("malformed lines are skipped, matching the wideCsv + na.drop contract") {
     val tmp = Files.createTempDirectory("sv2spec_bad").toString
     Files.writeString(

@@ -119,9 +119,22 @@ object SeriesV2Probe {
     val tTv2 = timed("topn: V2 per-file heap")(topOf(v2))
     val tTpl = timed("topn: plain CSV")(topOf(plain))
 
+    // FILE ELIMINATION (round 14): the key-ranged layout + sidecar vs the
+    // same selective probe on the unranged layout (per-line gate only).
+    // This is the contract's real 100-TB story — open only the files
+    // whose range can hold the key.
+    val rangedDir = s"$tmp/ranged"
+    graft.sources.SeriesSource.writeKeyRanged(plain, rangedDir, 32)
+    val v2r = spark.read.format("graft.sources.SeriesV2").load(rangedDir)
+    def probeOne(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("skey") === nSeries / 2L).agg(sum("x"), count(lit(1))).count()
+    probeOne(v2r); probeOne(v2)
+    val tRanged = timed("1-key probe: ranged+sidecar")(probeOne(v2r))
+    val tFlat = timed("1-key probe: unranged gate")(probeOne(v2))
+
     println(f"PROBE summary series=$nSeries points=$nPoints " +
       f"agg_speedup=${tPlain / tPush}%.2fx dpp_speedup=${tNo / tDpp}%.2fx static_speedup=${tSpl / tSv2}%.2fx " +
-      f"topn_speedup=${tTpl / tTv2}%.2fx")
+      f"topn_speedup=${tTpl / tTv2}%.2fx fileprune_speedup=${tFlat / tRanged}%.2fx")
     graft.GateResult.deleteRecursively(java.nio.file.Paths.get(tmp))
     spark.stop()
   }
