@@ -424,8 +424,15 @@ object MultimodalQueries {
        |    -- integerized mean bit-for-bit in any aggregation order
        |    -- (tie-proximity fix, round 14 — see Multimodal.decodeStub)
        |    CAST(sum(h.b * h.c) AS DOUBLE) / CAST(greatest(1, max(n.n_bytes)) AS DOUBLE) AS mean_byte,
-       |    -sum((h.c / CAST(greatest(1, n.n_bytes) AS DOUBLE))
-       |         * ${graft.contract.ExactLn.duck("h.c / CAST(greatest(1, n.n_bytes) AS DOUBLE)")} / ${graft.contract.ExactLn.Ln2}e0) AS ent
+       |    -- per-term nano-rounded entropy (round 14): each term is a fixed
+       |    -- expression over integers (engine-exact ln), rounded to nano
+       |    -- units BEFORE the sum — the long sum is order-free, matching
+       |    -- the stub bit-for-bit in any aggregation order
+       |    -(CAST(sum(CAST(round(
+       |        h.c * (${graft.contract.ExactLn.duck("CAST(h.c AS DOUBLE)")}
+       |               - ${graft.contract.ExactLn.duck("CAST(greatest(1, n.n_bytes) AS DOUBLE)")})
+       |        / ${graft.contract.ExactLn.Ln2}e0 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+       |      / CAST(greatest(1, max(n.n_bytes)) AS DOUBLE) AS ent
        |  FROM hist h JOIN nb n ON h.doc_id = n.doc_id GROUP BY 1
        |)
        |SELECT n.doc_id AS id, 'text/plain' AS kind, n.n_bytes,

@@ -57,16 +57,30 @@ object Multimodal {
     // float-folded mean sits EXACTLY on a round(…, 6) half boundary — one
     // reassociation ulp from a hash flake. Integer sum + single division
     // is bit-identical on both engines, tie or no tie.
+    // entropy through the same order-free discipline: each byte's term
+    // t_b = c_b·(ln c_b − ln n)/ln2 is a fixed expression over integers
+    // (ExactLn on both engines), rounded to nano-units PER TERM — the
+    // per-term round is bit-identical everywhere, the long sum is exact
+    // in any aggregation order, and one final division scales back. The
+    // float-fold form measured 5.5e-7 from a rounding boundary at sf0.1
+    // (the closest surviving site after the round-14 conversions);
+    // per-term nano-rounding makes the published value deterministic at
+    // a value cost ≤ 256·0.5 nano per doc.
+    val lnN = graft.functions.ExactMath.ln(n)
     var sumB = 0L
-    var ent = 0.0
+    var entNano = 0L
     var b = 0
     while (b < 256) {
       sumB += b * hist(b)
-      val p = hist(b) / n
-      if (p > 0) ent -= p * graft.functions.ExactMath.ln(p) / graft.functions.ExactMath.Ln2
+      val c = hist(b)
+      if (c > 0L) {
+        val t = c * (graft.functions.ExactMath.ln(c.toDouble) - lnN) / graft.functions.ExactMath.Ln2
+        // half-away-from-zero, matching both engines' round()
+        entNano += (if (t >= 0) math.floor(t * 1e9 + 0.5) else math.ceil(t * 1e9 - 0.5)).toLong
+      }
       b += 1
     }
-    (sumB / n, ent)
+    (sumB / n, -(entNano.toDouble / 1e9) / n)
   }
 
   /** Batched per-partition decode: the `mapPartitions` body iterates the
