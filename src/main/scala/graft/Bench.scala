@@ -356,7 +356,11 @@ object Bench {
         val copies = 10
         val dst = "/tmp/graft_bench_sf1"
         val marker = Paths.get(s"$dst/_GRAFT_SCALEGEN_OK")
-        val stamp = s"$sfDir x$copies"
+        // the stamp carries every input that changes the replica's CONTENT:
+        // a degenerate-corpus run (SPARK_GRAFT_DEGENERATE=1, the SCALE.md
+        // adversarial experiment) must not leave a cache a normal run reuses
+        val degenerate = sys.env.get("SPARK_GRAFT_DEGENERATE").contains("1")
+        val stamp = s"$sfDir x$copies degenerate=$degenerate"
         val tGen0 = System.nanoTime()
         if (!(Files.exists(marker) && Files.readString(marker) == stamp)) {
           graft.tools.ScaleGen.generate(spark, sfDir, dst, copies)

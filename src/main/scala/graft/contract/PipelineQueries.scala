@@ -643,12 +643,16 @@ object PipelineQueries {
     // form's avg over the middle row(s), bit-for-bit (integer inputs,
     // one halving).
     val wV = Window.orderBy(col("n_tokens").asc).rowsBetween(Window.unboundedPreceding, 0)
-    val medTok = q
-      .groupBy("n_tokens")
-      .agg(count(lit(1)).as("c"))
+    // checkpoint the (distinct-lengths-sized) histogram: both the rank
+    // window AND the total-docs scalar derive from it, so the corpus is
+    // scanned once — n is Σc over the histogram, not a second full
+    // qualityBase pass (at 100 TB that second pass is a whole read of
+    // documents for one scalar)
+    val hist = q.groupBy("n_tokens").agg(count(lit(1)).as("c")).localCheckpoint()
+    val medTok = hist
       .withColumn("hi", sum(col("c")).over(wV))
       .withColumn("lo", col("hi") - col("c") + 1L)
-      .crossJoin(broadcast(q.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).cast("long").as("n"))))
       .agg(
         ((max(when(col("lo") <= expr("(n + 1) div 2") && col("hi") >= expr("(n + 1) div 2"), col("n_tokens")))
           + max(when(col("lo") <= expr("(n + 2) div 2") && col("hi") >= expr("(n + 2) div 2"), col("n_tokens"))))

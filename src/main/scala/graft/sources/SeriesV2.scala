@@ -321,13 +321,13 @@ object SeriesV2 {
 
     @volatile private var runtime: Array[FilterSpec] = Array.empty
     override def filter(filters: Array[Filter]): Unit =
-      // With a pushed limit/offset a pre-limit row drop would CHANGE which
-      // rows the limit/offset selects (the join above re-checks keys, but
+      // With a pushed limit/top-N/offset a pre-limit row drop would CHANGE
+      // which rows the limit selects (the join above re-checks keys, but
       // only on the rows that survive the limit) — unreachable today
-      // (Limit/Offset nodes break the PhysicalOperation pattern Spark's
-      // runtime-filter rules match), but ignoring deliveries is always
-      // safe and keeps the invariant local.
-      if (limit < 0 && offset < 0) runtime = filters.flatMap(FilterSpec.ofRuntime)
+      // (Limit/Sort/Offset nodes break the PhysicalOperation pattern
+      // Spark's runtime-filter rules match), but ignoring deliveries is
+      // always safe and keeps the invariant local.
+      if (limit < 0 && offset < 0 && topN.isEmpty) runtime = filters.flatMap(FilterSpec.ofRuntime)
     private[sources] def runtimeSpecs: Array[FilterSpec] = runtime
 
     // the SESSION's Hadoop configuration (spark.hadoop.* credentials, fs
@@ -348,8 +348,13 @@ object SeriesV2 {
 
     /** `_ranges.csv` sidecar ([[SeriesSource.writeKeyRanged]]): per-file
       * exact [min, max] skey. Advisory — absent or partial sidecars just
-      * disable pruning for the missing files.
+      * disable pruning for the missing files. Parsed ONCE per scan
+      * (planning calls estimateStatistics repeatedly and execution calls
+      * planInputPartitions again; the sidecar is immutable once written,
+      * and staleness is safe — unknown files are never pruned).
       */
+    private lazy val sidecarRanges: Map[String, (Long, Long)] = loadRanges()
+
     private def loadRanges(): Map[String, (Long, Long)] =
       try {
         val p = new Path(new Path(path), "_ranges.csv")
@@ -389,7 +394,7 @@ object SeriesV2 {
     private def pruneByRanges(files: Array[String], specs: Array[FilterSpec]): Array[String] = {
       val pruneSafe = agg.isEmpty || agg.exists(_.groupBySkey)
       if (!pruneSafe || specs.isEmpty || files.isEmpty) return files
-      val ranges = loadRanges()
+      val ranges = sidecarRanges
       if (ranges.isEmpty) files
       else
         files.filter { f =>
@@ -425,24 +430,27 @@ object SeriesV2 {
       * so the report never drops below 1/4 of the raw bytes and cannot
       * cause an oversized broadcast OOM.
       */
-    override def estimateStatistics(): Statistics = {
-      val bytes =
-        try {
-          // static sidecar pruning sharpens the estimate: a selective
-          // skey probe of a huge key-ranged directory reports only the
-          // bytes of files that can match — often the difference between
-          // a broadcast and a shuffle for the join above (runtime specs
-          // are not known at planning and play no part here)
-          val listed = listedFiles()
-          val kept = pruneByRanges(listed.map(_.getPath.toString), pushed.map(FilterSpec.of)).toSet
-          val raw = listed.filter(s => kept.contains(s.getPath.toString)).map(_.getLen).sum
-          java.util.OptionalLong.of(math.max(1L, raw * math.max(1, required.length) / Schema.length))
-        } catch { case _: java.io.IOException => java.util.OptionalLong.empty() }
+    // computed once per scan: planning calls estimateStatistics repeatedly
+    // (join reorder, broadcast decisions) and each call would otherwise
+    // re-list the directory and re-parse the sidecar
+    private lazy val estimatedBytes: java.util.OptionalLong =
+      try {
+        // static sidecar pruning sharpens the estimate: a selective
+        // skey probe of a huge key-ranged directory reports only the
+        // bytes of files that can match — often the difference between
+        // a broadcast and a shuffle for the join above (runtime specs
+        // are not known at planning and play no part here)
+        val listed = listedFiles()
+        val kept = pruneByRanges(listed.map(_.getPath.toString), pushed.map(FilterSpec.of)).toSet
+        val raw = listed.filter(s => kept.contains(s.getPath.toString)).map(_.getLen).sum
+        java.util.OptionalLong.of(math.max(1L, raw * math.max(1, required.length) / Schema.length))
+      } catch { case _: java.io.IOException => java.util.OptionalLong.empty() }
+
+    override def estimateStatistics(): Statistics =
       new Statistics {
-        override def sizeInBytes(): java.util.OptionalLong = bytes
+        override def sizeInBytes(): java.util.OptionalLong = estimatedBytes
         override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
       }
-    }
 
     // called at execution time, AFTER any runtime filter() delivery —
     // the readers see compile-time and runtime predicates as one algebra
@@ -639,6 +647,35 @@ object SeriesV2 {
     }
   }
 
+  /** Full parse of one data line into the pruned-column row with the
+    * pushed + runtime predicates applied — the ONE definition of the
+    * row-reader line contract (malformed → null, filtered → null),
+    * shared by the plain and top-N readers so the format and the
+    * malformed-skip semantics cannot silently diverge between scans.
+    */
+  private[sources] def parseRow(line: String, columns: Array[String], filters: Array[FilterSpec]): Array[Any] = {
+    val parts = line.split(",", -1)
+    if (parts.length != 4) return null
+    try {
+      val skey = java.lang.Long.parseLong(parts(0).trim)
+      if (!filters.forall(_.accepts(skey))) return null
+      // explicit Array[Any]: a map over same-primitive columns would
+      // specialize to Array[Double] and break the cast
+      val vals = new Array[Any](columns.length)
+      var i = 0
+      while (i < columns.length) {
+        vals(i) = columns(i) match {
+          case "skey" => skey
+          case "ord"  => java.lang.Long.parseLong(parts(1).trim)
+          case "x"    => java.lang.Double.parseDouble(parts(2).trim)
+          case "y"    => java.lang.Double.parseDouble(parts(3).trim)
+        }
+        i += 1
+      }
+      vals
+    } catch { case _: NumberFormatException => null } // malformed -> skip
+  }
+
   /** Streams one file: header skipped, skey parsed first and tested
     * against the pushed predicates before the other fields are touched;
     * malformed lines are skipped (the `wideCsv` + `na.drop` contract).
@@ -668,32 +705,14 @@ object SeriesV2 {
       if (!headerSkipped && line != null) { headerSkipped = true; line = reader.readLine() }
       while (line != null) {
         if (!gateRejects(line, filters)) {
-          val parts = line.split(",", -1)
-          if (parts.length == 4) {
-            try {
-              val skey = java.lang.Long.parseLong(parts(0).trim)
-              if (filters.forall(_.accepts(skey))) {
-                if (toSkip > 0) toSkip -= 1 // pushed offset: drop, keep scanning
-                else {
-                  // explicit Array[Any]: a map over same-primitive columns
-                  // would specialize to Array[Double] and break the cast
-                  val vals = new Array[Any](columns.length)
-                  var i = 0
-                  while (i < columns.length) {
-                    vals(i) = columns(i) match {
-                      case "skey" => skey
-                      case "ord"  => java.lang.Long.parseLong(parts(1).trim)
-                      case "x"    => java.lang.Double.parseDouble(parts(2).trim)
-                      case "y"    => java.lang.Double.parseDouble(parts(3).trim)
-                    }
-                    i += 1
-                  }
-                  current = new GenericInternalRow(vals)
-                  emitted += 1
-                  return true
-                }
-              }
-            } catch { case _: NumberFormatException => () } // malformed -> skip
+          val vals = parseRow(line, columns, filters)
+          if (vals != null) {
+            if (toSkip > 0) toSkip -= 1 // pushed offset: drop, keep scanning
+            else {
+              current = new GenericInternalRow(vals)
+              emitted += 1
+              return true
+            }
           }
         }
         line = reader.readLine()
@@ -755,26 +774,10 @@ object SeriesV2 {
       line = reader.readLine()
       while (line != null) {
         if (!gateRejects(line, filters)) {
-          val parts = line.split(",", -1)
-          if (parts.length == 4) {
-            try {
-              val skey = java.lang.Long.parseLong(parts(0).trim)
-              if (filters.forall(_.accepts(skey))) {
-                val vals = new Array[Any](columns.length)
-                var i = 0
-                while (i < columns.length) {
-                  vals(i) = columns(i) match {
-                    case "skey" => skey
-                    case "ord"  => java.lang.Long.parseLong(parts(1).trim)
-                    case "x"    => java.lang.Double.parseDouble(parts(2).trim)
-                    case "y"    => java.lang.Double.parseDouble(parts(3).trim)
-                  }
-                  i += 1
-                }
-                heap.add(vals)
-                if (heap.size > topN.n) heap.poll()
-              }
-            } catch { case _: NumberFormatException => () } // malformed -> skip
+          val vals = parseRow(line, columns, filters)
+          if (vals != null) {
+            heap.add(vals)
+            if (heap.size > topN.n) heap.poll()
           }
         }
         line = reader.readLine()

@@ -36,11 +36,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def find_round_sites(sql: str):
-    """Balanced-paren extraction of every `round(X, n)` call (2-arg only)
-    in the FINAL top-level SELECT of the statement. Returns a list of
-    (full_call, inner_expr, digits)."""
-    # locate the last top-level SELECT: depth-0 scan
+def split_final_select(sql: str):
+    """Index of the last depth-0 SELECT — the final projection whose
+    round() sites hash into the gate directly (CTE sites feed integer/
+    grid math by repo convention and are excluded)."""
     depth = 0
     last_select = 0
     i = 0
@@ -54,7 +53,14 @@ def find_round_sites(sql: str):
         elif depth == 0 and up.startswith("SELECT", i):
             last_select = i
         i += 1
-    tail = sql[last_select:]
+    return last_select
+
+
+def find_round_sites(sql: str):
+    """Balanced-paren extraction of every `round(X, n)` call (2-arg only)
+    in the FINAL top-level SELECT of the statement. Returns a list of
+    (full_call, inner_expr, digits)."""
+    tail = sql[split_final_select(sql):]
     sites = []
     for m in re.finditer(r'\bround\s*\(', tail, re.IGNORECASE):
         start = m.end()  # after the open paren
@@ -104,10 +110,23 @@ def main():
             errs += 1
             print(f"[err ] {name} base: {type(e).__name__}: {str(e)[:100]}")
             continue
+        # anchor replacements to the FINAL projection: a plain sql.replace
+        # would rewrite an identical call text inside a CTE (excluded from
+        # the sweep by design) and leave the real gate site rounded
+        cut = split_final_select(sql)
+        head, tail = sql[:cut], sql[cut:]
         for k, (call, inner, n) in enumerate(sites):
             # replace ONLY this site with its distance-to-tie; scope stays
             # valid because the expression runs in the same select item.
-            site_sql = sql.replace(call, f"abs(abs(({inner})) * 1e{n} % 1.0 - 0.5)", 1)
+            # skip k prior occurrences so duplicate call texts in the final
+            # SELECT each measure their own site.
+            prior = sum(1 for (c2, _, _) in sites[:k] if c2 == call)
+            pos = -1
+            for _ in range(prior + 1):
+                pos = tail.find(call, pos + 1)
+            if pos < 0:
+                continue
+            site_sql = head + tail[:pos] + f"abs(abs(({inner})) * 1e{n} % 1.0 - 0.5)" + tail[pos + len(call):]
             try:
                 df1 = con.execute(f"SELECT * FROM ({site_sql}) t").fetchdf()
             except Exception as e:
