@@ -438,7 +438,117 @@ object FormatRoundTrip {
        |WHERE y IS NOT NULL AND skey > $SvKeyLo AND skey <= $SvKeyHi
        |GROUP BY 1 ORDER BY skey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // src_seriesv2_keygroup — COMPLETE aggregate pushdown on the
+  // KEY-GROUPED layout (SeriesSource.writeKeyGrouped: one file per skey,
+  // sidecar lo == hi): every group lives wholly inside one file, so the
+  // per-file fold IS the global answer — Spark drops its merge Aggregate
+  // AND the shuffle under it, and the whole groupBy(skey) plans as
+  // scan + project (SeriesV2Spec pins zero HashAggregate / zero Exchange
+  // in the core plan; the only exchange in this gate is the final
+  // presentation ORDER BY). The series key is user_id % 97 so the file
+  // count is bounded at ANY corpus scale; ord is the globally-unique
+  // event_id, so no window is needed to derive the series. At 100 TB
+  // this turns a corpus-wide grouped aggregate into an embarrassingly
+  // parallel per-file fold with no shuffle stage at all.
+  // -------------------------------------------------------------------
+  private val KgLo = 5L
+  private val KgHi = 60L
+
+  private def seriesKeyGrouped(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        (col("user_id") % 97).as("skey"),
+        col("event_id").as("ord"),
+        col("value").as("x"),
+        (col("value") / 2.0).as("y")
+      )
+
+  private val seriesKeyGroupedCte: String =
+    """SELECT user_id % 97 AS skey, event_id AS ord, value AS x, value / 2.0 AS y FROM events"""
+
+  private def seriesV2KeyGroup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory(s"graft-sv2kg-${ctr.incrementAndGet()}")
+    SeriesSource.writeKeyGrouped(seriesKeyGrouped(s, dir), s"$tmp/series_kg", nTasks = 16)
+    val back = s.read
+      .format("graft.sources.SeriesV2")
+      .load(s"$tmp/series_kg")
+      .filter(col("skey") >= KgLo && col("skey") < KgHi)
+      .groupBy("skey")
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("ord")).as("ord_min"),
+        max(col("ord")).as("ord_max"),
+        sum(col("ord")).as("ord_sum"),
+        min(col("x")).as("x_min"),
+        max(col("y")).as("y_max")
+      )
+      .transform(Norm.ordered(_, col("skey")))
+    graft.GateResult.materialize(back)(graft.GateResult.deleteRecursively(tmp))
+  }
+
+  private val seriesV2KeyGroupSql: String =
+    s"""WITH ser AS ($seriesKeyGroupedCte)
+       |SELECT skey, CAST(count(*) AS BIGINT) AS n_points,
+       |       CAST(min(ord) AS BIGINT) AS ord_min,
+       |       CAST(max(ord) AS BIGINT) AS ord_max,
+       |       CAST(sum(ord) AS BIGINT) AS ord_sum,
+       |       min(x) AS x_min,
+       |       max(y) AS y_max
+       |FROM ser WHERE skey >= $KgLo AND skey < $KgHi
+       |GROUP BY 1 ORDER BY skey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // src_seriesv2_storagepart — the STORAGE-PARTITIONED READ on the same
+  // key-grouped layout for the row-mode shapes the fold can't express
+  // (SUM over doubles is refused by the source — merge order would flip
+  // low bits): with spark.sql.sources.v2.bucketing.enabled the scan
+  // reports KeyGroupedPartitioning(skey) and each file carries its key
+  // (HasPartitionKey), so the partial+final aggregate pair runs
+  // co-located per key with NO shuffle exchange between them
+  // (SeriesV2Spec pins the exchange-free plan). The integer-cents sum
+  // keeps the published value aggregation-order-free. At 100 TB this is
+  // the optimizer-side twin of the reference decomposition's per-series
+  // independence: a series-keyed groupBy never re-shuffles data that the
+  // layout already partitioned.
+  // -------------------------------------------------------------------
+  private def seriesV2StoragePart(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory(s"graft-sv2sp-${ctr.incrementAndGet()}")
+    SeriesSource.writeKeyGrouped(seriesKeyGrouped(s, dir), s"$tmp/series_kg", nTasks = 16)
+    val prev = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val back = s.read
+      .format("graft.sources.SeriesV2")
+      .load(s"$tmp/series_kg")
+      .filter(col("skey") >= KgLo && col("skey") < KgHi)
+      .groupBy("skey")
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(round(col("x") * 100.0).cast("long")).as("x_cents"),
+        sum(round(col("y") * 100.0).cast("long")).as("y_cents")
+      )
+      .transform(Norm.ordered(_, col("skey")))
+    graft.GateResult.materialize(back) {
+      graft.GateResult.deleteRecursively(tmp)
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
+  private val seriesV2StoragePartSql: String =
+    s"""WITH ser AS ($seriesKeyGroupedCte)
+       |SELECT skey, CAST(count(*) AS BIGINT) AS n_points,
+       |       CAST(sum(CAST(round(x * 100.0) AS BIGINT)) AS BIGINT) AS x_cents,
+       |       CAST(sum(CAST(round(y * 100.0) AS BIGINT)) AS BIGINT) AS y_cents
+       |FROM ser WHERE skey >= $KgLo AND skey < $KgHi
+       |GROUP BY 1 ORDER BY skey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_seriesv2_keygroup" -> seriesV2KeyGroup,
+    "src_seriesv2_storagepart" -> seriesV2StoragePart,
     "src_seriesv2_roundtrip" -> seriesV2RoundTrip,
     "src_seriesv2_topn" -> seriesV2TopN,
     "src_seriesv2_file_prune" -> seriesV2FilePrune,
@@ -451,6 +561,8 @@ object FormatRoundTrip {
   )
 
   val oracle: Map[String, String] = Map(
+    "src_seriesv2_keygroup" -> seriesV2KeyGroupSql,
+    "src_seriesv2_storagepart" -> seriesV2StoragePartSql,
     "src_seriesv2_roundtrip" -> seriesV2RoundTripSql,
     "src_seriesv2_topn" -> seriesV2TopNSql,
     "src_seriesv2_file_prune" -> seriesV2FilePruneSql,

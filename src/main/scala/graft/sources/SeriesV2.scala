@@ -3,13 +3,14 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, SortOrder => V2SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning => V2KeyGroupedPartitioning, Partitioning => V2Partitioning, UnknownPartitioning => V2UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -55,6 +56,69 @@ class SeriesV2 extends TableProvider {
 }
 
 object SeriesV2 {
+
+  /** Lists the layout's DATA files: the flat files of `path` plus — one
+    * level deep — the files of non-hidden subdirectories, which is where
+    * [[SeriesSource.writeKeyGrouped]]'s dynamic partitioning puts them
+    * (`pkey=K/part-*.csv`). Underscore/dot entries are metadata
+    * (`_ranges.csv`, `_SUCCESS`) at either level and never data.
+    */
+  private[sources] def listDataFiles(fs: FileSystem, p: Path): Array[FileStatus] = {
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) Array(st)
+    else
+      fs.listStatus(p)
+        .filter(s => !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        .flatMap { s =>
+          if (s.isFile) Array(s)
+          else
+            fs.listStatus(s.getPath)
+              .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        }
+  }
+
+  /** The sidecar key for a listed file: its layout-RELATIVE path. Flat
+    * layouts key by bare name; the key-grouped layout prefixes the
+    * `pkey=K` directory, because one task writes the same
+    * `part-00000-<uuid>` name under several pkey dirs — bare names
+    * collide across keys there.
+    */
+  private[sources] def relativeSidecarKey(f: String): String = {
+    val p = new Path(f)
+    val parent = p.getParent
+    if (parent != null && parent.getName.startsWith("pkey=")) s"${parent.getName}/${p.getName}"
+    else p.getName
+  }
+
+  /** Parses the `_ranges.csv` sidecar at the layout root (see
+    * [[SeriesSource.writeKeyRanged]]). Absent/unreadable → empty map
+    * (pruning and layout claims just turn off — advisory by design).
+    */
+  private[sources] def loadRanges(path: String, conf: Configuration): Map[String, (Long, Long)] =
+    try {
+      val p = new Path(new Path(path), "_ranges.csv")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+        try
+          Iterator
+            .continually(in.readLine())
+            .takeWhile(_ != null)
+            .drop(1) // header
+            .flatMap { line =>
+              line.split(",", -1) match {
+                case Array(f, lo, hi) =>
+                  try Some(f -> (lo.trim.toLong, hi.trim.toLong))
+                  catch { case _: NumberFormatException => None }
+                case _ => None
+              }
+            }
+            .toMap
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => Map.empty }
+
   val Schema: StructType = StructType(Seq(
     StructField("skey", LongType, nullable = false),
     StructField("ord", LongType, nullable = false),
@@ -108,13 +172,7 @@ object SeriesV2 {
       try {
         val p = new Path(path)
         val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-        val st = fs.getFileStatus(p)
-        val files =
-          if (st.isDirectory)
-            fs.listStatus(p)
-              .filter(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-              .map(_.getPath.toString)
-          else Array(st.getPath.toString)
+        val files = listDataFiles(fs, p).map(_.getPath.toString)
         if (files.length == 1) Some(files) else None
       } catch { case _: java.io.IOException => None }
 
@@ -151,19 +209,59 @@ object SeriesV2 {
         }
 
     /** COMPLETE pushdown is claimed only when the layout makes the
-      * partial fold globally final: a single input file holds every row
-      * of every group, so the one reader's per-group rows ARE the
-      * answer and Spark drops its merge Aggregate entirely. Any other
-      * layout keeps the partial contract (a group's rows may span
-      * files). The file listing runs once, on the driver, at planning,
-      * and is captured so execution reuses the exact judged layout.
+      * partial fold globally final, in either of two provable shapes:
+      *
+      *  - a SINGLE input file holds every row of every group, so the one
+      *    reader's per-group rows ARE the answer;
+      *  - the aggregation groups by `skey` and the layout is KEY-GROUPED
+      *    with a unique key per file ([[SeriesSource.writeKeyGrouped]]:
+      *    sidecar lo == hi everywhere, no key repeated across files) —
+      *    every group lives wholly inside one file, so each reader's
+      *    per-group fold is the global row for that group. This is the
+      *    aggregate face of the storage-partitioned read: Spark drops
+      *    its merge Aggregate AND the shuffle under it, and the whole
+      *    `groupBy(skey)` plans as scan + project. (The
+      *    KeyGroupedPartitioning report below covers the row-mode
+      *    shapes the fold can't express — e.g. SUM over doubles.)
+      *
+      * Any other layout keeps the partial contract (a group's rows may
+      * span files). The file listing runs once, on the driver, at
+      * planning, and is captured so execution reuses the exact judged
+      * layout.
       */
     override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-      AggSpec.of(aggregation).isDefined && {
-        val files = singleFileListing()
-        if (files.isDefined) snapshot = files
-        files.isDefined
+      AggSpec.of(aggregation) match {
+        case None => false
+        case Some(spec) =>
+          val single = singleFileListing()
+          if (single.isDefined) { snapshot = single; true }
+          else if (spec.groupBySkey) {
+            val keyed = keyedUniqueListing()
+            if (keyed.isDefined) snapshot = keyed
+            keyed.isDefined
+          } else false
       }
+
+    /** Lists the layout ONCE and returns it only when the sidecar proves
+      * a unique single skey per file: every data file has a `lo == hi`
+      * range and no key repeats across files. Snapshot semantics match
+      * [[singleFileListing]] — the COMPLETE claim must execute against
+      * the judged layout.
+      */
+    private def keyedUniqueListing(): Option[Array[String]] =
+      try {
+        val p = new Path(path)
+        val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+        val ranges = loadRanges(path, conf)
+        if (ranges.isEmpty) None
+        else {
+          val files = listDataFiles(p.getFileSystem(conf), p).map(_.getPath.toString)
+          val keys = files.map(f => ranges.get(relativeSidecarKey(f)).collect { case (lo, hi) if lo == hi => lo })
+          if (files.nonEmpty && keys.forall(_.isDefined) && keys.flatten.distinct.length == files.length)
+            Some(files)
+          else None
+        }
+      } catch { case _: java.io.IOException => None }
 
     /** LIMIT after a pushed aggregation would early-stop the INPUT of the
       * per-file fold, not its output — refuse (Spark never offers this
@@ -281,7 +379,8 @@ object SeriesV2 {
   ) extends Scan
       with Batch
       with SupportsRuntimeFiltering
-      with SupportsReportStatistics {
+      with SupportsReportStatistics
+      with SupportsReportPartitioning {
     override def readSchema(): StructType = agg.map(_.readSchema).getOrElse(required)
     override def toBatch: Batch = this
     override def description(): String =
@@ -289,6 +388,7 @@ object SeriesV2 {
         s"PushedSkeyFilters=[${pushed.mkString(",")}], PushedLimit=${if (limit < 0) "none" else limit}, " +
         s"PushedTopN=[${topN.map(_.render).getOrElse("")}], PushedOffset=${if (offset < 0) "none" else offset}, " +
         s"PushedAggregation=[${agg.map(_.render).getOrElse("")}], " +
+        s"KeyGroupedBySkey=${keyedListing.isDefined}, " +
         s"RuntimeFilterable=[${filterAttributes().map(_.describe()).mkString(",")}]"
 
     /** Join-driven runtime filtering (the DataSource V2 face of dynamic
@@ -336,49 +436,23 @@ object SeriesV2 {
     private def sessionHadoopConf(): Configuration =
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
-    private def listedFiles(): Array[org.apache.hadoop.fs.FileStatus] = {
+    private def listedFiles(): Array[FileStatus] = {
       val p = new Path(path)
-      val fs = p.getFileSystem(sessionHadoopConf())
-      val status = fs.getFileStatus(p)
-      if (status.isDirectory)
-        fs.listStatus(p)
-          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-      else Array(status)
+      listDataFiles(p.getFileSystem(sessionHadoopConf()), p)
     }
 
-    /** `_ranges.csv` sidecar ([[SeriesSource.writeKeyRanged]]): per-file
-      * exact [min, max] skey. Advisory — absent or partial sidecars just
-      * disable pruning for the missing files. Parsed ONCE per scan
-      * (planning calls estimateStatistics repeatedly and execution calls
+    /** `_ranges.csv` sidecar ([[SeriesSource.writeKeyRanged]] /
+      * [[SeriesSource.writeKeyGrouped]]): per-file exact [min, max] skey.
+      * Advisory — absent or partial sidecars just disable pruning for the
+      * missing files. Parsed ONCE per scan (planning calls
+      * estimateStatistics repeatedly and execution calls
       * planInputPartitions again; the sidecar is immutable once written,
       * and staleness is safe — unknown files are never pruned).
       */
-    private lazy val sidecarRanges: Map[String, (Long, Long)] = loadRanges()
+    private lazy val sidecarRanges: Map[String, (Long, Long)] =
+      SeriesV2.loadRanges(path, sessionHadoopConf())
 
-    private def loadRanges(): Map[String, (Long, Long)] =
-      try {
-        val p = new Path(new Path(path), "_ranges.csv")
-        val fs = p.getFileSystem(sessionHadoopConf())
-        if (!fs.exists(p)) Map.empty
-        else {
-          val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
-          try
-            Iterator
-              .continually(in.readLine())
-              .takeWhile(_ != null)
-              .drop(1) // header
-              .flatMap { line =>
-                line.split(",", -1) match {
-                  case Array(f, lo, hi) =>
-                    try Some(f -> (lo.trim.toLong, hi.trim.toLong))
-                    catch { case _: NumberFormatException => None }
-                  case _ => None
-                }
-              }
-              .toMap
-          finally in.close()
-        }
-      } catch { case _: java.io.IOException => Map.empty }
+    private def sidecarKey(f: String): String = relativeSidecarKey(f)
 
     /** FILE ELIMINATION on the key-ranged layout: drop files whose skey
       * range provably cannot satisfy the conjunction of pushed static and
@@ -398,24 +472,83 @@ object SeriesV2 {
       if (ranges.isEmpty) files
       else
         files.filter { f =>
-          ranges.get(new Path(f).getName) match {
+          ranges.get(sidecarKey(f)) match {
             case Some((lo, hi)) => specs.forall(_.mayMatchRange(lo, hi))
             case None           => true // unknown range: never prune
           }
         }
     }
 
-    // a layout-dependent promise (COMPLETE aggregate, pushed OFFSET)
-    // pins the planning-time listing; otherwise list live at execution.
-    // Called AFTER any runtime filter() delivery, so sidecar pruning
-    // sees the join-observed key set too — genuine dynamic partition
-    // elimination for the custom format.
+    /** KEY-GROUPED layout claim (`SupportsReportPartitioning`): Some when
+      * the sidecar proves every data file holds exactly ONE skey
+      * (lo == hi, [[SeriesSource.writeKeyGrouped]]'s layout) and covers
+      * every listed file, the scan's output carries skey (plain read
+      * keeping the column, or a grouped pushed aggregate), and no
+      * row-bounding pushdown is active (conservative: a limit/top-N/
+      * offset never composes with a groupBy anyway). The value is the
+      * static-pruned (file, skey) listing, judged ONCE and reused by
+      * `planInputPartitions` — the COMPLETE-aggregate TOCTOU discipline:
+      * once KeyGroupedPartitioning is promised, every planned partition
+      * must carry its key, and the partition-key SET must be identical
+      * across plannings (BatchScanExec re-plans under runtime filtering
+      * and rejects a changed key set), so runtime specs are deliberately
+      * NOT applied to the file list here — the readers still drop
+      * non-member ROWS, which leaves partition keys intact.
+      */
+    private lazy val keyedListing: Option[Array[(String, Long)]] = {
+      val outputKeyed = agg match {
+        case Some(spec) => spec.groupBySkey
+        case None       => required.fieldNames.contains("skey")
+      }
+      if (!outputKeyed || limit >= 0 || topN.isDefined || offset >= 0 || sidecarRanges.isEmpty) None
+      else
+        try {
+          val files = pruneByRanges(
+            snapshot.getOrElse(listedFiles().map(_.getPath.toString)),
+            pushed.map(FilterSpec.of)
+          )
+          val keyed = files.map { f =>
+            sidecarRanges.get(sidecarKey(f)) match {
+              case Some((lo, hi)) if lo == hi => (f, lo)
+              case _                          => null
+            }
+          }
+          if (keyed.isEmpty || keyed.contains(null)) None else Some(keyed)
+        } catch { case _: java.io.IOException => None }
+    }
+
+    /** Storage-partitioned read: on the key-grouped layout every file IS
+      * one skey, so the scan reports `KeyGroupedPartitioning(skey)` and
+      * each partition carries its key — Spark then plans `groupBy(skey)`
+      * / skey-equi-joins over this source with NO shuffle exchange
+      * (requires `spark.sql.sources.v2.bucketing.enabled`). Any other
+      * layout reports unknown partitioning, exactly as before.
+      */
+    override def outputPartitioning(): V2Partitioning = keyedListing match {
+      case Some(keyed) =>
+        new V2KeyGroupedPartitioning(Array(Expressions.identity("skey")), keyed.map(_._2).distinct.length)
+      case None => new V2UnknownPartitioning(0)
+    }
+
+    // a layout-dependent promise (COMPLETE aggregate, pushed OFFSET,
+    // key-grouped partitioning) pins the planning-time listing; otherwise
+    // list live at execution. Called AFTER any runtime filter() delivery,
+    // so sidecar pruning sees the join-observed key set too — genuine
+    // dynamic partition elimination for the custom format. Under an
+    // active KeyGroupedPartitioning claim the keyed listing ships
+    // verbatim (see keyedListing's Scaladoc for why runtime specs must
+    // not eliminate files there).
     override def planInputPartitions(): Array[InputPartition] =
-      pruneByRanges(
-        snapshot.getOrElse(listedFiles().map(_.getPath.toString)),
-        pushed.map(FilterSpec.of) ++ runtime
-      ).sorted
-        .map(f => SeriesInputPartition(f): InputPartition)
+      keyedListing match {
+        case Some(keyed) =>
+          keyed.sortBy(_._1).map { case (f, k) => KeyedSeriesInputPartition(f, k): InputPartition }
+        case None =>
+          pruneByRanges(
+            snapshot.getOrElse(listedFiles().map(_.getPath.toString)),
+            pushed.map(FilterSpec.of) ++ runtime
+          ).sorted
+            .map(f => SeriesInputPartition(f): InputPartition)
+      }
 
     /** Size statistics from the file listing (`SupportsReportStatistics`):
       * without this a V2 relation defaults to "unknown = effectively
@@ -466,7 +599,18 @@ object SeriesV2 {
       )
   }
 
-  private[sources] case class SeriesInputPartition(file: String) extends InputPartition
+  /** One file of the layout. [[KeyedSeriesInputPartition]] is the
+    * key-grouped layout's form: the file provably holds exactly one skey
+    * (sidecar lo == hi), surfaced through `HasPartitionKey` so Spark can
+    * group partitions by key for storage-partitioned reads.
+    */
+  private[sources] sealed trait SeriesFilePartition extends InputPartition { def file: String }
+  private[sources] case class SeriesInputPartition(file: String) extends SeriesFilePartition
+  private[sources] case class KeyedSeriesInputPartition(file: String, skey: Long)
+      extends SeriesFilePartition
+      with HasPartitionKey {
+    override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](skey))
+  }
 
   /** Fast REJECT-only predicate gate: parse the line's FIRST field and
     * test the pushed + runtime skey predicates before paying the full
@@ -638,7 +782,7 @@ object SeriesV2 {
       hadoopConf: org.apache.spark.util.SerializableConfiguration
   ) extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val file = partition.asInstanceOf[SeriesInputPartition].file
+      val file = partition.asInstanceOf[SeriesFilePartition].file
       (agg, topN) match {
         case (Some(spec), _) => new SeriesAggReader(file, filters, spec, hadoopConf.value)
         case (_, Some(tn))   => new SeriesTopNReader(file, columns, filters, tn, hadoopConf.value)

@@ -372,6 +372,138 @@ class SeriesV2Spec extends SparkTestBase {
     assert(in.mayMatchRange(1, 9) && in.mayMatchRange(10, 20) && !in.mayMatchRange(4, 9) && !in.mayMatchRange(13, 99))
   }
 
+  private def finalPlanStr(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+
+  test("key-grouped layout: groupBy(skey) aggregate pushes COMPLETE — no merge agg, no exchange") {
+    val tmp = Files.createTempDirectory("sv2keygroup").toString
+    val rows = (0L until 6L).flatMap(k => (0L until 4L).map(o => (k, o, k + o * 0.25, k - o * 0.5)))
+    import spark.implicits._
+    SeriesSource.writeKeyGrouped(rows.toDF("skey", "ord", "x", "y"), s"$tmp/d", nTasks = 4)
+    assert(Files.exists(java.nio.file.Paths.get(s"$tmp/d/_ranges.csv")), "sidecar written")
+    def agged(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("skey").agg(count(lit(1)).as("n"), max(col("x")).as("x_max"), sum(col("ord")).as("ord_sum"))
+    val df = agged(spark.read.format("graft.sources.SeriesV2").load(s"$tmp/d"))
+    val got = df.collect().map(_.toSeq).toSet
+    assert(got.map(_.head).toSet == (0L until 6L).map(x => x: Any).toSet)
+    // every group lives wholly in one file -> the per-file fold IS the
+    // global answer: COMPLETE pushdown, zero HashAggregate, zero Exchange
+    val planStr = finalPlanStr(df)
+    assert(!planStr.contains("HashAggregate"), s"merge agg survived a keyed COMPLETE pushdown:\n$planStr")
+    assert(!planStr.contains("Exchange"), s"keyed COMPLETE pushdown still shuffled:\n$planStr")
+    // value check against the flat ranged-layout twin of the same rows
+    val tmp2 = Files.createTempDirectory("sv2keygroupref").toString
+    SeriesSource.writeKeyRanged(rows.toDF("skey", "ord", "x", "y"), s"$tmp2/d", nFiles = 4)
+    val ref = agged(spark.read.format("graft.sources.SeriesV2").load(s"$tmp2/d")).collect().map(_.toSeq).toSet
+    assert(got == ref, "keyed plan values must match the ranged-layout plan")
+  }
+
+  test("key-grouped layout: row-mode groupBy(skey) plans with NO shuffle (storage-partitioned read)") {
+    val tmp = Files.createTempDirectory("sv2keygrouprow").toString
+    val rows = (0L until 6L).flatMap(k => (0L until 4L).map(o => (k, o, k + o * 0.25, k - o * 0.5)))
+    import spark.implicits._
+    SeriesSource.writeKeyGrouped(rows.toDF("skey", "ord", "x", "y"), s"$tmp/d", nTasks = 4)
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // SUM over a double is refused by the fold, so the scan stays in row
+      // mode — this is exactly the shape the KeyGroupedPartitioning report
+      // exists for: partial+final aggregate co-located per key, no exchange
+      def agged(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("skey").agg(sum(col("x")).as("sx"))
+      val df = agged(spark.read.format("graft.sources.SeriesV2").load(s"$tmp/d"))
+      val scan = scanOf(df)
+      assert(scan.description().contains("KeyGroupedBySkey=true"), scan.description())
+      assert(
+        scan.outputPartitioning().isInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]
+      )
+      assert(scan.planInputPartitions().forall(_.isInstanceOf[SeriesV2.KeyedSeriesInputPartition]))
+      val got = df.collect().map(_.toSeq).toSet
+      val planStr = finalPlanStr(df)
+      assert(planStr.contains("HashAggregate"), s"row-mode scan must aggregate above:\n$planStr")
+      assert(!planStr.contains("Exchange"), s"storage-partitioned groupBy still shuffled:\n$planStr")
+      val tmp2 = Files.createTempDirectory("sv2keygrouprowref").toString
+      SeriesSource.writeKeyRanged(rows.toDF("skey", "ord", "x", "y"), s"$tmp2/d", nFiles = 4)
+      val ref = agged(spark.read.format("graft.sources.SeriesV2").load(s"$tmp2/d")).collect().map(_.toSeq).toSet
+      assert(got == ref, "keyed plan values must match the ranged-layout plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None    => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("key-grouped layout: static skey predicates still eliminate files under the keyed claim") {
+    val tmp = Files.createTempDirectory("sv2keygroupprune").toString
+    val rows = (0L until 8L).flatMap(k => (0L until 3L).map(o => (k, o, k * 1.0 + o, k - o * 2.0)))
+    import spark.implicits._
+    SeriesSource.writeKeyGrouped(rows.toDF("skey", "ord", "x", "y"), s"$tmp/d", nTasks = 4)
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val df = spark.read
+        .format("graft.sources.SeriesV2")
+        .load(s"$tmp/d")
+        .filter(col("skey") >= 2L && col("skey") < 5L)
+        .groupBy("skey")
+        .agg(count(lit(1)).as("n"))
+      val scan = scanOf(df)
+      assert(scan.planInputPartitions().length == 3, "static prune keeps exactly skeys 2,3,4")
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 3L), (3L, 3L), (4L, 3L)))
+      // a join-delivered runtime filter must not shrink the PARTITION set
+      // (BatchScanExec rejects a changed key set under the keyed claim);
+      // rows are still dropped in the readers and re-checked by the join
+      val dim = spark.range(0, 8).toDF("skey").filter(col("skey") === 3L)
+      val joined = spark.read.format("graft.sources.SeriesV2").load(s"$tmp/d").join(dim, "skey")
+      assert(joined.count() == 3, "skey 3 has 3 points")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None    => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("non-keyed layouts never claim partitioning; multi-key ranged files stay unkeyed") {
+    val tmp = Files.createTempDirectory("sv2notkeyed").toString
+    val rows = (0L until 16L).flatMap(k => (0L until 2L).map(o => (k, o, k * 1.0, o * 1.0)))
+    import spark.implicits._
+    SeriesSource.writeKeyRanged(rows.toDF("skey", "ord", "x", "y"), s"$tmp/d", nFiles = 4)
+    val df = spark.read.format("graft.sources.SeriesV2").load(s"$tmp/d").groupBy("skey").agg(count(lit(1)).as("n"))
+    val scan = scanOf(df)
+    assert(scan.description().contains("KeyGroupedBySkey=false"), scan.description())
+    assert(
+      scan.outputPartitioning().isInstanceOf[org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning]
+    )
+    assert(df.count() == 16)
+  }
+
+  test("one-pass writeKeyRanged sidecar equals the read-back-computed ranges") {
+    val tmp = Files.createTempDirectory("sv2sidecar").toString
+    val rows = (0L until 64L).flatMap(k => (0L until 8L).map(o => (k, o, k + o * 0.25, k - o * 0.5)))
+    import spark.implicits._
+    SeriesSource.writeKeyRanged(rows.toDF("skey", "ord", "x", "y"), s"$tmp/d", nFiles = 8)
+    // reference: the old two-pass form — re-read every file, group by name
+    val ref = spark.read
+      .option("header", "true")
+      .schema(SeriesV2.Schema)
+      .csv(s"$tmp/d")
+      .select(input_file_name().as("f"), col("skey"))
+      .groupBy("f")
+      .agg(min("skey").as("lo"), max("skey").as("hi"))
+      .collect()
+      .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName, r.getLong(1), r.getLong(2)))
+      .toSet
+    val sidecar = Files
+      .readAllLines(java.nio.file.Paths.get(s"$tmp/d/_ranges.csv"))
+      .toArray
+      .drop(1)
+      .map { l => val Array(f, lo, hi) = l.toString.split(","); (f, lo.toLong, hi.toLong) }
+      .toSet
+    assert(sidecar == ref, s"one-pass sidecar diverged:\n$sidecar\nvs read-back\n$ref")
+    assert(sidecar.nonEmpty)
+  }
+
   test("malformed lines are skipped, matching the wideCsv + na.drop contract") {
     val tmp = Files.createTempDirectory("sv2spec_bad").toString
     Files.writeString(
