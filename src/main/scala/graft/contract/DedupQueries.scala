@@ -1163,23 +1163,35 @@ object DedupQueries {
     // ~10x that spilled to a wall sorting ~8B pairs). Past 2x the
     // measured-good regime this exact form is the wrong tool — fail
     // loudly and point at the banded twin instead of melting the
-    // cluster. The count scans the already-materialized checkpoint
-    // blocks (eager localCheckpoint above), so the guard costs one
-    // cached pass, not a recompute.
-    val nWindows = sh.count()
+    // cluster.
+    //
+    // Guard + frequent-set in ONE aggregation job (ADVICE r14: the r14
+    // sh.count() added a full extra pass over the checkpointed shingle
+    // relation to every execution). The window total is folded into the
+    // same per-hash frequency aggregate that builds the boilerplate set:
+    // sum(c) over the frequency relation IS the window count. The
+    // frequent set is tiny by construction inside the guarded regime
+    // (hottest window count is 5 at sf0.01; boilerplate-only at scale),
+    // so it collects to the driver and applies as a broadcast-literal
+    // NOT-isin — map-side, value-identical to the anti-join the r13 form
+    // used and to the ok-join the oracle spells out.
+    val freqRow = sh
+      .groupBy("h")
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).as("total"),
+        collect_list(when(col("c") > SubMaxBucket, col("h"))).as("bad")
+      )
+      .first()
+    val nWindows = if (freqRow.isNullAt(0)) 0L else freqRow.getLong(0)
     if (nWindows > MaxSubstringWindows)
       throw new IllegalStateException(
         s"dedup_substring: $nWindows shingle windows exceed MaxSubstringWindows=$MaxSubstringWindows " +
           s"and the stride-1 pair relation is superlinear (~6 pairs/window measured, sorted whole) — " +
           s"use dedup_substring_banded (identical results, seed-banded aggregate) or shard the corpus"
       )
-    // guard INVERTED (round 13): almost every window hash survives the
-    // <= SubMaxBucket test, so joining against the survivors shuffles the
-    // whole corpus-sized relation; anti-joining against the FREQUENT set
-    // (boilerplate-only, tiny by construction) broadcasts and stays
-    // map-side. Value-identical to the ok-join the oracle spells out.
-    val bad = sh.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") > SubMaxBucket).select("h")
-    val shf = sh.join(broadcast(bad), Seq("h"), "left_anti")
+    val badHashes = freqRow.getSeq[Long](1)
+    val shf = if (badHashes.isEmpty) sh else sh.filter(!col("h").isin(badHashes: _*))
     val pr = shf
       .as("a")
       .join(shf.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

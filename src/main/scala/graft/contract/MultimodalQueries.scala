@@ -418,22 +418,30 @@ object MultimodalQueries {
        |), hist AS (
        |  SELECT doc_id, ascii(ch) AS b, CAST(count(*) AS BIGINT) AS c FROM chars
        |  WHERE ch <> '' GROUP BY 1, 2
+       |), terms AS (
+       |  -- per-term t, the stub's EXACT op sequence: c * (ln c - ln n) / ln2
+       |  SELECT h.doc_id, h.b, h.c, n.n_bytes,
+       |    h.c * (${graft.contract.ExactLn.duck("CAST(h.c AS DOUBLE)")}
+       |           - ${graft.contract.ExactLn.duck("CAST(greatest(1, n.n_bytes) AS DOUBLE)")})
+       |      / ${graft.contract.ExactLn.Ln2}e0 AS t
+       |  FROM hist h JOIN nb n ON h.doc_id = n.doc_id
        |), st AS (
-       |  SELECT h.doc_id,
+       |  SELECT doc_id,
        |    -- exact integer sum / one division: matches the stub's
        |    -- integerized mean bit-for-bit in any aggregation order
        |    -- (tie-proximity fix, round 14 — see Multimodal.decodeStub)
-       |    CAST(sum(h.b * h.c) AS DOUBLE) / CAST(greatest(1, max(n.n_bytes)) AS DOUBLE) AS mean_byte,
-       |    -- per-term nano-rounded entropy (round 14): each term is a fixed
-       |    -- expression over integers (engine-exact ln), rounded to nano
-       |    -- units BEFORE the sum — the long sum is order-free, matching
-       |    -- the stub bit-for-bit in any aggregation order
-       |    -(CAST(sum(CAST(round(
-       |        h.c * (${graft.contract.ExactLn.duck("CAST(h.c AS DOUBLE)")}
-       |               - ${graft.contract.ExactLn.duck("CAST(greatest(1, n.n_bytes) AS DOUBLE)")})
-       |        / ${graft.contract.ExactLn.Ln2}e0 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
-       |      / CAST(greatest(1, max(n.n_bytes)) AS DOUBLE) AS ent
-       |  FROM hist h JOIN nb n ON h.doc_id = n.doc_id GROUP BY 1
+       |    CAST(sum(b * c) AS DOUBLE) / CAST(greatest(1, max(n_bytes)) AS DOUBLE) AS mean_byte,
+       |    -- per-term nano-rounded entropy (round 14): each term rounded
+       |    -- to nano units BEFORE the sum — the long sum is order-free.
+       |    -- ADVICE r14: the rounding is the stub's LITERAL floor/ceil
+       |    -- half-away expression, not round() — round() is exact
+       |    -- half-away on the binary double while floor(t*1e9 + 0.5) can
+       |    -- cross a boundary when t*1e9 sits one ulp below a half; both
+       |    -- engines must take the same branch on the same bits
+       |    -(CAST(sum(CAST(CASE WHEN t >= 0e0 THEN floor(t * 1e9 + 0.5)
+       |                         ELSE ceil(t * 1e9 - 0.5) END AS BIGINT)) AS DOUBLE) / 1e9)
+       |      / CAST(greatest(1, max(n_bytes)) AS DOUBLE) AS ent
+       |  FROM terms GROUP BY 1
        |)
        |SELECT n.doc_id AS id, 'text/plain' AS kind, n.n_bytes,
        |  round(coalesce(st.mean_byte, 0.0), 6) + 0.0 AS mean_byte,
