@@ -104,7 +104,8 @@ object CcmPipeline {
       knnBuckets: Int = 0,
       knnAutoFactor: Int = 64,
       reuseDistances: Boolean = false,
-      fusedTopK: Boolean = false
+      fusedTopK: Boolean = false,
+      orderFreeFold: Boolean = false
   ): DataFrame = {
     val spark = rankedDf.sparkSession
     graft.functions.GraftFunctions.register(spark) // graft_exp weight kernel
@@ -383,11 +384,40 @@ object CcmPipeline {
         "w",
         when($"dist" < 1e-12, 1.0).otherwise(expr("graft_exp((- dist) / (min_dist + 1e-8D))"))
       )
-    weighted
-      .groupBy((cellKeys ++ Seq(col("pred_idx"), col("actual"))): _*)
-      .agg(sum($"w").as("sw"), sum($"w" * $"lib_tgt").as("swt"))
-      .withColumn("predicted", when($"sw" === 0.0, 0.0).otherwise($"swt" / $"sw"))
-      .drop("sw", "swt")
+    if (!orderFreeFold)
+      weighted
+        .groupBy((cellKeys ++ Seq(col("pred_idx"), col("actual"))): _*)
+        .agg(sum($"w").as("sw"), sum($"w" * $"lib_tgt").as("swt"))
+        .withColumn("predicted", when($"sw" === 0.0, 0.0).otherwise($"swt" / $"sw"))
+        .drop("sw", "swt")
+    else
+      // ORDER-FREE publication fold (round 15, closing the float ledger
+      // for ccm_knn_predict's raw `predicted` output): each of the k
+      // weighted terms is nano-rounded with the literal floor/ceil
+      // half-away expression (bit-identical on both engines — w comes
+      // from graft_exp/ExactExp, the multiply is one IEEE op), the sums
+      // are exact integers in ANY aggregation order, and the average is
+      // ONE division of those integers (the nano scale cancels). Value
+      // cost <= 0.5 nano per term. The float fold above stays the
+      // pipeline-internal path (its consumers publish 6-dp aggregates
+      // with measured boundary clearance); this variant is for gates
+      // publishing the per-point prediction itself.
+      weighted
+        .groupBy((cellKeys ++ Seq(col("pred_idx"), col("actual"))): _*)
+        .agg(
+          sum(expr("CAST(floor(w * 1e9 + 0.5) AS BIGINT)")).as("sw_n"), // w in [0, 1]
+          sum(
+            expr(
+              "CAST(CASE WHEN w * lib_tgt >= 0 THEN floor(w * lib_tgt * 1e9 + 0.5) " +
+                "ELSE ceil(w * lib_tgt * 1e9 - 0.5) END AS BIGINT)"
+            )
+          ).as("swt_n")
+        )
+        .withColumn(
+          "predicted",
+          when($"sw_n" === 0L, 0.0).otherwise($"swt_n".cast("double") / $"sw_n".cast("double"))
+        )
+        .drop("sw_n", "swt_n")
   }
 
   /** Full skill curve: for each (keys..., lib_size) the average Pearson

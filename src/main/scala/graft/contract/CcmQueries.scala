@@ -45,7 +45,31 @@ object CcmQueries {
        |)""".stripMargin
 
   /** kNN + weights + weighted prediction at a single library size. */
-  private def predsSql(libSize: Int, k: Int): String =
+  private def predsSql(libSize: Int, k: Int, orderFree: Boolean = false): String = {
+    // the float fold (pipeline default) vs the nano-rounded order-free
+    // fold — must mirror CcmPipeline.predictions' two branches exactly
+    val fold =
+      if (!orderFree)
+        s"""preds0 AS (
+           |  SELECT user_id, sample_id, pred_idx, actual, sum(w) AS sw, sum(w*lib_tgt) AS swt
+           |  FROM wts GROUP BY 1, 2, 3, 4
+           |), preds AS (
+           |  SELECT user_id, sample_id, pred_idx, actual,
+           |         CASE WHEN sw = 0.0 THEN 0.0 ELSE swt/sw END AS predicted
+           |  FROM preds0
+           |)""".stripMargin
+      else
+        s"""preds0 AS (
+           |  SELECT user_id, sample_id, pred_idx, actual,
+           |         sum(CAST(floor(w * 1e9 + 0.5) AS BIGINT)) AS sw_n,
+           |         sum(CAST(CASE WHEN w * lib_tgt >= 0 THEN floor(w * lib_tgt * 1e9 + 0.5)
+           |                       ELSE ceil(w * lib_tgt * 1e9 - 0.5) END AS BIGINT)) AS swt_n
+           |  FROM wts GROUP BY 1, 2, 3, 4
+           |), preds AS (
+           |  SELECT user_id, sample_id, pred_idx, actual,
+           |         CASE WHEN sw_n = 0 THEN 0.0 ELSE CAST(swt_n AS DOUBLE)/CAST(sw_n AS DOUBLE) END AS predicted
+           |  FROM preds0
+           |)""".stripMargin
     s"""pairs AS (
        |  SELECT q.user_id, q.sample_id, q.idx AS pred_idx, q.tgt AS actual,
        |         l.idx AS lib_idx, l.tgt AS lib_tgt,
@@ -59,14 +83,8 @@ object CcmQueries {
        |), nnk AS (SELECT * FROM nn WHERE nn_rank <= $k),
        |wtd AS (SELECT *, min(dist) OVER (PARTITION BY user_id, sample_id, pred_idx) AS min_dist FROM nnk),
        |wts AS (SELECT *, CASE WHEN dist < 1e-12 THEN 1.0 ELSE ${ExactExp.duck("-dist/(min_dist + 1e-8)")} END AS w FROM wtd),
-       |preds0 AS (
-       |  SELECT user_id, sample_id, pred_idx, actual, sum(w) AS sw, sum(w*lib_tgt) AS swt
-       |  FROM wts GROUP BY 1, 2, 3, 4
-       |), preds AS (
-       |  SELECT user_id, sample_id, pred_idx, actual,
-       |         CASE WHEN sw = 0.0 THEN 0.0 ELSE swt/sw END AS predicted
-       |  FROM preds0
-       |)""".stripMargin
+       |$fold""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // det_hash — DetHash.rankHash parity (the foundation every sampled
@@ -168,7 +186,11 @@ object CcmQueries {
     // Ccm.bidirectional for the rationale)
     val rk = CcmPipeline.ranked(emb, Seq("user_id"), 2, Seed, col("user_id")).localCheckpoint()
     CcmPipeline
-      .predictions(rk, Seq("user_id"), Seq(40), 3)
+      // orderFreeFold: this gate publishes the per-point prediction
+      // itself, so the weighted average folds nano-rounded integers —
+      // order-free on both engines, no boundary-clearance argument needed
+      // (round 15, VERDICT r14 item 8)
+      .predictions(rk, Seq("user_id"), Seq(40), 3, orderFreeFold = true)
       .select(
         col("user_id"),
         col("sample_id"),
@@ -183,7 +205,7 @@ object CcmQueries {
     s"""WITH evf AS (SELECT * FROM events WHERE user_id % 5 = 0),
        |${embSql("evf")},
        |${rankSql(2)},
-       |${predsSql(40, 4)}
+       |${predsSql(40, 4, orderFree = true)}
        |SELECT user_id, sample_id, pred_idx, actual, round(predicted, 6) + 0.0 AS predicted
        |FROM preds ORDER BY user_id, sample_id, pred_idx""".stripMargin
 

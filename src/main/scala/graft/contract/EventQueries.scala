@@ -1538,9 +1538,22 @@ object EventQueries {
     val wSeq = Window.partitionBy("user_id").orderBy("day")
     val wU = Window.partitionBy("user_id")
     joined
+      // ORDER-FREE level (round 15, closing the float ledger): the r14
+      // form summed w*c_j as a double fold — argued safe by its 2.0e-6
+      // boundary clearance, but still an aggregation-order-dependent
+      // chain. Each term is now nano-rounded with the stub's literal
+      // floor/ceil half-away expression (bit-identical on both engines:
+      // literal weight x integer cents is one IEEE multiply), the sums
+      // are exact integers in ANY order, and the level is ONE division
+      // of those integers — the nano scale cancels.
+      .withColumn(
+        "twc_nano",
+        expr("CAST(CASE WHEN w * c_j >= 0 THEN floor(w * c_j * 1e9 + 0.5) ELSE ceil(w * c_j * 1e9 - 0.5) END AS BIGINT)")
+      )
+      .withColumn("w_nano", expr("CAST(floor(w * 1e9 + 0.5) AS BIGINT)")) // weights are >= 0
       .groupBy("user_id", "day", "cents")
-      .agg(sum(col("w") * col("c_j")).as("swc"), sum(col("w")).as("sw"))
-      .withColumn("level", col("swc") / col("sw"))
+      .agg(sum(col("twc_nano")).as("swc_n"), sum(col("w_nano")).as("sw_n"))
+      .withColumn("level", col("swc_n").cast("double") / col("sw_n").cast("double"))
       // forecast/err derive from the 6-dp-ROUNDED level: at cents
       // magnitude ~1e4 the unrounded sums' order noise (~1e-7) exceeds
       // the 6-dp rounding granularity, so the MAE is accumulated in
@@ -1550,10 +1563,19 @@ object EventQueries {
       .withColumn("forecast", lag(Norm.rnd(col("level"), 6), 1).over(wSeq))
       .withColumn("err", col("cents") - col("forecast"))
       .withColumn("err_micro", expr("CAST(round(abs(err) * 1000000.0) AS BIGINT)"))
+      // mae published straight from the exact integer micro sum with the
+      // literal floor(x + 0.5) micro-grid round — NOT round(x, 6), whose
+      // decimal-vs-binary tie semantics differ across engines exactly at
+      // .5 boundaries (the nano-level conversion above surfaced one:
+      // sum/cnt landed on a 6-dp half for one sf0.1 user). floor of a
+      // bit-identical ratio is bit-identical everywhere; /1e6 is one
+      // more identical IEEE op.
       .withColumn(
         "mae",
-        expr("CAST(sum(err_micro) OVER (PARTITION BY user_id) AS DOUBLE)") /
-          expr("count(err_micro) OVER (PARTITION BY user_id)") / 1000000.0
+        expr(
+          "floor(CAST(sum(err_micro) OVER (PARTITION BY user_id) AS DOUBLE) / " +
+            "count(err_micro) OVER (PARTITION BY user_id) + 0.5) / 1000000.0"
+        )
       )
       .select(
         col("user_id"),
@@ -1562,7 +1584,7 @@ object EventQueries {
         Norm.rnd(col("level"), 6).as("level"),
         Norm.rnd(col("forecast"), 6).as("forecast"),
         Norm.rnd(col("err"), 6).as("err"),
-        Norm.rnd(col("mae"), 6).as("mae")
+        (col("mae") + lit(0.0)).as("mae") // zero-sign normalization only
       )
       .transform(Norm.ordered(_, col("user_id"), col("day")))
   }
@@ -1579,8 +1601,12 @@ object EventQueries {
        |    ON a.user_id = b.user_id
        |   AND b.day > a.day - $SesWindow AND b.day <= a.day
        |), lvl AS (
+       |  -- per-term nano-rounded, order-free level (see the Spark twin)
        |  SELECT user_id, day, cents,
-       |         sum($sesWeightCase * c_j) / sum($sesWeightCase) AS level
+       |         CAST(sum(CAST(CASE WHEN $sesWeightCase * c_j >= 0
+       |                            THEN floor($sesWeightCase * c_j * 1e9 + 0.5)
+       |                            ELSE ceil($sesWeightCase * c_j * 1e9 - 0.5) END AS BIGINT)) AS DOUBLE)
+       |         / CAST(sum(CAST(floor($sesWeightCase * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) AS level
        |  FROM kern GROUP BY 1, 2, 3
        |), fc AS (
        |  SELECT *, lag(round(level, 6) + 0.0) OVER (PARTITION BY user_id ORDER BY day) AS forecast
@@ -1594,8 +1620,8 @@ object EventQueries {
        |  round(level, 6) + 0.0 AS level,
        |  round(forecast, 6) + 0.0 AS forecast,
        |  round(err, 6) + 0.0 AS err,
-       |  round(CAST(CAST(sum(err_micro) OVER (PARTITION BY user_id) AS BIGINT) AS DOUBLE) /
-       |        count(err_micro) OVER (PARTITION BY user_id) / 1000000.0, 6) + 0.0 AS mae
+       |  floor(CAST(CAST(sum(err_micro) OVER (PARTITION BY user_id) AS BIGINT) AS DOUBLE) /
+       |        count(err_micro) OVER (PARTITION BY user_id) + 0.5) / 1000000.0 + 0.0 AS mae
        |FROM er ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------
