@@ -444,8 +444,10 @@ object MultimodalQueries {
        |  FROM terms GROUP BY 1
        |)
        |SELECT n.doc_id AS id, 'text/plain' AS kind, n.n_bytes,
-       |  round(coalesce(st.mean_byte, 0.0), 6) + 0.0 AS mean_byte,
-       |  round(coalesce(st.ent, 0.0), 6) + 0.0 AS byte_entropy,
+       |  -- tie-free micro-grid round (see Multimodal.mmFeatures): power-of-
+       |  -- two byte counts put the exact mean EXACTLY on a 6-dp half
+       |  floor(coalesce(st.mean_byte, 0.0) * 1e6 + 0.5) / 1e6 + 0.0 AS mean_byte,
+       |  floor(coalesce(st.ent, 0.0) * 1e6 + 0.5) / 1e6 + 0.0 AS byte_entropy,
        |  (n.n_bytes + ${fb - 1}) // $fb AS n_frames
        |FROM nb n LEFT JOIN st ON n.doc_id = st.doc_id
        |ORDER BY id""".stripMargin

@@ -129,10 +129,15 @@ object Multimodal {
         col("id"),
         col("kind"),
         col("nBytes").as("n_bytes"),
-        // Norm.rnd, not round: a constant-byte payload yields entropy
-        // -(1*log 1) = -0.0, and the byte-hash gate distinguishes zero signs
-        Norm.rnd(col("meanByte"), 6).as("mean_byte"),
-        Norm.rnd(col("byteEntropy"), 6).as("byte_entropy"),
+        // TIE-FREE publication (round-15 sweep: docs whose byte count is a
+        // power of two put the exact mean EXACTLY on a 6-dp half — round's
+        // decimal-vs-binary tie semantics then differ by engine class).
+        // floor(x*1e6 + 0.5)/1e6 is the literal micro-grid round: x is
+        // bit-identical on both engines (integer sums, one division), so
+        // every op here is too. The trailing + 0.0 normalizes -0.0 (a
+        // constant-byte payload yields entropy -(1*log 1) = -0.0).
+        expr("floor(meanByte * 1e6 + 0.5) / 1e6 + 0.0").as("mean_byte"),
+        expr("floor(byteEntropy * 1e6 + 0.5) / 1e6 + 0.0").as("byte_entropy"),
         col("nFrames").as("n_frames")
       )
       .transform(Norm.ordered(_, col("id")))
