@@ -464,6 +464,54 @@ class SeriesV2Spec extends SparkTestBase {
     }
   }
 
+  test("storage-partitioned JOIN: two key-grouped layouts join on skey with no shuffle") {
+    val tmp = Files.createTempDirectory("sv2spj").toString
+    import spark.implicits._
+    val rowsA = (0L until 6L).flatMap(k => (0L until 4L).map(o => (k, o, k + o * 0.25, 0.0)))
+    val rowsB = (0L until 6L).flatMap(k => (0L until 3L).map(o => (k, o, k * 2.0 + o, 0.0)))
+    SeriesSource.writeKeyGrouped(rowsA.toDF("skey", "ord", "x", "y"), s"$tmp/a", nTasks = 4)
+    SeriesSource.writeKeyGrouped(rowsB.toDF("skey", "ord", "x", "y"), s"$tmp/b", nTasks = 4)
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // the reported size stats make these tiny sides broadcastable, which
+    // would bypass the partitioned-join path (and BroadcastExchange would
+    // trip the no-Exchange pin) — force the shuffle-join planner branch,
+    // which SPJ then makes exchange-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.read.format("graft.sources.SeriesV2").load(s"$tmp/a").select(col("skey"), col("x"))
+      val b = spark.read.format("graft.sources.SeriesV2").load(s"$tmp/b").select(col("skey"), col("x").as("bx"))
+      val j = a.join(b, "skey").groupBy("skey").agg(count(lit(1)).as("n"), sum(expr("CAST(x * bx * 4 AS BIGINT)")).as("dot4"))
+      val got = j.collect().map(_.toSeq).toSet
+      // 4 x-rows x 3 bx-rows per key
+      assert(got.map(r => (r.head, r(1))).toSet == (0L until 6L).map(k => (k: Any, 12L: Any)).toSet)
+      val planStr = finalPlanStr(j)
+      assert(
+        !planStr.contains("Exchange"),
+        s"storage-partitioned join still shuffled:\n$planStr"
+      )
+      // value check against the flat layouts of the same rows
+      val tmp2 = Files.createTempDirectory("sv2spjref").toString
+      SeriesSource.writeKeyRanged(rowsA.toDF("skey", "ord", "x", "y"), s"$tmp2/a", nFiles = 4)
+      SeriesSource.writeKeyRanged(rowsB.toDF("skey", "ord", "x", "y"), s"$tmp2/b", nFiles = 4)
+      val ar = spark.read.format("graft.sources.SeriesV2").load(s"$tmp2/a").select(col("skey"), col("x"))
+      val br = spark.read.format("graft.sources.SeriesV2").load(s"$tmp2/b").select(col("skey"), col("x").as("bx"))
+      val ref = ar.join(br, "skey").groupBy("skey").agg(count(lit(1)).as("n"), sum(expr("CAST(x * bx * 4 AS BIGINT)")).as("dot4"))
+        .collect().map(_.toSeq).toSet
+      assert(got == ref, "SPJ values must match the ranged-layout join")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None    => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      prevBc match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("non-keyed layouts never claim partitioning; multi-key ranged files stay unkeyed") {
     val tmp = Files.createTempDirectory("sv2notkeyed").toString
     val rows = (0L until 16L).flatMap(k => (0L until 2L).map(o => (k, o, k * 1.0, o * 1.0)))
