@@ -546,7 +546,66 @@ object FormatRoundTrip {
        |FROM ser WHERE skey >= $KgLo AND skey < $KgHi
        |GROUP BY 1 ORDER BY skey""".stripMargin
 
+  // -------------------------------------------------------------------
+  // src_seriesv2_spj — STORAGE-PARTITIONED JOIN under the hash gate: two
+  // key-grouped layouts (the event series and its per-key min-x digest,
+  // both written via writeKeyGrouped) joined on skey with broadcast
+  // disabled, so the planner takes the shuffle-join branch and SPJ
+  // removes BOTH exchanges (SeriesV2Spec pins the exchange-free plan;
+  // this gate pins the values through the full pipeline). At 100 TB this
+  // is the co-located fact-fact join: the layout is the shuffle, written
+  // once — joining two series stores on series key moves zero bytes.
+  // -------------------------------------------------------------------
+  private def seriesV2Spj(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory(s"graft-sv2spj-${ctr.incrementAndGet()}")
+    val ser = seriesKeyGrouped(s, dir)
+    SeriesSource.writeKeyGrouped(ser, s"$tmp/a", nTasks = 16)
+    val digest = ser
+      .groupBy("skey")
+      .agg(min(col("x")).as("x"))
+      .select(col("skey"), lit(0L).as("ord"), col("x"), lit(0.0).as("y"))
+    SeriesSource.writeKeyGrouped(digest, s"$tmp/b", nTasks = 16)
+    val prevB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBc = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val a = s.read.format("graft.sources.SeriesV2").load(s"$tmp/a").select(col("skey"), col("x"))
+    val b = s.read.format("graft.sources.SeriesV2").load(s"$tmp/b").select(col("skey"), col("x").as("minx"))
+    val out = a
+      .join(b, "skey")
+      .filter(col("skey") >= KgLo && col("skey") < KgHi)
+      .groupBy("skey")
+      .agg(
+        count(lit(1)).as("n_points"),
+        // x - minx is one IEEE subtract of bit-identical doubles; the
+        // cents round is the repo's canonical money encoding
+        sum(round((col("x") - col("minx")) * 100.0).cast("long")).as("spread_cents")
+      )
+      .transform(Norm.ordered(_, col("skey")))
+    graft.GateResult.materialize(out) {
+      graft.GateResult.deleteRecursively(tmp)
+      prevB match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      prevBc match {
+        case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  private val seriesV2SpjSql: String =
+    s"""WITH ser AS ($seriesKeyGroupedCte),
+       |mn AS (SELECT skey, min(x) AS minx FROM ser GROUP BY 1)
+       |SELECT s.skey, CAST(count(*) AS BIGINT) AS n_points,
+       |       CAST(sum(CAST(round((s.x - m.minx) * 100.0) AS BIGINT)) AS BIGINT) AS spread_cents
+       |FROM ser s JOIN mn m ON s.skey = m.skey
+       |WHERE s.skey >= $KgLo AND s.skey < $KgHi
+       |GROUP BY 1 ORDER BY s.skey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_seriesv2_spj" -> seriesV2Spj,
     "src_seriesv2_keygroup" -> seriesV2KeyGroup,
     "src_seriesv2_storagepart" -> seriesV2StoragePart,
     "src_seriesv2_roundtrip" -> seriesV2RoundTrip,
@@ -561,6 +620,7 @@ object FormatRoundTrip {
   )
 
   val oracle: Map[String, String] = Map(
+    "src_seriesv2_spj" -> seriesV2SpjSql,
     "src_seriesv2_keygroup" -> seriesV2KeyGroupSql,
     "src_seriesv2_storagepart" -> seriesV2StoragePartSql,
     "src_seriesv2_roundtrip" -> seriesV2RoundTripSql,
