@@ -15,6 +15,19 @@ import graft.ccm.Ccm
   */
 object SeriesSource {
 
+  /** Wide-shape projection with the LAYOUT's exact types: a caller whose
+    * ord is an int (or a `id / n` double) must not trip the writers' row
+    * encoder — the layout contract is (long, long, double, double), so
+    * the writers cast to it rather than demand it.
+    */
+  private def selectAsWide =
+    Seq(
+      col("skey").cast("long").as("skey"),
+      col("ord").cast("long").as("ord"),
+      col("x").cast("double").as("x"),
+      col("y").cast("double").as("y")
+    )
+
   private val wideSchema = StructType(Seq(
     StructField("skey", LongType, nullable = false),
     StructField("ord", LongType, nullable = false),
@@ -72,7 +85,7 @@ object SeriesSource {
     val spark = df.sparkSession
     val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("graft_key_ranges")
     val tracked = df
-      .select(col("skey"), col("ord"), col("x"), col("y"))
+      .select(selectAsWide: _*)
       .repartitionByRange(nFiles, col("skey"), col("ord"))
       .sortWithinPartitions("skey", "ord")
       .mapPartitions { it =>
@@ -143,7 +156,7 @@ object SeriesSource {
     */
   def writeKeyGrouped(df: DataFrame, dir: String, nTasks: Int = 32): Unit = {
     val spark = df.sparkSession
-    df.select(col("skey"), col("ord"), col("x"), col("y"))
+    df.select(selectAsWide: _*)
       .withColumn("pkey", col("skey"))
       .repartition(nTasks, col("pkey"))
       .sortWithinPartitions("skey", "ord")

@@ -132,9 +132,55 @@ object SeriesV2Probe {
     val tRanged = timed("1-key probe: ranged+sidecar")(probeOne(v2r))
     val tFlat = timed("1-key probe: unranged gate")(probeOne(v2))
 
+    // KEY-GROUPED layout contracts (round 15): same total lines reshaped
+    // to 128 long series so the one-file-per-key layout stays bounded.
+    //  - COMPLETE keyed fold (no merge agg, no exchange) vs the ranged
+    //    layout's PARTIAL fold + exchange + merge;
+    //  - storage-partitioned JOIN (both sides keyed, broadcast off, zero
+    //    exchange) vs the ranged pair's shuffle join.
+    val nK = 128L
+    val wide = spark.range(0L, nSeries * nPoints, 1L, 64)
+      .select(
+        (col("id") % nK).as("skey"),
+        (col("id") / nK).as("ord"),
+        (col("id") % 9973).cast("double").as("x"),
+        ((col("id") + 7) % 9973).cast("double").as("y")
+      )
+    val kgDir = s"$tmp/kg"
+    val krDir = s"$tmp/kr"
+    graft.sources.SeriesSource.writeKeyGrouped(wide, kgDir, 32)
+    graft.sources.SeriesSource.writeKeyRanged(wide, krDir, nK.toInt)
+    val digest = wide
+      .groupBy("skey")
+      .agg(min(col("x")).as("x"))
+      .select(col("skey"), lit(0L).as("ord"), col("x"), lit(0.0).as("y"))
+    graft.sources.SeriesSource.writeKeyGrouped(digest, s"$tmp/kgd", 8)
+    graft.sources.SeriesSource.writeKeyRanged(digest, s"$tmp/krd", 8)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val vkg = spark.read.format("graft.sources.SeriesV2").load(kgDir)
+    val vkr = spark.read.format("graft.sources.SeriesV2").load(krDir)
+    aggOf(vkg); aggOf(vkr)
+    val tKg = timed("agg: keyed COMPLETE fold")(aggOf(vkg))
+    val tKr = timed("agg: ranged PARTIAL fold")(aggOf(vkr))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def joinOf(fact: org.apache.spark.sql.DataFrame, dim: org.apache.spark.sql.DataFrame): Long =
+      fact
+        .join(dim.select(col("skey"), col("x").as("minx")), "skey")
+        .groupBy("skey")
+        .agg(sum(col("x") - col("minx")).as("s"), count(lit(1)).as("n"))
+        .count()
+    val dkg = spark.read.format("graft.sources.SeriesV2").load(s"$tmp/kgd")
+    val dkr = spark.read.format("graft.sources.SeriesV2").load(s"$tmp/krd")
+    joinOf(vkg, dkg); joinOf(vkr, dkr)
+    val tSpj = timed("join: SPJ (both keyed)")(joinOf(vkg, dkg))
+    val tShj = timed("join: shuffle (ranged)")(joinOf(vkr, dkr))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+
     println(f"PROBE summary series=$nSeries points=$nPoints " +
       f"agg_speedup=${tPlain / tPush}%.2fx dpp_speedup=${tNo / tDpp}%.2fx static_speedup=${tSpl / tSv2}%.2fx " +
-      f"topn_speedup=${tTpl / tTv2}%.2fx fileprune_speedup=${tFlat / tRanged}%.2fx")
+      f"topn_speedup=${tTpl / tTv2}%.2fx fileprune_speedup=${tFlat / tRanged}%.2fx " +
+      f"keyed_complete_speedup=${tKr / tKg}%.2fx spj_speedup=${tShj / tSpj}%.2fx")
     graft.GateResult.deleteRecursively(java.nio.file.Paths.get(tmp))
     spark.stop()
   }
