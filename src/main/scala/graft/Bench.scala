@@ -309,10 +309,15 @@ object Bench {
     val aboveJson = aboveBarQuiet.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = summary.flatMap(_._2).sum
     // end-of-run pair-canary samples: bracketing the host's pair-join
-    // capability across the whole run without per-window cost
+    // capability across the whole run without per-window cost. The
+    // canary JSON sections are assembled AFTER the sf1 gate below (they
+    // are defs, rendered at final-json time): sf1 windows add primary
+    // AND pair samples whose running min feeds sf1 quiet verdicts, and
+    // an artifact whose canary record predates them would carry
+    // verdicts an auditor cannot recompute from the shipped evidence.
     (1 to 3).foreach(_ => canaryPairSamples += canaryPairOnce())
-    val canaryJson = f"""{"base":$canaryBase%.3f,"samples":${canarySamples.size},"min":${canarySamples.min}%.3f,"max":${canarySamples.max}%.3f}"""
-    val canaryPairJson =
+    def canaryJson = f"""{"base":$canaryBase%.3f,"samples":${canarySamples.size},"min":${canarySamples.min}%.3f,"max":${canarySamples.max}%.3f}"""
+    def canaryPairJson =
       f"""{"min":${canaryPairSamples.min}%.3f,"max":${canaryPairSamples.max}%.3f,"samples":${canaryPairSamples.size}}"""
     // a filtered run must be distinguishable from a full suite run (ADVICE
     // r7): record the filter and rename the metric so a partial bench_out

@@ -405,13 +405,10 @@ object CcmPipeline {
       weighted
         .groupBy((cellKeys ++ Seq(col("pred_idx"), col("actual"))): _*)
         .agg(
-          sum(expr("CAST(floor(w * 1e9 + 0.5) AS BIGINT)")).as("sw_n"), // w in [0, 1]
-          sum(
-            expr(
-              "CAST(CASE WHEN w * lib_tgt >= 0 THEN floor(w * lib_tgt * 1e9 + 0.5) " +
-                "ELSE ceil(w * lib_tgt * 1e9 - 0.5) END AS BIGINT)"
-            )
-          ).as("swt_n")
+          // w in [0, 1]; the grid strings are single-sourced with the
+          // oracle via graft.contract.GridRound
+          sum(expr(graft.contract.GridRound.floorUnits("w", "1e9"))).as("sw_n"),
+          sum(expr(graft.contract.GridRound.halfAwayUnits("w * lib_tgt", "1e9"))).as("swt_n")
         )
         .withColumn(
           "predicted",

@@ -61,9 +61,8 @@ object CcmQueries {
       else
         s"""preds0 AS (
            |  SELECT user_id, sample_id, pred_idx, actual,
-           |         sum(CAST(floor(w * 1e9 + 0.5) AS BIGINT)) AS sw_n,
-           |         sum(CAST(CASE WHEN w * lib_tgt >= 0 THEN floor(w * lib_tgt * 1e9 + 0.5)
-           |                       ELSE ceil(w * lib_tgt * 1e9 - 0.5) END AS BIGINT)) AS swt_n
+           |         sum(${GridRound.floorUnits("w", "1e9")}) AS sw_n,
+           |         sum(${GridRound.halfAwayUnits("w * lib_tgt", "1e9")}) AS swt_n
            |  FROM wts GROUP BY 1, 2, 3, 4
            |), preds AS (
            |  SELECT user_id, sample_id, pred_idx, actual,

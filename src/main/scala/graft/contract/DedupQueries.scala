@@ -1191,7 +1191,21 @@ object DedupQueries {
           s"use dedup_substring_banded (identical results, seed-banded aggregate) or shard the corpus"
       )
     val badHashes = freqRow.getSeq[Long](1)
-    val shf = if (badHashes.isEmpty) sh else sh.filter(!col("h").isin(badHashes: _*))
+    // application form follows the set's size: a literal NOT-isin is
+    // cheapest while the boilerplate set is small (the normal regime),
+    // but it builds one catalyst In with |set| literal children — in an
+    // adversarial corpus near the window bound the set can reach
+    // nWindows/SubMaxBucket (~4.3M), where expression trees die; past
+    // the threshold the same driver-held set ships as a broadcast
+    // anti-join instead (map-side like the r13 form, any size)
+    val MaxIsinLiterals = 4096
+    val shf =
+      if (badHashes.isEmpty) sh
+      else if (badHashes.size <= MaxIsinLiterals) sh.filter(!col("h").isin(badHashes: _*))
+      else {
+        import s.implicits._
+        sh.join(broadcast(badHashes.toDF("h")), Seq("h"), "left_anti")
+      }
     val pr = shf
       .as("a")
       .join(shf.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

@@ -1546,11 +1546,8 @@ object EventQueries {
       // literal weight x integer cents is one IEEE multiply), the sums
       // are exact integers in ANY order, and the level is ONE division
       // of those integers — the nano scale cancels.
-      .withColumn(
-        "twc_nano",
-        expr("CAST(CASE WHEN w * c_j >= 0 THEN floor(w * c_j * 1e9 + 0.5) ELSE ceil(w * c_j * 1e9 - 0.5) END AS BIGINT)")
-      )
-      .withColumn("w_nano", expr("CAST(floor(w * 1e9 + 0.5) AS BIGINT)")) // weights are >= 0
+      .withColumn("twc_nano", expr(GridRound.halfAwayUnits("w * c_j", "1e9")))
+      .withColumn("w_nano", expr(GridRound.floorUnits("w", "1e9"))) // weights are >= 0
       .groupBy("user_id", "day", "cents")
       .agg(sum(col("twc_nano")).as("swc_n"), sum(col("w_nano")).as("sw_n"))
       .withColumn("level", col("swc_n").cast("double") / col("sw_n").cast("double"))
@@ -1601,12 +1598,11 @@ object EventQueries {
        |    ON a.user_id = b.user_id
        |   AND b.day > a.day - $SesWindow AND b.day <= a.day
        |), lvl AS (
-       |  -- per-term nano-rounded, order-free level (see the Spark twin)
+       |  -- per-term nano-rounded, order-free level (see the Spark twin;
+       |  -- grid strings single-sourced via GridRound)
        |  SELECT user_id, day, cents,
-       |         CAST(sum(CAST(CASE WHEN $sesWeightCase * c_j >= 0
-       |                            THEN floor($sesWeightCase * c_j * 1e9 + 0.5)
-       |                            ELSE ceil($sesWeightCase * c_j * 1e9 - 0.5) END AS BIGINT)) AS DOUBLE)
-       |         / CAST(sum(CAST(floor($sesWeightCase * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) AS level
+       |         CAST(sum(${GridRound.halfAwayUnits(s"$sesWeightCase * c_j", "1e9")}) AS DOUBLE)
+       |         / CAST(sum(${GridRound.floorUnits(sesWeightCase, "1e9")}) AS DOUBLE) AS level
        |  FROM kern GROUP BY 1, 2, 3
        |), fc AS (
        |  SELECT *, lag(round(level, 6) + 0.0) OVER (PARTITION BY user_id ORDER BY day) AS forecast

@@ -518,19 +518,23 @@ object FormatRoundTrip {
     SeriesSource.writeKeyGrouped(seriesKeyGrouped(s, dir), s"$tmp/series_kg", nTasks = 16)
     val prev = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    val back = s.read
-      .format("graft.sources.SeriesV2")
-      .load(s"$tmp/series_kg")
-      .filter(col("skey") >= KgLo && col("skey") < KgHi)
-      .groupBy("skey")
-      .agg(
-        count(lit(1)).as("n_points"),
-        sum(round(col("x") * 100.0).cast("long")).as("x_cents"),
-        sum(round(col("y") * 100.0).cast("long")).as("y_cents")
-      )
-      .transform(Norm.ordered(_, col("skey")))
-    graft.GateResult.materialize(back) {
-      graft.GateResult.deleteRecursively(tmp)
+    // outer try: an analysis failure between conf.set and materialize
+    // must not leak the conf into the rest of a 280-query bench session
+    try {
+      val back = s.read
+        .format("graft.sources.SeriesV2")
+        .load(s"$tmp/series_kg")
+        .filter(col("skey") >= KgLo && col("skey") < KgHi)
+        .groupBy("skey")
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(round(col("x") * 100.0).cast("long")).as("x_cents"),
+          sum(round(col("y") * 100.0).cast("long")).as("y_cents")
+        )
+        .transform(Norm.ordered(_, col("skey")))
+      graft.GateResult.materialize(back)(graft.GateResult.deleteRecursively(tmp))
+    } finally {
+      graft.GateResult.deleteRecursively(tmp) // idempotent: covers pre-materialize throws
       prev match {
         case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
         case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
@@ -569,21 +573,25 @@ object FormatRoundTrip {
     val prevBc = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val a = s.read.format("graft.sources.SeriesV2").load(s"$tmp/a").select(col("skey"), col("x"))
-    val b = s.read.format("graft.sources.SeriesV2").load(s"$tmp/b").select(col("skey"), col("x").as("minx"))
-    val out = a
-      .join(b, "skey")
-      .filter(col("skey") >= KgLo && col("skey") < KgHi)
-      .groupBy("skey")
-      .agg(
-        count(lit(1)).as("n_points"),
-        // x - minx is one IEEE subtract of bit-identical doubles; the
-        // cents round is the repo's canonical money encoding
-        sum(round((col("x") - col("minx")) * 100.0).cast("long")).as("spread_cents")
-      )
-      .transform(Norm.ordered(_, col("skey")))
-    graft.GateResult.materialize(out) {
-      graft.GateResult.deleteRecursively(tmp)
+    // outer try: an analysis failure between conf.set and materialize
+    // must not leave broadcast disabled for the rest of the bench session
+    try {
+      val a = s.read.format("graft.sources.SeriesV2").load(s"$tmp/a").select(col("skey"), col("x"))
+      val b = s.read.format("graft.sources.SeriesV2").load(s"$tmp/b").select(col("skey"), col("x").as("minx"))
+      val out = a
+        .join(b, "skey")
+        .filter(col("skey") >= KgLo && col("skey") < KgHi)
+        .groupBy("skey")
+        .agg(
+          count(lit(1)).as("n_points"),
+          // x - minx is one IEEE subtract of bit-identical doubles; the
+          // cents round is the repo's canonical money encoding
+          sum(round((col("x") - col("minx")) * 100.0).cast("long")).as("spread_cents")
+        )
+        .transform(Norm.ordered(_, col("skey")))
+      graft.GateResult.materialize(out)(graft.GateResult.deleteRecursively(tmp))
+    } finally {
+      graft.GateResult.deleteRecursively(tmp) // idempotent: covers pre-materialize throws
       prevB match {
         case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
         case None    => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")

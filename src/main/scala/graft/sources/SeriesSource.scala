@@ -18,15 +18,20 @@ object SeriesSource {
   /** Wide-shape projection with the LAYOUT's exact types: a caller whose
     * ord is an int (or a `id / n` double) must not trip the writers' row
     * encoder — the layout contract is (long, long, double, double), so
-    * the writers cast to it rather than demand it.
+    * the writers cast to it rather than demand it. Null rows are DROPPED
+    * here — the same `na.drop` contract [[wideCsv]] applies on read (the
+    * layout has no null semantics); without the drop a single null skey
+    * would crash sidecar derivation AFTER the expensive data write
+    * (`pkey=__HIVE_DEFAULT_PARTITION__` parses as no long) or NPE the
+    * range fold mid-write.
     */
-  private def selectAsWide =
-    Seq(
+  private def asWide(df: DataFrame): DataFrame =
+    df.select(
       col("skey").cast("long").as("skey"),
       col("ord").cast("long").as("ord"),
       col("x").cast("double").as("x"),
       col("y").cast("double").as("y")
-    )
+    ).na.drop()
 
   private val wideSchema = StructType(Seq(
     StructField("skey", LongType, nullable = false),
@@ -84,8 +89,7 @@ object SeriesSource {
   def writeKeyRanged(df: DataFrame, dir: String, nFiles: Int = 32): Unit = {
     val spark = df.sparkSession
     val acc = spark.sparkContext.collectionAccumulator[(Int, Long, Long)]("graft_key_ranges")
-    val tracked = df
-      .select(selectAsWide: _*)
+    val tracked = asWide(df)
       .repartitionByRange(nFiles, col("skey"), col("ord"))
       .sortWithinPartitions("skey", "ord")
       .mapPartitions { it =>
@@ -156,7 +160,7 @@ object SeriesSource {
     */
   def writeKeyGrouped(df: DataFrame, dir: String, nTasks: Int = 32): Unit = {
     val spark = df.sparkSession
-    df.select(selectAsWide: _*)
+    asWide(df)
       .withColumn("pkey", col("skey"))
       .repartition(nTasks, col("pkey"))
       .sortWithinPartitions("skey", "ord")

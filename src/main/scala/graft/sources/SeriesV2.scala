@@ -58,10 +58,16 @@ class SeriesV2 extends TableProvider {
 object SeriesV2 {
 
   /** Lists the layout's DATA files: the flat files of `path` plus — one
-    * level deep — the files of non-hidden subdirectories, which is where
-    * [[SeriesSource.writeKeyGrouped]]'s dynamic partitioning puts them
-    * (`pkey=K/part-*.csv`). Underscore/dot entries are metadata
-    * (`_ranges.csv`, `_SUCCESS`) at either level and never data.
+    * level deep — the files of `pkey=K` subdirectories, which is where
+    * [[SeriesSource.writeKeyGrouped]]'s dynamic partitioning puts them.
+    * ONLY `pkey=` subdirectories are descended: a stray visible subdir
+    * (a stale copy, a user's scratch dir) must not surface as data,
+    * because [[relativeSidecarKey]] namespaces only `pkey=` parents — a
+    * foreign subdir file would fall back to its bare name and could
+    * collide with a root file's sidecar entry, silently applying the
+    * wrong [lo, hi] range (wrong pruning, wrong keyed claims).
+    * Underscore/dot entries are metadata (`_ranges.csv`, `_SUCCESS`) at
+    * either level and never data.
     */
   private[sources] def listDataFiles(fs: FileSystem, p: Path): Array[FileStatus] = {
     val st = fs.getFileStatus(p)
@@ -71,9 +77,10 @@ object SeriesV2 {
         .filter(s => !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
         .flatMap { s =>
           if (s.isFile) Array(s)
-          else
+          else if (s.getPath.getName.startsWith("pkey="))
             fs.listStatus(s.getPath)
               .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          else Array.empty[FileStatus]
         }
   }
 
