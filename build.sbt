@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (round 15): the sf1 mini-gate runs 10x-replica queries at
+  // the tail of a 283-query session, where 8g left graph_betweenness one
+  // task-OOM from taking the local context down (measured; clean at 64g).
+  // SPARK_DRIVER_MEM still overrides in both directions.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
