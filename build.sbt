@@ -36,4 +36,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // task-OOM from taking the local context down (measured; clean at 64g).
   // SPARK_DRIVER_MEM still overrides in both directions.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // Extra forked-JVM flags (e.g. -Dspark.executor.extraClassPath=... for
+  // the local-cluster multi-executor probe); space-separated.
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").map(_.trim.split("\\s+").toSeq).getOrElse(Seq.empty)

@@ -46,11 +46,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_MASTER: same multi-executor lever as Verify (baselines
+    // and bars only mean anything on the default local master, but the
+    // probe needs timed multi-executor runs too)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // SPARK_GRAFT_SPARK_CONF: same semicolon-separated extra-conf lever as
+    // Verify (executor classpath/opens/memory for multi-executor probes)
+    val extraConf = sys.env.get("SPARK_GRAFT_SPARK_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val spark = extraConf
+      .foldLeft(
+        SparkSession.builder()
+          .master(master)
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+      )((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -366,7 +378,12 @@ object Bench {
       "stream_sessionize", "stream_session_builtin", // per-key lever vs builtin state term
       "dedup_lsh_quality", "ann_recall_eval", "vec_mmr",
       "text_para_dedup", "pack_ffd", "evt_asof_native",
-      "graph_hits", "graph_betweenness"
+      "graph_hits", "graph_betweenness",
+      // keyed-layout gates (VERDICT r15 item 6): the SPJ no-exchange and
+      // COMPLETE-fold claims timed at 10x alongside the families they
+      // serve — write the key-grouped store from the replica's events,
+      // read it back shuffle-free
+      "src_seriesv2_spj", "src_seriesv2_keygroup"
     )
     // full runs: on unless SPARK_GRAFT_SF1=0; partial (SPARK_GRAFT_ONLY)
     // runs: off unless SPARK_GRAFT_SF1=1 forces it (local iteration)
@@ -426,7 +443,7 @@ object Bench {
         // AFTER the full session, clean pass in a fresh JVM)
         spark.catalog.clearCache()
         final case class Sf1V(sec: Double, tries: Int, quiet: Boolean)
-        val verdicts = ordered.flatMap { name =>
+        val verdicts0 = ordered.flatMap { name =>
           // a prior query's task OOM can take the whole local context
           // down; ship the measured prefix instead of gate_failed
           if (elapsed > budget || spark.sparkContext.isStopped) { skipped ::= name; None }
@@ -451,6 +468,58 @@ object Bench {
                 None
             }
         }
+        // END-OF-RUN SF1 REQUEUE (VERDICT r15 item 1): the inline retry
+        // above caps at Sf1MaxTries DURING the panel sweep, so a noise
+        // burst there could ship above-bar readings flagged quiet:false —
+        // "explicitly unsettled noise" whose settlement previously lived
+        // only in builder-run closing gates, outside the driver artifact.
+        // This is the main run's requeue discipline applied to the panel:
+        // after the sweep completes (the burst has had the whole panel's
+        // duration to pass), every above-bar non-quiet entry gets fresh
+        // canary-bracketed windows until one is QUIET under the shared
+        // quietWin criterion (pair-certified for the CCM family) or its
+        // raw reading lands under the bar — on a DEDICATED budget, so a
+        // consumed panel budget cannot starve the settlement. All requeue
+        // windows join the entry's verdict (tries counts them); requeued
+        // names ship under "requeued" so the artifact shows which
+        // verdicts earned their settle at requeue time.
+        val Sf1RequeueMaxTries = 4
+        val requeueBudget =
+          sys.env.get("SPARK_GRAFT_SF1_REQUEUE_BUDGET_SEC").map(_.toDouble).getOrElse(300.0)
+        val tR0 = System.nanoTime()
+        def rElapsed = (System.nanoTime() - tR0) / 1e9
+        var sf1Requeued = List.empty[String]
+        val verdicts = verdicts0.map { case (name, v0) =>
+          val bar = BenchBaseline.sf1MinSec.get(name).map(barOf)
+          val needsSettle = bar.exists(v0.sec > _) && !v0.quiet
+          if (!needsSettle) name -> v0
+          else {
+            sf1Requeued ::= name
+            var v = v0
+            var tries = 0
+            while (
+              bar.exists(v.sec > _) && !v.quiet && tries < Sf1RequeueMaxTries &&
+              rElapsed <= requeueBudget && !spark.sparkContext.isStopped
+            ) {
+              try {
+                val w = sf1Window(name, SparkEntry.queries(name))
+                tries += 1
+                v = Sf1V(
+                  w.t.fold(v.sec)(math.min(_, v.sec)),
+                  v.tries + 1,
+                  v.quiet || (w.t.isDefined && quietWin(name, w, canaryBase))
+                )
+              } catch {
+                case e: Throwable =>
+                  tries = Sf1RequeueMaxTries // bracketing failure: stop, keep the gate alive
+                  System.err.println(
+                    s"[bench sf1] $name requeue FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}"
+                  )
+              }
+            }
+            name -> v
+          }
+        }
         val qJson = verdicts.map { case (k, v) => "\"" + k + "\":" + f"${v.sec}%.3f" }.mkString("{", ",", "}")
         val ratioJson = verdicts
           .flatMap { case (k, v) => BenchBaseline.sf1MinSec.get(k).map(b => "\"" + k + "\":" + f"${v.sec / b}%.2f") }
@@ -461,7 +530,8 @@ object Bench {
         val skipJson = skipped.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
         val failJson = sf1Failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
         val unknownJson = unknown.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-        f"""{"copies":$copies,"gen_sec":$genSec%.1f,"order":"cheapest_first","queries":$qJson,"vs_baseline":$ratioJson,"verdicts":$verdictJson,"skipped":$skipJson,"failed":$failJson,"unknown":$unknownJson}"""
+        val requeuedJson = sf1Requeued.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        f"""{"copies":$copies,"gen_sec":$genSec%.1f,"order":"cheapest_first","queries":$qJson,"vs_baseline":$ratioJson,"verdicts":$verdictJson,"requeued":$requeuedJson,"skipped":$skipJson,"failed":$failJson,"unknown":$unknownJson}"""
       } catch {
         // the sf1 gate must never take the round artifact down with it
         // (replica generation can hit disk limits a normal run never sees)

@@ -10,11 +10,26 @@ object Verify {
     val only: Set[String] = args.drop(2).toSet
     def wanted(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_MASTER overrides the master (e.g. local-cluster[2,16,8192]
+    // for the multi-executor probe — SCALE.md "Multi-executor execution");
+    // extra spark.* confs for such runs ride -D system properties, which
+    // SparkConf folds in underneath this builder.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // SPARK_GRAFT_SPARK_CONF: semicolon-separated extra spark confs
+    // ("k=v;k2=v2") — the multi-executor probe needs executor classpath /
+    // module-opens / memory settings that contain spaces, which the
+    // build.sbt javaOptions splitter cannot carry.
+    val extraConf = sys.env.get("SPARK_GRAFT_SPARK_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val spark = extraConf
+      .foldLeft(
+        SparkSession.builder()
+          .master(master)
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+      )((b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

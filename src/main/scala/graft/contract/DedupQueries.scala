@@ -330,6 +330,16 @@ object DedupQueries {
   // intersection runs once per candidate in a single projection (no
   // downstream filter exists to duplicate it through pushdown).
   // -------------------------------------------------------------------
+  // The estimator family's published ratios, as ONE SQL text per column
+  // parsed by BOTH engines through GridRound.grid6 (VERDICT r15 item 4:
+  // these were the last dedup-side shared-string `round(x, 6)` sites —
+  // decimal ties are not binary-representable, so the two engines'
+  // round() classes could split on them; the floor/ceil grid cannot).
+  private val estJSql = s"CAST(matches AS DOUBLE) / ${NumPerms.toDouble}"
+  private val exactJSql = "CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)"
+  private val ensJaccardSql = "CAST(n_common AS DOUBLE) / CAST(sz_a + sz_b - n_common AS DOUBLE)"
+  private val ensContainSql = "CAST(n_common AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE)"
+
   private def minhashEst(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSigRaw(s, dir).localCheckpoint() // feeds the band join AND both estimate sides
     val pairs = candPairsFrom(sig)
@@ -352,13 +362,9 @@ object DedupQueries {
         col("matches"),
         col("n_common"),
         col("n_union"),
-        (round(col("matches").cast("double") / lit(NumPerms.toDouble), 6) + 0.0).as("est_j"),
-        (round(col("n_common").cast("double") / col("n_union").cast("double"), 6) + 0.0).as("exact_j"),
-        (round(
-          col("matches").cast("double") / lit(NumPerms.toDouble) -
-            col("n_common").cast("double") / col("n_union").cast("double"),
-          6
-        ) + 0.0).as("err")
+        expr(GridRound.grid6(estJSql)).as("est_j"),
+        expr(GridRound.grid6(exactJSql)).as("exact_j"),
+        expr(GridRound.grid6(s"$estJSql - $exactJSql")).as("err")
       )
       .transform(Norm.ordered(_, col("doc_a"), col("doc_b")))
   }
@@ -379,10 +385,9 @@ object DedupQueries {
        |  FROM est e JOIN sets a ON e.doc_a = a.doc_id JOIN sets b ON e.doc_b = b.doc_id
        |)
        |SELECT doc_a, doc_b, matches, n_common, n_union,
-       |       round(CAST(matches AS DOUBLE) / ${NumPerms.toDouble}, 6) + 0.0 AS est_j,
-       |       round(CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE), 6) + 0.0 AS exact_j,
-       |       round(CAST(matches AS DOUBLE) / ${NumPerms.toDouble} -
-       |             CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE), 6) + 0.0 AS err
+       |       ${GridRound.grid6(estJSql)} AS est_j,
+       |       ${GridRound.grid6(exactJSql)} AS exact_j,
+       |       ${GridRound.grid6(s"$estJSql - $exactJSql")} AS err
        |FROM ex
        |ORDER BY doc_a, doc_b""".stripMargin
   }
@@ -426,15 +431,9 @@ object DedupQueries {
       .drop("doc_id")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("hamming", expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
-      .withColumn("est_j", round(col("matches").cast("double") / lit(NumPerms.toDouble), 6) + 0.0)
-      .withColumn(
-        "jaccard",
-        round(col("n_common").cast("double") / (col("sz_a") + col("sz_b") - col("n_common")).cast("double"), 6) + 0.0
-      )
-      .withColumn(
-        "containment",
-        round(col("n_common").cast("double") / least(col("sz_a"), col("sz_b")).cast("double"), 6) + 0.0
-      )
+      .withColumn("est_j", expr(GridRound.grid6(estJSql)))
+      .withColumn("jaccard", expr(GridRound.grid6(ensJaccardSql)))
+      .withColumn("containment", expr(GridRound.grid6(ensContainSql)))
       .withColumn(
         "n_votes",
         when(col("est_j") >= EnsEstBar, 1L).otherwise(0L) +
@@ -475,9 +474,9 @@ object DedupQueries {
        |),
        |voted AS (
        |  SELECT doc_a, doc_b, matches, hamming,
-       |         round(CAST(matches AS DOUBLE) / ${NumPerms.toDouble}, 6) + 0.0 AS est_j,
-       |         round(CAST(n_common AS DOUBLE) / CAST(sz_a + sz_b - n_common AS DOUBLE), 6) + 0.0 AS jaccard,
-       |         round(CAST(n_common AS DOUBLE) / CAST(least(sz_a, sz_b) AS DOUBLE), 6) + 0.0 AS containment
+       |         ${GridRound.grid6(estJSql)} AS est_j,
+       |         ${GridRound.grid6(ensJaccardSql)} AS jaccard,
+       |         ${GridRound.grid6(ensContainSql)} AS containment
        |  FROM scored
        |)
        |SELECT doc_a, doc_b, matches, hamming, est_j, jaccard, containment,
@@ -1175,12 +1174,29 @@ object DedupQueries {
     // so it collects to the driver and applies as a broadcast-literal
     // NOT-isin — map-side, value-identical to the anti-join the r13 form
     // used and to the ok-join the oracle spells out.
+    //
+    // The DRIVER-side collect is CAPPED (ADVICE r15): in the adversarial
+    // over-bound regime the set can reach ~nWindows/SubMaxBucket (~4.3M
+    // boxed entries near the bound), and an uncapped collect_list would
+    // OOM the driver BEFORE the loud MaxSubstringWindows guard below can
+    // fire. slice() trims the list executor-side, so the driver never
+    // receives more than MaxIsinLiterals + 1 hashes; n_bad carries the
+    // true size, and when it exceeds the cap the set is re-derived as a
+    // DataFrame and applied as a broadcast anti-join (the r13 form) —
+    // the second pass lands only on that rare regime, never the normal
+    // one.
+    val MaxIsinLiterals = 4096
     val freqRow = sh
       .groupBy("h")
       .agg(count(lit(1)).as("c"))
       .agg(
         sum(col("c")).as("total"),
-        collect_list(when(col("c") > SubMaxBucket, col("h"))).as("bad")
+        count(when(col("c") > SubMaxBucket, lit(1))).as("n_bad"),
+        slice(
+          collect_list(when(col("c") > SubMaxBucket, col("h"))),
+          1,
+          MaxIsinLiterals + 1
+        ).as("bad")
       )
       .first()
     val nWindows = if (freqRow.isNullAt(0)) 0L else freqRow.getLong(0)
@@ -1190,21 +1206,16 @@ object DedupQueries {
           s"and the stride-1 pair relation is superlinear (~6 pairs/window measured, sorted whole) — " +
           s"use dedup_substring_banded (identical results, seed-banded aggregate) or shard the corpus"
       )
-    val badHashes = freqRow.getSeq[Long](1)
-    // application form follows the set's size: a literal NOT-isin is
-    // cheapest while the boilerplate set is small (the normal regime),
-    // but it builds one catalyst In with |set| literal children — in an
-    // adversarial corpus near the window bound the set can reach
-    // nWindows/SubMaxBucket (~4.3M), where expression trees die; past
-    // the threshold the same driver-held set ships as a broadcast
-    // anti-join instead (map-side like the r13 form, any size)
-    val MaxIsinLiterals = 4096
+    val nBad = freqRow.getLong(1)
+    val badHashes = freqRow.getSeq[Long](2)
     val shf =
-      if (badHashes.isEmpty) sh
-      else if (badHashes.size <= MaxIsinLiterals) sh.filter(!col("h").isin(badHashes: _*))
+      if (nBad == 0L) sh
+      else if (nBad <= MaxIsinLiterals) sh.filter(!col("h").isin(badHashes: _*))
       else {
-        import s.implicits._
-        sh.join(broadcast(badHashes.toDF("h")), Seq("h"), "left_anti")
+        // over-cap boilerplate set: re-derive it distributed and apply
+        // map-side — one extra aggregation pass, only in this regime
+        val bad = sh.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") > SubMaxBucket).select("h")
+        sh.join(broadcast(bad), Seq("h"), "left_anti")
       }
     val pr = shf
       .as("a")

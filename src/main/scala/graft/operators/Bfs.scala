@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * relaxation loop: newly-reached vertices are exactly `candidates MINUS
   * already-reached` (a left-anti join).
   *
-  * The driver sees one boolean per round (frontier emptiness);
-  * `localCheckpoint` caps lineage per round (cluster mode would pass
-  * reliable checkpoints exactly as [[ConnectedComponents]] does).
+  * The driver sees one boolean per round (frontier emptiness); a
+  * per-round checkpoint caps lineage — executor-local by default,
+  * reliable (checkpoint-dir) under `reliableCheckpoints = true`,
+  * exactly as [[ConnectedComponents]].
   */
 object Bfs {
 
@@ -33,6 +34,11 @@ object Bfs {
     *                 internal reverse-union so frontier joins don't process
     *                 every edge row twice (candidates are distinct'ed, so
     *                 doubling is correct but pure wasted shuffle)
+    * @param reliableCheckpoints true = per-round checkpoints go to the
+    *                 SparkContext checkpoint directory instead of
+    *                 executor-local blocks (the [[PageRank]] /
+    *                 [[ConnectedComponents]] cluster mode; requires
+    *                 `sparkContext.setCheckpointDir`)
     * @return (vertex: Long, dist: Int) for every vertex within maxDepth
     *         hops of a seed (seeds themselves at dist 0)
     */
@@ -40,16 +46,19 @@ object Bfs {
       edges: DataFrame,
       seeds: DataFrame,
       maxDepth: Int,
-      edgesAlreadySymmetric: Boolean = false
+      edgesAlreadySymmetric: Boolean = false,
+      reliableCheckpoints: Boolean = false
   ): DataFrame = {
     import Checkpoints.{tracked => checkpointTracked}
     val e0 = edges.toDF("src", "dst")
     val (sym, symPin) = checkpointTracked(
       if (edgesAlreadySymmetric) e0
-      else e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      else e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))),
+      reliableCheckpoints
     )
     var (reached, reachedPin) = checkpointTracked(
-      seeds.toDF("vertex").distinct().select(col("vertex"), lit(0).as("dist"))
+      seeds.toDF("vertex").distinct().select(col("vertex"), lit(0).as("dist")),
+      reliableCheckpoints
     )
     var frontier = reached
     // the current frontier's blocks must stay pinned until the NEXT round
@@ -66,11 +75,12 @@ object Bfs {
       val (newlyReached, newPin) = checkpointTracked(
         candidates
           .join(reached, Seq("vertex"), "left_anti")
-          .select(col("vertex"), lit(depth + 1).as("dist"))
+          .select(col("vertex"), lit(depth + 1).as("dist")),
+        reliableCheckpoints
       )
       done = newlyReached.isEmpty
       if (!done) {
-        val (merged, mergedPin) = checkpointTracked(reached.union(newlyReached))
+        val (merged, mergedPin) = checkpointTracked(reached.union(newlyReached), reliableCheckpoints)
         Checkpoints.free(reachedPin)
         reached = merged
         reachedPin = mergedPin

@@ -501,6 +501,19 @@ object SeriesV2 {
       * and rejects a changed key set), so runtime specs are deliberately
       * NOT applied to the file list here — the readers still drop
       * non-member ROWS, which leaves partition keys intact.
+      *
+      * DUPLICATE-KEY FILES ARE DELIBERATELY TOLERATED (ADVICE r15):
+      * unlike [[keyedUniqueListing]] (the COMPLETE-aggregate claim,
+      * which needs every group wholly inside one file), the
+      * partitioning claim only needs every FILE to hold one key — a
+      * writeKeyRanged layout where one skey spans two files, or a
+      * writeKeyGrouped run split by `maxRecordsPerFile`, yields several
+      * splits carrying the same key, and that is the contract
+      * `HasPartitionKey` exists for: `DataSourceV2ScanExecBase.
+      * groupPartitions` groups equal-key splits into ONE partition
+      * before Spark compares partitionings. `numPartitions` reported
+      * below is therefore the DISTINCT key count, matching the grouped
+      * view Spark plans against, not the file count.
       */
     private lazy val keyedListing: Option[Array[(String, Long)]] = {
       val outputKeyed = agg match {

@@ -64,6 +64,53 @@ class ReliableCheckpointSpec extends SparkTestBase {
     }
   }
 
+  test("Betweenness and Bfs reliable mode: identical results, files in the dir (VERDICT r15 item 3)") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-reliable-ckpt-graph")
+    try {
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      val sym = {
+        val e = edges
+        e.union(e.select(e("dst").as("src"), e("src").as("dst")))
+      }
+      import spark.implicits._
+      val seeds = Seq(1L, 10L).toDF("v")
+
+      val bcLocal = Betweenness
+        .centrality(sym, seeds, maxDepth = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val filesBefore = Files.walk(dir).iterator().asScala.count(Files.isRegularFile(_))
+      val bcReliable = Betweenness
+        .centrality(sym, seeds, maxDepth = 3, reliableCheckpoints = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bcReliable == bcLocal, "reliable-checkpoint betweenness diverges from local mode")
+      val filesAfterBc = Files.walk(dir).iterator().asScala.count(Files.isRegularFile(_))
+      assert(filesAfterBc > filesBefore, s"no checkpoint files under $dir — Betweenness reliable path did not run")
+
+      val bfsLocal = Bfs
+        .distances(edges, seeds, maxDepth = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val bfsReliable = Bfs
+        .distances(edges, seeds, maxDepth = 4, reliableCheckpoints = true)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(bfsReliable == bfsLocal, "reliable-checkpoint BFS diverges from local mode")
+      val filesAfterBfs = Files.walk(dir).iterator().asScala.count(Files.isRegularFile(_))
+      assert(filesAfterBfs > filesAfterBc, s"no checkpoint files under $dir — Bfs reliable path did not run")
+
+      // Hits carries the flag since r15 but was never exercised reliable:
+      // same per-vertex scores bit-exactly (identical op order), files land
+      val hitsLocal = Hits.run(edges, iterations = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val hitsReliable = Hits.run(edges, iterations = 4, reliableCheckpoints = true)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(hitsReliable == hitsLocal, "reliable-checkpoint HITS diverges from local mode")
+      val filesAfterHits = Files.walk(dir).iterator().asScala.count(Files.isRegularFile(_))
+      assert(filesAfterHits > filesAfterBfs, s"no checkpoint files under $dir — Hits reliable path did not run")
+    } finally {
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("reliable mode without a checkpoint dir fails fast with a clear message") {
     // a fresh RDD context may carry the dir from the other test; only run
     // the assertion when unset (suite execution order is not guaranteed)
