@@ -408,7 +408,9 @@ object Bench {
           Files.writeString(marker, stamp)
         }
         val genSec = (System.nanoTime() - tGen0) / 1e9
-        val budget = sys.env.get("SPARK_GRAFT_SF1_BUDGET_SEC").map(_.toDouble).getOrElse(420.0)
+        // 480 s (round 16): the panel grew to 17 entries (the keyed-layout
+        // gates, both ~2 s with seeded baselines ordering them first)
+        val budget = sys.env.get("SPARK_GRAFT_SF1_BUDGET_SEC").map(_.toDouble).getOrElse(480.0)
         val t0 = System.nanoTime()
         def elapsed = (System.nanoTime() - t0) / 1e9
         val (known, unknown) = Sf1Queries.partition(SparkEntry.queries.contains)
@@ -484,8 +486,11 @@ object Bench {
         // names ship under "requeued" so the artifact shows which
         // verdicts earned their settle at requeue time.
         val Sf1RequeueMaxTries = 4
+        // sized for ~3 heavy requeued entries at ~40 s/window + brackets
+        // (measured in the round-16 standalone gate: 3 requeued, the 300 s
+        // default starved the last one's settle attempts)
         val requeueBudget =
-          sys.env.get("SPARK_GRAFT_SF1_REQUEUE_BUDGET_SEC").map(_.toDouble).getOrElse(300.0)
+          sys.env.get("SPARK_GRAFT_SF1_REQUEUE_BUDGET_SEC").map(_.toDouble).getOrElse(480.0)
         val tR0 = System.nanoTime()
         def rElapsed = (System.nanoTime() - tR0) / 1e9
         var sf1Requeued = List.empty[String]
