@@ -363,13 +363,16 @@ object Bench {
     //  - names not in SparkEntry.queries are reported under "unknown"
     //    (ADVICE r14: a rename must not silently shrink the panel);
     //  - every measurement window is BRACKETED by the primary canary and
-    //    the pair canary, and any reading > 2x its sf1 baseline gets up
-    //    to Sf1MaxTries fresh windows (budget permitting) — settling
-    //    when a window is QUIET under the main run's own quietWin
-    //    criterion (pair-certified for the CCM family) or the reading
-    //    lands under the bar. Per-query verdicts ship with try counts
-    //    and the quiet flag, so an above-bar sf1 ratio is either
-    //    quiet-certified evidence or explicitly unsettled noise.
+    //    the pair canary; the sweep itself is COVERAGE-FIRST (one window
+    //    per entry — round 16: inline retries burned the budget on early
+    //    entries under host noise and starved the tail), and any reading
+    //    > 2x its sf1 baseline is settled by the END-OF-RUN REQUEUE on
+    //    its own budget — fresh windows until one is QUIET under the
+    //    main run's own quietWin criterion (pair-certified for the CCM
+    //    family) or the reading lands under the bar. Per-query verdicts
+    //    ship with try counts and the quiet flag, so an above-bar sf1
+    //    ratio is either quiet-certified evidence or explicitly
+    //    unsettled noise.
     // Budget: SPARK_GRAFT_SF1_BUDGET_SEC (default 420 s). Disable with
     // SPARK_GRAFT_SF1=0; partial (SPARK_GRAFT_ONLY) runs skip it.
     val Sf1Queries = Vector(
@@ -390,7 +393,6 @@ object Bench {
     val sf1Enabled =
       if (only.isEmpty) !sys.env.get("SPARK_GRAFT_SF1").contains("0")
       else sys.env.get("SPARK_GRAFT_SF1").contains("1")
-    val Sf1MaxTries = 3
     val sf1Json =
       if (!sf1Enabled) "null"
       else try {
@@ -445,6 +447,13 @@ object Bench {
         // AFTER the full session, clean pass in a fresh JVM)
         spark.catalog.clearCache()
         final case class Sf1V(sec: Double, tries: Int, quiet: Boolean)
+        // COVERAGE-FIRST sweep (round 16, the r14 lesson finished): ONE
+        // bracketed window per entry, no inline retries — on a noisy host
+        // the r16 closing gate's inline retry loop burned the budget on
+        // early entries and starved 5 of 17 (the exact failure
+        // cheapest-first was built to prevent). The sweep's worst case is
+        // bounded (~one window each); ALL settling happens in the requeue
+        // phase below on its own budget, after every entry has a reading.
         val verdicts0 = ordered.flatMap { name =>
           // a prior query's task OOM can take the whole local context
           // down; ship the measured prefix instead of gate_failed
@@ -452,15 +461,9 @@ object Bench {
           else
             try {
               val fn = SparkEntry.queries(name)
-              val bar = BenchBaseline.sf1MinSec.get(name).map(barOf)
-              var windows = List(sf1Window(name, fn))
-              def best = windows.flatMap(_.t).minOption
-              def sawQuiet = windows.exists(w => w.t.isDefined && quietWin(name, w, canaryBase))
-              while (
-                bar.isDefined && best.exists(_ > bar.get) && !sawQuiet &&
-                windows.size < Sf1MaxTries && elapsed <= budget && !spark.sparkContext.isStopped
-              ) windows ::= sf1Window(name, fn)
-              best.map(b => name -> Sf1V(b, windows.size, sawQuiet))
+              val w = sf1Window(name, fn)
+              val quiet = w.t.isDefined && quietWin(name, w, canaryBase)
+              w.t.map(b => name -> Sf1V(b, 1, quiet))
             } catch {
               // canary/bracketing failures land here (the query body has
               // its own try in sf1Window): record, keep the gate alive
