@@ -1152,10 +1152,14 @@ object DedupQueries {
   private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     // localCheckpoint: the shingle relation feeds both sides of the pair
-    // self-join (same rationale as the MinHash signature relation above)
-    val sh = docs(s, dir)
+    // self-join (same rationale as the MinHash signature relation above).
+    // spark.graft.lowMemoryMode recomputes instead — see the banded
+    // twin's scaladoc for the measured small-executor OOM this avoids.
+    val sh0 = docs(s, dir)
       .select(col("doc_id"), posexplode(expr(s"graft_winhashes(text, $SubK, 1)")).as(Seq("pos", "h")))
-      .localCheckpoint()
+    val sh =
+      if (s.conf.getOption("spark.graft.lowMemoryMode").contains("true")) sh0
+      else sh0.localCheckpoint()
     // Loud scale guard (round 14, the evt_discord MaxSpineHours
     // precedent): the stride-1 pair relation grows superlinearly in
     // window count (measured 824M pairs at 137M windows; the r12 run at
@@ -1279,15 +1283,37 @@ object DedupQueries {
 
   private def dedupSubstringBanded(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val sh = docs(s, dir)
+    // LOW-MEMORY MODE (round 16, measured on the 10x replica against
+    // 2-executor clusters — SCALE.md "Multi-executor execution"): this
+    // query's two throughput choices trade executor MEMORY for wall
+    // time, and both fail hard (not slow) when per-executor heap is
+    // small relative to the corpus slice:
+    //  - the SHUFFLE_HASH joins are worth 2.8x wall (6.77 s hinted vs
+    //    18.91 s unhinted, fresh JVM min-of-3) by skipping the window
+    //    relation sorts — but a hash build cannot spill;
+    //  - the shingle localCheckpoint trades one graft_winhashes pass
+    //    per consumer (3 consumers) for holding the full window
+    //    relation in executor storage — at 10x that is GBs per
+    //    executor, a heap OOM on 8 GB executors before any join runs.
+    // Default keeps both (the 100-TB deployment sizes executors at
+    // >= 2 GB/slot and storage-headroom for its corpus slice);
+    // spark.graft.lowMemoryMode=true flips both to the O(1)-memory
+    // forms — spillable SMJ joins + recompute-per-consumer — measured
+    // PASSING on 4-thread/8 GB executors at 10x where the default
+    // form OOMs.
+    val lowMem = s.conf.getOption("spark.graft.lowMemoryMode").contains("true")
+    def hashHint(df: DataFrame): DataFrame = if (lowMem) df else df.hint("SHUFFLE_HASH")
+    val sh0 = docs(s, dir)
       .select(col("doc_id"), posexplode(expr(s"graft_winhashes(text, $SubK, 1)")).as(Seq("pos", "h")))
-      .localCheckpoint() // feeds the guard, the seed join, and the island pass
+    // feeds the guard, the seed join, and the island pass
+    val sh = if (lowMem) sh0 else sh0.localCheckpoint()
     val bad = sh.groupBy("h").agg(count(lit(1)).as("c")).filter(col("c") > SubMaxBucket).select("h")
     val shf = sh.join(broadcast(bad), Seq("h"), "left_anti") // map-side guard
     val seeds = shf.filter(col("pos") % SubSeedStride === 0)
     val survivors = seeds
       .as("a")
-      .hint("SHUFFLE_HASH") // build side = the 1/13 seed relation; no 213M-row sort
+      // build side = the 1/13 seed relation; no 213M-row sort
+      .transform(hashHint)
       .join(shf.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(
         col("a.doc_id").as("doc_a"),
@@ -1305,7 +1331,8 @@ object DedupQueries {
     val shfS = shf.join(broadcast(sdocs), "doc_id")
     val prS = shfS
       .as("a")
-      .hint("SHUFFLE_HASH") // skip the SMJ sort of both survivor-doc sides
+      // skip the SMJ sort of both survivor-doc sides
+      .transform(hashHint)
       .join(shfS.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),

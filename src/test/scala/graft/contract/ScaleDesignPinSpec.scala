@@ -32,6 +32,28 @@ class ScaleDesignPinSpec extends SparkTestBase {
     assert(!p.contains("Window"), "no window pass belongs in a forward round")
   }
 
+  test("dedup_substring_banded: SHUFFLE_HASH joins by default, spillable SMJ under lowMemoryMode") {
+    // round 16 (SCALE.md "Memory pressure"): the hash joins are the 2.8x
+    // wall win and the conf is the measured small-executor escape hatch —
+    // both plan shapes are pinned so neither can silently vanish
+    def planOf(): String =
+      SparkEntry.queries("dedup_substring_banded")(spark, dir).queryExecution.executedPlan.toString
+    def scans(p: String): Int = "Scan ExistingRDD".r.findAllIn(p).size
+    val default = planOf()
+    assert(default.contains("ShuffledHashJoin"), s"default plan lost its SHUFFLE_HASH joins:\n$default")
+    spark.conf.set("spark.graft.lowMemoryMode", "true")
+    try {
+      val lowMem = planOf()
+      assert(!lowMem.contains("ShuffledHashJoin"), s"lowMemoryMode must drop the un-spillable hash builds:\n$lowMem")
+      // the truth-scale survivors checkpoint stays in both modes; the
+      // data-proportional SHINGLE checkpoint must be gone in low-mem
+      assert(
+        scans(lowMem) < scans(default),
+        s"lowMemoryMode must not localCheckpoint the shingle relation (checkpoint scans: ${scans(lowMem)} vs ${scans(default)})"
+      )
+    } finally spark.conf.unset("spark.graft.lowMemoryMode")
+  }
+
   test("graph_betweenness's seed panel is a FIXED size while the eligible set grows with SF") {
     // the O(seeds·E·depth) knob: a stride-only panel grows with the key
     // space (40 seeds measured 39 s at sf0.1 before the cap). sf0.001 is
