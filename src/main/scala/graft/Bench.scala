@@ -373,8 +373,10 @@ object Bench {
     //    ship with try counts and the quiet flag, so an above-bar sf1
     //    ratio is either quiet-certified evidence or explicitly
     //    unsettled noise.
-    // Budget: SPARK_GRAFT_SF1_BUDGET_SEC (default 420 s). Disable with
-    // SPARK_GRAFT_SF1=0; partial (SPARK_GRAFT_ONLY) runs skip it.
+    // Budget: SPARK_GRAFT_SF1_BUDGET_SEC (default 480 s) for the sweep,
+    // SPARK_GRAFT_SF1_REQUEUE_BUDGET_SEC (default 480 s) for settling.
+    // Disable with SPARK_GRAFT_SF1=0; partial (SPARK_GRAFT_ONLY) runs
+    // skip it.
     val Sf1Queries = Vector(
       "dedup_substring_banded", "dedup_substring", // the twin comparison IS the signal
       "ccm_curve", "ccm_wide", "ccm_surrogate_fft", // CCM core + the FFT ladder
@@ -473,11 +475,10 @@ object Bench {
                 None
             }
         }
-        // END-OF-RUN SF1 REQUEUE (VERDICT r15 item 1): the inline retry
-        // above caps at Sf1MaxTries DURING the panel sweep, so a noise
-        // burst there could ship above-bar readings flagged quiet:false —
-        // "explicitly unsettled noise" whose settlement previously lived
-        // only in builder-run closing gates, outside the driver artifact.
+        // END-OF-RUN SF1 REQUEUE (VERDICT r15 item 1): the r15 gate could
+        // ship above-bar readings flagged quiet:false — "explicitly
+        // unsettled noise" whose settlement previously lived only in
+        // builder-run closing gates, outside the driver artifact.
         // This is the main run's requeue discipline applied to the panel:
         // after the sweep completes (the burst has had the whole panel's
         // duration to pass), every above-bar non-quiet entry gets fresh
