@@ -51,31 +51,23 @@ object Bench {
     // probe needs timed multi-executor runs too)
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     // SPARK_GRAFT_SPARK_CONF: same semicolon-separated extra-conf lever as
-    // Verify (executor classpath/opens/memory for multi-executor probes)
-    val extraConf = sys.env.get("SPARK_GRAFT_SPARK_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
-      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
-    val spark = extraConf
-      .foldLeft(
+    // Verify (executor classpath/opens/memory for multi-executor probes);
+    // format and limitation documented once in [[ExtraConf]].
+    val spark = ExtraConf
+      .applyTo(
         SparkSession.builder()
           .master(master)
           .config("spark.sql.shuffle.partitions", cpus)
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false")
-      )((b, kv) => b.config(kv._1, kv._2))
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Fixed canary: constant-cost scan + small shuffle, no data files, no
     // caching effects. Its drift measures HOST noise, not query cost.
-    def canaryOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 8000000L, 1L, 16)
-        .selectExpr("id % 64 AS k", "id % 9973 AS v")
-        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
-        .queryExecution.toRdd.count()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // (Workload body shared with the sf1 seeding tool via BenchCanary.)
+    def canaryOnce(): Double = BenchCanary.scanShuffleOnce(spark)
 
     // Second, PAIR-JOIN-SHAPED canary (round 13): the scan+shuffle canary
     // above proved blind to the host dimension that inflates the CCM
@@ -87,15 +79,7 @@ object Bench {
     // as canary_pair drift in the run artifact instead of needing a
     // three-build forensic. Sampled only at run start and end (it costs
     // ~0.2 s; bracketing 278 windows with it would add minutes).
-    def canaryPairOnce(): Double = {
-      val t0 = System.nanoTime()
-      val r = spark.range(0L, 60000L, 1L, 16).selectExpr("id % 2000 AS k", "id AS v")
-      r.as("a").join(r.as("b"), org.apache.spark.sql.functions.expr("a.k = b.k"))
-        .selectExpr("a.k AS k", "abs(a.v - b.v) AS d")
-        .groupBy("k").agg(org.apache.spark.sql.functions.min("d"))
-        .queryExecution.toRdd.count()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def canaryPairOnce(): Double = BenchCanary.pairJoinOnce(spark)
     val canaryPairSamples = collection.mutable.ArrayBuffer.empty[Double]
 
     // Untimed JIT/codegen warmup on the smallest SF: the first heavy
@@ -373,10 +357,10 @@ object Bench {
     //    ship with try counts and the quiet flag, so an above-bar sf1
     //    ratio is either quiet-certified evidence or explicitly
     //    unsettled noise.
-    // Budget: SPARK_GRAFT_SF1_BUDGET_SEC (default 480 s) for the sweep,
-    // SPARK_GRAFT_SF1_REQUEUE_BUDGET_SEC (default 480 s) for settling.
-    // Disable with SPARK_GRAFT_SF1=0; partial (SPARK_GRAFT_ONLY) runs
-    // skip it.
+    // The one-window sweep is UNBUDGETED (its cost is bounded by the
+    // panel itself); only requeue settling is bounded, by
+    // SPARK_GRAFT_SF1_REQUEUE_BUDGET_SEC (default 480 s). Disable with
+    // SPARK_GRAFT_SF1=0; partial (SPARK_GRAFT_ONLY) runs skip it.
     val Sf1Queries = Vector(
       "dedup_substring_banded", "dedup_substring", // the twin comparison IS the signal
       "ccm_curve", "ccm_wide", "ccm_surrogate_fft", // CCM core + the FFT ladder
@@ -395,28 +379,15 @@ object Bench {
     val sf1Enabled =
       if (only.isEmpty) !sys.env.get("SPARK_GRAFT_SF1").contains("0")
       else sys.env.get("SPARK_GRAFT_SF1").contains("1")
-    val sf1Json =
-      if (!sf1Enabled) "null"
+    val (sf1Json, sf1Compact) =
+      if (!sf1Enabled) ("null", "null")
       else try {
         val copies = 10
         val dst = "/tmp/graft_bench_sf1"
-        val marker = Paths.get(s"$dst/_GRAFT_SCALEGEN_OK")
-        // the stamp carries every input that changes the replica's CONTENT:
-        // a degenerate-corpus run (SPARK_GRAFT_DEGENERATE=1, the SCALE.md
-        // adversarial experiment) must not leave a cache a normal run reuses
-        val degenerate = sys.env.get("SPARK_GRAFT_DEGENERATE").contains("1")
-        val stamp = s"$sfDir x$copies degenerate=$degenerate"
         val tGen0 = System.nanoTime()
-        if (!(Files.exists(marker) && Files.readString(marker) == stamp)) {
-          graft.tools.ScaleGen.generate(spark, sfDir, dst, copies)
-          Files.writeString(marker, stamp)
-        }
+        // generate-or-reuse with the content stamp (shared with Sf1Seed)
+        graft.tools.ScaleGen.ensureReplica(spark, sfDir, dst, copies)
         val genSec = (System.nanoTime() - tGen0) / 1e9
-        // 480 s (round 16): the panel grew to 17 entries (the keyed-layout
-        // gates, both ~2 s with seeded baselines ordering them first)
-        val budget = sys.env.get("SPARK_GRAFT_SF1_BUDGET_SEC").map(_.toDouble).getOrElse(480.0)
-        val t0 = System.nanoTime()
-        def elapsed = (System.nanoTime() - t0) / 1e9
         val (known, unknown) = Sf1Queries.partition(SparkEntry.queries.contains)
         val ordered = known.sortBy(n => BenchBaseline.sf1MinSec.getOrElse(n, Double.MaxValue))
         var sf1Failed = List.empty[String]
@@ -456,10 +427,21 @@ object Bench {
         // cheapest-first was built to prevent). The sweep's worst case is
         // bounded (~one window each); ALL settling happens in the requeue
         // phase below on its own budget, after every entry has a reading.
+        //
+        // The sweep is EXEMPT from any time budget (VERDICT r16 item 1):
+        // BENCH_r16 still skipped graph_betweenness because the 480 s
+        // budget bounded the sweep itself and a drift-17 host consumed it
+        // before the heaviest entry ran. The sweep's cost is bounded by
+        // construction (one window per panel entry, ~the sf1 baseline sum
+        // plus brackets), so the only thing a budget bought here was
+        // exactly the artifact gap it was meant to prevent. The budget
+        // env (SPARK_GRAFT_SF1_BUDGET_SEC) is retired; the requeue phase
+        // keeps its own bound below. "skipped" remains only for a dead
+        // SparkContext (a prior task OOM can take local mode down).
         val verdicts0 = ordered.flatMap { name =>
           // a prior query's task OOM can take the whole local context
           // down; ship the measured prefix instead of gate_failed
-          if (elapsed > budget || spark.sparkContext.isStopped) { skipped ::= name; None }
+          if (spark.sparkContext.isStopped) { skipped ::= name; None }
           else
             try {
               val fn = SparkEntry.queries(name)
@@ -540,30 +522,54 @@ object Bench {
         val failJson = sf1Failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
         val unknownJson = unknown.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
         val requeuedJson = sf1Requeued.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-        f"""{"copies":$copies,"gen_sec":$genSec%.1f,"order":"cheapest_first","queries":$qJson,"vs_baseline":$ratioJson,"verdicts":$verdictJson,"requeued":$requeuedJson,"skipped":$skipJson,"failed":$failJson,"unknown":$unknownJson}"""
+        val full =
+          f"""{"copies":$copies,"gen_sec":$genSec%.1f,"order":"cheapest_first","queries":$qJson,"vs_baseline":$ratioJson,"verdicts":$verdictJson,"requeued":$requeuedJson,"skipped":$skipJson,"failed":$failJson,"unknown":$unknownJson}"""
+        // COMPACT sf1 summary for the tail line (VERDICT r16 item 2): the
+        // full per-query maps above are ~2 KB — embedding them in the
+        // final stdout line front-truncated the driver's 2000-char tail
+        // capture and the "metric":"total" headline fell off BENCH_r16.
+        // The compact form carries only the verdict-bearing facts: panel
+        // size vs measured count, the loud lists (skipped/failed/
+        // requeued/unknown), any entry above its 2x bar with its ratio
+        // and quiet flag, and the panel's worst ratio. Per-query detail
+        // stays in the full line and bench_out.json.
+        val ratios = verdicts.flatMap { case (k, v) =>
+          BenchBaseline.sf1MinSec.get(k).map(b => (k, v.sec / b, v.quiet))
+        }
+        val aboveBarJson = ratios
+          .filter(_._2 > 2.0)
+          .map { case (k, r, q) => "\"" + k + "\":" + f"""{"ratio":$r%.2f,"quiet":$q}""" }
+          .mkString("{", ",", "}")
+        val maxRatio = ratios.map(_._2).maxOption.getOrElse(0.0)
+        val compactSf1 =
+          f"""{"n":${known.size},"measured":${verdicts.size},"skipped":$skipJson,"failed":$failJson,"unknown":$unknownJson,"requeued":$requeuedJson,"above_bar":$aboveBarJson,"max_ratio":$maxRatio%.2f}"""
+        (full, compactSf1)
       } catch {
         // the sf1 gate must never take the round artifact down with it
         // (replica generation can hit disk limits a normal run never sees)
         case e: Throwable =>
           System.err.println(s"[bench sf1] gate failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          "\"gate_failed\""
+          ("\"gate_failed\"", "\"gate_failed\"")
       }
     val json =
       s"""{"metric":"$metricName","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"canary":$canaryJson,"canary_pair":$canaryPairJson,"drift":${f"$preRequeueDrift%.3f"},"requeue":$requeueJson,"above_bar_quiet":$aboveJson,"failed":$failedJson,"runs_per_query":$Runs,"agg":"min","sf":"$sfDir","sf1_subset":$sf1Json$onlyJson}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json)
-    // ---- compact self-describing tail line (VERDICT r13 item 8): the
-    // driver's artifact keeps only the LAST ~2000 chars of stdout and
-    // tries to parse a JSON body from it; the full line above (~14 KB
-    // of per-query maps) can never fit, which is why every BENCH_rN
-    // had "parsed": null. This line carries the verdict-bearing fields
-    // (total, canaries, drift, requeues, failures, the sf1 gate) in
-    // well under the window; per-query detail stays in the full line
-    // and in bench_out.json (committed with the repo).
+    // ---- compact self-describing tail line (VERDICT r13 item 8; made
+    // truncation-proof r17 per VERDICT r16 item 2): the driver's
+    // artifact keeps only the LAST ~2000 chars of stdout and tries to
+    // parse a JSON body from it; the full line above (~14 KB of
+    // per-query maps) can never fit. The r16 form embedded the FULL sf1
+    // gate maps (~2 KB) here too, so even this line front-truncated and
+    // the "metric":"total" headline fell off the artifact. The compact
+    // line now carries the compact sf1 summary instead (panel counts,
+    // loud lists, above-bar ratios) and is printed LAST — total first in
+    // the line, whole line well under the window; per-query detail stays
+    // in the full line and in bench_out.json (committed with the repo).
     val requeueUnsettled = requeued.toSeq.collect { case (k, (_, _, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"$metricName","value":$total,"unit":"sec","n_queries":${summary.count(_._2.isDefined)},"canary":$canaryJson,"canary_pair":$canaryPairJson,"drift":${f"$preRequeueDrift%.3f"},"requeue_n":${requeued.size},"requeue_unsettled":$requeueUnsettled,"above_bar_quiet":$aboveJson,"failed":$failedJson,"sf":"$sfDir","sf1_subset":$sf1Json,"queries_in":"bench_out.json"}"""
+      s"""{"metric":"$metricName","value":$total,"unit":"sec","n_queries":${summary.count(_._2.isDefined)},"canary":$canaryJson,"canary_pair":$canaryPairJson,"drift":${f"$preRequeueDrift%.3f"},"requeue_n":${requeued.size},"requeue_unsettled":$requeueUnsettled,"above_bar_quiet":$aboveJson,"failed":$failedJson,"sf":"$sfDir","sf1_subset":$sf1Compact,"queries_in":"bench_out.json"}"""
     println(compact)
     spark.stop()
   }

@@ -18,18 +18,16 @@ object Verify {
     // SPARK_GRAFT_SPARK_CONF: semicolon-separated extra spark confs
     // ("k=v;k2=v2") — the multi-executor probe needs executor classpath /
     // module-opens / memory settings that contain spaces, which the
-    // build.sbt javaOptions splitter cannot carry.
-    val extraConf = sys.env.get("SPARK_GRAFT_SPARK_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
-      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
-    val spark = extraConf
-      .foldLeft(
+    // build.sbt javaOptions splitter cannot carry. Format and the
+    // no-semicolons-in-values limitation: [[ExtraConf]].
+    val spark = ExtraConf
+      .applyTo(
         SparkSession.builder()
           .master(master)
           .config("spark.sql.shuffle.partitions", cpus)
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false")
-      )((b, kv) => b.config(kv._1, kv._2))
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

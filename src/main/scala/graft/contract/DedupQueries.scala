@@ -1183,12 +1183,18 @@ object DedupQueries {
     // over-bound regime the set can reach ~nWindows/SubMaxBucket (~4.3M
     // boxed entries near the bound), and an uncapped collect_list would
     // OOM the driver BEFORE the loud MaxSubstringWindows guard below can
-    // fire. slice() trims the list executor-side, so the driver never
-    // receives more than MaxIsinLiterals + 1 hashes; n_bad carries the
-    // true size, and when it exceeds the cap the set is re-derived as a
-    // DataFrame and applied as a broadcast anti-join (the r13 form) —
-    // the second pass lands only on that rare regime, never the normal
-    // one.
+    // fire. slice() trims the list executor-side, so THIS aggregate hands
+    // the driver at most MaxIsinLiterals + 1 hashes and the normal-regime
+    // path never builds a giant boxed list or a multi-million-literal
+    // Catalyst In tree; n_bad carries the true size, and when it exceeds
+    // the cap the set is re-derived as a DataFrame and applied as a
+    // broadcast anti-join (the r13 form). Note the over-cap regime still
+    // moves the full bad set through the driver once — building the
+    // broadcast relation collects it — but as compact unsafe rows inside
+    // Spark's broadcast machinery (with its own size guards), not as a
+    // boxed collect_list row plus a literal expression tree; the cap
+    // bounds the EXPRESSION path, not driver traffic entirely (ADVICE
+    // r16).
     val MaxIsinLiterals = 4096
     val freqRow = sh
       .groupBy("h")
@@ -1298,11 +1304,34 @@ object DedupQueries {
     // Default keeps both (the 100-TB deployment sizes executors at
     // >= 2 GB/slot and storage-headroom for its corpus slice);
     // spark.graft.lowMemoryMode=true flips both to the O(1)-memory
-    // forms — spillable SMJ joins + recompute-per-consumer — measured
-    // PASSING on 4-thread/8 GB executors at 10x where the default
-    // form OOMs.
+    // forms — spillable SMJ joins + recompute-per-consumer.
+    //
+    // THIRD lever under lowMemoryMode (VERDICT r16 item 4): the r16
+    // memory table showed 2×4thr×8 GB + lowMemoryMode still failing at
+    // 10x — but in the window-relation SMJ, minutes past the checkpoint
+    // OOM it had fixed. The remaining term is per-TASK slice size: at
+    // the session's 32 shuffle partitions a 137M-window relation sorts
+    // ~4M rows per task per side, and four concurrent tasks' sort+join
+    // buffers exceed a 2 GB slot. Memory per task is windows/partitions,
+    // so the fixed-heap fix is more partitions, not more heap: in lowMem
+    // both sides of both window-hash joins are explicitly repartitioned
+    // by h into lowMemParts (default 8× spark.sql.shuffle.partitions,
+    // override spark.graft.lowMemoryMode.substringPartitions). Both
+    // sides share one partitioning, so the SMJ adds no extra exchange,
+    // and an explicit numPartitions is exempt from AQE coalescing —
+    // the slices stay small by construction. Value-identical (hash
+    // partitioning only relocates groups); measured passing on
+    // 2×4thr×8 GB at 10x — SCALE.md "Memory pressure".
     val lowMem = s.conf.getOption("spark.graft.lowMemoryMode").contains("true")
+    val lowMemParts =
+      if (!lowMem) 0
+      else s.conf
+        .getOption("spark.graft.lowMemoryMode.substringPartitions")
+        .map(_.toInt)
+        .getOrElse(8 * s.conf.get("spark.sql.shuffle.partitions").toInt)
     def hashHint(df: DataFrame): DataFrame = if (lowMem) df else df.hint("SHUFFLE_HASH")
+    def slicePart(df: DataFrame): DataFrame =
+      if (lowMem) df.repartition(lowMemParts, col("h")) else df
     val sh0 = docs(s, dir)
       .select(col("doc_id"), posexplode(expr(s"graft_winhashes(text, $SubK, 1)")).as(Seq("pos", "h")))
     // feeds the guard, the seed join, and the island pass
@@ -1311,10 +1340,11 @@ object DedupQueries {
     val shf = sh.join(broadcast(bad), Seq("h"), "left_anti") // map-side guard
     val seeds = shf.filter(col("pos") % SubSeedStride === 0)
     val survivors = seeds
+      .transform(slicePart)
       .as("a")
       // build side = the 1/13 seed relation; no 213M-row sort
       .transform(hashHint)
-      .join(shf.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .join(shf.transform(slicePart).as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
@@ -1330,10 +1360,11 @@ object DedupQueries {
       .distinct()
     val shfS = shf.join(broadcast(sdocs), "doc_id")
     val prS = shfS
+      .transform(slicePart)
       .as("a")
       // skip the SMJ sort of both survivor-doc sides
       .transform(hashHint)
-      .join(shfS.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .join(shfS.transform(slicePart).as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),

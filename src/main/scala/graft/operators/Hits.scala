@@ -29,8 +29,12 @@ object Hits {
     */
   def run(edges: DataFrame, iterations: Int = 6, reliableCheckpoints: Boolean = false): DataFrame = {
     val (e, eRdds) = Checkpoints.tracked(edges.toDF("src", "dst"), reliableCheckpoints)
+    // the initial hubs relation forwards the flag too (ADVICE r16: it
+    // rode a localCheckpoint even in reliable mode, so an executor loss
+    // before the first interval checkpoint was unrecoverable)
     var (hubs, hubRdds) = Checkpoints.tracked(
-      e.select(col("src").as("vertex")).distinct().withColumn("h", lit(1.0))
+      e.select(col("src").as("vertex")).distinct().withColumn("h", lit(1.0)),
+      reliableCheckpoints
     )
     var auths: DataFrame = null
     var authRdds: Checkpoints.Pin = null

@@ -52,28 +52,41 @@ object PrefixSum {
       order: Seq[Column],
       value: Column,
       out: String,
-      numPartitions: Int = 0
-  ): DataFrame = runningSumTracked(df, order, value, out, numPartitions)._1
+      numPartitions: Int = 0,
+      reliableCheckpoints: Boolean = false
+  ): DataFrame =
+    runningSumTracked(df, order, value, out, numPartitions, reliableCheckpoints)._1
 
   /** [[runningSumPinned]] plus the pinned checkpoint blocks, for callers that
     * free them once the result is materialized (same tracked/free
     * discipline as the iterative operators).
+    */
+  /** @param reliableCheckpoints true = the phase-boundary checkpoint goes
+    *        to the SparkContext checkpoint dir (survives executor loss —
+    *        both phases re-read it, so a lost localCheckpoint block here
+    *        kills the whole scan; same contract as the iterative
+    *        operators, VERDICT r16 item 6). Requires `setCheckpointDir`.
     */
   def runningSumTracked(
       df: DataFrame,
       order: Seq[Column],
       value: Column,
       out: String,
-      numPartitions: Int = 0
+      numPartitions: Int = 0,
+      reliableCheckpoints: Boolean = false
   ): (DataFrame, Checkpoints.Pin) = {
     val spark = df.sparkSession
     val n =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val v = coalesce(value.cast("long"), lit(0L))
+    // `__part` is computed BEFORE the checkpoint, so its values are
+    // frozen in the checkpointed rows — both phases read the same ids in
+    // either mode (reliable mode replays them from files after a loss).
     val (parted, pinned) = Checkpoints.tracked(
       df.repartitionByRange(n, order: _*)
-        .withColumn("__part", spark_partition_id())
+        .withColumn("__part", spark_partition_id()),
+      reliableCheckpoints
     )
     val w = Window.partitionBy(col("__part")).orderBy(order: _*)
     // per-partition totals: n rows to the driver — metadata, not data

@@ -35,17 +35,24 @@ object StarContraction {
     *                cap of 25 means ~2²⁵ vertices in one component;
     *                non-convergence FAILS loudly like minLabelPropagation
     * @param reliableEvery as in [[ConnectedComponents.minLabelPropagation]]
+    * @param reliableCheckpoints true = EVERY round's checkpoint goes to
+    *                the SparkContext checkpoint dir (the full-reliable
+    *                mode Betweenness/Bfs/Hits carry, VERDICT r16 item 6 —
+    *                `reliableEvery` is the cheaper hybrid that bounds
+    *                recomputation instead; this flag wins when both set)
     */
   def connectedComponents(
       edges: DataFrame,
       maxIter: Int = 25,
-      reliableEvery: Int = 0
+      reliableEvery: Int = 0,
+      reliableCheckpoints: Boolean = false
   ): DataFrame = {
     import Checkpoints.{tracked => checkpointTracked}
     // hybrid in-between rounds persist with lineage intact (ADVICE r7) —
     // same rationale as ConnectedComponents.roundPin
     def roundPin(df: DataFrame, reliableRound: Boolean): (DataFrame, Checkpoints.Pin) =
-      if (reliableEvery > 0) {
+      if (reliableCheckpoints) checkpointTracked(df, reliable = true)
+      else if (reliableEvery > 0) {
         if (reliableRound) checkpointTracked(df, reliable = true)
         else Checkpoints.cached(df)
       } else checkpointTracked(df)

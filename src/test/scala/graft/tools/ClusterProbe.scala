@@ -43,17 +43,14 @@ import org.apache.spark.sql.functions._
 object ClusterProbe {
   def main(args: Array[String]): Unit = {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,16,8192]")
-    val extraConf = sys.env.get("SPARK_GRAFT_SPARK_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
-      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
-    val spark = extraConf
-      .foldLeft(
+    val spark = graft.ExtraConf
+      .applyTo(
         SparkSession.builder()
           .master(master)
           .appName("graft-cluster-probe")
           .config("spark.sql.shuffle.partitions", 32)
           .config("spark.ui.enabled", "false")
-      )((b, kv) => b.config(kv._1, kv._2))
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failures = List.empty[String]

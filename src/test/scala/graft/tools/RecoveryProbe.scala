@@ -33,11 +33,8 @@ import org.apache.spark.sql.functions._
 object RecoveryProbe {
   def main(args: Array[String]): Unit = {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,16,8192]")
-    val extraConf = sys.env.get("SPARK_GRAFT_SPARK_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
-      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
-    val spark = extraConf
-      .foldLeft(
+    val spark = graft.ExtraConf
+      .applyTo(
         SparkSession.builder()
           .master(master)
           .appName("graft-recovery-probe")
@@ -45,7 +42,7 @@ object RecoveryProbe {
           // the probe's point is surviving executor loss, so retries stay on
           .config("spark.stage.maxConsecutiveAttempts", "8")
           .config("spark.ui.enabled", "false")
-      )((b, kv) => b.config(kv._1, kv._2))
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ckpt = Files.createTempDirectory("graft-recovery-ckpt")
@@ -74,11 +71,18 @@ object RecoveryProbe {
     println(s"PROBE truth rows=${truth.size}")
 
     // executor JVMs = children of this JVM's worker threads? No — find
-    // CoarseGrainedExecutorBackend processes by command line.
+    // CoarseGrainedExecutorBackend processes by command line, AND filter
+    // to THIS application's executors (ADVICE r16: the backend launch
+    // line carries `--app-id <spark.app.id>`; matching on the class name
+    // alone could destroyForcibly another Spark app's executor on a
+    // shared host).
+    val appId = spark.sparkContext.applicationId
     def executorPids(): Seq[Long] = {
       import scala.jdk.CollectionConverters._
       ProcessHandle.allProcesses().iterator().asScala
-        .filter(_.info().commandLine().map[Boolean](_.contains("CoarseGrainedExecutorBackend")).orElse(false))
+        .filter(_.info().commandLine().map[Boolean] { cl =>
+          cl.contains("CoarseGrainedExecutorBackend") && cl.contains(appId)
+        }.orElse(false))
         .map(_.pid().longValue())
         .toSeq
     }
