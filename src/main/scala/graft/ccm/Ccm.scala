@@ -61,12 +61,11 @@ object Ccm {
     val base =
       df.select(Seq(skey.cast("long").as("skey"), x.as("x"), y.as("y")) ++ order.map(col): _*)
     val ord = order.map(col)
-    // Direction trap (`lib/ccm.ex:49-53`): x_causes_y embeds Y, targets X.
-    def oneDir(src: Column, tgt: Column, dir: String): DataFrame =
-      CcmPipeline
-        .embedded(base, Seq("skey"), ord, src, tgt, spec.embeddingDim, spec.tau)
-        .withColumn("direction", lit(dir))
-    val emb = oneDir($"y", $"x", DirXCausesY).unionByName(oneDir($"x", $"y", DirYCausesX))
+    // Direction trap (`lib/ccm.ex:49-53`): x_causes_y embeds Y, targets X
+    // — encoded once in [[CcmPipeline.embeddedBoth]], which computes both
+    // directions in a single window pass (round 17; the former two-branch
+    // union sorted and windowed the shared base twice).
+    val emb = CcmPipeline.embeddedBoth(base, Seq("skey"), ord, $"x", $"y", spec.embeddingDim, spec.tau)
     val keys = Seq("skey", "direction")
     // localCheckpoint: the ranked relation feeds BOTH sides of the kNN
     // self-join (plus the n_pts guard subquery) — ReuseExchange dedupes

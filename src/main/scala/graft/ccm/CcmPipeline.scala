@@ -62,6 +62,67 @@ object CcmPipeline {
       .filter(col(s"e${e - 1}").isNotNull) // rows past n-(E-1)tau have no full point
   }
 
+  /** BOTH directions' embeddings in ONE window pass (round 17, guide
+    * §2.4 "remove shuffles outright"): the historical form unioned two
+    * [[embedded]] branches — each with its own Sort + two Window passes
+    * over the same shuffled base (AQE reuses the identical exchange, but
+    * everything above it ran twice). Here ONE window spec computes the
+    * leads of BOTH columns plus the shared idx, and an in-stage
+    * `explode(array(structXcY, structYcX))` splits rows per direction —
+    * exactly the union's row multiset (`x_causes_y` embeds Y targets X,
+    * `lib/ccm.ex:49-53`), with one Sort and one Window pass. Generator +
+    * top-level filter keep whole-stage codegen (the reusePairs lesson:
+    * higher-order filter() is interpreted-only).
+    */
+  def embeddedBoth(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[Column],
+      x: Column,
+      y: Column,
+      e: Int,
+      tau: Int
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    def leads(c: Column, tag: String): Seq[Column] =
+      (0 until e).map(j =>
+        (if (j == 0) c else lead(c, j * tau).over(w)).as(s"__$tag$j")
+      )
+    def tgtOf(c: Column, tag: String): Column =
+      (if ((e - 1) * tau == 0) c else lead(c, (e - 1) * tau).over(w)).as(s"__t$tag")
+    // window pass: every lead of both columns + the shared idx, flat
+    val flat = df.select(
+      keys.map(col) ++
+        Seq((row_number().over(w) - 1).cast("long").as("idx")) ++
+        leads(y, "y") ++ leads(x, "x") ++
+        Seq(tgtOf(x, "x"), tgtOf(y, "y")): _*
+    )
+    def dirStruct(dir: String, srcTag: String, tgtTag: String): Column =
+      struct(
+        (lit(dir).as("direction") +:
+          (0 until e).map(j => col(s"__$srcTag$j").as(s"e$j"))) :+
+          col(s"__t$tgtTag").as("tgt"): _*
+      )
+    flat
+      .select(
+        keys.map(col) ++ Seq(
+          col("idx"),
+          explode(
+            array(
+              dirStruct(graft.ccm.Ccm.DirXCausesY, "y", "x"),
+              dirStruct(graft.ccm.Ccm.DirYCausesX, "x", "y")
+            )
+          ).as("__d")
+        ): _*
+      )
+      .select(
+        keys.map(col) ++ Seq(col("idx")) ++
+          (0 until e).map(j => col(s"__d.e$j").as(s"e$j")) ++
+          Seq(col("__d.tgt").as("tgt"), col("__d.direction").as("direction")): _*
+      )
+      .filter(col(s"e${e - 1}").isNotNull)
+  }
+
   /** Hash-rank every embedding row within each (series, sample) cell.
     * Output adds (sample_id, rank): rows with rank <= L form the library for
     * lib size L; the complement is the prediction set.
@@ -125,7 +186,13 @@ object CcmPipeline {
     // stage at the configured shuffle width — REPARTITION_BY_NUM shuffles
     // are exempt from AQE coalescing — and `spark.sql.shuffle.partitions`
     // remains the operator's sizing knob for exactly this stage at cluster
-    // scale. Values are unchanged: partitioning only affects parallelism.
+    // scale. (Round 17 tried moving this pin BELOW the rank window inside
+    // [[ranked]], betting that localCheckpoint's LogicalRDD preserves the
+    // partitioning so the self-join would plan zero exchanges: it does
+    // NOT — the checkpointed scan reports UnknownPartitioning(0), the
+    // join fell back to ENSURE_REQUIREMENTS exchanges that AQE coalesced,
+    // and ccm_wide went 3.4 s -> 9.4 s. Measured, reverted; the pin must
+    // live here, ABOVE the checkpoint.)
     val rdf = rankedDf.repartition(
       spark.sessionState.conf.numShufflePartitions,
       (k :+ col("sample_id")): _*

@@ -1324,11 +1324,8 @@ object CcmQueries {
     import s.implicits._
     val base = bootInput(s, dir)
       .select(col("user_id").cast("long").as("skey"), col("ts"), col("x"), col("y"))
-    def oneDir(src: org.apache.spark.sql.Column, tgt: org.apache.spark.sql.Column, dirName: String) =
-      CcmPipeline
-        .embedded(base, Seq("skey"), Seq(col("ts")), src, tgt, bootSpec.embeddingDim, bootSpec.tau)
-        .withColumn("direction", lit(dirName))
-    val emb = oneDir($"y", $"x", Ccm.DirXCausesY).unionByName(oneDir($"x", $"y", Ccm.DirYCausesX))
+    val emb = CcmPipeline
+      .embeddedBoth(base, Seq("skey"), Seq(col("ts")), $"x", $"y", bootSpec.embeddingDim, bootSpec.tau)
     val keys = Seq("skey", "direction")
     val rk = CcmPipeline
       .ranked(emb, keys, bootSpec.numSamples, bootSpec.seed, col("skey"))
