@@ -568,8 +568,26 @@ object Bench {
     // in the full line and in bench_out.json (committed with the repo).
     val requeueUnsettled = requeued.toSeq.collect { case (k, (_, _, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // Per-FAMILY subtotals + the N heaviest per-query seconds in the FINAL
+    // line (VERDICT r17 item 1): the driver keeps only a ~2000-char stdout
+    // tail, so the full 283-entry "queries" map (~6 KB, in the full line
+    // above and bench_out.json) has never been driver-visible — PERF
+    // round-over-round came back empty two rounds running. 31 family
+    // subtotals (~400 B) + top-10 heaviest queries (~280 B) localize any
+    // regression to a family from the tail alone.
+    def familyOf(name: String): String =
+      if (name.matches("q\\d+_.*")) "tpch" else name.takeWhile(_ != '_')
+    val perQuery = summary.collect { case (k, Some(v), _) => (k, v) }
+    val famJson = perQuery
+      .groupMapReduce { case (k, _) => familyOf(k) } { case (_, v) => v }(_ + _)
+      .toSeq.sortBy(_._1)
+      .map { case (fam, s) => "\"" + fam + "\":" + f"$s%.1f" }
+      .mkString("{", ",", "}")
+    val topJson = perQuery.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"$metricName","value":$total,"unit":"sec","n_queries":${summary.count(_._2.isDefined)},"canary":$canaryJson,"canary_pair":$canaryPairJson,"drift":${f"$preRequeueDrift%.3f"},"requeue_n":${requeued.size},"requeue_unsettled":$requeueUnsettled,"above_bar_quiet":$aboveJson,"failed":$failedJson,"sf":"$sfDir","sf1_subset":$sf1Compact,"queries_in":"bench_out.json"}"""
+      s"""{"metric":"$metricName","value":$total,"unit":"sec","n_queries":${summary.count(_._2.isDefined)},"canary":$canaryJson,"canary_pair":$canaryPairJson,"drift":${f"$preRequeueDrift%.3f"},"requeue_n":${requeued.size},"requeue_unsettled":$requeueUnsettled,"above_bar_quiet":$aboveJson,"failed":$failedJson,"families":$famJson,"top_queries":$topJson,"sf":"$sfDir","sf1_subset":$sf1Compact,"queries_in":"bench_out.json"}"""
     println(compact)
     spark.stop()
   }

@@ -88,20 +88,20 @@ object CcmPipeline {
       (0 until e).map(j =>
         (if (j == 0) c else lead(c, j * tau).over(w)).as(s"__$tag$j")
       )
-    def tgtOf(c: Column, tag: String): Column =
-      (if ((e - 1) * tau == 0) c else lead(c, (e - 1) * tau).over(w)).as(s"__t$tag")
-    // window pass: every lead of both columns + the shared idx, flat
+    // window pass: every lead of both columns + the shared idx, flat.
+    // The direction's target is the OTHER column's last lead — the same
+    // lead(col, (e-1)*tau) expression as __x{e-1}/__y{e-1}, so it is
+    // reused below instead of aliased twice (ADVICE r17 item 3).
     val flat = df.select(
       keys.map(col) ++
         Seq((row_number().over(w) - 1).cast("long").as("idx")) ++
-        leads(y, "y") ++ leads(x, "x") ++
-        Seq(tgtOf(x, "x"), tgtOf(y, "y")): _*
+        leads(y, "y") ++ leads(x, "x"): _*
     )
     def dirStruct(dir: String, srcTag: String, tgtTag: String): Column =
       struct(
         (lit(dir).as("direction") +:
           (0 until e).map(j => col(s"__$srcTag$j").as(s"e$j"))) :+
-          col(s"__t$tgtTag").as("tgt"): _*
+          col(s"__$tgtTag${e - 1}").as("tgt"): _*
       )
     flat
       .select(

@@ -46,6 +46,11 @@ object CcmStagePlan {
       .filter(col("y").isNotNull)
       .select(col("user_id").cast("long").as("skey"), col("x"), col("y"), col("ts"))
 
+    // rankedLegacy replicates the retired two-branch union form as of
+    // commit 5ed0106 (pre-embeddedBoth HEAD, round 16) — the historical
+    // baseline the shipped/legacy plan diff compares against (ADVICE r17
+    // item 2: if embedded()/ranked() drift, this stops representing that
+    // baseline; check against 5ed0106 before trusting a new diff).
     def rankedLegacy(base: DataFrame, e: Int, tau: Int, samples: Int): DataFrame = {
       def oneDir(src: Column, tgt: Column, dir: String) =
         CcmPipeline.embedded(base, Seq("skey"), Seq(col("ts")), src, tgt, e, tau)

@@ -39,7 +39,10 @@ object PlanDump {
           Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), plan)
           println(s"[plandump] $name -> $outDir/${name}_$tag.txt")
         } catch {
-          case e: Throwable =>
+          // NonFatal only (ADVICE r17 item 1): a fatal JVM error (OOM,
+          // linkage) must abort the dump, not leave a silently partial
+          // evidence set
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
         } finally
           spark.sparkContext.getPersistentRDDs.values
